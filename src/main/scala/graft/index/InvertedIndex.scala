@@ -1,0 +1,55 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.WikiCorpus
+
+/** Positional inverted index (SURVEY.md §2.4 A6/A7, §2.2 P5).
+  *
+  * Schema: `ii(term, df, postings: array<struct<title, tf,
+  * ofs: array<struct<line_off, char_off>>>>)` — postings sorted by title
+  * (the reference's (term,title) secondary sort,
+  * /root/reference/src/main/scala/invertedIndex.scala:83-86), occurrence
+  * offsets in document order, and postings lists with df ≥ cutoff (3000)
+  * silently dropped (invertedIndex.scala:93-94).
+  *
+  * Spark-first shape: the reference's hand-written combiner
+  * (invertedIndex.scala:68-76) is Catalyst's partial HashAggregate — the
+  * two-level groupBy below compiles to map-side partial aggregation followed
+  * by one shuffle on (term,title) and one on term. `sort_array` reproduces
+  * the secondary-sort title order without a custom partitioner/comparator.
+  *
+  * Scale notes (100 TB): both shuffles hash on the term, so skewed hot terms
+  * are the risk; the df cutoff bounds any single postings array, and AQE
+  * skew-join handling covers the candidate join in query. Occurrence lists
+  * per (term,doc) are bounded by document length.
+  */
+object InvertedIndex {
+
+  val DefaultDfCutoff = 3000
+
+  private val tokUdf = udf { (body: String, bodyOff: Int) =>
+    WikiCorpus.tokenize(body, bodyOff)
+  }
+
+  /** docs(title, line_offset, body_off, body) → occurrences
+    * (term, title, line_off, char_off), one row per token occurrence. */
+  def occurrences(docs: DataFrame): DataFrame =
+    docs.filter(col("body").isNotNull)
+      .select(col("title"), col("line_offset"),
+        explode(tokUdf(col("body"), col("body_off"))).as("t"))
+      .select(col("t._1").as("term"), col("title"),
+        col("line_offset").as("line_off"), col("t._2").cast("long").as("char_off"))
+
+  /** Full index build with the df cutoff. */
+  def build(docs: DataFrame, dfCutoff: Int = DefaultDfCutoff): DataFrame =
+    occurrences(docs)
+      .groupBy(col("term"), col("title"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(struct(col("line_off"), col("char_off")))).as("ofs"))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("title"), col("tf"), col("ofs")))).as("postings"),
+        count(lit(1)).cast("int").as("df"))
+      .filter(col("df") < dfCutoff)
+      .select(col("term"), col("df"), col("postings"))
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.GraphBuilder
+import graft.pagerank.PageRank
+
+/** The reference's search-engine capabilities re-expressed over the
+  * driver fixtures: tokenization (ref P4), inverted index with df cutoff
+  * (A6/A7/P5), tf-idf scoring (F4/F5), snippets (S7/F9), graph build
+  * (J1/A1) and iterative PageRank (A3–A5/I2).
+  *
+  * The wiki-corpus pipeline itself (title/link extraction from markup,
+  * positional offsets) lives in graft.corpus and is validated by golden
+  * ScalaTest fixtures; the queries here run the same operators over the
+  * sfDir parquet tables so the DuckDB oracle can check them.
+  */
+object CorpusSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** `[a-zA-Z]+` maximal runs, case-sensitive — the reference tokenizer
+    * (/root/reference/src/main/scala/invertedIndex.scala:43-52). */
+  private val tokensExpr = "regexp_extract_all(text, '[a-zA-Z]+', 0)"
+
+  private val searchTerms = Seq("spark", "join", "query")
+  private def searchTermsSqlList = searchTerms.map(x => s"'$x'").mkString(", ")
+
+  /** Deterministic link graph derived from lineitem keys: vertex "v<k>" for
+    * k = l_orderkey mod 997; links target "v<j>" for j = l_partkey mod 1200,
+    * so ~17% of link targets reference non-existent pages and must be
+    * dropped by the build (parity trap #1). */
+  private def keyGraphDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(concat(lit("v"), col("l_orderkey") % 997).as("title"))
+      .agg(collect_set(concat(lit("v"), col("l_partkey") % 1200)).as("links"))
+
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- flagship: tf-idf search over the document corpus (ref
+    // Query.scala:83-90 J2/F4; score ORDER BY is our documented extension —
+    // SURVEY §1.4 #10)
+    ("q20_tfidf_search",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count() // driver-side metadata agg, like ref A2
+        val toks = docs.select(col("doc_id"),
+          explode(expr(tokensExpr)).as("term"))
+        val tf = toks.filter(col("term").isin(searchTerms: _*))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .select(col("term"), col("doc_id"), col("tf"), col("df"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"))
+          .orderBy(col("term"), desc("score"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+               WHERE term IN ($searchTermsSqlList) GROUP BY term, doc_id),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
+          ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        ORDER BY tf.term, score DESC, tf.doc_id""")),
+
+    // ---- inverted index build: term → (df, total tf) with the df-cutoff
+    // (ref A7 + P5, invertedIndex.scala:89-96; cutoff 3000 at :93-94)
+    ("q21_inverted_index",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+          .groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf_total"))
+          .filter(col("df") < 3000)
+          .orderBy(col("term"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents)
+        SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+        FROM toks GROUP BY term HAVING COUNT(DISTINCT doc_id) < 3000
+        ORDER BY term""")),
+
+    // ---- flat postings (term, doc_id, tf) for a fixed term set — the
+    // postings-list payload of ref A6 (combiner = Catalyst partial agg)
+    ("q22_postings",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+          .filter(col("term").isin(searchTerms: _*))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("term"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents)
+        SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term IN ($searchTermsSqlList)
+        GROUP BY term, doc_id ORDER BY term, doc_id""")),
+
+    // ---- snippet around first occurrence (ref S7/F9, Query.scala:96-103:
+    // window [off−20, off+30) — pure column expressions, no file seeking)
+    ("q23_snippet",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .withColumn("pos", locate("spark", col("text")).cast("long"))
+          .filter(col("pos") > 0)
+          .select(col("doc_id"), col("pos"),
+            expr("substr(text, cast(greatest(pos - 20, 1) as int), 50)").as("snippet"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+        substr(text, CAST(greatest(strpos(text, 'spark') - 20, 1) AS INT), 50) AS snippet
+        FROM documents WHERE strpos(text, 'spark') > 0
+        ORDER BY doc_id""")),
+
+    // ---- graph build with dead-link semi-join + NULL wiring (ref J1+A1,
+    // pageRank.scala:143-211,249-274; semantics SURVEY §1.4 #1–#3)
+    ("q24_graph_build",
+      (s: SparkSession, dir: String) => {
+        val g = GraphBuilder.build(keyGraphDocs(s, dir))
+        g.select(col("title"), size(col("links")).cast("long").as("n_links"),
+          array_join(col("links"), ",").as("links_csv"), col("pr"))
+          .orderBy(col("title"))
+      },
+      Some("""WITH docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        edges AS (SELECT DISTINCT src, dst FROM rawedges
+                  WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM edges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links)
+        SELECT title, CAST(len(links) AS BIGINT) AS n_links,
+               array_to_string(links, ',') AS links_csv, 1.0 AS pr
+        FROM g ORDER BY title""")),
+
+    // ---- iterative PageRank, exact reference semantics (I2/A3-A5; loop
+    // policy min 10 / tol 0.2 / cap 50). Iterative fixpoints are not
+    // SQL-expressible for the oracle → rows-only check here; the exact
+    // semantics are validated by golden ScalaTest fixtures against a scalar
+    // model (SURVEY §5.1).
+    ("q25_pagerank",
+      (s: SparkSession, dir: String) => {
+        val g = GraphBuilder.build(keyGraphDocs(s, dir))
+        val res = PageRank.run(g)
+        PageRank.ranked(res.graph)
+          .select(col("title"), round(col("pr"), 6).as("pr"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Portable._
+import graft.core.Tables
+
+/** Large-scale training-data dedup + similarity-search operators over the
+  * `documents` and `embeddings` tables:
+  *
+  *  - exact dedup (content-hash groupBy),
+  *  - n-gram Jaccard near-dup (shingle equi-join — exact but quadratic in
+  *    shared shingles; the SCALE path is the MinHash-LSH below),
+  *  - MinHash + LSH banding (16 perms, 4 bands × 4 rows): candidate
+  *    generation via band-bucket equi-join, then Jaccard verification on
+  *    candidates only — this is the 100 TB-safe shape (no all-pairs work),
+  *  - SimHash fingerprints + near-dup pairs via 4×8-bit block bucketing
+  *    (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 exact block match),
+  *  - brute-force cosine top-k (baseline) and label-blocked near-dup
+  *    (coarse-quantizer/IVF-style cell-local compare — the scale path).
+  *
+  * Every hash is md5-derived (see [[graft.core.Portable]]) so the DuckDB
+  * oracle reproduces results bit-for-bit; all similarity arithmetic is done
+  * in double with identical fold order in both engines.
+  */
+object DedupSim {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val P = MersenneP // 2^31-1
+
+  /** Distinct word-5-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))")).as("shingle"))
+      .distinct()
+
+  /** DuckDB CTEs mirroring [[shingles]]. */
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                 i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS shingle
+             FROM toks)"""
+
+  /** (a_i, b_i) of the i-th universal-hash permutation — must mirror
+    * Portable.minhashPerm exactly. */
+  private def perm(i: Int): (Long, Long) = {
+    val a0 = 1103515245L * (i + 1) % P
+    (if (a0 == 0L) 1L else a0, 12345L * (i + 7) % P)
+  }
+
+  private val numPerms = 16
+  private val numBands = 4
+  private val rowsPerBand = numPerms / numBands
+
+  /** Portable double-precision cosine: identical element order and fold
+    * order in Spark (`aggregate` with seed) and DuckDB (`list_reduce` over a
+    * 0.0-prepended list). */
+  private def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+  private def cosSpark(a: String, b: String): String =
+    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+  private def cosDuck(a: String, b: String): String =
+    s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- exact dedup: content-hash groupBy, canonical = min doc_id
+    ("q30_dedup_exact",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+          .filter(col("n_dups") > 1)
+          .orderBy(col("canonical_id"))
+      },
+      Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+        MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        ORDER BY canonical_id""")),
+
+    // ---- exact n-gram Jaccard near-dup via shingle equi-join
+    ("q31_ngram_jaccard",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $shinglesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+          ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+        FROM pairs JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ---- MinHash + LSH banding → candidates → Jaccard verify (scale path)
+    ("q32_minhash_lsh",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir)
+        val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"), col("shingle"))
+        val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
+        val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+        val bandCols = (0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
+        }
+        val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val common = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val minSql = (0 until numPerms).map { i =>
+          val (a, b) = perm(i)
+          s"MIN((x * $a + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandSql = (0 until numBands).map { b =>
+          val sig = (0 until rowsPerBand).map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+            .mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shinglesSql,
+          h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P) AS x FROM sh),
+          mh AS (SELECT doc_id, $minSql FROM h GROUP BY doc_id),
+          bands AS ($bandSql),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+                     FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                     JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                     GROUP BY c.id_a, c.id_b)
+          SELECT id_a, id_b,
+            ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+          FROM common JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+          ORDER BY id_a, id_b"""
+      }),
+
+    // ---- SimHash fingerprints (32-bit, tf-weighted)
+    ("q33_simhash",
+      (s: SparkSession, dir: String) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        tf.withColumn("h", hash32(col("term")))
+          .select(col("doc_id"), col("tf"), col("h"),
+            explode(expr("sequence(0, 31)")).as("i"))
+          .withColumn("contrib",
+            when(expr("(h div cast(pow(2, i) as bigint)) % 2") === 1, col("tf"))
+              .otherwise(-col("tf")))
+          .groupBy(col("doc_id"), col("i"))
+          .agg(sum(col("contrib")).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("c") > 0, expr("cast(pow(2, i) as bigint)")).otherwise(0L))
+            .as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        bits AS (SELECT doc_id, i,
+            SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // CAST(POW(2, i) AS BIGINT)) % 2) = 1
+                THEN tf ELSE -tf END) AS c
+          FROM tf, (SELECT unnest(range(0, 32)) AS i) ii
+          GROUP BY doc_id, i)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN c > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- SimHash near-dup pairs via 4×8-bit block bucketing
+    // (hamming ≤ 3 ⇒ at least one of the 4 blocks matches exactly —
+    // avoids the all-pairs cross join at scale)
+    ("q34_simhash_pairs",
+      (s: SparkSession, dir: String) => {
+        val sig = queries("q33_simhash")(s, dir).select(col("doc_id"), col("simhash"))
+        val blocks = sig.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("blk"))
+          .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
+        val cand = blocks.select(col("doc_id").as("id_a"), col("simhash").as("ha"), col("blk"), col("bval"))
+          .join(blocks.select(col("doc_id").as("id_b"), col("simhash").as("hb"), col("blk"), col("bval")),
+            Seq("blk", "bval"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+        cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        bits AS (SELECT doc_id, i,
+            SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // CAST(POW(2, i) AS BIGINT)) % 2) = 1
+                THEN tf ELSE -tf END) AS c
+          FROM tf, (SELECT unnest(range(0, 32)) AS i) ii
+          GROUP BY doc_id, i),
+        sig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN c > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        blocks AS (SELECT doc_id, simhash, blk,
+            (simhash // CAST(POW(2, blk * 8) AS BIGINT)) % 256 AS bval
+          FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS ha, b.simhash AS hb
+          FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- brute-force cosine top-k ANN baseline
+    ("q35_cosine_topk",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(expr(cosSpark("embedding", "qv")), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          ROUND(${cosDuck("embedding", "qv")}, 4) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ---- embedding near-dup, label-blocked (IVF-cell-style scale path:
+    // compare only within a coarse cell, never all-pairs)
+    ("q36_embedding_neardup",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim", expr(cosSpark("ea", "eb")))
+          .filter(col("sim") >= 0.95)
+          .select(col("label").cast("long").as("label"), col("id_a"), col("id_b"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(${cosDuck("a.embedding", "b.embedding")}, 4) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.95
+        ORDER BY id_a, id_b"""))
+  )
+
+  /** name → query lookup used by q34 to reuse q33's plan builder. */
+  private lazy val queries: Map[String, Q] =
+    catalog.map { case (n, q, _) => n -> q }.toMap
+}

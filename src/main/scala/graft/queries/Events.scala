@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Portable._
+import graft.core.Tables
+
+/** Event-stream operators (batch semantics over the `events` table; the
+  * Structured Streaming equivalents live in graft.streaming and are tested
+  * with MemoryStream): tumbling-window rollup, gap-based sessionization,
+  * JSON extraction, as-of join, interval self-join.
+  *
+  * All timestamps are compared as microsecond epochs (`unix_micros` /
+  * `epoch_us`) — both engines truncate the parquet ns-precision column to
+  * micros, so the integers agree exactly. Window frames are ordered by
+  * (ts, event_id) so ties cannot make frames nondeterministic.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; with the nanosAsLong legacy conf the column
+    * arrives as LongType nanoseconds. `us = ts div 1000` truncates exactly
+    * like DuckDB's internal ns→us conversion, so epochs agree bit-for-bit.
+    * A `ts_utc` TimestampType column is derived for calendar functions. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val SessionGapUs = 1800000000L // 30 min
+
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- tumbling-window rollup (streaming: window($"ts","1 hour"))
+    ("q50_hourly_rollup",
+      (s: SparkSession, dir: String) => {
+        ev(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts_utc")), "yyyy-MM-dd HH:mm").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- gap-based sessionization (30-min inactivity gap): lag + running
+    // sum of session-boundary flags, then per-session rollup. Streaming
+    // equivalent: flatMapGroupsWithState in graft.streaming.
+    ("q51_sessionize",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev(s, dir)
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"),
+            dsum(col("value")).as("session_value"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        f AS (SELECT user_id, event_id, value, us,
+            lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+          FROM e),
+        g AS (SELECT user_id, value, us,
+            CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS new_sess,
+            event_id
+          FROM f),
+        h AS (SELECT user_id, value, us,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM g)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM h GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq""")),
+
+    // ---- JSON field extraction + agg (props is a JSON string column)
+    ("q52_json_agg",
+      (s: SparkSession, dir: String) => {
+        ev(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        FROM events GROUP BY 1 ORDER BY k""")),
+
+    // ---- as-of join: for each purchase, the latest view of the same user
+    // at-or-before it. Composed from built-ins (SURVEY §2 preference (a)):
+    // a running MAX over a (ts, event_id)-ordered frame — no custom
+    // SparkPlan needed, and it shuffles once on user_id.
+    ("q53_asof_join",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev(s, dir)
+          .withColumn("view_us", when(col("event_type") === "view", col("us")))
+          .withColumn("last_view_us", max(col("view_us")).over(w))
+          .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+          .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+            col("last_view_us"), (col("us") - col("last_view_us")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        f AS (SELECT event_id, user_id, event_type, us,
+            MAX(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+          FROM e)
+        SELECT event_id, user_id, us AS purchase_us, last_view_us,
+          us - last_view_us AS gap_us
+        FROM f WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+        ORDER BY event_id""")),
+
+    // ---- interval self-join: pairs of events of the same user within 60s
+    // (range-join shape; shuffles once on user_id, band predicate applied
+    // post-join — at 100 TB this becomes bucketed-by-time + user salting)
+    ("q54_interval_join",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir)
+        val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+        val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"))
+        a.join(b, Seq("user_id"))
+          .filter(col("id_a") =!= col("id_b") &&
+            col("us_b") >= col("us_a") && col("us_b") - col("us_a") <= 60000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        SELECT a.user_id, COUNT(*) AS n_pairs
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND a.event_id <> b.event_id
+          AND b.us >= a.us AND b.us - a.us <= 60000000
+        GROUP BY a.user_id ORDER BY a.user_id"""))
+  )
+}

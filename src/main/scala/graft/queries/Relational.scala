@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Portable._
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.8): scans, filters,
+  * projections, every join shape, aggregation, window functions, set ops,
+  * sorts, top-k, grouping sets, scalar functions — each paired with an ANSI
+  * SQL oracle for DuckDB.
+  *
+  * Determinism rules (the correctness gate hash-compares values):
+  *  - every double-valued aggregate goes through decimal(18,x) so the sum is
+  *    exact and independent of partition order (see [[graft.core.Portable]]);
+  *  - every query ends in a total ORDER BY (ties broken by a key column);
+  *  - every column is aliased identically in the Spark plan and the SQL.
+  *
+  * Scale notes (100 TB): filters/projections sit directly on the parquet
+  * scan so Catalyst pushes them down (verified via explain: PushedFilters /
+  * ReadSchema). Dimension tables (region/nation/customer/supplier/part) are
+  * broadcast; only fact-fact joins shuffle. Aggregations rely on partial
+  * (map-side) aggregation; AQE coalesces post-shuffle partitions.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** (name, spark query, oracle SQL) triples. */
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- scan + filter + project + group/agg (TPC-H Q1 shape; ref A6/A7
+    // partial-agg analog — Catalyst's HashAggregate(partial) replaces the
+    // reference combiner, /root/reference/src/main/scala/invertedIndex.scala:68-76)
+    ("q01_pricing_summary",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- predicate + column pushdown to the scan (SURVEY P1/P5 analog)
+    ("q02_filter_project",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_quantity") < 25)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_quantity < 25
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- broadcast equi-join + agg (ref J2 shape,
+    // /root/reference/src/main/scala/Query.scala:83-90)
+    ("q03_join_agg",
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- multiway join through dims (TPC-H Q5 shape)
+    ("q04_multiway_join",
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val o  = t(s, dir, "orders")
+        val c  = t(s, dir, "customer")
+        val n  = t(s, dir, "nation")
+        val r  = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- left-semi join (the reference's ONE join, J1:
+    // /root/reference/src/main/scala/pageRank.scala:143-211 — a tagged-key
+    // MR semi-join; here it is a declarative left_semi)
+    ("q05_semi_join",
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey""")),
+
+    // ---- left-anti join
+    ("q06_anti_join",
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- left-outer join + two-level agg (TPC-H Q13 shape)
+    ("q07_outer_join_hist",
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- top-k (orderBy + limit; SURVEY §2.5 extension path)
+    ("q08_topk",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- global sort (ref T1: range-partitioned total order replaces the
+    // reference's per-partition MR sort, /root/reference/src/main/scala/pageRank.scala:233-238)
+    ("q09_global_sort",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(desc("s_acctbal"), asc("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        ORDER BY s_acctbal DESC, s_suppkey""")),
+
+    // ---- distinct + exact count-distinct
+    ("q10_count_distinct",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- window functions: ranking + partition total (SURVEY §2.8 ext)
+    ("q11_window_rank",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(desc("s_acctbal"), asc("s_suppkey"))
+        t(s, dir, "supplier")
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("nation_total",
+            sum(col("s_acctbal").cast("decimal(18,2)"))
+              .over(Window.partitionBy(col("s_nationkey"))).cast("double"))
+          .filter(col("rnk") <= 3)
+          .select(col("s_nationkey").cast("long").as("nationkey"), col("rnk").cast("long").as("rnk"),
+            col("s_suppkey"), col("s_name"), col("s_acctbal"), col("nation_total"))
+          .orderBy(col("nationkey"), col("rnk"))
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS nationkey, CAST(rnk AS BIGINT) AS rnk,
+          s_suppkey, s_name, s_acctbal, nation_total FROM (
+          SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+            ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS nation_total
+          FROM supplier) t
+        WHERE rnk <= 3 ORDER BY nationkey, rnk""")),
+
+    // ---- set ops (SURVEY §2.6: free via Catalyst)
+    ("q12_intersect",
+      (s: SparkSession, dir: String) => {
+        val a = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+        val b = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+        a.intersect(b).orderBy(col("nationkey"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        ORDER BY nationkey""")),
+
+    ("q13_except",
+      (s: SparkSession, dir: String) => {
+        val a = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("nationkey"))
+        val b = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+        a.except(b).orderBy(col("nationkey"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
+        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        ORDER BY nationkey""")),
+
+    // ---- scalar string/math functions (SURVEY §2.7 F1-F9)
+    ("q14_scalar_funcs",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 4).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          round(abs(col("p_retailprice") - lit(1000.0)), 2).as("absdiff"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          round(log(col("p_retailprice") + lit(1.0)), 4).as("log_price"),
+          round(sqrt(col("p_size").cast("double")), 4).as("sqrt_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, UPPER(p_name) AS name_u,
+        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        SUBSTR(p_name, 1, 4) AS name_pfx,
+        p_brand || '|' || p_type AS cat,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        ROUND(ABS(p_retailprice - 1000.0), 2) AS absdiff,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        ROUND(LN(p_retailprice + 1.0), 4) AS log_price,
+        ROUND(SQRT(CAST(p_size AS DOUBLE)), 4) AS sqrt_size
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- date/time functions over timestamps
+    ("q15_date_funcs",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("value"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // ---- group + HAVING (ref P5 df-cutoff analog,
+    // /root/reference/src/main/scala/invertedIndex.scala:93-94)
+    ("q16_having",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), davg(col("p_retailprice")).as("avg_price"))
+          .filter(col("n") >= 5)
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice), 6) AS avg_price
+        FROM part GROUP BY p_brand HAVING COUNT(*) >= 5 ORDER BY p_brand""")),
+
+    // ---- conditional aggregation (pivot-style)
+    ("q17_conditional_agg",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+            sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+            sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0.0))
+              .cast("decimal(18,2)")).cast("double").as("open_value"))
+          .orderBy(col("yr"))
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS open_value
+        FROM orders GROUP BY 1 ORDER BY yr""")),
+
+    // ---- rollup / grouping sets
+    ("q18_rollup",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("qty"))
+          .orderBy(col("rf"), col("ls"))
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""))
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Portable._
+import graft.core.Tables
+
+/** Text-analysis operators a training-data pipeline needs at scale:
+  * language-ID (stopword-ratio heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), rolling-hash document fingerprinting, and
+  * corpus-level stats. All column-expression only (codegen'd, no UDFs);
+  * every hash/fold is portable to the DuckDB oracle (see Portable).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopSparkArr = stop.map(x => s"'$x'").mkString("array(", ", ", ")")
+  private val stopDuckList = stop.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- language ID: English-stopword-ratio heuristic
+    ("q40_langid",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("n_stop",
+            expr(s"size(filter(ws, w -> array_contains($stopSparkArr, w)))").cast("long"))
+          .withColumn("stop_ratio",
+            round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
+          .withColumn("pred_lang",
+            when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("other")))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
+            col("stop_ratio"), col("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        e AS (SELECT doc_id, lang,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(ws, w -> list_contains($stopDuckList, w))) AS BIGINT) AS n_stop
+          FROM d)
+        SELECT doc_id, lang, n_tokens, n_stop,
+          ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+          CASE WHEN ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) >= 0.05
+               THEN 'en' ELSE 'other' END AS pred_lang
+        FROM e ORDER BY doc_id""")),
+
+    // ---- quality scoring: length / alpha-ratio / mean-word-length mix.
+    // Rounding is floor(x·1e4 + 0.5)/1e4 — pure correctly-rounded IEEE ops,
+    // bit-identical across engines (decimal-string ROUND() is not: Spark
+    // and DuckDB disagree on half-way doubles, e.g. 0.72125).
+    ("q41_quality",
+      (s: SparkSession, dir: String) => {
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("n_alpha", length(array_join(col("ws"), "")).cast("long"))
+          .withColumn("alpha_ratio",
+            r4(col("n_alpha").cast("double") / greatest(length(col("text")).cast("long"), lit(1L))))
+          .withColumn("avg_w_len",
+            r4(col("n_alpha").cast("double") / greatest(col("n_tokens"), lit(1L))))
+          .withColumn("quality_score",
+            r4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+              + lit(0.3) * col("alpha_ratio")
+              + lit(0.3) * least(col("avg_w_len") / 10.0, lit(1.0))))
+          .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+            col("avg_w_len"), col("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        e AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_alpha,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+        f AS (SELECT doc_id, n_tokens,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) * 10000.0 + 0.5) / 10000.0 AS avg_w_len
+          FROM e)
+        SELECT doc_id, n_tokens, alpha_ratio, avg_w_len,
+          floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * alpha_ratio + 0.3 * least(avg_w_len / 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        FROM f ORDER BY doc_id""")),
+
+    // ---- token counting: regex tokens, distinct tokens, type-token ratio,
+    // BPE-ish subword count (letters-runs | digit-runs | other-non-space)
+    ("q42_token_stats",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)").as("sub"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            size(array_distinct(col("ws"))).cast("long").as("n_unique"),
+            round(size(array_distinct(col("ws"))).cast("double")
+              / greatest(size(col("ws")), lit(1)), 4).as("ttr"),
+            size(col("sub")).cast("long").as("n_subtokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws,
+            regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS sub
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+          ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1), 4) AS ttr,
+          CAST(len(sub) AS BIGINT) AS n_subtokens
+        FROM d ORDER BY doc_id""")),
+
+    // ---- rolling-hash document fingerprint over the token stream
+    // (order-sensitive, unlike the content-hash of q30)
+    ("q43_fingerprint",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("hs", expr(
+            "transform(ws, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 2147483647)"))
+          .withColumn("fingerprint", expr(
+            "aggregate(hs, cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 2147483647)"))
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        h AS (SELECT doc_id,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647) AS hs
+          FROM d)
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+            (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+        FROM h ORDER BY doc_id""")),
+
+    // ---- corpus-level stats rollup
+    ("q44_corpus_stats",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"), col("n_chars"),
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_tokens"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH d AS (SELECT lang, source, n_chars,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        FROM d GROUP BY lang, source ORDER BY lang, source"""))
+  )
+}

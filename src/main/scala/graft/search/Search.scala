@@ -1,0 +1,60 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-time scoring + snippets (SURVEY.md §3.3, §2.3 J2, §2.7 F4/F5/F9).
+  *
+  * The reference's query tool does N+1 HBase point-gets per term/posting
+  * (/root/reference/src/main/scala/Query.scala:83-90) and random-access
+  * file seeks for snippets (Query.scala:96-103). Spark-first this is ONE
+  * declarative three-way join — query terms ⋈ index ⋈ pagerank ⋈ docs —
+  * where the term list and pr table broadcast, so the whole query is
+  * shuffle-free at serving time.
+  *
+  * Score: `0.5·(tf·ln(docCount/df)) + 0.5·pagerank` (Query.scala:52,89).
+  * Snippet: chars `[off−20, off+30)` of the line, clipped at both ends like
+  * Scala's slice (Query.scala:100) — a pure substring expression, no file
+  * seeking (the docs line lives in the corpus Parquet).
+  *
+  * Parity mode (SURVEY §1.4 #10): the reference prints results in posting
+  * order — terms in input order, postings in title order, NO score sort and
+  * no dedup across terms. `search(..., sortByScore = false)` reproduces that
+  * exactly via (term_idx, posting ordinal); `sortByScore = true` is our
+  * documented extension.
+  */
+object Search {
+
+  /** index: ii(term, df, postings); pr: (title, pr); docs: (title, line).
+    * Returns (term, title, tf, df, pr, score, snippets). */
+  def search(spark: SparkSession, terms: Seq[String], docCount: Long,
+      index: DataFrame, pr: DataFrame, docs: DataFrame,
+      sortByScore: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val q = terms.zipWithIndex.toDF("term", "term_idx")
+
+    val hits = q.join(index, Seq("term"))
+      .select(col("term"), col("term_idx"), col("df"),
+        posexplode(col("postings")).as(Seq("pos", "p")))
+      .select(col("term"), col("term_idx"), col("pos"), col("df"),
+        col("p.title").as("title"), col("p.tf").as("tf"), col("p.ofs").as("ofs"))
+      .join(broadcast(pr), Seq("title"), "left_outer")
+      .withColumn("pr", coalesce(col("pr"), lit(0.0)))
+      .withColumn("score",
+        lit(0.5) * (col("tf") * log(lit(docCount.toDouble) / col("df"))) +
+          lit(0.5) * col("pr"))
+      .join(docs.select(col("title"), col("line")), Seq("title"), "left_outer")
+      // Scala-slice clipping: from = max(off−20, 0), until = off+30; SQL
+      // substring is 1-based with a length arg, so len = until − from.
+      .withColumn("snippets", expr(
+        """transform(ofs, o ->
+             substring(line,
+               cast(greatest(o.char_off - 20, 0) + 1 as int),
+               cast(o.char_off + 30 - greatest(o.char_off - 20, 0) as int)))"""))
+      .select(col("term"), col("term_idx"), col("pos"), col("title"),
+        col("tf"), col("df"), col("pr"), col("score"), col("snippets"))
+
+    if (sortByScore) hits.orderBy(desc("score"), asc("term_idx"), asc("title"))
+    else hits.orderBy(asc("term_idx"), asc("pos"))
+  }
+}

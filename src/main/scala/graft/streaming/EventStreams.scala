@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.10 extension — the reference
+  * has no streaming; these are the streaming twins of the batch event
+  * queries in [[graft.queries.Events]], built the Spark-native way:
+  * `readStream` → watermark → windowed agg / session window / keyed state →
+  * `writeStream`).
+  *
+  * Scale notes (100 TB/day feeds): all three operators partition state by
+  * key hash (window-start×type, user_id) so state scales horizontally;
+  * watermarks bound state size; RocksDB state store + changelog
+  * checkpointing is the production config (session conf, not code).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** In-flight session state for [[sessionizeWithState]]. */
+  final case class Sess(start: Long, end: Long, n: Long, value: Double)
+
+  /** Tumbling 1-hour window rollup with a 10-minute watermark (streaming
+    * twin of q50_hourly_rollup). Late events beyond the watermark are
+    * dropped; in-watermark late data updates its window in place. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Gap-based sessionization via the built-in session_window (streaming
+    * twin of q51_sessionize, 30-minute inactivity gap). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state: per-user session assembly with
+    * flatMapGroupsWithState + event-time timeout — the fully-general state
+    * path for semantics session_window can't express (e.g. value-dependent
+    * gaps). Emits a session when the watermark passes its gap horizon. */
+  def sessionizeWithState(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[Sess]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.n, s.value))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val out = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(Sess(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
+            case Some(s) =>
+              out += SessionOut(userId, new Timestamp(s.start),
+                new Timestamp(s.end), s.n, s.value)
+              cur = Some(Sess(t, t, 1, e.value))
+            case None =>
+              cur = Some(Sess(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

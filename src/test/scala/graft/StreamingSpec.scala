@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** MemoryStream-driven tests of the Structured Streaming operators. */
+class StreamingSpec extends SparkSpec {
+
+  def ts(minute: Int): Timestamp = new Timestamp(3600_000L * 10 + minute * 60_000L)
+
+  def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("hourlyRollup: windowed agg with watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, 1, "view", 1.0, ts(5)),
+      Event(2, 1, "view", 2.0, ts(10)),
+      Event(3, 2, "purchase", 5.0, ts(65)))
+    val q = EventStreams.hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    runToCompletion(q)
+    val rows = spark.table("hourly")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(("purchase", 1L, 5.0), ("view", 2L, 3.0)))
+  }
+
+  test("sessionize: session_window groups by 30-min gaps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // user 1: events at minute 0, 10 (one session), then 50 (gap 40 > 30: new)
+    mem.addData(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 1, "view", 1.0, ts(10)),
+      Event(3, 1, "view", 1.0, ts(50)))
+    // watermark must advance past session end + gap for append emission
+    mem.addData(Event(9, 99, "view", 0.0, ts(200)))
+    val q = EventStreams.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("sessions")
+      .filter("user_id = 1").collect()
+      .map(r => (r.getLong(3))).sorted
+    assert(rows.toSeq === Seq(1L, 2L))
+  }
+
+  test("sessionizeWithState: custom keyed state emits on timeout") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 1, "view", 2.0, ts(5)),
+      Event(3, 2, "view", 4.0, ts(7)))
+    // advance watermark far enough to time out both sessions
+    mem.addData(Event(9, 99, "view", 0.0, ts(300)))
+    val q = EventStreams.sessionizeWithState(spark, mem.toDS())
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("state_sessions")
+      .filter("user_id IN (1, 2)").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
+}
