@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.CorpusSearch.catalog ++
       graft.queries.DedupSim.catalog ++
       graft.queries.TextOps.catalog ++
-      graft.queries.Events.catalog
+      graft.queries.Events.catalog ++
+      graft.queries.MultimodalQ.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

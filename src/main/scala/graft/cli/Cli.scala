@@ -1,0 +1,85 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.WikiCorpus
+import graft.graph.GraphBuilder
+import graft.index.InvertedIndex
+import graft.pagerank.PageRank
+import graft.search.Search
+
+/** CLI mains mirroring the reference's three entry points
+  * (/root/reference/README.md:15-68): RankPages ≈ PageRankMapReduce,
+  * BuildIndex ≈ InvertedIndexMapReduce, SearchCli ≈ Query. The HBase
+  * serving tables (S4–S6) are replaced by Parquet keyed tables — the
+  * zero-egress, Spark-native serving layer (SURVEY.md §2.1).
+  */
+object Cli {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** `RankPages <corpus> <outDir>` — ingest, build graph, run PageRank to the
+  * reference's convergence policy, write the docs/pr serving tables and the
+  * final `title \t pr` ranked list (ref stages A–D, pageRank.scala:331-393). */
+object RankPages {
+  def main(args: Array[String]): Unit = {
+    val Array(input, out) = args.take(2)
+    val spark = Cli.session()
+    val docs = WikiCorpus.ingest(spark, input).cache()
+    val graph = GraphBuilder.build(docs.select(col("title"), col("links")))
+    val res = PageRank.run(graph)
+    docs.write.mode("overwrite").parquet(s"$out/docs")
+    res.graph.select(col("title"), col("pr"))
+      .write.mode("overwrite").parquet(s"$out/pr")
+    PageRank.ranked(res.graph)
+      .select(concat_ws("\t", col("title"), col("pr")))
+      .write.mode("overwrite").text(s"$out/ranked")
+    println(s"iterations=${res.iterations} avgChange=${res.avgChange}")
+    spark.stop()
+  }
+}
+
+/** `BuildIndex <corpus> <outDir>` — positional inverted index with the df
+  * cutoff, written as the `ii` Parquet serving table
+  * (ref invertedIndex.scala:101-123). */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    val Array(input, out) = args.take(2)
+    val spark = Cli.session()
+    val docs = WikiCorpus.ingest(spark, input)
+    InvertedIndex.build(docs).write.mode("overwrite").parquet(s"$out/ii")
+    spark.stop()
+  }
+}
+
+/** `SearchCli <serveDir> <docCount> <term> [term…]` — mirrors the
+  * reference's Query surface (Query.scala:59-64): point-reads the serving
+  * tables, scores 0.5·tfidf + 0.5·pr, prints posting-ordered results with
+  * ±20/+30-char snippets. */
+object SearchCli {
+  def main(args: Array[String]): Unit = {
+    val serveDir = args(0)
+    val docCount = args(1).toLong
+    val terms = args.drop(2).toSeq
+    val spark = Cli.session()
+    val ii = spark.read.parquet(s"$serveDir/ii")
+    val pr = spark.read.parquet(s"$serveDir/pr")
+    val docs = spark.read.parquet(s"$serveDir/docs")
+    val hits = Search.search(spark, terms, docCount, ii, pr, docs)
+    hits.collect().foreach { r =>
+      println(s"${r.getAs[String]("term")}\t${r.getAs[String]("title")}\t" +
+        f"${r.getAs[Double]("score")}%.6f\t" +
+        r.getAs[scala.collection.Seq[String]]("snippets").mkString(" … "))
+    }
+    spark.stop()
+  }
+}

@@ -269,6 +269,41 @@ object DedupSim {
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY sim DESC, vec_id LIMIT 20""")),
 
+    // ---- IVF-style ANN: sign-bit coarse quantizer (cell = 8 sign bits of
+    // the first 8 dims), probe ONLY the query's cell, exact cosine rank
+    // inside it. The scale path for q35's brute force: at 100 TB the cell
+    // is a partition-pruned parquet read (cell = partition column), so a
+    // query touches 1/256th of the corpus; recall is tunable by probing
+    // neighbor cells (Hamming-1 on the sign bits).
+    ("q37_ann_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val cell = (0 until 8).map(j =>
+          expr(s"cast(element_at(embedding, ${j + 1}) > 0 as int) * ${1 << j}"))
+          .reduce(_ + _)
+        val withCell = e.withColumn("cell", cell)
+        val q = withCell.filter(col("vec_id") === 0)
+          .select(col("cell").as("qcell"), col("embedding").as("qv"))
+        withCell.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("cell") === col("qcell"))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("cell").cast("long").as("cell"),
+            round(expr(cosSpark("embedding", "qv")), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val cellSql = (0 until 8).map(j =>
+          s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH c AS (SELECT vec_id, label, embedding, $cellSql AS cell FROM embeddings),
+          q AS (SELECT cell AS qcell, embedding AS qv FROM c WHERE vec_id = 0)
+          SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS cell,
+            ROUND(${cosDuck("embedding", "qv")}, 4) AS sim
+          FROM c, q WHERE vec_id <> 0 AND cell = qcell
+          ORDER BY sim DESC, vec_id LIMIT 10"""
+      }),
+
     // ---- embedding near-dup, label-blocked (IVF-cell-style scale path:
     // compare only within a coarse cell, never all-pairs)
     ("q36_embedding_neardup",

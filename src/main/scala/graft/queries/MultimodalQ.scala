@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column operators over the synthetic media table (see
+  * [[graft.multimodal.Multimodal.syntheticMedia]] — payloads derived
+  * deterministically from the `documents` fixture, so the metadata-side
+  * queries are oracle-checkable in DuckDB with the same derivation). */
+object MultimodalQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def media(s: SparkSession, dir: String) =
+    Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents"))
+
+  /** DuckDB twin of syntheticMedia's metadata derivation. */
+  private val mediaSql =
+    """m AS (SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(doc_id % 640 + 16 AS INT) AS width,
+         CAST(doc_id % 480 + 16 AS INT) AS height,
+         CAST(doc_id % 25 + 1 AS INT) AS n_frames
+       FROM documents)"""
+
+  val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- metadata-only stats: must not touch the payload column
+    // (Parquet/column pruning keeps media payload pages unread)
+    ("q60_media_stats",
+      (s: SparkSession, dir: String) =>
+        Multimodal.mediaStats(media(s, dir).toDF())
+          .select(col("kind"), col("n"),
+            round(col("avg_w"), 4).as("avg_w"), round(col("avg_h"), 4).as("avg_h"),
+            col("total_frames")),
+      Some(s"""WITH $mediaSql
+        SELECT kind, COUNT(*) AS n,
+          ROUND(AVG(width), 4) AS avg_w, ROUND(AVG(height), 4) AS avg_h,
+          CAST(SUM(n_frames) AS BIGINT) AS total_frames
+        FROM m GROUP BY kind ORDER BY kind""")),
+
+    // ---- resize: metadata math (codegen'd); payload re-encode is the stub
+    ("q61_media_resize",
+      (s: SparkSession, dir: String) =>
+        Multimodal.resizeMeta(media(s, dir).toDF(), maxSide = 256)
+          .select(col("media_id"), col("kind"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("new_width"), col("new_height"))
+          .orderBy(col("media_id")),
+      Some(s"""WITH $mediaSql
+        SELECT media_id, kind, width, height,
+          CAST(CEIL(width * LEAST(1.0, 256 / GREATEST(width, height))) AS INT) AS new_width,
+          CAST(CEIL(height * LEAST(1.0, 256 / GREATEST(width, height))) AS INT) AS new_height
+        FROM m ORDER BY media_id""")),
+
+    // ---- batch-shaped feature extraction (mapPartitions stub decode) —
+    // not SQL-expressible → rows-only check; determinism + batch contract
+    // are covered by MultimodalSpec.
+    ("q62_media_features",
+      (s: SparkSession, dir: String) => {
+        val f = Multimodal.extractFeatures(s, media(s, dir))
+        f.select(col("media_id"), col("kind"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+            round(element_at(col("feature"), 2).cast("double"), 6).as("f1"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
+    // ---- frame sampling: every 5th frame of each video → one row/frame
+    ("q63_frame_sample",
+      (s: SparkSession, dir: String) => {
+        val fs = Multimodal.sampleFrames(s, media(s, dir), stride = 5)
+        fs.groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $mediaSql
+        SELECT media_id, CAST(CEIL(CAST(n_frames AS DOUBLE) / 5) AS BIGINT) AS n_sampled
+        FROM m WHERE kind = 'video' ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Spark-side plumbing tests for the multimodal operators: schema, batch
+  * contract, determinism, frame-count bounds, payload pruning. */
+class MultimodalSpec extends SparkSpec {
+
+  import Multimodal._
+
+  lazy val media = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta"), (4L, "theta iota"), (5L, "kappa"))
+      .toDF("doc_id", "text")
+    syntheticMedia(spark, docs).cache()
+  }
+
+  test("syntheticMedia: typed schema with opaque payload") {
+    val m = media.collect().sortBy(_.media_id)
+    assert(m.map(_.kind).toSeq === Seq("image", "audio", "video",
+      "image", "audio", "video"))
+    assert(m(0).payload === "alpha beta".getBytes("UTF-8"))
+    assert(m(2).meta.n_frames === 3)
+  }
+
+  test("extractFeatures: deterministic, fixed-dim, content-sensitive") {
+    val f1 = extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f1.length === 6)
+    assert(f1.forall(_.feature.length === FeatureDim))
+    // deterministic across runs
+    f1.zip(f2).foreach { case (a, b) => assert(a.feature.toSeq === b.feature.toSeq) }
+    // different payloads → different features
+    assert(f1(0).feature.toSeq !== f1(1).feature.toSeq)
+  }
+
+  test("inBatches: bounded batches, order preserved, all rows processed") {
+    var batches = List.empty[Int]
+    val out = inBatches((1 to 10).iterator, 3) { b =>
+      batches ::= b.size; b.map(_ * 2)
+    }.toList
+    assert(out === (1 to 10).map(_ * 2).toList)
+    assert(batches.reverse === List(3, 3, 3, 1))
+  }
+
+  test("sampleFrames: only videos, stride respected, idx < n_frames") {
+    val fs = sampleFrames(spark, media, stride = 2).collect()
+    val byId = fs.groupBy(_.media_id)
+    assert(byId.keySet === Set(2L, 5L)) // kinds cycle i/a/v
+    // media 2 has n_frames=3 → frames 0,2; media 5 has n_frames=6 → 0,2,4
+    assert(byId(2L).map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    assert(byId(5L).map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    assert(fs.forall(_.frame_payload.length === 8))
+  }
+
+  test("mediaStats: payload column pruned from the scan") {
+    val plan = mediaStats(media.toDF()).queryExecution.optimizedPlan
+    // the aggregate's input must not carry the payload column
+    val aggInput = plan.children.head.output.map(_.name)
+    assert(!aggInput.contains("payload"), s"agg reads: $aggInput")
+  }
+}

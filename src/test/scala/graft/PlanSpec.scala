@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan assertions for the scale-critical properties promised in
+  * the Scaladoc (SURVEY.md §4): predicate pushdown reaches the parquet
+  * scan, column pruning trims ReadSchema, dimension joins broadcast, the
+  * semi-join stays a semi-join, and aggregations are partial (map-side)
+  * before the shuffle. Runs against sf0.001 (plan shape, not data size —
+  * broadcast thresholds comfortably exceed these tables). */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("LessThan"),
+      "expected shipdate/quantity filters pushed down")
+    // column pruning: the scan must not read all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q03: dimension join broadcasts") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q04: multiway join broadcasts the dims") {
+    val p = plan("q04_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation+region should broadcast")
+  }
+
+  test("q05: left-semi join planned as semi, not inner+distinct") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+  }
+
+  test("q01: aggregation is partial before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate(keys"),
+      "expected two-phase hash aggregate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q20: whole-stage codegen covers the tf-idf pipeline") {
+    // AQE shows codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("q20_tfidf_search")(spark, dir)
+    df.collect()
+    // "*(n) Op" is the simple-mode rendering of a WholeStageCodegen span
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q35: query vector broadcast to the scan side") {
+    assert(plan("q35_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("q35_cosine_topk").contains("BroadcastExchange"))
+  }
+
+  test("q60: media stats never reads the payload bytes") {
+    val p = SparkEntry.queries("q60_media_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"payload source column must be pruned: $readSchema")
+  }
+}
