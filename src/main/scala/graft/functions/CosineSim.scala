@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `cosine_sim(array<float|double>, array<float|double>) → double` — a
+  * native Catalyst expression with whole-stage codegen (SURVEY.md §2.10:
+  * custom-function preference order (b): a codegen'd Expression beats a
+  * Scala UDF beats everything else).
+  *
+  * Why it exists: the portable formulation used by the oracle —
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (s,v) -> s+v) / (…)·(…)` —
+  * walks both arrays three times through interpreted higher-order
+  * functions, allocating a zipped intermediate each time. This expression
+  * computes dot(a,b), ‖a‖², ‖b‖² in ONE fused loop inside the generated
+  * code, no allocation. Bit-compatible with the HOF formulation: element
+  * values are widened to double and accumulated in index order in three
+  * independent accumulators, exactly like the three separate folds.
+  *
+  * Scale notes: runs inside WholeStageCodegen, so the ANN/near-dup
+  * operators stay a single codegen span from parquet scan to filter. At
+  * 100 TB the embedding-compare inner loop is the hottest code in the
+  * dedup pipeline; a fused primitive loop is the difference between
+  * compute-bound and allocation-bound.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = (double) $a.$lGet($i);
+          double $yv = (double) $b.$rGet($i);
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Registration: idempotent per-session (used by the query catalog, which
+  * receives externally-created sessions), plus a SparkSessionExtensions
+  * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
+object GraftFunctions {
+  val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), cosineSimInfo,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      GraftFunctions.cosineSimInfo,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+}

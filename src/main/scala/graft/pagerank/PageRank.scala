@@ -2,6 +2,7 @@ package graft.pagerank
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.graph.GraphBuilder.NullVertex
 
 /** Iterative PageRank with the reference's exact update rule and loop policy
   * (SURVEY.md §1.4 #4–#6):
@@ -20,14 +21,26 @@ import org.apache.spark.sql.functions._
   *    a latent bug); we sort the FINAL iteration and document the
   *    divergence (SURVEY §1.4 #6).
   *
-  * Scale notes (100 TB): each iteration is one explode (narrow) + one
-  * groupBy(dst) shuffle + one join back on title. Both shuffles hash on the
-  * vertex id, so AQE reuses the partitioning between the agg and the join.
+  * === The NULL hot key, handled analytically ===
+  * The sentinel NULL vertex links to EVERY page (pageRank.scala:199-204).
+  * Materializing that as an adjacency array and exploding it would make one
+  * row fan out to V rows — at web scale a single multi-GB array and a
+  * one-task straggler. Instead the step treats NULL's out-edges
+  * analytically: every page receives `pr(NULL)/V` (V = page count =
+  * outdeg(NULL)), injected as a broadcast scalar — NULL's links array is
+  * never read, never exploded. NULL's inbound mass is exactly the dangling
+  * pages' contributions, which flow through the normal explode path (their
+  * adjacency is the single edge → NULL). Algebraically identical to the
+  * naive explode; the only divergence is float summation order (≪ 1 ulp).
+  *
+  * Scale notes (100 TB): each iteration is one narrow explode over
+  * non-NULL vertices + one groupBy(title) shuffle + one join back on title
+  * — both hash on the vertex id, so AQE reuses the partitioning.
   * `localCheckpoint` after every iteration truncates lineage (mandatory —
   * iterative DF plans grow superlinearly otherwise, SURVEY §7.4.3); on a
-  * real cluster one would use `checkpoint` with an HDFS dir for fault
-  * tolerance instead. The Δ-counter is a driver-side scalar agg per
-  * iteration, equivalent to the reference's Hadoop counter side-channel.
+  * real cluster use `checkpoint` with an HDFS dir for fault tolerance. The
+  * Δ-counter is a driver-side scalar agg per iteration, the moral twin of
+  * the reference's Hadoop counter side-channel.
   */
 object PageRank {
 
@@ -35,17 +48,29 @@ object PageRank {
 
   /** One power-iteration step over graph(title, links, pr).
     * Returns (title, links, pr, delta) where delta is the pre-damping
-    * per-vertex change used by the convergence metric. */
+    * per-vertex change used by the convergence metric. `n` counts ALL
+    * vertices including NULL; NULL's out-fan is handled analytically. */
   def step(g: DataFrame, n: Long, alpha: Double = 0.15): DataFrame = {
-    val contribs = g
+    val pages = g.filter(col("title") =!= NullVertex)
+    // pr(NULL)/V as a 1-row broadcast — the analytic stand-in for exploding
+    // NULL's V-element links array (V = n − 1 pages).
+    // (global agg, not a filter+select, so the result is always exactly one
+    // row — 0.0 when the graph happens to carry no NULL vertex)
+    val nullContrib = g.agg(
+      sum(when(col("title") === NullVertex, col("pr") / lit((n - 1).toDouble))
+        .otherwise(lit(0.0))).as("null_contrib"))
+    val contribs = pages
       .select(explode(col("links")).as("title"),
         (col("pr") / size(col("links"))).as("contrib"))
-    val mass = contribs.groupBy("title").agg(sum(col("contrib")).as("mass"))
+    val mass = contribs.groupBy("title").agg(sum(col("contrib")).as("m"))
     g.select(col("title"), col("links"), col("pr").as("prev"))
       .join(mass, Seq("title"), "left_outer")
+      .crossJoin(broadcast(nullContrib))
+      .withColumn("mass", coalesce(col("m"), lit(0.0)) +
+        when(col("title") =!= NullVertex, col("null_contrib")).otherwise(lit(0.0)))
       .select(col("title"), col("links"),
-        (lit(alpha) / n + lit(1.0 - alpha) * coalesce(col("mass"), lit(0.0))).as("pr"),
-        abs(coalesce(col("mass"), lit(0.0)) - col("prev")).as("delta"))
+        (lit(alpha) / n + lit(1.0 - alpha) * col("mass")).as("pr"),
+        abs(col("mass") - col("prev")).as("delta"))
   }
 
   /** Run the fixpoint loop with the reference's policy. */

@@ -62,11 +62,10 @@ object DedupSim {
   /** Portable double-precision cosine: identical element order and fold
     * order in Spark (`aggregate` with seed) and DuckDB (`list_reduce` over a
     * 0.0-prepended list). */
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
-  private def cosSpark(a: String, b: String): String =
-    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+  /** Spark side uses the native codegen'd [[graft.functions.CosineSim]]
+    * expression — one fused loop, bit-compatible with the HOF/oracle
+    * formulation (same index-order double accumulation). */
+  private def cosSpark(a: String, b: String): String = s"cosine_sim($a, $b)"
 
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
@@ -254,6 +253,7 @@ object DedupSim {
     // ---- brute-force cosine top-k ANN baseline
     ("q35_cosine_topk",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         e.filter(col("vec_id") =!= 0)
@@ -277,6 +277,7 @@ object DedupSim {
     // neighbor cells (Hamming-1 on the sign bits).
     ("q37_ann_ivf",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
         val cell = (0 until 8).map(j =>
           expr(s"cast(element_at(embedding, ${j + 1}) > 0 as int) * ${1 << j}"))
@@ -308,6 +309,7 @@ object DedupSim {
     // compare only within a coarse cell, never all-pairs)
     ("q36_embedding_neardup",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
         val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.corpus.WikiCorpus
+import graft.graph.GraphBuilder
+import graft.index.InvertedIndex
+import graft.pagerank.PageRank
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.3) — raw ScalaCheck generators
+  * with a deterministic seed sweep (the scalatest+scalacheck bridge
+  * artifact isn't available offline). Spark properties run on small
+  * generated graphs/corpora; pure-function properties need no session. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic forAll: evaluate `f` on `n` seeded samples of `gen`. */
+  def forAll[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => try f(a) catch {
+          case e: Throwable =>
+            throw new AssertionError(s"property failed for seed=$i input=$a", e)
+        })
+    }
+
+  // ---- tokenizer offsets always index back into the line (pure function)
+  val lineGen: Gen[String] = for {
+    n <- Gen.choose(0, 8)
+    words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "Gamma", "x9y", "Q",
+      "[[z]]", "<b>", "...", "a b"))
+  } yield s"<title>t</title> <text>${words.mkString(" ")}</text>"
+
+  test("tokenize: every offset satisfies line.substring(off, off+len) == term") {
+    forAll(lineGen) { line =>
+      WikiCorpus.extractBody(line).foreach { case (off, body) =>
+        WikiCorpus.tokenize(body, off).foreach { case (term, charOff) =>
+          assert(line.substring(charOff, charOff + term.length) == term)
+        }
+      }
+    }
+  }
+
+  // ---- NULL-closed graph invariants on random adjacency inputs
+  val docsGen: Gen[Map[String, Seq[String]]] = for {
+    n <- Gen.choose(1, 12)
+    titles = (0 until n).map(i => s"p$i")
+    linkCounts <- Gen.listOfN(n, Gen.choose(0, 6))
+    flat <- Gen.listOfN(linkCounts.sum, Gen.oneOf(titles ++ Seq("ghost1", "ghost2")))
+  } yield {
+    val it = flat.iterator
+    titles.zip(linkCounts.map(c => Seq.fill(c)(it.next()))).toMap
+  }
+
+  test("graph build: every vertex has ≥1 out-link; no edges to non-pages") {
+    forAll(docsGen) { docs =>
+      import spark.implicits._
+      val df = docs.toSeq.toDF("title", "links")
+      val g = GraphBuilder.build(df).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val pages = docs.keySet
+      assert(g.keySet === pages + GraphBuilder.NullVertex)
+      g.foreach { case (t, links) =>
+        assert(links.nonEmpty, s"$t has no out-links")
+        if (t == GraphBuilder.NullVertex)
+          assert(links.toSet === pages)
+        else {
+          assert(links.forall(l => pages.contains(l) || l == GraphBuilder.NullVertex))
+          // NULL appears only as the SOLE link (dangling page)
+          if (links.contains(GraphBuilder.NullVertex)) assert(links === Seq(GraphBuilder.NullVertex))
+        }
+      }
+    }
+  }
+
+  test("pagerank step: total mass = α + (1−α)·(previous total)") {
+    forAll(docsGen) { docs =>
+      import spark.implicits._
+      val df = docs.toSeq.toDF("title", "links")
+      val g = GraphBuilder.build(df)
+      val n = g.count()
+      val before = g.agg(sum("pr")).head().getDouble(0)
+      val after = PageRank.step(g, n).agg(sum("pr")).head().getDouble(0)
+      // every vertex's mass flows somewhere (graph is NULL-closed), so
+      // Σpr' = N·α/N + (1−α)·Σpr
+      assert(math.abs(after - (0.15 + 0.85 * before)) < 1e-6,
+        s"mass $before -> $after (n=$n)")
+    }
+  }
+
+  // ---- index invariants on random mini-corpora
+  val corpusGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 6)
+    bodies <- Gen.listOfN(n, Gen.listOf(
+      Gen.oneOf("aa", "bb", "cc", "dd")).map(_.take(8)))
+  } yield bodies.zipWithIndex.map { case (ws, i) =>
+    s"<title>d$i</title> <text>${ws.mkString(" ")}</text>"
+  }
+
+  test("index: df == postings length; tf == occurrence count; order-insensitive") {
+    forAll(corpusGen) { corpus =>
+      import spark.implicits._
+      val lines = corpus.zipWithIndex
+        .map { case (l, i) => (i.toLong * 100, l) }.toDF("line_offset", "line")
+      val docs = WikiCorpus.parse(lines)
+      val ii = InvertedIndex.build(docs).collect()
+      ii.foreach { r =>
+        val term = r.getString(0)
+        val df = r.getInt(1)
+        val postings = r.getSeq[org.apache.spark.sql.Row](2)
+        assert(df === postings.length)
+        postings.foreach { p =>
+          val (title, tf) = (p.getString(0), p.getInt(1))
+          val body = corpus.find(_.contains(s"<title>$title</title>")).get
+          val expected = WikiCorpus.extractBody(body)
+            .map { case (o, b) => WikiCorpus.tokenize(b, o).count(_._1 == term) }
+            .getOrElse(0)
+          assert(tf === expected, s"tf($term, $title)")
+          assert(p.getSeq[org.apache.spark.sql.Row](2).length === tf)
+        }
+        // postings sorted by title (reference secondary sort)
+        assert(postings.map(_.getString(0)) === postings.map(_.getString(0)).sorted)
+      }
+      // shuffled input yields the identical index (A6/A7 permutation-invariance)
+      val shuffled = scala.util.Random.shuffle(corpus.zipWithIndex.toList)
+        .map { case (l, i) => (i.toLong * 100, l) }.toDF("line_offset", "line")
+      val ii2 = InvertedIndex.build(WikiCorpus.parse(shuffled)).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getInt(1),
+          r.getSeq[org.apache.spark.sql.Row](2).map(p =>
+            (p.getString(0), p.getInt(1))))).sortBy(_._1).toSeq
+      assert(canon(ii) === canon(ii2))
+    }
+  }
+}
