@@ -83,12 +83,19 @@ object PageRank {
     var continue = true
     while (continue) {
       i += 1
-      val stepped = step(g, n, alpha).localCheckpoint()
       // Σ⌊|Δ|·1000⌋ / N / 1000, preserving the integer truncation
-      // (pageRank.scala:307,368) for bit-parity with the reference.
-      val counter = stepped.agg(
-        sum(floor(col("delta") * 1000)).cast("long").as("c"))
-        .head().getLong(0)
+      // (pageRank.scala:307,368) for bit-parity with the reference. The
+      // counter piggybacks on the checkpoint job via observe() — one job
+      // per iteration, not two (the Spark twin of the reference's Hadoop
+      // counter, which is likewise collected by the main job).
+      val obs = org.apache.spark.sql.Observation(s"pr_delta_$i")
+      val stepped = step(g, n, alpha)
+        .observe(obs, sum(floor(col("delta") * 1000)).cast("long").as("c"))
+        .localCheckpoint()
+      val counter = obs.get("c") match {
+        case l: java.lang.Long => l.longValue()
+        case x => x.toString.toLong
+      }
       avg = counter.toDouble / n / 1000.0
       val next = stepped.drop("delta")
       g.unpersist()

@@ -73,6 +73,20 @@ object DedupSim {
   private def cosDuck(a: String, b: String): String =
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
+  /** Shared DuckDB CTE chain producing sig(doc_id, simhash) — must mirror
+    * q33's single-shuffle Spark formulation exactly. */
+  private val simhashSql = {
+    val sums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // ${1L << i}) % 2) = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(", ")
+    val assemble = (0 until 32).map(i =>
+      s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+      bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- exact dedup: content-hash groupBy, canonical = min doc_id
@@ -178,36 +192,28 @@ object DedupSim {
           ORDER BY id_a, id_b"""
       }),
 
-    // ---- SimHash fingerprints (32-bit, tf-weighted)
+    // ---- SimHash fingerprints (32-bit, tf-weighted). One shuffle: since
+    // c_i = Σ_term tf·sign_i(term) = Σ_occurrence sign_i(term), the
+    // per-(doc,term) tf stage AND the 32-way bit explode both collapse into
+    // a single groupBy(doc) with 32 conditional sums — at 100 TB that's the
+    // difference between 1 shuffle of |occurrences| rows and 3 shuffles,
+    // one of them 32× |distinct terms|.
     ("q33_simhash",
       (s: SparkSession, dir: String) => {
-        val tf = t(s, dir, "documents")
+        val occ = t(s, dir, "documents")
           .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        tf.withColumn("h", hash32(col("term")))
-          .select(col("doc_id"), col("tf"), col("h"),
-            explode(expr("sequence(0, 31)")).as("i"))
-          .withColumn("contrib",
-            when(expr("(h div cast(pow(2, i) as bigint)) % 2") === 1, col("tf"))
-              .otherwise(-col("tf")))
-          .groupBy(col("doc_id"), col("i"))
-          .agg(sum(col("contrib")).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("c") > 0, expr("cast(pow(2, i) as bigint)")).otherwise(0L))
-            .as("simhash"))
+          .withColumn("h", hash32(col("term")))
+        val bitSums = (0 until 32).map(i =>
+          sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i"))
+        occ.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(i =>
+              when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-        bits AS (SELECT doc_id, i,
-            SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // CAST(POW(2, i) AS BIGINT)) % 2) = 1
-                THEN tf ELSE -tf END) AS c
-          FROM tf, (SELECT unnest(range(0, 32)) AS i) ii
-          GROUP BY doc_id, i)
-        SELECT doc_id,
-          CAST(SUM(CASE WHEN c > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+      Some(simhashSql + " SELECT doc_id, simhash FROM sig ORDER BY doc_id")),
 
     // ---- SimHash near-dup pairs via 4×8-bit block bucketing
     // (hamming ≤ 3 ⇒ at least one of the 4 blocks matches exactly —
@@ -228,17 +234,7 @@ object DedupSim {
           .select(col("id_a"), col("id_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-        bits AS (SELECT doc_id, i,
-            SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // CAST(POW(2, i) AS BIGINT)) % 2) = 1
-                THEN tf ELSE -tf END) AS c
-          FROM tf, (SELECT unnest(range(0, 32)) AS i) ii
-          GROUP BY doc_id, i),
-        sig AS (SELECT doc_id,
-            CAST(SUM(CASE WHEN c > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-          FROM bits GROUP BY doc_id),
+      Some(s"""$simhashSql,
         blocks AS (SELECT doc_id, simhash, blk,
             (simhash // CAST(POW(2, blk * 8) AS BIGINT)) % 256 AS bval
           FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
