@@ -338,6 +338,46 @@ object Relational {
         COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY rf, ls"""))
+        ORDER BY rf, ls""")),
+
+    // ---- skew-salted join (core/Skew): l_orderkey % 10 concentrates 600k
+    // rows on 10 keys; the salted join routes each hot key over 8 reduce
+    // buckets. Salting is pure routing, so the oracle is the PLAIN join.
+    ("q19_skew_salted_join",
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 10).cast("long").as("k"), col("l_quantity"))
+        val dim = t(s, dir, "nation")
+          .filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+        graft.core.Skew.saltedJoin(li, dim, "k", saltFactor = 8)
+          .groupBy(col("k"), col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT l_orderkey % 10 AS k, n_name, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN nation ON n_nationkey = l_orderkey % 10
+        WHERE n_nationkey < 10
+        GROUP BY 1, 2 ORDER BY k""")),
+
+    // ---- the plain-SQL entry path: spark.sql over registered views
+    // (serve/Serving.registerViews) — same ANSI text runs on both engines
+    ("q26_sql_api",
+      (s: SparkSession, dir: String) => {
+        graft.serve.Serving.registerViews(s, dir)
+        s.sql("""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+          CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n
+          FROM lineitem
+          WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+          GROUP BY 1 ORDER BY yr""")
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        GROUP BY 1 ORDER BY yr"""))
   )
 }
