@@ -54,6 +54,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(1L, 2L))
   }
 
+  test("file-source stream of the events fixture == batch rollup") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream.parquet wants a directory; stage the single fixture file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = withTs(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = EventStreams.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    runToCompletion(q)
+    val streamed = spark.table("file_hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    val batch = EventStreams.hourlyRollup(withTs(spark.read.parquet(dir.toString)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sessionizeWithState: custom keyed state emits on timeout") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
