@@ -93,4 +93,11 @@ object WikiCorpus {
 
   def ingest(spark: SparkSession, path: String): DataFrame =
     parse(readWithOffsets(spark, path))
+
+  /** Typed surface: the same pipeline as a Dataset[Doc] for callers that
+    * want compile-time field safety (encoder-backed, same physical plan). */
+  def ingestDS(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[Doc] = {
+    import spark.implicits._
+    ingest(spark, path).as[Doc]
+  }
 }

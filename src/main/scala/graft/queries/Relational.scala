@@ -76,13 +76,16 @@ object Relational {
           AND l_quantity < 25
         ORDER BY l_orderkey, l_linenumber""")),
 
-    // ---- broadcast equi-join + agg (ref J2 shape,
-    // /root/reference/src/main/scala/Query.scala:83-90)
+    // ---- equi-join + agg (ref J2 shape, /root/reference/src/main/scala/
+    // Query.scala:83-90). No broadcast hint: customer SCALES with the data
+    // (unlike nation/region) — at 100 TB forcing a broadcast would OOM the
+    // executors. Catalyst/AQE broadcasts it while it fits and switches to
+    // shuffle join beyond the threshold.
     ("q03_join_agg",
       (s: SparkSession, dir: String) => {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
           .orderBy(col("c_mktsegment"))

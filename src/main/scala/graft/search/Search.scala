@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * The reference's query tool does N+1 HBase point-gets per term/posting
   * (/root/reference/src/main/scala/Query.scala:83-90) and random-access
   * file seeks for snippets (Query.scala:96-103). Spark-first this is ONE
-  * declarative three-way join — query terms ⋈ index ⋈ pagerank ⋈ docs —
-  * where the term list and pr table broadcast, so the whole query is
-  * shuffle-free at serving time.
+  * declarative three-way join — query terms ⋈ index ⋈ pagerank ⋈ docs.
+  * The hit set (postings of a few query terms) is the runtime-small side;
+  * AQE broadcasts it against the corpus-scaled pr/docs tables, so serving
+  * stays shuffle-light at any corpus size.
   *
   * Score: `0.5·(tf·ln(docCount/df)) + 0.5·pagerank` (Query.scala:52,89).
   * Snippet: chars `[off−20, off+30)` of the line, clipped at both ends like
@@ -38,7 +39,11 @@ object Search {
         posexplode(col("postings")).as(Seq("pos", "p")))
       .select(col("term"), col("term_idx"), col("pos"), col("df"),
         col("p.title").as("title"), col("p.tf").as("tf"), col("p.ofs").as("ofs"))
-      .join(broadcast(pr), Seq("title"), "left_outer")
+      // no broadcast hint on pr: the rank table scales with the corpus
+      // (one row per page). The small side here is `hits` (postings of a
+      // handful of query terms); AQE sees its runtime size and broadcasts
+      // THAT side, which stays valid at any corpus scale.
+      .join(pr, Seq("title"), "left_outer")
       .withColumn("pr", coalesce(col("pr"), lit(0.0)))
       .withColumn("score",
         lit(0.5) * (col("tf") * log(lit(docCount.toDouble) / col("df"))) +
