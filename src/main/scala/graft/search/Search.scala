@@ -62,4 +62,20 @@ object Search {
     if (sortByScore) hits.orderBy(desc("score"), asc("term_idx"), asc("title"))
     else hits.orderBy(asc("term_idx"), asc("pos"))
   }
+
+  /** Extension (flagged OFF the parity path, SURVEY §7.2-4): disjunctive
+    * multi-term ranking — the reference concatenates per-term results with
+    * duplicate titles (Query.scala:83-90); this variant merges per-title,
+    * summing term scores and concatenating snippets, then returns top-k. */
+  def searchRanked(spark: SparkSession, terms: Seq[String], docCount: Long,
+      index: DataFrame, pr: DataFrame, docs: DataFrame,
+      k: Int = 20): DataFrame = {
+    search(spark, terms, docCount, index, pr, docs)
+      .groupBy(col("title"))
+      .agg(sum(col("score")).as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"),
+        flatten(collect_list(col("snippets"))).as("snippets"))
+      .orderBy(desc("score"), asc("title"))
+      .limit(k)
+  }
 }

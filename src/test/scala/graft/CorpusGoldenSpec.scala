@@ -164,4 +164,19 @@ class CorpusGoldenSpec extends SparkSpec {
       snips.foreach(sn => assert(sn.contains(r.getString(0)) && sn.length <= 50))
     }
   }
+
+  test("extension: ranked multi-term search dedups titles, sums scores") {
+    val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
+    val pr = PageRank.run(g0).graph.select("title", "pr")
+    val ii = InvertedIndex.build(docs)
+    val ranked = Search.searchRanked(spark, Seq("beta", "gamma"), 4,
+      ii, pr, docs.select("title", "line"), k = 10).collect()
+    // title 1 matches both terms → one row with both scores summed
+    assert(ranked.map(_.getString(0)).distinct.length === ranked.length)
+    val row1 = ranked.find(_.getString(0) == "1").get
+    assert(row1.getInt(2) === 2)
+    // scores strictly descending (ties broken by title)
+    val scores = ranked.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
