@@ -61,24 +61,35 @@ object BuildIndex {
   }
 }
 
-/** `SearchCli <serveDir> <docCount> <term> [term…]` — mirrors the
-  * reference's Query surface (Query.scala:59-64): point-reads the serving
-  * tables, scores 0.5·tfidf + 0.5·pr, prints posting-ordered results with
-  * ±20/+30-char snippets. */
+/** `SearchCli <serveDir> <docCount> [--ranked] <term> [term…]` — mirrors
+  * the reference's Query surface (Query.scala:59-64): point-reads the
+  * serving tables, scores 0.5·tfidf + 0.5·pr, prints posting-ordered
+  * results with ±20/+30-char snippets. `--ranked` switches to the
+  * extension: per-title merged scores, top-20, score-descending. */
 object SearchCli {
   def main(args: Array[String]): Unit = {
     val serveDir = args(0)
     val docCount = args(1).toLong
-    val terms = args.drop(2).toSeq
+    val ranked = args.contains("--ranked")
+    val terms = args.drop(2).filterNot(_ == "--ranked").toSeq
     val spark = Cli.session()
     val ii = spark.read.parquet(s"$serveDir/ii")
     val pr = spark.read.parquet(s"$serveDir/pr")
     val docs = spark.read.parquet(s"$serveDir/docs")
-    val hits = Search.search(spark, terms, docCount, ii, pr, docs)
-    hits.collect().foreach { r =>
-      println(s"${r.getAs[String]("term")}\t${r.getAs[String]("title")}\t" +
-        f"${r.getAs[Double]("score")}%.6f\t" +
-        r.getAs[scala.collection.Seq[String]]("snippets").mkString(" … "))
+    if (ranked) {
+      Search.searchRanked(spark, terms, docCount, ii, pr, docs).collect()
+        .foreach { r =>
+          println(s"${r.getAs[String]("title")}\t" +
+            f"${r.getAs[Double]("score")}%.6f\t${r.getAs[Int]("n_terms_hit")}\t" +
+            r.getAs[scala.collection.Seq[String]]("snippets").mkString(" | "))
+        }
+    } else {
+      Search.search(spark, terms, docCount, ii, pr, docs).collect()
+        .foreach { r =>
+          println(s"${r.getAs[String]("term")}\t${r.getAs[String]("title")}\t" +
+            f"${r.getAs[Double]("score")}%.6f\t" +
+            r.getAs[scala.collection.Seq[String]]("snippets").mkString(" | "))
+        }
     }
     spark.stop()
   }
