@@ -16,10 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT + codegen + parquet footer caches
+    // warmup: JIT + codegen + parquet footer caches, plus one pass of the
+    // iterative checkpoint path (q25 at the smallest sf) so the first timed
+    // iterative query isn't paying cold-JIT for shuffle+checkpoint code
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001")
+      .foreach { case (q, dir) =>
+        SparkEntry.queries.get(q)
+          .foreach(fn => try fn(spark, dir).count() catch { case _: Throwable => () })
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

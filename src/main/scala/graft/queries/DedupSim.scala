@@ -301,6 +301,65 @@ object DedupSim {
           ORDER BY sim DESC, vec_id LIMIT 10"""
       }),
 
+    // ---- SRP-LSH IVF ANN (graft.similarity.Ivf): margin-aware multi-probe
+    // over signed-random-projection cells, exact cosine re-rank inside the
+    // probed cells. The probe-cell list depends on the query VECTOR (data),
+    // so the oracle SQL recomputes the whole quantizer itself: plane
+    // coefficients are embedded as literals, every dot product is the same
+    // ordered left-fold expression as the Scala side, and the probe ranking
+    // (flip-cost, cell) is done in SQL — bit-identical end to end.
+    ("q38_ann_srp_ivf", {
+      import graft.similarity.Ivf
+      val nbits = Ivf.DefaultBits
+      val dims = Ivf.DefaultDims
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = 32)
+        Ivf.buildIndex(e.filter(col("vec_id") =!= 0), "embedding", nbits, dims)
+          .filter(col("cell").isin(cells: _*))
+          .withColumn("qv", array(qvec.map(v => lit(v)): _*))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("cell").cast("long").as("cell"),
+            (floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(20)
+      }
+    },
+      Some {
+        import graft.similarity.Ivf
+        val nbits = Ivf.DefaultBits
+        val dims = Ivf.DefaultDims
+        // ordered left-fold dot of plane j against a vector expression
+        def dotSql(j: Int, vec: String) = (0 until dims)
+          .map(d => s"(${Ivf.plane(j, dims)(d)}.0 * CAST($vec[${d + 1}] AS DOUBLE))")
+          .mkString(" + ")
+        val dCols = (0 until nbits).map(j => s"(${dotSql(j, "qv")}) AS d$j").mkString(", ")
+        val cell0 = (0 until nbits)
+          .map(j => s"(CASE WHEN d$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+        val margins = (0 until nbits).map(j => s"ABS(d$j) AS m$j").mkString(", ")
+        val cost = (0 until nbits)
+          .map(j => s"(CASE WHEN (xor(r.c, cell0) >> $j) & 1 = 1 THEN m$j ELSE 0.0 END)")
+          .mkString(" + ")
+        val dataCell = (0 until nbits)
+          .map(j => s"(CASE WHEN (${dotSql(j, "embedding")}) > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          d AS (SELECT $dCols FROM q),
+          c0 AS (SELECT $cell0 AS cell0, $margins FROM d),
+          cand AS (SELECT r.c AS cell, ($cost) AS cost
+                   FROM (SELECT unnest(range(0, ${1 << nbits})) AS c) r, c0),
+          probe AS (SELECT cell FROM cand ORDER BY cost, cell LIMIT 32),
+          idx AS (SELECT vec_id, label, embedding, ($dataCell) AS cell
+                  FROM embeddings WHERE vec_id <> 0)
+          SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS cell,
+            floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
+          FROM idx, q WHERE cell IN (SELECT cell FROM probe)
+          ORDER BY sim DESC, vec_id LIMIT 20"""
+      }),
+
     // ---- embedding near-dup, label-blocked (IVF-cell-style scale path:
     // compare only within a coarse cell, never all-pairs)
     ("q36_embedding_neardup",

@@ -57,6 +57,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q60: media stats never reads the payload bytes") {
+    // another suite may have cached this parquet — cache substitution would
+    // replace the file scan (and its ReadSchema) with an InMemoryTableScan
+    spark.catalog.clearCache()
     val p = SparkEntry.queries("q60_media_stats")(spark, dir)
       .queryExecution.executedPlan.toString
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
