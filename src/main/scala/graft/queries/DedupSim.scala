@@ -246,6 +246,33 @@ object DedupSim {
         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // ---- per-label centroids (the relational, oracle-checkable twin of
+    // the typed VectorMean Aggregator): posexplode dims → decimal avg
+    // (exact, order-independent) → reassemble in dim order
+    // Coordinates are micro-quantized to integers BEFORE summing: float →
+    // double is exact, floor(x·1e6 + 0.5) is IEEE-identical in both
+    // engines, and integer sums are order-free — unlike decimal(·) casts
+    // of floats, whose 8th-decimal rounding differs between engines.
+    ("q39_label_centroids",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .filter(col("dim") < 8) // first 8 dims keep the gate output small
+          .withColumn("vq", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+          .groupBy(col("label"), col("dim"))
+          .agg((sum(col("vq")).cast("double") / count(lit(1)) / 1e6).as("m"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+            unnest(embedding) AS v,
+            generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings)
+        SELECT label, CAST(dim AS INT) AS dim,
+          CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+        FROM e WHERE dim < 8
+        GROUP BY label, dim ORDER BY label, dim""")),
+
     // ---- brute-force cosine top-k ANN baseline
     ("q35_cosine_topk",
       (s: SparkSession, dir: String) => {
