@@ -21,6 +21,15 @@ object TextOps {
   private val stopSparkArr = stop.map(x => s"'$x'").mkString("array(", ", ", ")")
   private val stopDuckList = stop.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** High-frequency English character trigrams (public linguistics
+    * commonplace — the usual "the/and/ing/ion" family). */
+  private val enTrigrams = Seq(
+    "the", "he ", " th", "ing", "ng ", "and", "nd ", " an", " of", "of ",
+    "ed ", " in", "ion", "on ", "is ", " is", "at ", " to", "to ", "er ",
+    "es ", " co", "ent", " a ", "as ", " be", " re", "in ", "re ", " ha")
+  private val enTrigramsSparkArr = enTrigrams.map(x => s"'$x'").mkString("array(", ", ", ")")
+  private val enTrigramsDuckList = enTrigrams.map(x => s"'$x'").mkString("[", ", ", "]")
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- language ID: English-stopword-ratio heuristic
@@ -139,6 +148,44 @@ object TextOps {
           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
             (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
         FROM h ORDER BY doc_id""")),
+
+    // ---- language ID, n-gram variant: fraction of the document's
+    // character trigrams that occur in a fixed English trigram profile
+    // (the builder-prompt's "n-gram heuristic"; q40 is the cheaper
+    // stopword-ratio heuristic). Pure codegen'd array expressions.
+    // NOTE: the synthetic fixture text carries no language signal at the
+    // character level (all langs score hit_ratio ≈ 0.06), so the threshold
+    // is arbitrary here — the query exercises the n-gram plumbing and
+    // engine parity, not classifier quality.
+    ("q45_langid_ngram",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> lower(substring(text, i, 3)))").as("tg"))
+          .withColumn("n_tg", size(col("tg")).cast("long"))
+          .withColumn("n_hit",
+            expr(s"size(filter(tg, g -> array_contains($enTrigramsSparkArr, g)))").cast("long"))
+          .withColumn("hit_ratio",
+            floor(col("n_hit").cast("double") / greatest(col("n_tg"), lit(1L)) * 1e4 + 0.5) / 1e4)
+          .withColumn("pred_lang",
+            when(col("hit_ratio") >= 0.18, lit("en")).otherwise(lit("other")))
+          .select(col("doc_id"), col("lang"), col("n_tg"), col("n_hit"),
+            col("hit_ratio"), col("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            list_transform(range(1, greatest(length(text) - 1, 1)),
+              i -> lower(substr(text, CAST(i AS INT), 3))) AS tg
+          FROM documents),
+        e AS (SELECT doc_id, lang,
+            CAST(len(tg) AS BIGINT) AS n_tg,
+            CAST(len(list_filter(tg, g -> list_contains($enTrigramsDuckList, g))) AS BIGINT) AS n_hit
+          FROM d)
+        SELECT doc_id, lang, n_tg, n_hit,
+          floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 AS hit_ratio,
+          CASE WHEN floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 >= 0.18
+               THEN 'en' ELSE 'other' END AS pred_lang
+        FROM e ORDER BY doc_id""")),
 
     // ---- corpus-level stats rollup
     ("q44_corpus_stats",
