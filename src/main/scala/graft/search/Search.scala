@@ -34,7 +34,11 @@ object Search {
     import spark.implicits._
     val q = terms.zipWithIndex.toDF("term", "term_idx")
 
-    val hits = q.join(index, Seq("term"))
+    // probe by FILTER, not join: `term IN (…)` pushes into the parquet
+    // scan (row-group skipping on the term column), so a point query reads
+    // a sliver of the index instead of all postings; the tiny q DF joins
+    // back after only to attach the term ordinal.
+    val hits = index.filter(col("term").isin(terms: _*)).join(q, Seq("term"))
       .select(col("term"), col("term_idx"), col("df"),
         posexplode(col("postings")).as(Seq("pos", "p")))
       .select(col("term"), col("term_idx"), col("pos"), col("df"),
