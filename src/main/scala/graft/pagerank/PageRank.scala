@@ -73,11 +73,24 @@ object PageRank {
         abs(col("mass") - col("prev")).as("delta"))
   }
 
-  /** Run the fixpoint loop with the reference's policy. */
+  /** Run the fixpoint loop with the reference's policy.
+    *
+    * `checkpointDir`: when set, iterations checkpoint to reliable storage
+    * (HDFS/object store on a cluster) — the fault-tolerant twin of the
+    * reference's per-iteration SequenceFiles (SURVEY §2.1 S2): an executor
+    * loss mid-iteration recovers from the last checkpoint instead of
+    * recomputing the whole chain. Default (None) uses `localCheckpoint` —
+    * fastest, right for local mode and for clusters where re-running the
+    * job on failure is acceptable. */
   def run(graph0: DataFrame, minIter: Int = 10, tol: Double = 0.2,
-      maxIter: Int = 50, alpha: Double = 0.15): Result = {
+      maxIter: Int = 50, alpha: Double = 0.15,
+      checkpointDir: Option[String] = None): Result = {
+    val spark = graph0.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val n = graph0.count()
-    var g = graph0.localCheckpoint()
+    var g = save(graph0)
     var i = 0
     var avg = Double.MaxValue
     var continue = true
@@ -89,9 +102,8 @@ object PageRank {
       // per iteration, not two (the Spark twin of the reference's Hadoop
       // counter, which is likewise collected by the main job).
       val obs = org.apache.spark.sql.Observation(s"pr_delta_$i")
-      val stepped = step(g, n, alpha)
-        .observe(obs, sum(floor(col("delta") * 1000)).cast("long").as("c"))
-        .localCheckpoint()
+      val stepped = save(step(g, n, alpha)
+        .observe(obs, sum(floor(col("delta") * 1000)).cast("long").as("c")))
       val counter = obs.get("c") match {
         case l: java.lang.Long => l.longValue()
         case x => x.toString.toLong

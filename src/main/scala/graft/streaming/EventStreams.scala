@@ -48,6 +48,28 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Watermarked stream-stream join: each purchase joined to the same
+    * user's views within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so state for both
+    * streams is evicted once the watermark passes — the unbounded-state
+    * trap of naive stream joins is structurally avoided. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("value"), col("purchase_ts"), col("view_ts"))
+  }
+
   /** Custom keyed state: per-user session assembly with
     * flatMapGroupsWithState + event-time timeout — the fully-general state
     * path for semantics session_window can't express (e.g. value-dependent

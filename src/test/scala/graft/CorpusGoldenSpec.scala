@@ -165,6 +165,21 @@ class CorpusGoldenSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpointing yields the identical fixpoint") {
+    val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
+    val local = PageRank.run(g0)
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val reliable = PageRank.run(g0, checkpointDir = Some(dir))
+    assert(reliable.iterations === local.iterations)
+    val a = local.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = reliable.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    // the checkpoint actually hit disk
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("extension: ranked multi-term search dedups titles, sums scores") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
     val pr = PageRank.run(g0).graph.select("title", "pr")

@@ -79,6 +79,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("purchaseAttribution: stream-stream join within the hour window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, 1, "view", 0.0, ts(0)),      // in window for purchase @50
+      Event(2, 1, "view", 0.0, ts(40)),     // in window
+      Event(3, 1, "purchase", 9.99, ts(50)),
+      Event(4, 2, "view", 0.0, ts(0)),
+      Event(5, 2, "purchase", 5.0, ts(70)): Event) // view @0 is 70min old: out
+    mem.addData(Event(9, 99, "view", 0.0, ts(300))) // advance watermark
+    val q = EventStreams.purchaseAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("attrib")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(rows.toSeq === Seq((3L, 1L), (3L, 2L)))
+  }
+
   test("sessionizeWithState: custom keyed state emits on timeout") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
