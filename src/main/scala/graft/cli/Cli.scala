@@ -61,6 +61,42 @@ object BuildIndex {
   }
 }
 
+/** `RunAll <corpus> <outDir> [term…]` — the whole reference workflow in
+  * one invocation: ingest → graph → PageRank → index → serving tables,
+  * then (optionally) a search over the freshly built tables. One Spark
+  * session, shared docs scan across the rank and index branches. */
+object RunAll {
+  def main(args: Array[String]): Unit = {
+    val Array(input, out) = args.take(2)
+    val terms = args.drop(2).toSeq
+    val spark = Cli.session()
+    val docs = WikiCorpus.ingest(spark, input).cache()
+    val graph = GraphBuilder.build(docs.select(col("title"), col("links")))
+    val res = PageRank.run(graph)
+    docs.write.mode("overwrite").parquet(s"$out/docs")
+    res.graph.select(col("title"), col("pr"))
+      .write.mode("overwrite").parquet(s"$out/pr")
+    PageRank.ranked(res.graph)
+      .select(concat_ws("\t", col("title"), col("pr")))
+      .write.mode("overwrite").text(s"$out/ranked")
+    InvertedIndex.build(docs).write.mode("overwrite").parquet(s"$out/ii")
+    println(s"pipeline done: iterations=${res.iterations} avgChange=${res.avgChange}")
+    if (terms.nonEmpty) {
+      val n = docs.count()
+      val hits = Search.search(spark,
+        terms, n,
+        spark.read.parquet(s"$out/ii"),
+        spark.read.parquet(s"$out/pr"),
+        spark.read.parquet(s"$out/docs"))
+      hits.collect().foreach { r =>
+        println(s"${r.getAs[String]("term")}\t${r.getAs[String]("title")}\t" +
+          f"${r.getAs[Double]("score")}%.6f")
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** `SearchCli <serveDir> <docCount> [--ranked] <term> [term…]` — mirrors
   * the reference's Query surface (Query.scala:59-64): point-reads the
   * serving tables, scores 0.5·tfidf + 0.5·pr, prints posting-ordered
