@@ -56,6 +56,43 @@ class MultimodalSpec extends SparkSpec {
     assert(fs.forall(_.frame_payload.length === 8))
   }
 
+  test("imageStats: REAL PNG decode — exact dims, channels, luma") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 4, 0xFF0000)   // luma = 0.299*255
+    val gray = png(16, 16, 0x808080) // luma = 128
+    val ds = Seq(
+      Media(1L, "image", MediaMeta(8, 4, 3, 0, 0), red),
+      Media(2L, "image", MediaMeta(16, 16, 3, 0, 0), gray),
+      Media(3L, "image", MediaMeta(0, 0, 0, 0, 0), Array[Byte](1, 2, 3)), // corrupt
+      Media(4L, "video", MediaMeta(0, 0, 0, 0, 9), red)) // filtered out
+      .toDS()
+    val out = Multimodal.imageStats(spark, ds).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).width === 8 && out(1L).height === 4 && out(1L).channels === 3)
+    assert(math.abs(out(1L).mean_luma - 0.299 * 255) < 1e-9)
+    assert(out(2L).width === 16 && math.abs(out(2L).mean_luma - 128.0 * (0.299 + 0.587 + 0.114)) < 0.3)
+    assert(!out(3L).decoded && out(3L).width === 0)
+  }
+
+  test("spark.read.format(image): Spark's native image source works") {
+    val dir = java.nio.file.Files.createTempDirectory("imgs")
+    val img = new java.awt.image.BufferedImage(5, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    val df = spark.read.format("image").load(dir.toString)
+    val r = df.select("image.width", "image.height", "image.nChannels").head()
+    assert(r.getInt(0) === 5 && r.getInt(1) === 7)
+  }
+
   test("mediaStats: payload column pruned from the scan") {
     val plan = mediaStats(media.toDF()).queryExecution.optimizedPlan
     // the aggregate's input must not carry the payload column
