@@ -364,6 +364,23 @@ object Relational {
         WHERE n_nationkey < 10
         GROUP BY 1, 2 ORDER BY k""")),
 
+    // ---- relational pivot (Dataset.pivot with explicit value list — the
+    // list keeps the plan static; dynamic pivot would scan twice)
+    ("q27_pivot",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("yr"))
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O",
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "P"
+        FROM orders GROUP BY 1 ORDER BY yr""")),
+
     // ---- the plain-SQL entry path: spark.sql over registered views
     // (serve/Serving.registerViews) — same ANSI text runs on both engines
     ("q26_sql_api",

@@ -99,6 +99,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((3L, 1L), (3L, 2L)))
   }
 
+  test("parquet sink + checkpoint: restart does not duplicate output") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sinkckpt").toString
+    val mem = MemoryStream[Event]
+    mem.addData(Event(1, 1, "view", 1.0, ts(0)), Event(2, 1, "view", 2.0, ts(1)))
+    def start() = mem.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // restart against the same checkpoint: already-committed batch must
+    // not be re-emitted; only new data appears
+    mem.addData(Event(3, 2, "view", 3.0, ts(2)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3, "exactly-once: no duplicates after restart")
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
   test("sessionizeWithState: custom keyed state emits on timeout") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
