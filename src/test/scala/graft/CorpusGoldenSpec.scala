@@ -165,6 +165,23 @@ class CorpusGoldenSpec extends SparkSpec {
     }
   }
 
+  test("implicit-NULL graph variant reaches the identical fixpoint") {
+    val in = docs.select(col("title"), col("links"))
+    val materialized = PageRank.run(GraphBuilder.build(in))
+    val implicitNull = PageRank.run(GraphBuilder.build(in, materializeNullLinks = false))
+    assert(implicitNull.iterations === materialized.iterations)
+    val a = materialized.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = implicitNull.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    // and the implicit variant really carries no giant array
+    val nullLinks = GraphBuilder.build(in, materializeNullLinks = false)
+      .filter(col("title") === GraphBuilder.NullVertex)
+      .select("links").head().getSeq[String](0)
+    assert(nullLinks.isEmpty)
+  }
+
   test("reliable checkpointing yields the identical fixpoint") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
     val local = PageRank.run(g0)
