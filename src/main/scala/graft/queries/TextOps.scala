@@ -22,13 +22,13 @@ object TextOps {
   private val stopDuckList = stop.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** High-frequency English character trigrams (public linguistics
-    * commonplace — the usual "the/and/ing/ion" family). */
+    * commonplace — the usual "the/and/ing/ion" family). None self-overlaps
+    * (no g has g[0]==g[2]), which makes non-overlapping replace()-based
+    * occurrence counting exact — see q45. */
   private val enTrigrams = Seq(
     "the", "he ", " th", "ing", "ng ", "and", "nd ", " an", " of", "of ",
     "ed ", " in", "ion", "on ", "is ", " is", "at ", " to", "to ", "er ",
-    "es ", " co", "ent", " a ", "as ", " be", " re", "in ", "re ", " ha")
-  private val enTrigramsSparkArr = enTrigrams.map(x => s"'$x'").mkString("array(", ", ", ")")
-  private val enTrigramsDuckList = enTrigrams.map(x => s"'$x'").mkString("[", ", ", "]")
+    "es ", " co", "ent", "her", "as ", " be", " re", "in ", "re ", " ha")
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
@@ -157,14 +157,19 @@ object TextOps {
     // character level (all langs score hit_ratio ≈ 0.06), so the threshold
     // is arbitrary here — the query exercises the n-gram plumbing and
     // engine parity, not classifier quality.
+    // n_hit = Σ_g occurrences(g): because no profile trigram self-overlaps,
+    // non-overlapping replace() counting equals the positional count —
+    // 30 codegen'd string ops per doc instead of a per-position lambda
+    // over millions of substrings (was the slowest catalog query).
     ("q45_langid_ngram",
       (s: SparkSession, dir: String) => {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") div 3")
         t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> lower(substring(text, i, 3)))").as("tg"))
-          .withColumn("n_tg", size(col("tg")).cast("long"))
-          .withColumn("n_hit",
-            expr(s"size(filter(tg, g -> array_contains($enTrigramsSparkArr, g)))").cast("long"))
+          .withColumn("lt", lower(col("text")))
+          .withColumn("n_tg", greatest(length(col("lt")) - 2, lit(0)).cast("long"))
+          .withColumn("n_hit", expr(hitSum).cast("long"))
           .withColumn("hit_ratio",
             floor(col("n_hit").cast("double") / greatest(col("n_tg"), lit(1L)) * 1e4 + 0.5) / 1e4)
           .withColumn("pred_lang",
@@ -173,19 +178,21 @@ object TextOps {
             col("hit_ratio"), col("pred_lang"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, lang,
-            list_transform(range(1, greatest(length(text) - 1, 1)),
-              i -> lower(substr(text, CAST(i AS INT), 3))) AS tg
-          FROM documents),
-        e AS (SELECT doc_id, lang,
-            CAST(len(tg) AS BIGINT) AS n_tg,
-            CAST(len(list_filter(tg, g -> list_contains($enTrigramsDuckList, g))) AS BIGINT) AS n_hit
-          FROM d)
-        SELECT doc_id, lang, n_tg, n_hit,
-          floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 AS hit_ratio,
-          CASE WHEN floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 >= 0.18
-               THEN 'en' ELSE 'other' END AS pred_lang
-        FROM e ORDER BY doc_id""")),
+      Some {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") // 3")
+        s"""WITH d AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+          e AS (SELECT doc_id, lang,
+              CAST(greatest(length(lt) - 2, 0) AS BIGINT) AS n_tg,
+              CAST($hitSum AS BIGINT) AS n_hit
+            FROM d)
+          SELECT doc_id, lang, n_tg, n_hit,
+            floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 AS hit_ratio,
+            CASE WHEN floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1) * 10000.0 + 0.5) / 10000.0 >= 0.18
+                 THEN 'en' ELSE 'other' END AS pred_lang
+          FROM e ORDER BY doc_id"""
+      }),
 
     // ---- corpus-level stats rollup
     ("q44_corpus_stats",
