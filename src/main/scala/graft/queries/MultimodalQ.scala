@@ -68,6 +68,43 @@ object MultimodalQ {
       },
       None),
 
+    // ---- REAL codec round-trip through the gate: executors ENCODE a
+    // deterministic PNG per document (JDK ImageIO), imageStats DECODES it
+    // back, and the oracle predicts the decoded dimensions/channels purely
+    // from the metadata formula — if the real decode path broke, the gate
+    // would catch it. (mean_luma is validated in MultimodalSpec instead:
+    // its repeated-addition accumulation is a rounding-tie hazard across
+    // engines.)
+    ("q64_image_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 64 + 8).toInt
+            val h = (id % 48 + 8).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = ((id * 2654435L) % 0x1000000L).toInt
+            var y = 0
+            while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Multimodal.Media(id, "image",
+              Multimodal.MediaMeta(w, h, 3, 0, 0), bos.toByteArray)
+          }
+        Multimodal.imageStats(s, media)
+          .toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("channels"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(doc_id % 64 + 8 AS INT) AS width,
+        CAST(doc_id % 48 + 8 AS INT) AS height,
+        3 AS channels, true AS decoded
+        FROM documents ORDER BY media_id""")),
+
     // ---- frame sampling: every 5th frame of each video → one row/frame
     ("q63_frame_sample",
       (s: SparkSession, dir: String) => {
