@@ -150,6 +150,73 @@ object CorpusSearch {
                array_to_string(links, ',') AS links_csv, 1.0 AS pr
         FROM g ORDER BY title""")),
 
+    // ---- hash-checked iterative PageRank: exactly 10 power iterations
+    // (the reference's minimum, which is also where this graph converges)
+    // with per-iteration 1e-9 quantization so both engines stay on the
+    // same grid — cross-engine double-summation drift (~1e-16/iter) can
+    // never accumulate. The oracle is a DuckDB RECURSIVE CTE computing the
+    // identical iteration; zero-in-mass vertices (the NULL sentinel when no
+    // page dangles) are kept alive via an outer join against the vertex
+    // set. q25 keeps the reference's dynamic convergence policy
+    // (rows-only; golden-spec-validated against the scalar model).
+    ("q29_pagerank_fixed10",
+      (s: SparkSession, dir: String) => {
+        val g0 = GraphBuilder.build(keyGraphDocs(s, dir))
+        val n = g0.count()
+        val edges = g0.select(col("title").as("src"),
+          explode(col("links")).as("dst"), size(col("links")).as("outdeg"))
+          .localCheckpoint()
+        var pr = g0.select(col("title"), col("pr"))
+        for (_ <- 1 to 10) {
+          val mass = pr.join(edges, pr("title") === edges("src"))
+            .groupBy(col("dst").as("title"))
+            .agg(sum(col("pr") / col("outdeg")).as("mass"))
+          pr = g0.select(col("title"))
+            .join(mass, Seq("title"), "left_outer")
+            .select(col("title"),
+              (floor((lit(0.15) / n + lit(0.85) * coalesce(col("mass"), lit(0.0)))
+                * 1e9 + 0.5) / 1e9).as("pr"))
+            .localCheckpoint()
+        }
+        pr.orderBy(col("title"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        realedges AS (SELECT DISTINCT src, dst FROM rawedges
+                      WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM realedges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        verts AS (SELECT title FROM g),
+        nn AS (SELECT COUNT(*) AS n FROM g),
+        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
+        pr AS (
+          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.title,
+              floor((0.15 / (SELECT n FROM nn)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1000000000.0 + 0.5)
+                / 1000000000.0 AS pr
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM pr p JOIN edges2 e ON p.title = e.src
+              WHERE p.iter < 10
+              GROUP BY 1, 2) m
+            ON t.title = m.title) x
+          WHERE x.iter IS NOT NULL)
+        SELECT title, pr FROM pr WHERE iter = 10 ORDER BY title""")),
+
     // ---- iterative PageRank, exact reference semantics (I2/A3-A5; loop
     // policy min 10 / tol 0.2 / cap 50). Iterative fixpoints are not
     // SQL-expressible for the oracle → rows-only check here; the exact
