@@ -25,16 +25,20 @@ object Bench {
         SparkEntry.queries.get(q)
           .foreach(fn => try fn(spark, dir).count() catch { case _: Throwable => () })
       }
+    // A crashed query must be visible in the JSON, not disguised as a fast
+    // success: it's recorded as -1.0 and listed under "errors".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * walks both arrays three times through interpreted higher-order
   * functions, allocating a zipped intermediate each time. This expression
   * computes dot(a,b), ‖a‖², ‖b‖² in ONE fused loop inside the generated
-  * code, no allocation. Bit-compatible with the HOF formulation: element
-  * values are widened to double and accumulated in index order in three
-  * independent accumulators, exactly like the three separate folds.
+  * code, no allocation. Bit-compatible with the HOF formulation for
+  * arrays without null elements: element values are widened to double and
+  * accumulated in index order in three independent accumulators, exactly
+  * like the three separate folds; a length mismatch yields NULL (zip_with
+  * pads the shorter array with nulls, which null out the aggregate sum);
+  * zero-norm inputs yield NaN (0/0) in both formulations.
   *
   * Scale notes: runs inside WholeStageCodegen, so the ANN/near-dup
   * operators stay a single codegen span from parquet scan to filter. At
@@ -32,6 +35,9 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -50,7 +56,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -76,14 +83,18 @@ case class CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xv = (double) $a.$lGet($i);
-          double $yv = (double) $b.$rGet($i);
-          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xv = (double) $a.$lGet($i);
+            double $yv = (double) $b.$rGet($i);
+            $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
   }

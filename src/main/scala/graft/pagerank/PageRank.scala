@@ -12,9 +12,15 @@ import graft.graph.GraphBuilder.NullVertex
   *    (/root/reference/src/main/scala/pageRank.scala:294,310,355);
   *  - initial rank 1.0 (not 1/N) — total mass decays from N toward 1 across
   *    iterations; reproduced as-is (pageRank.scala:262-272);
-  *  - convergence metric: per-vertex Δ = |Σ contribs − pr_prev| taken
-  *    BEFORE damping, accumulated as Σ⌊Δ·1000⌋, then avg = Σ/N/1000
-  *    (pageRank.scala:297-307,368);
+  *  - convergence metric: the reference's structure record is emitted with
+  *    rank 0 (pageRank.scala:280), so the reduce-side foldLeft's
+  *    `prevPageRank` is always 0 and the counter accumulates
+  *    Σ⌊|Σ contribs|·1000⌋ — the PRE-DAMPING MASS, not a true change
+  *    (pageRank.scala:297-307,368). avg = Σ/N/1000. Reproduced as-is:
+  *    per-vertex Δ = |mass| with prev implicitly 0. Since total mass decays
+  *    N → 1 geometrically (≈0.85^i·N early on), avg ≈ 0.85^(i−1) and the
+  *    loop typically runs a couple iterations past minIter before
+  *    avg ≤ 0.2 — matching the reference's observable iteration count;
   *  - loop: run iteration i, stop at the first i with i ≥ minIter and
   *    avg ≤ tol; hard cap maxIter (pageRank.scala:360-371). The reference
   *    then sorts iteration 10's output unconditionally (pageRank.scala:376,
@@ -47,8 +53,9 @@ object PageRank {
   final case class Result(graph: DataFrame, iterations: Int, avgChange: Double)
 
   /** One power-iteration step over graph(title, links, pr).
-    * Returns (title, links, pr, delta) where delta is the pre-damping
-    * per-vertex change used by the convergence metric. `n` counts ALL
+    * Returns (title, links, pr, delta) where delta = |pre-damping mass| —
+    * the reference's counter semantics (its structure record carries rank
+    * 0, so "prev" is always 0; pageRank.scala:280,301-307). `n` counts ALL
     * vertices including NULL; NULL's out-fan is handled analytically. */
   def step(g: DataFrame, n: Long, alpha: Double = 0.15): DataFrame = {
     val pages = g.filter(col("title") =!= NullVertex)
@@ -63,14 +70,14 @@ object PageRank {
       .select(explode(col("links")).as("title"),
         (col("pr") / size(col("links"))).as("contrib"))
     val mass = contribs.groupBy("title").agg(sum(col("contrib")).as("m"))
-    g.select(col("title"), col("links"), col("pr").as("prev"))
+    g.select(col("title"), col("links"))
       .join(mass, Seq("title"), "left_outer")
       .crossJoin(broadcast(nullContrib))
       .withColumn("mass", coalesce(col("m"), lit(0.0)) +
         when(col("title") =!= NullVertex, col("null_contrib")).otherwise(lit(0.0)))
       .select(col("title"), col("links"),
         (lit(alpha) / n + lit(1.0 - alpha) * col("mass")).as("pr"),
-        abs(col("mass") - col("prev")).as("delta"))
+        abs(col("mass")).as("delta"))
   }
 
   /** Run the fixpoint loop with the reference's policy.
@@ -89,8 +96,11 @@ object PageRank {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val n = graph0.count()
+    // Checkpoint BEFORE counting: graph0 is typically an expensive build
+    // (semi-join + collect_set over the raw corpus) — materialize it once
+    // and count the materialized blocks, instead of running the build twice.
     var g = save(graph0)
+    val n = g.count()
     var i = 0
     var avg = Double.MaxValue
     var continue = true

@@ -161,7 +161,10 @@ object CorpusSearch {
     // (rows-only; golden-spec-validated against the scalar model).
     ("q29_pagerank_fixed10",
       (s: SparkSession, dir: String) => {
-        val g0 = GraphBuilder.build(keyGraphDocs(s, dir))
+        // Materialize the graph ONCE — without this every iteration's
+        // `g0.select("title")` re-runs the whole 600k-row build (groupBy +
+        // semi-join + collect_set), turning 10 iterations into 10 rebuilds.
+        val g0 = GraphBuilder.build(keyGraphDocs(s, dir)).localCheckpoint()
         val n = g0.count()
         val edges = g0.select(col("title").as("src"),
           explode(col("links")).as("dst"), size(col("links")).as("outdeg"))

@@ -87,6 +87,27 @@ object DedupSim {
       sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
   }
 
+  /** sig(doc_id, simhash): 32-bit tf-weighted SimHash in ONE shuffle —
+    * since c_i = Σ_term tf·sign_i(term) = Σ_occurrence sign_i(term), the
+    * per-(doc,term) tf stage AND the 32-way bit explode both collapse into
+    * a single groupBy(doc) with 32 conditional sums. At 100 TB that's the
+    * difference between 1 shuffle of |occurrences| rows and 3 shuffles,
+    * one of them 32× |distinct terms|. Shared by q33 (sorted view) and
+    * q34 (pair search). */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("term"))
+      .withColumn("h", hash32(col("term")))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i"))
+    occ.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- exact dedup: content-hash groupBy, canonical = min doc_id
@@ -106,7 +127,11 @@ object DedupSim {
     // ---- exact n-gram Jaccard near-dup via shingle equi-join
     ("q31_ngram_jaccard",
       (s: SparkSession, dir: String) => {
-        val sh = shingles(s, dir)
+        // The shingle set feeds three consumers (self-join ×2 + sizes) —
+        // materialize it once instead of re-running regex+explode+distinct
+        // per consumer. (At 100 TB this is persist-to-disk of the shingle
+        // table, the standard shape for multi-pass dedup.)
+        val sh = shingles(s, dir).localCheckpoint()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -135,7 +160,9 @@ object DedupSim {
     // ---- MinHash + LSH banding → candidates → Jaccard verify (scale path)
     ("q32_minhash_lsh",
       (s: SparkSession, dir: String) => {
-        val sh = shingles(s, dir)
+        // Four consumers (minhash input, sizes, verify join ×2) — same
+        // materialize-once rationale as q31.
+        val sh = shingles(s, dir).localCheckpoint()
         val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"), col("shingle"))
         val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
         val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -192,27 +219,10 @@ object DedupSim {
           ORDER BY id_a, id_b"""
       }),
 
-    // ---- SimHash fingerprints (32-bit, tf-weighted). One shuffle: since
-    // c_i = Σ_term tf·sign_i(term) = Σ_occurrence sign_i(term), the
-    // per-(doc,term) tf stage AND the 32-way bit explode both collapse into
-    // a single groupBy(doc) with 32 conditional sums — at 100 TB that's the
-    // difference between 1 shuffle of |occurrences| rows and 3 shuffles,
-    // one of them 32× |distinct terms|.
+    // ---- SimHash fingerprints (see simhashSig for the one-shuffle shape)
     ("q33_simhash",
-      (s: SparkSession, dir: String) => {
-        val occ = t(s, dir, "documents")
-          .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("term"))
-          .withColumn("h", hash32(col("term")))
-        val bitSums = (0 until 32).map(i =>
-          sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i"))
-        occ.groupBy(col("doc_id"))
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(i =>
-              when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-              .reduce(_ + _).as("simhash"))
-          .orderBy(col("doc_id"))
-      },
+      (s: SparkSession, dir: String) =>
+        simhashSig(s, dir).orderBy(col("doc_id")),
       Some(simhashSql + " SELECT doc_id, simhash FROM sig ORDER BY doc_id")),
 
     // ---- SimHash near-dup pairs via 4×8-bit block bucketing
@@ -220,7 +230,10 @@ object DedupSim {
     // avoids the all-pairs cross join at scale)
     ("q34_simhash_pairs",
       (s: SparkSession, dir: String) => {
-        val sig = queries("q33_simhash")(s, dir).select(col("doc_id"), col("simhash"))
+        // Materialize the signatures: the block self-join would otherwise
+        // recompute the full tokenize+32-bit-sum aggregation on both sides.
+        // (Unsorted — q33's ORDER BY is presentation-only.)
+        val sig = simhashSig(s, dir).localCheckpoint()
         val blocks = sig.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("blk"))
           .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
@@ -410,8 +423,4 @@ object DedupSim {
         WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.95
         ORDER BY id_a, id_b"""))
   )
-
-  /** name → query lookup used by q34 to reuse q33's plan builder. */
-  private lazy val queries: Map[String, Q] =
-    catalog.map { case (n, q, _) => n -> q }.toMap
 }

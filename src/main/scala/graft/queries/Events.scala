@@ -151,6 +151,70 @@ object Events {
         FROM e a JOIN e b ON a.user_id = b.user_id
           AND a.event_id <> b.event_id
           AND b.us >= a.us AND b.us - a.us <= 60000000
-        GROUP BY a.user_id ORDER BY a.user_id"""))
+        GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // ---- sequential conversion funnel view → click → purchase: each stage
+    // keeps only users whose event strictly follows their previous stage's
+    // FIRST occurrence. Three hash-joins on user_id (all shuffle the same
+    // key, so Spark reuses the partitioning); per-stage aggregates are
+    // map-side partial min()s. At 100 TB this beats the window-function
+    // formulation (one shuffle of the FULL event log + per-user sort) by
+    // filtering each stage to its event type before the shuffle.
+    ("q55_funnel",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+          .unionByName(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+          .unionByName(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+              WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+              WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        ORDER BY stage""")),
+
+    // ---- day-over-day retention: users active on day d AND day d+1.
+    // Day index = us div 86.4e9 — integer arithmetic on the micro epoch,
+    // so no timezone/calendar divergence between engines is possible.
+    // The distinct (user, day) set self-joins on user_id — at 100 TB both
+    // sides are the same pre-aggregated (much smaller) relation.
+    ("q56_retention",
+      (s: SparkSession, dir: String) => {
+        val d = ev(s, dir)
+          .select(col("user_id"), expr("us div 86400000000").as("day"))
+          .distinct()
+        val act = d.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        val ret = d.select(col("user_id"), col("day"))
+          .join(d.select(col("user_id"), (col("day") - 1).as("day")), Seq("user_id", "day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_retained"))
+        act.join(ret, Seq("day"), "left_outer")
+          .select(col("day"), col("n_active"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            (floor(coalesce(col("n_retained"), lit(0L)).cast("double")
+              / col("n_active") * 1e4 + 0.5) / 1e4).as("retention"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        act AS (SELECT day, COUNT(*) AS n_active FROM d GROUP BY day),
+        ret AS (SELECT a.day, COUNT(*) AS n_retained
+                FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+                GROUP BY a.day)
+        SELECT act.day, act.n_active, COALESCE(ret.n_retained, 0) AS n_retained,
+          floor(CAST(COALESCE(ret.n_retained, 0) AS DOUBLE) / act.n_active * 10000.0 + 0.5) / 10000.0 AS retention
+        FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY act.day"""))
   )
 }

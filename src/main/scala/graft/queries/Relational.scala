@@ -343,6 +343,30 @@ object Relational {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    // ---- CUBE: all 2^k grouping combinations in ONE pass (Spark expands
+    // grouping sets inside a single Expand + partial agg — no multi-scan
+    // UNION ALL, which is what a hand-rolled version would cost at 100 TB).
+    // grouping() disambiguates a genuine NULL group key from a superset row.
+    ("q28_cube",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("gid"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("gid"), col("n"), col("qty"))
+          .orderBy(col("gid"), col("rf"), col("ls"))
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls""")),
+
     // ---- skew-salted join (core/Skew): l_orderkey % 10 concentrates 600k
     // rows on 10 keys; the salted join routes each hot key over 8 reduce
     // buckets. Salting is pure routing, so the oracle is the PLAIN join.

@@ -194,6 +194,30 @@ object TextOps {
           FROM e ORDER BY doc_id"""
       }),
 
+    // ---- entity redaction (the PII-scrub shape every training-data
+    // pipeline needs: regex match → count → replace → rehash). The
+    // pattern's alternatives share no common prefix, so Java-regex
+    // (leftmost-first) and RE2 (leftmost-longest) agree on every match.
+    // Pure codegen'd string expressions — at 100 TB this is a narrow
+    // map-only pass, no shuffle before the final presentation sort.
+    ("q46_pii_redact",
+      (s: SparkSession, dir: String) => {
+        val pat = "customer|supplier|order"
+        t(s, dir, "documents")
+          .withColumn("n_hits",
+            size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long"))
+          .filter(col("n_hits") > 0)
+          .select(col("doc_id"), col("n_hits"),
+            md5(regexp_replace(col("text"), pat, "[REDACTED]")).as("red_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, 'customer|supplier|order')) AS BIGINT) AS n_hits,
+            md5(regexp_replace(text, 'customer|supplier|order', '[REDACTED]', 'g')) AS red_hash
+          FROM documents)
+        SELECT doc_id, n_hits, red_hash FROM d
+        WHERE n_hits > 0 ORDER BY doc_id""")),
+
     // ---- corpus-level stats rollup
     ("q44_corpus_stats",
       (s: SparkSession, dir: String) => {

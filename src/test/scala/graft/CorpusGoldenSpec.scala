@@ -72,8 +72,11 @@ class CorpusGoldenSpec extends SparkSpec {
   }
 
   /** Scalar model of the exact update rule + loop policy (SURVEY §1.4
-    * #4–#6): pr' = α/N + (1−α)·mass, Δ = |mass − pr_prev| pre-damping,
-    * counter Σ⌊Δ·1000⌋, avg = Σ/N/1000, loop while i<10 ∥ avg>0.2, cap 50. */
+    * #4–#6): pr' = α/N + (1−α)·mass. The reference's structure record is
+    * emitted with rank 0 (pageRank.scala:280), so its Δ counter accumulates
+    * ⌊|mass|·1000⌋ — pre-damping mass, prev implicitly 0 — not a true
+    * change. counter Σ⌊|mass|·1000⌋, avg = Σ/N/1000, loop while i<10 ∥
+    * avg>0.2, cap 50. */
   def scalarPageRank(adj: Map[String, Seq[String]], alpha: Double = 0.15,
       minIter: Int = 10, tol: Double = 0.2, maxIter: Int = 50)
       : (Map[String, Double], Int) = {
@@ -87,8 +90,11 @@ class CorpusGoldenSpec extends SparkSpec {
         .withDefaultValue(0.0)
       for ((src, links) <- adj; dst <- links)
         mass(dst) += pr(src) / links.size
-      val counter = adj.keys.map(t =>
-        math.floor(math.abs(mass(t) - pr(t)) * 1000).toLong).sum
+      // .iterator: adj.keys is a Set — mapping on it would collapse
+      // vertices with EQUAL floor values into one summand (symmetric
+      // vertices carry identical mass), understating the counter
+      val counter = adj.keys.iterator.map(t =>
+        math.floor(math.abs(mass(t)) * 1000).toLong).sum
       val avg = counter.toDouble / n / 1000.0
       pr = adj.keys.map(t => t -> (alpha / n + (1 - alpha) * mass(t))).toMap
       continue = i < maxIter && (i < minIter || avg > tol)
@@ -111,9 +117,17 @@ class CorpusGoldenSpec extends SparkSpec {
     }
   }
 
+  // Non-policy tests run a short fixed-length loop (minIter = maxIter = 5):
+  // with the reference's |mass| metric this 4-vertex graph never drops
+  // under tol (avg → total_mass/N = 0.25 > 0.2), so a default run always
+  // burns the full 50-iteration cap — pointless for tests that only need
+  // *some* consistent fixpoint state.
+  private def shortRun(g0: org.apache.spark.sql.DataFrame) =
+    PageRank.run(g0, minIter = 5, maxIter = 5)
+
   test("T1: ranked output is a global (pr DESC, title ASC) order") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
-    val ranked = PageRank.ranked(PageRank.run(g0).graph)
+    val ranked = PageRank.ranked(shortRun(g0).graph)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     val resorted = ranked.sortBy { case (t, pr) => (-pr, t) }
     assert(ranked.toSeq === resorted.toSeq)
@@ -146,7 +160,7 @@ class CorpusGoldenSpec extends SparkSpec {
 
   test("J2/F4/F5/F9: search scores and snippets (parity order)") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
-    val pr = PageRank.run(g0).graph.select("title", "pr")
+    val pr = shortRun(g0).graph.select("title", "pr")
     val ii = InvertedIndex.build(docs)
     val hits = Search.search(spark, Seq("beta", "gamma"), docCount = 4,
       ii, pr, docs.select("title", "line")).collect()
@@ -167,8 +181,8 @@ class CorpusGoldenSpec extends SparkSpec {
 
   test("implicit-NULL graph variant reaches the identical fixpoint") {
     val in = docs.select(col("title"), col("links"))
-    val materialized = PageRank.run(GraphBuilder.build(in))
-    val implicitNull = PageRank.run(GraphBuilder.build(in, materializeNullLinks = false))
+    val materialized = shortRun(GraphBuilder.build(in))
+    val implicitNull = shortRun(GraphBuilder.build(in, materializeNullLinks = false))
     assert(implicitNull.iterations === materialized.iterations)
     val a = materialized.graph.select("title", "pr").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -184,9 +198,10 @@ class CorpusGoldenSpec extends SparkSpec {
 
   test("reliable checkpointing yields the identical fixpoint") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
-    val local = PageRank.run(g0)
+    val local = shortRun(g0)
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
-    val reliable = PageRank.run(g0, checkpointDir = Some(dir))
+    val reliable = PageRank.run(g0, minIter = 5, maxIter = 5,
+      checkpointDir = Some(dir))
     assert(reliable.iterations === local.iterations)
     val a = local.graph.select("title", "pr").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -199,7 +214,7 @@ class CorpusGoldenSpec extends SparkSpec {
 
   test("extension: ranked multi-term search dedups titles, sums scores") {
     val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
-    val pr = PageRank.run(g0).graph.select("title", "pr")
+    val pr = shortRun(g0).graph.select("title", "pr")
     val ii = InvertedIndex.build(docs)
     val ranked = Search.searchRanked(spark, Seq("beta", "gamma"), 4,
       ii, pr, docs.select("title", "line"), k = 10).collect()

@@ -37,6 +37,20 @@ class CosineSimSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
   }
 
+  test("cosine_sim null semantics match zip_with: length mismatch → NULL") {
+    GraftFunctions.register(spark)
+    // interpreted eval path (literal fold) and codegen path (over a DF)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D)) AS mismatch, " +
+        "cosine_sim(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS zeronorm")
+      .head()
+    assert(r.isNullAt(0), "length mismatch must be NULL")
+    assert(r.getDouble(1).isNaN, "zero-norm is NaN (0/0), like the HOF")
+    val df = spark.range(3).selectExpr(
+      "cosine_sim(array(cast(id as double)), array(1.0D, 2.0D)) AS s")
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -82,8 +82,11 @@ class EndToEndSpec extends SparkSpec {
       i += 1
       val mass = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
       for ((src, links) <- adj; dst <- links) mass(dst) += pr(src) / links.size
-      val counter = adj.keys.map(t =>
-        math.floor(math.abs(mass(t) - pr(t)) * 1000).toLong).sum
+      // Reference counter semantics: Δ = |mass| with prev implicitly 0
+      // (SURVEY §1.4 #5). .iterator: adj.keys is a Set — mapping on it
+      // would dedup equal floor values before summing.
+      val counter = adj.keys.iterator.map(t =>
+        math.floor(math.abs(mass(t)) * 1000).toLong).sum
       val avg = counter.toDouble / n / 1000.0
       pr = adj.keys.map(t => t -> (0.15 / n + 0.85 * mass(t))).toMap
       continue = i < 50 && (i < 10 || avg > 0.2)
