@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Queries are fully materialized
   * through the `noop` sink (count() alone lets Catalyst skip projections),
   * run in sorted name order after a warmup action so per-query numbers
-  * aren't polluted by JVM/codegen warmup. */
+  * aren't polluted by JVM/codegen warmup.
+  *
+  * Cross-query isolation: between timed queries every cache entry and
+  * every persisted/checkpointed RDD is dropped (outside the timed window),
+  * so one query's storage residue can never tax the next — per-query
+  * numbers stay attributable and any storage leak shows up as that query's
+  * own cost instead of a tax on everything after it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,9 +19,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events stores TIMESTAMP(NANOS); the vectorized reader needs the
+      // legacy conf to surface it as LongType nanoseconds (set once here,
+      // not per-query — catalog lambdas must not mutate session conf)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    /** Drop all storage residue: CacheManager entries AND RDD-level blocks
+      * (localCheckpoint blocks live only at the RDD level). */
+    def clearStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+
     // warmup: JIT + codegen + parquet footer caches, plus one pass of the
     // iterative checkpoint path (q25 at the smallest sf) so the first timed
     // iterative query isn't paying cold-JIT for shuffle+checkpoint code
@@ -25,15 +44,20 @@ object Bench {
         SparkEntry.queries.get(q)
           .foreach(fn => try fn(spark, dir).count() catch { case _: Throwable => () })
       }
+    clearStorage()
+
     // A crashed query must be visible in the JSON, not disguised as a fast
-    // success: it's recorded as -1.0 and listed under "errors".
+    // success: it is OMITTED from "queries" (no sentinel a naive consumer
+    // could aggregate) and listed under "errors".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      clearStorage() // outside the timed window: isolation, not overhead
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")

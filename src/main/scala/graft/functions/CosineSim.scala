@@ -18,12 +18,14 @@ import org.apache.spark.sql.types._
   * walks both arrays three times through interpreted higher-order
   * functions, allocating a zipped intermediate each time. This expression
   * computes dot(a,b), ‖a‖², ‖b‖² in ONE fused loop inside the generated
-  * code, no allocation. Bit-compatible with the HOF formulation for
-  * arrays without null elements: element values are widened to double and
-  * accumulated in index order in three independent accumulators, exactly
-  * like the three separate folds; a length mismatch yields NULL (zip_with
-  * pads the shorter array with nulls, which null out the aggregate sum);
-  * zero-norm inputs yield NaN (0/0) in both formulations.
+  * code, no allocation. Bit-compatible with the HOF formulation: element
+  * values are widened to double and accumulated in index order in three
+  * independent accumulators, exactly like the three separate folds; a
+  * length mismatch yields NULL (zip_with pads the shorter array with
+  * nulls, which null out the aggregate sum); a NULL ELEMENT likewise
+  * yields NULL (enforced per element in eval and codegen — the HOF's
+  * null-poisoned fold, not a silent 0.0); zero-norm inputs yield NaN
+  * (0/0) in both formulations.
   *
   * Scale notes: runs inside WholeStageCodegen, so the ANN/near-dup
   * operators stay a single codegen span from parquet scan to filter. At
@@ -63,6 +65,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -89,11 +92,14 @@ case class CosineSim(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             double $xv = (double) $a.$lGet($i);
             double $yv = (double) $b.$rGet($i);
             $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
           }
-          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
       """
     })

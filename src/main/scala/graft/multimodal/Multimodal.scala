@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * the opaque payload. IMAGE decode is REAL (javax.imageio is JDK-builtin:
   * PNG/JPEG/BMP/GIF → true dimensions, channels, pixel stats — see
   * [[imageStats]]; Spark's native `format("image")` source also works,
-  * spark-mllib ships in the environment). Audio/video codecs do not ship
-  * with the JDK, so THOSE decode calls are STUBs — deterministic
-  * content-hash-seeded fakes, clearly marked below; swapping in a real
-  * codec changes one function body and nothing about the plan.
+  * spark-mllib ships in the environment). AUDIO decode is REAL too
+  * (javax.sound.sampled is JDK-builtin: WAV/AIFF/AU → true sample rate,
+  * channels, frame count — see [[audioStats]]). Only VIDEO decode is a
+  * STUB — the JDK ships no video codec — as a deterministic md5-seeded
+  * fake, clearly marked below; swapping in a real codec changes one
+  * function body and nothing about the plan.
   *
   * Scale notes (100 TB of media): payload bytes dominate, so every operator
   * prunes to (media_id, bytes-needed-or-not) as early as possible; metadata
@@ -42,10 +44,12 @@ object Multimodal {
 
   // ======================================================================
   // STUB CODEC — deterministic fake standing in for a real decoder.
-  // Real implementation would call e.g. javax.imageio / ffmpeg here; the
-  // environment ships no media libs. The fake derives every output value
-  // from a rolling hash of the payload so results are reproducible and
-  // content-sensitive, which is what the downstream plumbing needs.
+  // Real implementation would call e.g. ffmpeg here; no video codec ships
+  // with the JDK (image decode via javax.imageio and audio via
+  // javax.sound.sampled ARE real — see below). The fake derives every
+  // output value from an md5 hash of the payload so results are
+  // reproducible, content-sensitive, AND portable: any engine that can
+  // compute md5 reproduces them bit-for-bit (the q62 oracle does).
   // ======================================================================
   private[graft] def contentHash(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L
@@ -54,19 +58,99 @@ object Multimodal {
     h
   }
 
-  /** STUB decode: payload → FeatureDim float "embedding". */
+  /** Unsigned 32-bit md5 prefix of the payload — the byte-level twin of
+    * [[graft.core.Portable.hash32]] (`('0x'||substr(md5(x),1,8))::BIGINT`
+    * in DuckDB), so feature values derived from it are oracle-checkable. */
+  private[graft] def md5Hash32(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** STUB decode: payload → FeatureDim float "embedding".
+    * f_d = ((h·(d+1) + 2654435761·d) mod 4096) / 4096 with h =
+    * [[md5Hash32]](payload). Every value lands on the 1/2^12 grid, so the
+    * float is EXACT (no rounding ties for a SQL oracle to disagree on)
+    * and the whole feature is reproducible from `md5(payload)` alone. */
   private[graft] def decodeToFeature(payload: Array[Byte]): Array[Float] = {
-    val h = contentHash(payload)
+    val h = md5Hash32(payload)
     Array.tabulate(FeatureDim) { d =>
-      val x = h * (d + 1) + 0x9E3779B97F4A7C15L * d
-      ((x % 1000003L).toFloat / 1000003f)
+      ((h * (d + 1) + 2654435761L * d) % 4096L).toFloat / 4096f
     }
   }
 
-  /** STUB frame decode: (payload, frameIdx) → frame bytes. */
+  /** STUB frame decode: (payload, frameIdx) → frame bytes. (Video is the
+    * one modality with no JDK codec; image and audio decode are real.) */
   private[graft] def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
     val h = contentHash(payload) + idx
     Array.tabulate(8)(i => ((h >> (8 * (i % 8))) & 0xFF).toByte)
+  }
+
+  // ======================================================================
+  // REAL audio decode — javax.sound.sampled is JDK-builtin: WAV/AIFF/AU
+  // payloads decode to true sample rate, channel count, frame length and
+  // duration. Only video remains stubbed (the JDK ships no video codec).
+  // ======================================================================
+  final case class AudioInfo(sample_rate: Int, channels: Int, frames: Long,
+      duration_ms: Double)
+
+  /** Decode real audio bytes (None if the payload isn't a decodable
+    * audio container). */
+  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        Some(AudioInfo(f.getSampleRate.toInt, f.getChannels, frames,
+          frames * 1000.0 / f.getSampleRate))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      channels: Int, frames: Long, duration_ms: Double, decoded: Boolean)
+
+  /** Batch-shaped real audio decode over the media table (audio rows
+    * only) — same iterator-of-batches contract as [[imageStats]].
+    * Undecodable payloads yield decoded=false with zeroed stats. */
+  def audioStats(spark: SparkSession, media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        inBatches(it, batchSize) { batch =>
+          batch.map { m =>
+            decodeAudio(m.payload) match {
+              case Some(a) => DecodedAudio(m.media_id, a.sample_rate,
+                a.channels, a.frames, a.duration_ms, decoded = true)
+              case None => DecodedAudio(m.media_id, 0, 0, 0L, 0.0, decoded = false)
+            }
+          }
+        }
+      }
+  }
+
+  /** Synthesize a PCM WAV container (16-bit signed little-endian, mono)
+    * from deterministic samples — the executor-side generator for the q65
+    * decode round-trip (the audio twin of q64's PNG encode). */
+  def synthWav(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   // ======================================================================

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Portable._
-import graft.core.Tables
+import graft.core.{Scoped, Tables}
 
 /** Large-scale training-data dedup + similarity-search operators over the
   * `documents` and `embeddings` tables:
@@ -67,6 +67,20 @@ object DedupSim {
     * formulation (same index-order double accumulation). */
   private def cosSpark(a: String, b: String): String = s"cosine_sim($a, $b)"
 
+  /** DuckDB twin of [[graft.similarity.Ivf.cellCol]]: the SRP cell id of a
+    * vector expression, with the same plane literals and the same ordered
+    * left-fold dot product as the Spark side (and as q38's oracle). */
+  private def srpCellSql(vec: String): String = {
+    import graft.similarity.Ivf
+    (0 until Ivf.DefaultBits).map { j =>
+      val p = Ivf.plane(j, Ivf.DefaultDims)
+      val dot = (0 until Ivf.DefaultDims)
+        .map(d => s"(${p(d)}.0 * CAST($vec[${d + 1}] AS DOUBLE))")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
@@ -129,9 +143,13 @@ object DedupSim {
       (s: SparkSession, dir: String) => {
         // The shingle set feeds three consumers (self-join ×2 + sizes) —
         // materialize it once instead of re-running regex+explode+distinct
-        // per consumer. (At 100 TB this is persist-to-disk of the shingle
-        // table, the standard shape for multi-pass dedup.)
+        // per consumer, and release the blocks as soon as the query's
+        // terminal action completes (a long-lived session must not
+        // accumulate one shingle table per dedup run). (At 100 TB this is
+        // persist-to-disk of the shingle table, the standard shape for
+        // multi-pass dedup.)
         val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
           .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -161,8 +179,9 @@ object DedupSim {
     ("q32_minhash_lsh",
       (s: SparkSession, dir: String) => {
         // Four consumers (minhash input, sizes, verify join ×2) — same
-        // materialize-once rationale as q31.
+        // materialize-once + release-after-use rationale as q31.
         val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
         val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"), col("shingle"))
         val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
         val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -232,8 +251,10 @@ object DedupSim {
       (s: SparkSession, dir: String) => {
         // Materialize the signatures: the block self-join would otherwise
         // recompute the full tokenize+32-bit-sum aggregation on both sides.
+        // Released when the terminal action completes (no session leak).
         // (Unsorted — q33's ORDER BY is presentation-only.)
         val sig = simhashSig(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sig)
         val blocks = sig.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("blk"))
           .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
@@ -400,15 +421,26 @@ object DedupSim {
           ORDER BY sim DESC, vec_id LIMIT 20"""
       }),
 
-    // ---- embedding near-dup, label-blocked (IVF-cell-style scale path:
-    // compare only within a coarse cell, never all-pairs)
+    // ---- embedding near-dup, blocked on (label, SRP cell). The block key
+    // must have BOUNDED cell size: a raw label is not bounded (one hot
+    // label ⇒ quadratic blow-up at 100 TB), while an SRP cell partitions
+    // every label into 2^nbits sign-pattern buckets whose expected size is
+    // |label|/2^nbits — the same deterministic quantizer q38's ANN index
+    // uses (graft.similarity.Ivf), so cosine-near pairs (≥0.95 ⇒ angle
+    // ≤ 18°, P[bit differs] = θ/π ≤ 0.1 per plane) land in the same cell
+    // with high probability. The oracle recomputes the identical quantizer
+    // from the plane literals (same ordered left-fold dot products).
     ("q36_embedding_neardup",
       (s: SparkSession, dir: String) => {
+        import graft.similarity.Ivf
         graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
-        a.join(b, Seq("label"))
+          .withColumn("cell", Ivf.cellCol("embedding", Ivf.DefaultBits, Ivf.DefaultDims))
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("cell"),
+          col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("cell"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("label", "cell"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("sim", expr(cosSpark("ea", "eb")))
           .filter(col("sim") >= 0.95)
@@ -416,10 +448,12 @@ object DedupSim {
             round(col("sim"), 4).as("sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      Some(s"""WITH c AS (SELECT vec_id, label, embedding,
+            (${srpCellSql("embedding")}) AS cell FROM embeddings)
+        SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(${cosDuck("a.embedding", "b.embedding")}, 4) AS sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM c a JOIN c b
+          ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.95
         ORDER BY id_a, id_b"""))
   )

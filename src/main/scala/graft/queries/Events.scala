@@ -23,16 +23,17 @@ object Events {
     Tables.load(s, dir, name)
 
   /** The events table stores TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; with the nanosAsLong legacy conf the column
-    * arrives as LongType nanoseconds. `us = ts div 1000` truncates exactly
-    * like DuckDB's internal ns→us conversion, so epochs agree bit-for-bit.
-    * A `ts_utc` TimestampType column is derived for calendar functions. */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    * the column arrives as LongType nanoseconds. That conf must be set in
+    * the SESSION BUILDER (Bench/Verify/Cli and the test base all do) — a
+    * query function must not mutate session conf as a side effect.
+    * `us = ts div 1000` truncates exactly like DuckDB's internal ns→us
+    * conversion, so epochs agree bit-for-bit. A `ts_utc` TimestampType
+    * column is derived for calendar functions. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .withColumn("us", expr("ts div 1000"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-  }
 
   private val SessionGapUs = 1800000000L // 30 min
 
@@ -190,6 +191,11 @@ object Events {
     // ---- day-over-day retention: users active on day d AND day d+1.
     // Day index = us div 86.4e9 — integer arithmetic on the micro epoch,
     // so no timezone/calendar divergence between engines is possible.
+    // POSITIVE-EPOCH ASSUMPTION: Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors, so the two disagree by one day for PRE-1970
+    // timestamps (negative us). The fixtures (and any realistic event log)
+    // are post-1970; if negative epochs ever appear, switch both sides to
+    // floor division.
     // The distinct (user, day) set self-joins on user_id — at 100 TB both
     // sides are the same pre-aggregated (much smaller) relation.
     ("q56_retention",

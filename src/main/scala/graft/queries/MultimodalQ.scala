@@ -15,14 +15,17 @@ object MultimodalQ {
   private def media(s: SparkSession, dir: String) =
     Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents"))
 
-  /** DuckDB twin of syntheticMedia's metadata derivation. */
+  /** DuckDB twin of syntheticMedia's metadata derivation (`text` carried
+    * through because the payload is its UTF-8 bytes — q62 re-derives the
+    * md5-based features from it). */
   private val mediaSql =
     """m AS (SELECT doc_id AS media_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          CAST(doc_id % 640 + 16 AS INT) AS width,
          CAST(doc_id % 480 + 16 AS INT) AS height,
-         CAST(doc_id % 25 + 1 AS INT) AS n_frames
+         CAST(doc_id % 25 + 1 AS INT) AS n_frames,
+         text
        FROM documents)"""
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -55,18 +58,63 @@ object MultimodalQ {
           CAST(CEIL(height * LEAST(1.0, 256 / GREATEST(width, height))) AS INT) AS new_height
         FROM m ORDER BY media_id""")),
 
-    // ---- batch-shaped feature extraction (mapPartitions stub decode) —
-    // not SQL-expressible → rows-only check; determinism + batch contract
-    // are covered by MultimodalSpec.
+    // ---- batch-shaped feature extraction (mapPartitions decode). The
+    // stub features are md5-derived on the 1/4096 grid (exact floats, see
+    // Multimodal.decodeToFeature), so the oracle re-derives them from
+    // md5(text) — payload IS the UTF-8 text — with no rounding at all:
+    // both engines produce bit-identical doubles. The batch contract is
+    // covered by MultimodalSpec; values are hash-gated here.
     ("q62_media_features",
       (s: SparkSession, dir: String) => {
         val f = Multimodal.extractFeatures(s, media(s, dir))
         f.select(col("media_id"), col("kind"),
-            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
-            round(element_at(col("feature"), 2).cast("double"), 6).as("f1"))
+            element_at(col("feature"), 1).cast("double").as("f0"),
+            element_at(col("feature"), 2).cast("double").as("f1"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some(s"""WITH $mediaSql,
+        h AS (SELECT media_id, kind,
+                ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM m)
+        SELECT media_id, kind,
+          CAST((h * 1) % 4096 AS DOUBLE) / 4096 AS f0,
+          CAST((h * 2 + 2654435761) % 4096 AS DOUBLE) / 4096 AS f1
+        FROM h ORDER BY media_id""")),
+
+    // ---- REAL audio codec round-trip through the gate (the audio twin of
+    // q64): executors synthesize a deterministic 16-bit mono PCM WAV per
+    // document (JDK javax.sound.sampled), audioStats DECODES it back, and
+    // the oracle predicts sample rate / frame count / duration purely from
+    // the generation formula — a broken decode path fails the hash gate.
+    // duration_ms = frames·1000/rate is a single IEEE double division in
+    // both engines, so it needs no rounding.
+    ("q65_audio_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val rate = (8000 + (id % 4) * 4000).toFloat
+            val nframes = (id % 400 + 50).toInt
+            val samples = Array.tabulate(nframes)(i =>
+              ((id * 31 + i * 17) % 65536 - 32768).toShort)
+            Multimodal.Media(id, "audio",
+              Multimodal.MediaMeta(0, 0, 1, rate.toInt, 0),
+              Multimodal.synthWav(rate, samples))
+          }
+        Multimodal.audioStats(s, media)
+          .toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("frames"), col("duration_ms"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        1 AS channels,
+        CAST(doc_id % 400 + 50 AS BIGINT) AS frames,
+        CAST((doc_id % 400 + 50) * 1000 AS DOUBLE)
+          / (8000 + (doc_id % 4) * 4000) AS duration_ms,
+        true AS decoded
+        FROM documents ORDER BY media_id""")),
 
     // ---- REAL codec round-trip through the gate: executors ENCODE a
     // deterministic PNG per document (JDK ImageIO), imageStats DECODES it

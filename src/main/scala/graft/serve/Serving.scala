@@ -37,11 +37,12 @@ object Serving {
       .parquet(path)
 
   /** Register every fixture table plus a `docs`-derived view so the plain
-    * SQL entry path (`spark.sql(...)`) works over the engine's data. */
+    * SQL entry path (`spark.sql(...)`) works over the engine's data.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
+    * (events stores TIMESTAMP(NANOS), which the vectorized reader rejects
+    * otherwise); set it in the session builder, as Bench/Verify/Cli do —
+    * mutating conf here would be a surprise side effect for callers. */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    // events stores TIMESTAMP(NANOS), which the vectorized reader rejects
-    // without the legacy conf (arrives as LongType nanoseconds)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.core.Tables.names.foreach { name =>
       spark.read.parquet(s"$sfDir/$name.parquet").createOrReplaceTempView(name)
     }

@@ -98,6 +98,48 @@ class EndToEndSpec extends SparkSpec {
     assert(maxErr < 1e-8, s"max |pr diff| = $maxErr")
   }
 
+  test("q25 nation fixture: dynamic policy stops at the pinned oracle depth") {
+    // The q25 oracle recurses to a HARDCODED depth (CorpusSearch
+    // .NationFixtureIterations) — this test keeps that constant honest by
+    // running the live loop AND an independent scalar model of the exact
+    // reference semantics on the same fixture.
+    val rows = SparkEntry.queries("q25_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 26) // 25 nations + NULL sentinel
+    val pinned = graft.queries.CorpusSearch.NationFixtureIterations.toLong
+    assert(rows.forall(_.getLong(2) === pinned), "emitted iterations column")
+    // independent scalar model: fixture adjacency from the link formulas
+    val pages = (0 until 25).map(k => s"n$k")
+    val raw = (0 until 25).map { k =>
+      s"n$k" -> Set((3 * k) % 31, (8 * k + 2) % 31, (11 * k + 5) % 31)
+        .filter(_ < 25).map(t => s"n$t")
+    }.toMap
+    val adj = raw.map { case (t, ls) =>
+      t -> (if (ls.isEmpty) Seq(GraphBuilder.NullVertex) else ls.toSeq)
+    } + (GraphBuilder.NullVertex -> pages)
+    val n = adj.size
+    var pr = adj.keys.map(_ -> 1.0).toMap
+    var i = 0
+    var continue = true
+    while (continue) {
+      i += 1
+      val mass = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      for ((src, links) <- adj; dst <- links) mass(dst) += pr(src) / links.size
+      val counter = adj.keys.iterator.map(t =>
+        math.floor(math.abs(mass(t)) * 1000).toLong).sum
+      pr = adj.keys.map(t => t -> (0.15 / n + 0.85 * mass(t))).toMap
+      val avg = counter.toDouble / n / 1000.0
+      continue = i < 50 && (i < 10 || avg > 0.2)
+    }
+    assert(i.toLong === pinned,
+      s"scalar model stops at $i but the pinned oracle depth is $pinned — " +
+        "update NationFixtureIterations AND the q25 oracle together")
+    val got = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pr.foreach { case (t, v) =>
+      assert(math.abs(got(t) - math.floor(v * 1e6 + 0.5) / 1e6) < 1e-9, s"pr($t)")
+    }
+  }
+
   test("index at scale: common vocab dies at the reference cutoff, rare terms survive") {
     val full = InvertedIndex.build(docs, dfCutoff = Int.MaxValue).cache()
     val dfs = full.select("term", "df").collect()

@@ -83,6 +83,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded && out(3L).width === 0)
   }
 
+  test("extractFeatures: values are md5-derived on the exact 1/4096 grid") {
+    // the q62 oracle recomputes these from md5(text) — pin the formula
+    val f = extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val m = media.collect().sortBy(_.media_id)
+    f.zip(m).foreach { case (feat, med) =>
+      val h = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(med.payload)
+        ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      }
+      (0 until FeatureDim).foreach { dd =>
+        val expected = ((h * (dd + 1) + 2654435761L * dd) % 4096L).toFloat / 4096f
+        assert(feat.feature(dd) === expected, s"media ${med.media_id} dim $dd")
+      }
+    }
+  }
+
+  test("audioStats: REAL WAV decode — exact rate, channels, frames, duration") {
+    import spark.implicits._
+    val wav = synthWav(16000f, Array.tabulate(320)(i => (i * 100).toShort))
+    val wav2 = synthWav(8000f, Array.tabulate(50)(_ => 0.toShort))
+    val ds = Seq(
+      Media(1L, "audio", MediaMeta(0, 0, 1, 16000, 0), wav),
+      Media(2L, "audio", MediaMeta(0, 0, 1, 8000, 0), wav2),
+      Media(3L, "audio", MediaMeta(0, 0, 0, 0, 0), Array[Byte](9, 9, 9)), // corrupt
+      Media(4L, "image", MediaMeta(8, 8, 3, 0, 0), wav)) // filtered out
+      .toDS()
+    val out = Multimodal.audioStats(spark, ds).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).decoded && out(1L).sample_rate === 16000 &&
+      out(1L).channels === 1 && out(1L).frames === 320L)
+    assert(math.abs(out(1L).duration_ms - 20.0) < 1e-12) // 320/16000 s
+    assert(out(2L).frames === 50L && math.abs(out(2L).duration_ms - 6.25) < 1e-12)
+    assert(!out(3L).decoded && out(3L).frames === 0L)
+  }
+
   test("spark.read.format(image): Spark's native image source works") {
     val dir = java.nio.file.Files.createTempDirectory("imgs")
     val img = new java.awt.image.BufferedImage(5, 7,

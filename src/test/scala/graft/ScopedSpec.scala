@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Scoped
+
+/** Storage-lifecycle tests for the r3 leak class: checkpointed/persisted
+  * intermediates must be freed once their query's terminal action
+  * completes — a long-lived session running the whole catalog must end
+  * with no more storage blocks than it started with. */
+class ScopedSpec extends SparkSpec {
+
+  private def liveBlocks(): Int =
+    spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel != StorageLevel.NONE)
+
+  /** The release listener fires asynchronously on the listener bus. */
+  private def awaitRelease(baseline: Int, timeoutMs: Long = 20000): Int = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (liveBlocks() > baseline && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    liveBlocks()
+  }
+
+  test("Scoped.free releases localCheckpoint blocks (Dataset.unpersist does not)") {
+    val df = spark.range(1000).toDF("id").localCheckpoint()
+    assert(liveBlocks() >= 1)
+    val before = liveBlocks()
+    df.unpersist(blocking = true) // CacheManager no-op for checkpoints
+    assert(liveBlocks() === before, "Dataset.unpersist must not see checkpoint blocks")
+    Scoped.free(df, blocking = true)
+    assert(liveBlocks() === before - 1)
+  }
+
+  test("releaseAfterUse frees the checkpoint after the first terminal action") {
+    val baseline = liveBlocks()
+    val cp = spark.range(1000).toDF("id").localCheckpoint()
+    Scoped.releaseAfterUse(cp)
+    assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
+    assert(cp.filter(col("id") % 2 === 0).count() === 500)
+    assert(awaitRelease(baseline) === baseline, "blocks must drop after the action")
+  }
+
+  test("releaseAfterUse ignores unrelated queries") {
+    val baseline = liveBlocks()
+    val cp = spark.range(100).toDF("id").localCheckpoint()
+    Scoped.releaseAfterUse(cp)
+    spark.range(50).count() // unrelated action — must NOT trigger release
+    Thread.sleep(500)
+    assert(liveBlocks() === baseline + 1, "unrelated action must not release")
+    cp.count()
+    assert(awaitRelease(baseline) === baseline)
+    ()
+  }
+
+  test("iterative catalog queries leak no storage after their terminal action") {
+    val dir = "/root/testdata/sf0.001"
+    val baseline = liveBlocks()
+    for (q <- Seq("q29_pagerank_fixed10", "q25_pagerank", "q31_ngram_jaccard",
+        "q32_minhash_lsh", "q34_simhash_pairs")) {
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      assert(awaitRelease(baseline) === baseline, s"$q leaked storage blocks")
+    }
+  }
+}
