@@ -117,16 +117,35 @@ case class CosineSim(left: Expression, right: Expression)
   * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object GraftFunctions {
   val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
+  val srpCellInfo = new ExpressionInfo(classOf[SrpCell].getName, "srp_cell")
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+  /** srp_cell(vec, nbits, dims) — nbits/dims must be int literals (they
+    * parameterize the generated code, not per-row data). */
+  private[functions] def mkSrpCell(children: Seq[Expression]): Expression = {
+    def litInt(e: Expression, name: String): Int = {
+      require(e.foldable, s"srp_cell: $name must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    SrpCell(children(0), litInt(children(1), "nbits"), litInt(children(2), "dims"))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineSimInfo,
       (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("srp_cell"), srpCellInfo, mkSrpCell _)
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo,
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("srp_cell"),
+      GraftFunctions.srpCellInfo,
+      GraftFunctions.mkSrpCell _))
+  }
 }

@@ -124,18 +124,31 @@ object DedupSim {
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
-    // ---- exact dedup: content-hash groupBy, canonical = min doc_id
+    // ---- exact dedup: content-hash groupBy, canonical = min doc_id.
+    // The fixture corpus contains no exact duplicates, so the gate would
+    // pass vacuously on 0 = 0 (VERDICT r4 "missing" #1) — the derivation
+    // PLANTS duplicates by unioning an id-shifted copy of every 50th doc,
+    // so the dup-group path (group > 1, canonical = min) is hash-verified
+    // against non-empty output. The oracle mirrors the same derivation.
     ("q30_dedup_exact",
       (s: SparkSession, dir: String) => {
-        t(s, dir, "documents")
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val aug = d.unionByName(
+          d.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        aug
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
           .filter(col("n_dups") > 1)
           .orderBy(col("canonical_id"))
       },
-      Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+      Some("""WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+        SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
         MIN(doc_id) AS canonical_id
-        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1
         ORDER BY canonical_id""")),
 
     // ---- exact n-gram Jaccard near-dup via shingle equi-join
@@ -430,11 +443,25 @@ object DedupSim {
     // ≤ 18°, P[bit differs] = θ/π ≤ 0.1 per plane) land in the same cell
     // with high probability. The oracle recomputes the identical quantizer
     // from the plane literals (same ordered left-fold dot products).
+    // The fixture has no cosine-≥0.95 pairs, so (like q30) the gate would
+    // pass vacuously — the derivation PLANTS near-duplicates: every 10th
+    // vector is re-added id-shifted with its FIRST ELEMENT HALVED. Halving
+    // is exact in IEEE float/double (power-of-two scale), so both engines
+    // materialize bit-identical perturbed vectors and the cosines/cells
+    // derived from them agree exactly; the perturbation moves cosine just
+    // below 1 (one of 64 dims), a genuine near-dup rather than a byte copy.
     ("q36_embedding_neardup",
       (s: SparkSession, dir: String) => {
         import graft.similarity.Ivf
         graft.functions.GraftFunctions.register(s)
-        val e = t(s, dir, "embeddings")
+        val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+        val planted = e0.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            concat(
+              array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
+              expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"),
+            col("label"))
+        val e = e0.unionByName(planted)
           .withColumn("cell", Ivf.cellCol("embedding", Ivf.DefaultBits, Ivf.DefaultDims))
         val a = e.select(col("vec_id").as("id_a"), col("label"), col("cell"),
           col("embedding").as("ea"))
@@ -448,8 +475,15 @@ object DedupSim {
             round(col("sim"), 4).as("sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH c AS (SELECT vec_id, label, embedding,
-            (${srpCellSql("embedding")}) AS cell FROM embeddings)
+      Some(s"""WITH aug AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT), embedding[2:]),
+            label
+          FROM embeddings WHERE vec_id % 10 = 0),
+        c AS (SELECT vec_id, label, embedding,
+            (${srpCellSql("embedding")}) AS cell FROM aug)
         SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(${cosDuck("a.embedding", "b.embedding")}, 4) AS sim
         FROM c a JOIN c b

@@ -132,17 +132,28 @@ object Events {
         FROM f WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
         ORDER BY event_id""")),
 
-    // ---- interval self-join: pairs of events of the same user within 60s
-    // (range-join shape; shuffles once on user_id, band predicate applied
-    // post-join — at 100 TB this becomes bucketed-by-time + user salting)
+    // ---- interval self-join: pairs of events of the same user within 60s,
+    // as a BUCKETED range join: both sides key on (user_id, minute-bucket)
+    // with the probe side duplicated into {bkt, bkt−1}, so us_b ∈
+    // [us_a, us_a+60s] ⇒ bkt_a ∈ {bkt_b, bkt_b−1} and every candidate pair
+    // meets on exactly one composite key. Each probe row touches two
+    // buckets instead of the user's whole history — a hot user (a bot) is
+    // bounded by events-per-minute, not events-overall, which is what makes
+    // this shape survive 100 TB where the plain per-user self-join
+    // (quadratic in the hottest user) does not. Band filter after the join
+    // is exact; the bucket key is only a candidate pre-filter.
     ("q54_interval_join",
       (s: SparkSession, dir: String) => {
-        val e = ev(s, dir)
-        val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+        val BandUs = 60000000L // 60 s
+        val e = ev(s, dir).select(col("user_id"), col("event_id"), col("us"))
+        val a = e.select(col("user_id"), col("event_id").as("id_a"),
+          col("us").as("us_a"), expr(s"us div $BandUs").as("bkt"))
         val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"))
-        a.join(b, Seq("user_id"))
+          .select(col("user_id"), col("id_b"), col("us_b"),
+            explode(array(expr(s"us_b div $BandUs"), expr(s"us_b div $BandUs - 1"))).as("bkt"))
+        a.join(b, Seq("user_id", "bkt"))
           .filter(col("id_a") =!= col("id_b") &&
-            col("us_b") >= col("us_a") && col("us_b") - col("us_a") <= 60000000L)
+            col("us_b") >= col("us_a") && col("us_b") - col("us_a") <= BandUs)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("user_id"))

@@ -137,17 +137,21 @@ object Relational {
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         ORDER BY c_custkey""")),
 
-    // ---- left-anti join
+    // ---- left-anti join. Against the 'P'-status orders only: every
+    // customer has SOME order in the fixtures, so the unfiltered anti-join
+    // verified 0 = 0 every round (VERDICT r4) — this predicate keeps the
+    // result non-empty at every sf, so the anti path is hash-gated on
+    // real rows.
     ("q06_anti_join",
       (s: SparkSession, dir: String) => {
         val c = t(s, dir, "customer")
-        val o = t(s, dir, "orders")
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_acctbal"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         ORDER BY c_custkey""")),
 
     // ---- left-outer join + two-level agg (TPC-H Q13 shape)
@@ -238,14 +242,19 @@ object Relational {
         INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
         ORDER BY nationkey""")),
 
+    // (acctbal filter: suppliers cover all 25 nations in the fixtures, so
+    // the unfiltered except verified 0 = 0 every round — restricting the
+    // right side to top-balance suppliers keeps the difference non-empty
+    // at every sf)
     ("q13_except",
       (s: SparkSession, dir: String) => {
         val a = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("nationkey"))
-        val b = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+        val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9900)
+          .select(col("s_nationkey").cast("long").as("nationkey"))
         a.except(b).orderBy(col("nationkey"))
       },
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
-        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_acctbal > 9900
         ORDER BY nationkey""")),
 
     // ---- scalar string/math functions (SURVEY §2.7 F1-F9)

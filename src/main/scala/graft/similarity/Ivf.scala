@@ -37,20 +37,20 @@ object Ivf {
     Array.fill(dims)(if (rnd.nextBoolean()) 1 else -1)
   }
 
-  /** Cell id column: SRP sign bits, ⟨v, p_j⟩ > 0 for j < nbits. */
+  /** Cell id column: SRP sign bits, ⟨v, p_j⟩ > 0 for j < nbits — the fused
+    * codegen'd [[graft.functions.SrpCell]] expression (one pass over the
+    * vector, nbits running dots; bit- and NULL-compatible with the unfused
+    * per-plane `element_at` sum it replaced). Requires
+    * `GraftFunctions.register` on the session — [[buildIndex]] does it. */
   def cellCol(vecCol: String, nbits: Int, dims: Int): org.apache.spark.sql.Column =
-    (0 until nbits).map { j =>
-      val p = plane(j, dims)
-      val dot = (0 until dims)
-        .map(d => s"(${p(d)}.0D * cast(element_at($vecCol, ${d + 1}) as double))")
-        .mkString(" + ")
-      expr(s"cast(($dot) > 0 as int) * ${1 << j}")
-    }.reduce(_ + _)
+    expr(s"srp_cell($vecCol, $nbits, $dims)")
 
   /** Attach the cell id. */
   def buildIndex(embeddings: DataFrame, vecCol: String = "embedding",
-      nbits: Int = DefaultBits, dims: Int = DefaultDims): DataFrame =
+      nbits: Int = DefaultBits, dims: Int = DefaultDims): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     embeddings.withColumn("cell", cellCol(vecCol, nbits, dims))
+  }
 
   /** Persist the index partitioned by cell (hive-style) — probes become
     * partition-pruned scans. */
