@@ -1,8 +1,11 @@
 package graft.core
 
+import java.lang.ref.WeakReference
+import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.{LogicalRDD, QueryExecution}
 import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
@@ -49,6 +52,59 @@ object Scoped {
     * and its listener event arrives asynchronously. */
   private val MaterializeOnly = Set("localCheckpoint", "checkpoint", "persist", "cache")
 
+  /** One armed release. The Dataset and its analyzed plan are held only
+    * WEAKLY — an armed DF whose caller walks away (crash before the
+    * action, abandoned plan in a long-lived session) must not be pinned
+    * alive by its own cleanup hook. The checkpoint RDD handles are held
+    * strongly: they are exactly what must be unpersisted if the plan is
+    * abandoned, and an RDD handle pins no row data beyond the blocks it
+    * names. */
+  private final class Armed(
+      val spark: SparkSession,
+      val dfRef: WeakReference[DataFrame],
+      val targetRef: WeakReference[LogicalPlan],
+      val rdds: Seq[RDD[_]],
+      val armedAtMs: Long) {
+    val done = new AtomicBoolean(false)
+    @volatile var listener: QueryExecutionListener = _
+  }
+
+  private val registry = new ConcurrentLinkedQueue[Armed]()
+
+  private def releaseEntry(e: Armed): Unit =
+    if (e.done.compareAndSet(false, true)) {
+      try e.dfRef.get match {
+        case null =>
+          // Dataset already collected — free the checkpoint blocks via the
+          // strong RDD handles (the CacheManager entry of a plain persist,
+          // if any, needs the Dataset and dies with the session instead)
+          e.rdds.filter(_.getStorageLevel != StorageLevel.NONE)
+            .foreach(_.unpersist(blocking = false))
+        case df => free(df)
+      } finally {
+        e.spark.listenerManager.unregister(e.listener)
+        registry.remove(e)
+      }
+    }
+
+  /** Release every armed-but-never-consumed entry whose Dataset has been
+    * garbage-collected, plus — when `ttlMs` is given — any entry older
+    * than `ttlMs`. Returns the number released. Runs automatically (GC
+    * criterion only) on every [[releaseAfterUse]] call, so a long-lived
+    * session that keeps arming new queries self-heals; call explicitly
+    * with a TTL for deterministic cleanup points. */
+  def sweep(ttlMs: Long = Long.MaxValue): Int = {
+    val now = System.currentTimeMillis()
+    var n = 0
+    registry.forEach { e =>
+      if (e.done.get) registry.remove(e)
+      else if (e.dfRef.get == null || (ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs)) {
+        releaseEntry(e); n += 1
+      }
+    }
+    n
+  }
+
   /** Arm a one-shot release of each `df` that fires when the first
     * caller-level action (count/collect/save/…, NOT another checkpoint)
     * whose plan references `df` completes — success or failure.
@@ -63,27 +119,39 @@ object Scoped {
     * that compares the materialized RDD identity (no false positives);
     * for persisted DFs a canonically-equal plan in a concurrent query
     * can match early, which is safe — lineage is intact, the later
-    * consumer just recomputes. */
-  def releaseAfterUse(dfs: DataFrame*): Unit = dfs.foreach { df =>
-    val spark = df.sparkSession
-    val target = df.queryExecution.analyzed
-    val done = new AtomicBoolean(false)
-    val listener: QueryExecutionListener = new QueryExecutionListener { self =>
-      private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
-        if (!MaterializeOnly.contains(funcName)) {
-          val hit =
-            try qe.analyzed.exists(_.sameResult(target))
-            catch { case _: Throwable => false }
-          if (hit && done.compareAndSet(false, true)) {
-            try free(df)
-            finally spark.listenerManager.unregister(self)
+    * consumer just recomputes.
+    *
+    * An armed DF that is never consumed does not pin its listener and
+    * blocks forever: the hook holds the Dataset/plan weakly, and once
+    * they are collected the next listener event or [[sweep]] frees the
+    * checkpoint blocks and unregisters. */
+  def releaseAfterUse(dfs: DataFrame*): Unit = {
+    dfs.foreach { df =>
+      val e = new Armed(df.sparkSession, new WeakReference(df),
+        new WeakReference(df.queryExecution.analyzed),
+        checkpointRdds(df), System.currentTimeMillis())
+      val listener: QueryExecutionListener = new QueryExecutionListener {
+        private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
+          if (!MaterializeOnly.contains(funcName)) {
+            e.targetRef.get match {
+              case null => releaseEntry(e) // abandoned — nothing can consume it now
+              case target =>
+                val hit =
+                  try qe.analyzed.exists(_.sameResult(target))
+                  catch { case _: Throwable => false }
+                if (hit) releaseEntry(e)
+            }
           }
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        maybeRelease(funcName, qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        maybeRelease(funcName, qe)
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          maybeRelease(funcName, qe)
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+          maybeRelease(funcName, qe)
+      }
+      e.listener = listener
+      df.sparkSession.listenerManager.register(listener)
+      registry.add(e)
     }
-    spark.listenerManager.register(listener)
+    sweep()
+    ()
   }
 }

@@ -1,0 +1,125 @@
+package graft.pagerank
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph, VertexRDD, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphBuilder.NullVertex
+
+/** GraphX/RDD-iterative alternate backend for [[PageRank]] — the
+  * "GraphX Pregel or RDD iterative" approach BASELINE.md names, behind the
+  * same [[PageRank.Result]] API as the DataFrame loop.
+  *
+  * CAVEAT (SURVEY.md §4): GraphX's stock `Pregel`/`staticPageRank` cannot
+  * reproduce the reference's semantics — the NULL-sentinel fan-out, init
+  * 1.0 with α/N teleport, the PRE-damping ⌊|mass|·1000⌋ convergence
+  * counter, and the min-10/tol/cap-50 global stop policy are all outside
+  * its vertex-program contract (its convergence is per-vertex message
+  * voting, its teleport is α, its init is 1/N-less resetProb algebra). So
+  * this backend keeps GraphX for what it is good at — the edge-partitioned
+  * `aggregateMessages` contribution shuffle — and drives the reference's
+  * exact update rule, Δ counter, and loop policy from the driver, exactly
+  * like the DataFrame loop (/root/reference/src/main/scala/pageRank.scala:276-311,360-371).
+  *
+  * Parity with the DataFrame loop: identical update algebra, identical
+  * NULL handling (the sentinel's V-wide fan-out applied analytically as a
+  * per-iteration scalar, never materialized as edges), identical policy.
+  * The only divergence is float summation ORDER inside each vertex's mass
+  * (edge-partition merge vs hash-agg merge) — ≪ 1 ulp per iteration;
+  * CorpusGoldenSpec pins agreement to 1e-9, and the q47 gate pins the
+  * quantized fixed-10 run to the same DuckDB oracle as the DataFrame q29.
+  *
+  * Scale notes (100 TB): vertex ids come from `zipWithIndex` (collision-
+  * free, unlike hashing titles); edge weights 1/outdeg are static, so the
+  * per-iteration work is ONE aggregateMessages shuffle plus two scalar
+  * actions (NULL rank pull + Δ counter) — same shuffle count as the DF
+  * loop. Each iteration's mass is persisted and the predecessor's vertices
+  * are unpersisted immediately, so storage stays O(1) in iterations.
+  */
+object PregelBackend {
+
+  /** Same contract as [[PageRank.run]]; `quantize = Some(s)` snaps each
+    * iteration's damped rank to the 1/s grid (`⌊pr·s + 0.5⌋ / s`) — the
+    * cross-engine drift guard the q29/q47 oracles rely on. */
+  def run(graph0: DataFrame, minIter: Int = 10, tol: Double = 0.2,
+      maxIter: Int = 50, alpha: Double = 0.15,
+      quantize: Option[Double] = None): PageRank.Result = {
+    val spark = graph0.sparkSession
+    import spark.implicits._
+
+    val base: RDD[(String, Seq[String])] = graph0.select("title", "links").rdd
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids: RDD[(String, VertexId)] = base.keys.zipWithIndex()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = ids.count()
+    val nullId = ids.filter(_._1 == NullVertex).values.collect().headOption
+
+    // Static out-edges with weight 1/outdeg. NULL's out-edges are NOT
+    // materialized (its V-wide adjacency is the hot-key scale hazard the
+    // DF loop also avoids); its fan-out is injected analytically below.
+    val edges: RDD[Edge[Double]] = base
+      .filter { case (t, links) => t != NullVertex && links.nonEmpty }
+      .flatMap { case (src, links) => links.map(dst => (dst, (src, 1.0 / links.size))) }
+      .join(ids) // dst title -> dst id
+      .map { case (_, ((src, w), dstId)) => (src, (dstId, w)) }
+      .join(ids) // src title -> src id
+      .map { case (_, ((dstId, w), srcId)) => Edge(srcId, dstId, w) }
+
+    var g: XGraph[Double, Double] =
+      XGraph(ids.map { case (_, id) => (id, 1.0) }, edges, defaultVertexAttr = 1.0,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+
+    var i = 0
+    var avg = Double.MaxValue
+    var continue = true
+    var prevMass: VertexRDD[Double] = null
+    while (continue) {
+      i += 1
+      // pr(NULL)/V as a driver scalar — the analytic stand-in for NULL's
+      // V-element adjacency (V = n − 1 pages), exactly like the DF loop.
+      val nullContrib = nullId match {
+        case Some(id) if n > 1 =>
+          g.vertices.filter(_._1 == id).values.fold(0.0)(_ + _) / (n - 1)
+        case _ => 0.0
+      }
+      val msgs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      val mass: VertexRDD[Double] = g.vertices.leftJoin(msgs) { (id, _, m) =>
+        m.getOrElse(0.0) + (if (nullId.contains(id)) 0.0 else nullContrib)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      // Σ⌊|mass|·1000⌋ / N / 1000 — the reference's pre-damping counter
+      // (prev implicitly 0); this action also materializes `mass`, so the
+      // new vertex set below is depth-1 from a solid RDD.
+      val counter = mass.map { case (_, m) => math.floor(math.abs(m) * 1000).toLong }
+        .fold(0L)(_ + _)
+      avg = counter.toDouble / n / 1000.0
+      val newVerts = mass.mapValues { m =>
+        val pr = alpha / n + (1 - alpha) * m
+        quantize.fold(pr)(s => math.floor(pr * s + 0.5) / s)
+      }
+      val ng = g.outerJoinVertices(newVerts)((_, old, opt) => opt.getOrElse(old))
+      ng.vertices.persist(StorageLevel.MEMORY_AND_DISK).foreachPartition(_ => ())
+      g.unpersistVertices(blocking = false) // edges are shared — keep them
+      if (prevMass != null) prevMass.unpersist(blocking = false)
+      prevMass = mass
+      g = ng
+      continue = i < maxIter && (i < minIter || avg > tol)
+    }
+
+    // Materialize the result as a checkpoint-backed DF so every GraphX
+    // intermediate can be released NOW and Result.release()/Scoped free
+    // the output exactly like the DataFrame loop's contract.
+    val out = ids.map(_.swap).join(g.vertices) // id -> (title, pr)
+      .values.toDF("title", "pr")
+      .join(base.toDF("title", "links"), Seq("title"))
+      .select($"title", $"links", $"pr")
+      .localCheckpoint()
+    if (prevMass != null) prevMass.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    ids.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    PageRank.Result(out, i, avg)
+  }
+}

@@ -64,6 +64,48 @@ object CorpusSearch {
     * the build, not the gate. */
   val NationFixtureIterations = 12
 
+  /** Recursive-CTE oracle for 10 power iterations over [[keyGraphDocs]]
+    * with per-iteration 1e-9 quantization — shared verbatim by q29 (the
+    * DataFrame loop) and q47 (the GraphX backend): both engines must land
+    * on the identical grid, so one oracle hash-gates both backends. */
+  private val keyGraphFixed10Sql =
+    """WITH RECURSIVE docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        realedges AS (SELECT DISTINCT src, dst FROM rawedges
+                      WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM realedges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        verts AS (SELECT title FROM g),
+        nn AS (SELECT COUNT(*) AS n FROM g),
+        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
+        pr AS (
+          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.title,
+              floor((0.15 / (SELECT n FROM nn)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1000000000.0 + 0.5)
+                / 1000000000.0 AS pr
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM pr p JOIN edges2 e ON p.title = e.src
+              WHERE p.iter < 10
+              GROUP BY 1, 2) m
+            ON t.title = m.title) x
+          WHERE x.iter IS NOT NULL)
+        SELECT title, pr FROM pr WHERE iter = 10 ORDER BY title"""
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- flagship: tf-idf search over the document corpus (ref
@@ -228,42 +270,22 @@ object CorpusSearch {
         Scoped.releaseAfterUse(g0, edges, cp)
         pr.orderBy(col("title"))
       },
-      Some("""WITH RECURSIVE docs AS (
-          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
-                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
-          FROM lineitem GROUP BY 1),
-        titles AS (SELECT DISTINCT title FROM docs),
-        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
-        realedges AS (SELECT DISTINCT src, dst FROM rawedges
-                      WHERE dst IN (SELECT title FROM titles)),
-        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
-                FROM realedges GROUP BY 1),
-        g AS (
-          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
-          FROM titles t LEFT JOIN adj a ON t.title = a.title
-          UNION ALL
-          SELECT 'NULL' AS title,
-                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
-        verts AS (SELECT title FROM g),
-        nn AS (SELECT COUNT(*) AS n FROM g),
-        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
-        pr AS (
-          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
-          UNION ALL
-          SELECT * FROM (
-            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
-              t.title,
-              floor((0.15 / (SELECT n FROM nn)
-                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1000000000.0 + 0.5)
-                / 1000000000.0 AS pr
-            FROM verts t LEFT JOIN (
-              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
-              FROM pr p JOIN edges2 e ON p.title = e.src
-              WHERE p.iter < 10
-              GROUP BY 1, 2) m
-            ON t.title = m.title) x
-          WHERE x.iter IS NOT NULL)
-        SELECT title, pr FROM pr WHERE iter = 10 ORDER BY title""")),
+      Some(keyGraphFixed10Sql)),
+
+    // ---- the SAME fixed-10 quantized iteration through the GraphX/RDD
+    // backend (PageRank.runPregel): one oracle, two engines — a bench line
+    // comparing the DataFrame loop (q29) and the edge-partitioned
+    // aggregateMessages loop (q47) on the identical graph, both hash-gated
+    // against the identical recursive CTE.
+    ("q47_pagerank_pregel",
+      (s: SparkSession, dir: String) => {
+        val g0 = GraphBuilder.build(keyGraphDocs(s, dir))
+        val res = PageRank.runPregel(g0, minIter = 10, tol = 0.0, maxIter = 10,
+          quantize = Some(1e9))
+        Scoped.releaseAfterUse(res.graph)
+        res.graph.select(col("title"), col("pr")).orderBy(col("title"))
+      },
+      Some(keyGraphFixed10Sql)),
 
     // ---- iterative PageRank, exact reference semantics (I2/A3-A5; loop
     // policy min 10 / tol 0.2 / cap 50), run END-TO-END through

@@ -179,6 +179,31 @@ class CorpusGoldenSpec extends SparkSpec {
     }
   }
 
+  test("F9: snippet window [off−20, off+30) clips like Scala slice at both line edges") {
+    import spark.implicits._
+    // crafted 104-char line with controlled occurrence offsets: 5 (start
+    // clip: fewer than 20 chars before the occurrence), 40 (full ±20/+30
+    // window), 90 (end clip: fewer than 30 chars after)
+    val line = ('a' to 'z').mkString * 4
+    val terms = Seq(("tstart", 5), ("tmid", 40), ("tend", 90))
+    val docsDf = Seq(("D", line)).toDF("title", "line")
+    val prDf = Seq(("D", 0.5)).toDF("title", "pr")
+    val indexDf = terms.toDF("term", "off")
+      .select(col("term"), lit(1).as("df"),
+        array(struct(lit("D").as("title"), lit(1).as("tf"),
+          array(struct(lit(0L).as("line_off"),
+            col("off").cast("long").as("char_off"))).as("ofs"))).as("postings"))
+    val hits = Search.search(spark, terms.map(_._1), 4, indexDf, prDf, docsDf)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](8).head).toMap
+    // the reference's exact semantics (Query.scala:100): line.slice(off−20, off+30)
+    terms.foreach { case (t, off) =>
+      assert(hits(t) === line.slice(off - 20, off + 30), s"term $t off $off")
+    }
+    assert(hits("tstart") === line.substring(0, 35)) // clipped at 0, NOT shifted right
+    assert(hits("tmid").length === 50)               // full window only mid-line
+    assert(hits("tend") === line.substring(70))      // runs to line end: 34 chars
+  }
+
   test("implicit-NULL graph variant reaches the identical fixpoint") {
     val in = docs.select(col("title"), col("links"))
     val materialized = shortRun(GraphBuilder.build(in))
@@ -194,6 +219,28 @@ class CorpusGoldenSpec extends SparkSpec {
       .filter(col("title") === GraphBuilder.NullVertex)
       .select("links").head().getSeq[String](0)
     assert(nullLinks.isEmpty)
+  }
+
+  test("GraphX/RDD backend agrees with the DataFrame loop to 1e-9") {
+    val g0 = GraphBuilder.build(docs.select(col("title"), col("links")))
+    val df = shortRun(g0)
+    val px = PageRank.runPregel(g0, minIter = 5, maxIter = 5)
+    assert(px.iterations === df.iterations)
+    // identical Δ counter ⇒ identical stop decision under any policy
+    assert(math.abs(px.avgChange - df.avgChange) < 1e-9)
+    val a = df.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = px.graph.select("title", "pr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (t, pr) =>
+      assert(math.abs(pr - b(t)) < 1e-9, s"pr($t)")
+    }
+    // links survive the round-trip through vertex ids
+    val links = px.graph.select("title", "links").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(links("1") === Seq("2", "4"))
+    px.release(); df.release()
   }
 
   test("reliable checkpointing yields the identical fixpoint") {

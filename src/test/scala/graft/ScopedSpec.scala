@@ -53,6 +53,23 @@ class ScopedSpec extends SparkSpec {
     ()
   }
 
+  test("sweep frees an armed-but-never-consumed checkpoint (abandoned plan)") {
+    val baseline = liveBlocks()
+    val cp = spark.range(1000).toDF("id").localCheckpoint()
+    Scoped.releaseAfterUse(cp)
+    assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
+    // the caller walks away without ever running an action; a TTL sweep
+    // must release the blocks and the listener instead of pinning both
+    // for the session lifetime
+    Thread.sleep(5)
+    assert(Scoped.sweep(ttlMs = 0) >= 1)
+    assert(awaitRelease(baseline) === baseline, "abandoned checkpoint must be freed")
+    // idempotent: nothing left to sweep, later actions see a dead listener
+    assert(Scoped.sweep(ttlMs = 0) === 0)
+    spark.range(10).count()
+    ()
+  }
+
   test("iterative catalog queries leak no storage after their terminal action") {
     val dir = "/root/testdata/sf0.001"
     val baseline = liveBlocks()
