@@ -66,44 +66,69 @@ object PregelBackend {
       .join(ids) // src title -> src id
       .map { case (_, ((dstId, w), srcId)) => Edge(srcId, dstId, w) }
 
+    // Partition count proportional to graph size (~20k vertices per
+    // partition), capped at the cluster's parallelism: a web-scale graph
+    // fans out to every core, while a small graph doesn't pay 32-task
+    // scheduling × 2 stages × maxIter iterations of fixed overhead — on
+    // the sf0.1 bench graph (~1k vertices) that overhead, not compute,
+    // was 4× the DataFrame loop's whole runtime.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (n / 20000L).toInt + 1))
+
     var g: XGraph[Double, Double] =
-      XGraph(ids.map { case (_, id) => (id, 1.0) }, edges, defaultVertexAttr = 1.0,
+      XGraph(ids.map { case (_, id) => (id, 1.0) }.coalesce(parts),
+        edges.coalesce(parts), defaultVertexAttr = 1.0,
         edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
         vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
 
+    val nullIdVal = nullId.getOrElse(-1L)
+    val damp = (m: Double) => {
+      val pr = alpha / n + (1 - alpha) * m
+      quantize.fold(pr)(s => math.floor(pr * s + 0.5) / s)
+    }
     var i = 0
     var avg = Double.MaxValue
     var continue = true
+    // pr(NULL)/V as a driver scalar — the analytic stand-in for NULL's
+    // V-element adjacency (V = n − 1 pages), exactly like the DF loop.
+    // Tracked incrementally from each iteration's counter aggregate (NULL's
+    // next rank is damp(its mass)) so no per-iteration lookup job is needed.
+    var nullPr = if (nullId.isDefined) 1.0 else 0.0
     var prevMass: VertexRDD[Double] = null
+    var prevG: XGraph[Double, Double] = null
     while (continue) {
       i += 1
-      // pr(NULL)/V as a driver scalar — the analytic stand-in for NULL's
-      // V-element adjacency (V = n − 1 pages), exactly like the DF loop.
-      val nullContrib = nullId match {
-        case Some(id) if n > 1 =>
-          g.vertices.filter(_._1 == id).values.fold(0.0)(_ + _) / (n - 1)
-        case _ => 0.0
-      }
+      val nullContrib = if (nullId.isDefined && n > 1) nullPr / (n - 1) else 0.0
       val msgs = g.aggregateMessages[Double](
         ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
       val mass: VertexRDD[Double] = g.vertices.leftJoin(msgs) { (id, _, m) =>
-        m.getOrElse(0.0) + (if (nullId.contains(id)) 0.0 else nullContrib)
+        m.getOrElse(0.0) + (if (id == nullIdVal) 0.0 else nullContrib)
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      // Σ⌊|mass|·1000⌋ / N / 1000 — the reference's pre-damping counter
-      // (prev implicitly 0); this action also materializes `mass`, so the
-      // new vertex set below is depth-1 from a solid RDD.
-      val counter = mass.map { case (_, m) => math.floor(math.abs(m) * 1000).toLong }
-        .fold(0L)(_ + _)
+      // ONE aggregate per iteration: (Σ⌊|mass|·1000⌋, mass(NULL)) — the
+      // reference's pre-damping counter (prev implicitly 0) plus the NULL
+      // rank feed for the next iteration. This action materializes `mass`
+      // AND the current graph's replicated edge view (aggregateMessages
+      // runs over it), so both are solid before the predecessor is dropped.
+      val (counter, massNull) = mass.aggregate((0L, 0.0))(
+        { case ((c, mn), (id, m)) =>
+          (c + math.floor(math.abs(m) * 1000).toLong, if (id == nullIdVal) m else mn) },
+        { case ((c1, m1), (c2, m2)) => (c1 + c2, m1 + m2) })
       avg = counter.toDouble / n / 1000.0
-      val newVerts = mass.mapValues { m =>
-        val pr = alpha / n + (1 - alpha) * m
-        quantize.fold(pr)(s => math.floor(pr * s + 0.5) / s)
-      }
-      val ng = g.outerJoinVertices(newVerts)((_, old, opt) => opt.getOrElse(old))
-      ng.vertices.persist(StorageLevel.MEMORY_AND_DISK).foreachPartition(_ => ())
-      g.unpersistVertices(blocking = false) // edges are shared — keep them
+      nullPr = if (nullId.isDefined) damp(massNull) else 0.0
+      // The predecessor graph can go ONLY NOW: outerJoinVertices rebuilds
+      // the replicated edge view each iteration (new vertex attrs shipped
+      // to edge partitions), so g_i's edges chain onto g_{i−1}'s — an
+      // unpersisted chain recomputes the whole history on every action,
+      // doubling per-iteration cost (the classic GraphX iteration trap;
+      // GraphX's own Pregel persists the full graph and defers the
+      // predecessor's unpersist exactly like this).
+      if (prevG != null) { prevG.unpersistVertices(false); prevG.edges.unpersist(false) }
       if (prevMass != null) prevMass.unpersist(blocking = false)
+      val ng = g.outerJoinVertices(mass.mapValues(damp))((_, old, opt) => opt.getOrElse(old))
+      ng.persist(StorageLevel.MEMORY_AND_DISK)
+      ng.vertices.foreachPartition(_ => ()) // edges materialize in the next counter job
       prevMass = mass
+      prevG = g
       g = ng
       continue = i < maxIter && (i < minIter || avg > tol)
     }
@@ -117,6 +142,7 @@ object PregelBackend {
       .select($"title", $"links", $"pr")
       .localCheckpoint()
     if (prevMass != null) prevMass.unpersist(blocking = false)
+    if (prevG != null) { prevG.unpersistVertices(false); prevG.edges.unpersist(false) }
     g.unpersist(blocking = false)
     ids.unpersist(blocking = false)
     base.unpersist(blocking = false)
