@@ -122,6 +122,36 @@ object DedupSim {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup CANDIDATE pairs (id_a, id_b, ha, hb) via 4×8-bit
+    * block bucketing (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 exact block match) —
+    * shared by q34 (pair list) and q49 (cluster assignment). Materializes
+    * the signature table once (the block self-join would otherwise run the
+    * full tokenize+32-sum aggregation on both sides) and arms its release
+    * on the consumer's terminal action; a multi-action consumer (q49)
+    * frees the checkpoint explicitly instead. */
+  private def simhashCand(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(s, dir).localCheckpoint()
+    Scoped.releaseAfterUse(sig)
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
+    blocks.select(col("doc_id").as("id_a"), col("simhash").as("ha"), col("blk"), col("bval"))
+      .join(blocks.select(col("doc_id").as("id_b"), col("simhash").as("hb"), col("blk"), col("bval")),
+        Seq("blk", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+  }
+
+  /** DuckDB twin of [[simhashCand]] (appends to [[simhashSql]]'s CTEs). */
+  private val simhashCandSql =
+    """blocks AS (SELECT doc_id, simhash, blk,
+            (simhash // CAST(POW(2, blk * 8) AS BIGINT)) % 256 AS bval
+          FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS ha, b.simhash AS hb
+          FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)"""
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- exact dedup: content-hash groupBy, canonical = min doc_id.
@@ -262,36 +292,117 @@ object DedupSim {
     // avoids the all-pairs cross join at scale)
     ("q34_simhash_pairs",
       (s: SparkSession, dir: String) => {
-        // Materialize the signatures: the block self-join would otherwise
-        // recompute the full tokenize+32-bit-sum aggregation on both sides.
-        // Released when the terminal action completes (no session leak).
-        // (Unsorted — q33's ORDER BY is presentation-only.)
-        val sig = simhashSig(s, dir).localCheckpoint()
-        Scoped.releaseAfterUse(sig)
-        val blocks = sig.select(col("doc_id"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("blk"))
-          .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
-        val cand = blocks.select(col("doc_id").as("id_a"), col("simhash").as("ha"), col("blk"), col("bval"))
-          .join(blocks.select(col("doc_id").as("id_b"), col("simhash").as("hb"), col("blk"), col("bval")),
-            Seq("blk", "bval"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
-        cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        simhashCand(s, dir)
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
           .filter(col("hamming") <= 3)
           .select(col("id_a"), col("id_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""$simhashSql,
-        blocks AS (SELECT doc_id, simhash, blk,
-            (simhash // CAST(POW(2, blk * 8) AS BIGINT)) % 256 AS bval
-          FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-            a.simhash AS ha, b.simhash AS hb
-          FROM blocks a JOIN blocks b
-          ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        $simhashCandSql
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         ORDER BY id_a, id_b""")),
+
+    // ---- deterministic stratified sampling: per-language rates keyed on
+    // the 32-bit md5 of the doc id — the training-data rebalancing shape
+    // (downsample the dominant language, keep the long tail). Hash-based
+    // acceptance is exactly reproducible in both engines AND stable under
+    // re-runs/repartitioning at any scale — unlike rand()-based sampling,
+    // which is neither. Pure codegen'd expressions; the filter pushes to
+    // the scan, so at 100 TB this reads-and-drops with no shuffle at all.
+    ("q48_stratified_sample",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .withColumn("bucket", hash32(col("doc_id").cast("string")) % 100)
+          .filter(col("bucket") <
+            when(col("lang") === "en", lit(10)).otherwise(lit(80)))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) AS bucket
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) <
+          CASE WHEN lang = 'en' THEN 10 ELSE 80 END
+        ORDER BY doc_id""")),
+
+    // ---- near-dup CLUSTERING: connected components over the SimHash pair
+    // graph — the step that turns pairwise matches (q34) into dedup groups
+    // with a canonical representative (cluster id = MIN doc_id in the
+    // component). Implemented as the standard massive-graph min-label
+    // propagation: each round every vertex takes the min of its own and
+    // its neighbors' labels — one join + one groupBy per round, both
+    // hashed on the vertex id, O(component diameter) rounds (near-dup
+    // clusters are shallow, so 2-4 rounds at any corpus size; cap 50).
+    // Same checkpoint/Observation discipline as PageRank.run: each round's
+    // labels are checkpointed, the predecessor freed, and the change count
+    // piggybacks on the checkpoint job. (GraphX connectedComponents was
+    // rejected here: its Pregel leaves the final internal message RDD
+    // cached with no public handle — a storage leak per run.) The oracle
+    // recomputes the same fixpoint as a recursive reachability CTE + MIN —
+    // quadratic per component, fine at gate scale, while the Spark side is
+    // the 100 TB path.
+    ("q49_dedup_clusters",
+      (s: SparkSession, dir: String) => {
+        val cand = simhashCand(s, dir)
+        val pairs = cand
+          .filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint() // eager — the loop runs many actions over it
+        // cand's checkpoint leaf (the signature table) is consumed now;
+        // free it immediately rather than via its armed listener, which a
+        // multi-action consumer would never trigger (the stale listener
+        // itself is reaped by Scoped's sweep)
+        Scoped.free(cand)
+        val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        var labels = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
+          .withColumn("comp", col("v"))
+        var prev: DataFrame = null
+        var changes = 1L
+        var it = 0
+        while (changes > 0 && it < 50) {
+          it += 1
+          val nbrMin = edges
+            .join(labels.select(col("v").as("u"), col("comp").as("nc")), Seq("u"))
+            .groupBy(col("v")).agg(min(col("nc")).as("nbr"))
+          val obs = org.apache.spark.sql.Observation(s"cc_$it")
+          val next = labels.select(col("v"), col("comp").as("old"))
+            .join(nbrMin, Seq("v"), "left_outer")
+            .select(col("v"),
+              least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
+              col("old"))
+            .observe(obs,
+              sum(when(col("comp") < col("old"), 1L).otherwise(lit(0L))).as("ch"))
+            .localCheckpoint()
+          changes = obs.get("ch") match {
+            case null => 0L // empty pair graph: no rows, no work
+            case l: java.lang.Long => l.longValue()
+            case x => x.toString.toLong
+          }
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          labels = next.select(col("v"), col("comp"))
+        }
+        Scoped.free(pairs)
+        if (prev != null) Scoped.releaseAfterUse(prev)
+        labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS v FROM e),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.u AS v, reach.r FROM reach JOIN e ON e.v = reach.v)
+        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach
+        GROUP BY v ORDER BY doc_id""")),
 
     // ---- per-label centroids (the relational, oracle-checkable twin of
     // the typed VectorMean Aggregator): posexplode dims → decimal avg

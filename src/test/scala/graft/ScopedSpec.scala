@@ -74,7 +74,8 @@ class ScopedSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val baseline = liveBlocks()
     for (q <- Seq("q29_pagerank_fixed10", "q25_pagerank", "q31_ngram_jaccard",
-        "q32_minhash_lsh", "q34_simhash_pairs")) {
+        "q32_minhash_lsh", "q34_simhash_pairs", "q47_pagerank_pregel",
+        "q49_dedup_clusters")) {
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       assert(awaitRelease(baseline) === baseline, s"$q leaked storage blocks")
