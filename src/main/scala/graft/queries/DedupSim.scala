@@ -545,6 +545,44 @@ object DedupSim {
           ORDER BY sim DESC, vec_id LIMIT 20"""
       }),
 
+    // ---- per-vector symmetric int8 quantization — the 4×-smaller storage
+    // format every embedding pipeline writes before serving/ANN. scale =
+    // max|x|/127; q_i = ⌊x_i/scale + 0.5⌋. All arithmetic is double with
+    // identical left-fold order in both engines, so scale and the
+    // quantized checksums are bit-exact; pure codegen'd HOFs, no UDF, no
+    // shuffle — at 100 TB this is a map-only pass that writes the int8
+    // column alongside a per-row scale.
+    ("q57_embedding_quantize",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "embeddings")
+          .withColumn("amax", expr(
+            "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
+          .withColumn("scale", col("amax") / 127.0)
+          .withColumn("q", expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as bigint))"))
+          .select(col("vec_id"), col("scale"),
+            expr("aggregate(q, cast(0 as bigint), (s, v) -> s + v)").as("q_sum"),
+            expr("aggregate(q, cast(-128 as bigint), (s, v) -> greatest(s, v))").as("q_max"),
+            expr("aggregate(q, cast(128 as bigint), (s, v) -> least(s, v))").as("q_min"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH a AS (
+          SELECT vec_id, embedding,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+              (m, x) -> greatest(m, x)) AS amax
+          FROM embeddings),
+        qv AS (
+          SELECT vec_id, amax / 127.0 AS scale,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) AS q
+          FROM a)
+        SELECT vec_id, scale,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), q), (s, v) -> s + v) AS q_sum,
+          list_reduce(list_prepend(CAST(-128 AS BIGINT), q), (s, v) -> greatest(s, v)) AS q_max,
+          list_reduce(list_prepend(CAST(128 AS BIGINT), q), (s, v) -> least(s, v)) AS q_min
+        FROM qv ORDER BY vec_id""")),
+
     // ---- embedding near-dup, blocked on (label, SRP cell). The block key
     // must have BOUNDED cell size: a raw label is not bounded (one hot
     // label ⇒ quadratic blow-up at 100 TB), while an SRP cell partitions
