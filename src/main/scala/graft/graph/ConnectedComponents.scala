@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import graft.core.Scoped
+
+/** Connected components over an undirected pair list — the clustering step
+  * that turns pairwise near-duplicate matches into dedup groups with a
+  * canonical representative (component id = MIN vertex id).
+  *
+  * Algorithm: min-label propagation. Every round each vertex takes the min
+  * of its own and its direct neighbors' labels — one equi-join + one
+  * groupBy(min) + one join back, all hash-partitioned on the vertex id, so
+  * a round is two shuffles that reuse the same key. Rounds needed =
+  * component diameter (near-dup clusters are shallow: 2-4 rounds at any
+  * corpus size); `maxRounds` caps pathological chains. Per-round storage
+  * discipline mirrors [[graft.pagerank.PageRank.run]]: labels are
+  * localCheckpoint'ed (lineage stays flat), the predecessor freed via
+  * [[Scoped.free]], and the converged-yet? change count piggybacks on the
+  * checkpoint job through an `Observation` — one job per round.
+  *
+  * Why not GraphX `connectedComponents`: its Pregel leaves the final
+  * internal message RDD cached with no public handle — one leaked storage
+  * block per invocation in a long-lived session (caught by ScopedSpec).
+  * The DataFrame loop is also the shape that scales: label propagation is
+  * the standard massive-graph CC (alternating-algorithm variants reduce
+  * round count, not shuffle shape).
+  */
+object ConnectedComponents {
+
+  /** pairs(idA, idB) — undirected edges, any long id columns (first two
+    * columns are used). Returns (vertex, component) for every vertex that
+    * appears in a pair, component = min reachable vertex id. The result is
+    * checkpoint-backed; the caller owns its release (Scoped.free /
+    * releaseAfterUse), like PageRank.Result.graph. */
+  def assign(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val pairs = pairs0.toDF("id_a", "id_b").localCheckpoint()
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
+      .withColumn("comp", col("v"))
+    var prev: DataFrame = null
+    var changes = 1L
+    var round = 0
+    while (changes > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = edges
+        .join(labels.select(col("v").as("u"), col("comp").as("nc")), Seq("u"))
+        .groupBy(col("v")).agg(min(col("nc")).as("nbr"))
+      val obs = Observation(s"cc_$round")
+      val next = labels.select(col("v"), col("comp").as("old"))
+        .join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
+          col("old"))
+        .observe(obs,
+          sum(when(col("comp") < col("old"), 1L).otherwise(lit(0L))).as("ch"))
+        .localCheckpoint()
+      changes = obs.get("ch") match {
+        case null => 0L // empty pair graph: no rows, no work
+        case l: java.lang.Long => l.longValue()
+        case x => x.toString.toLong
+      }
+      if (prev != null) Scoped.free(prev)
+      prev = next
+      labels = next.select(col("v"), col("comp"))
+    }
+    Scoped.free(pairs)
+    labels
+  }
+}

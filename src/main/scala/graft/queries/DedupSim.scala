@@ -346,48 +346,15 @@ object DedupSim {
     ("q49_dedup_clusters",
       (s: SparkSession, dir: String) => {
         val cand = simhashCand(s, dir)
-        val pairs = cand
-          .filter(expr("bit_count(ha ^ hb)") <= 3)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint() // eager — the loop runs many actions over it
-        // cand's checkpoint leaf (the signature table) is consumed now;
-        // free it immediately rather than via its armed listener, which a
-        // multi-action consumer would never trigger (the stale listener
-        // itself is reaped by Scoped's sweep)
+        val labels = graft.graph.ConnectedComponents.assign(
+          cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+            .select(col("id_a"), col("id_b")))
+        // assign's first step materialized the pair list, so the signature
+        // checkpoint behind cand is consumed — free it now (its armed
+        // listener never fires on materialize-only actions and is reaped
+        // by Scoped's sweep)
         Scoped.free(cand)
-        val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        var labels = pairs
-          .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
-          .withColumn("comp", col("v"))
-        var prev: DataFrame = null
-        var changes = 1L
-        var it = 0
-        while (changes > 0 && it < 50) {
-          it += 1
-          val nbrMin = edges
-            .join(labels.select(col("v").as("u"), col("comp").as("nc")), Seq("u"))
-            .groupBy(col("v")).agg(min(col("nc")).as("nbr"))
-          val obs = org.apache.spark.sql.Observation(s"cc_$it")
-          val next = labels.select(col("v"), col("comp").as("old"))
-            .join(nbrMin, Seq("v"), "left_outer")
-            .select(col("v"),
-              least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
-              col("old"))
-            .observe(obs,
-              sum(when(col("comp") < col("old"), 1L).otherwise(lit(0L))).as("ch"))
-            .localCheckpoint()
-          changes = obs.get("ch") match {
-            case null => 0L // empty pair graph: no rows, no work
-            case l: java.lang.Long => l.longValue()
-            case x => x.toString.toLong
-          }
-          if (prev != null) Scoped.free(prev)
-          prev = next
-          labels = next.select(col("v"), col("comp"))
-        }
-        Scoped.free(pairs)
-        if (prev != null) Scoped.releaseAfterUse(prev)
+        Scoped.releaseAfterUse(labels)
         labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
