@@ -70,6 +70,20 @@ object EventStreams {
         col("view_id"), col("value"), col("purchase_ts"), col("view_ts"))
   }
 
+  /** Streaming exact dedup — the ingest-side twin of the batch q30 path:
+    * re-ingested duplicate payloads are dropped by content hash while the
+    * duplicate-tracking state is EVICTED once the watermark passes the
+    * horizon, so state is bounded by the dedup window, not the corpus
+    * (historical dedup stays a batch join against the corpus table; a feed
+    * that replays within minutes-to-hours is exactly what the horizon
+    * covers). `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * hash; md5 is the same content key the batch operator groups on. */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom keyed state: per-user session assembly with
     * flatMapGroupsWithState + event-time timeout — the fully-general state
     * path for semantics session_window can't express (e.g. value-dependent

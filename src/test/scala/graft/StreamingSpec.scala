@@ -141,4 +141,23 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_._1)
     assert(rows.toSeq === Seq((1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
+
+  test("dedupStream: duplicate payloads within the watermark are dropped once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "the same text", ts(0)),
+      (2L, "the same text", ts(1)), // duplicate within horizon → dropped
+      (3L, "different text", ts(2)))
+    mem.addData((4L, "the same text", ts(3))) // still within horizon → dropped
+    val q = EventStreams.dedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("dedup_stream")
+      .collect().map(r => r.getLong(0)).sorted
+    assert(rows.toSeq === Seq(1L, 3L), "first arrival per content hash survives")
+  }
 }
