@@ -309,8 +309,10 @@ object DedupSim {
     // (downsample the dominant language, keep the long tail). Hash-based
     // acceptance is exactly reproducible in both engines AND stable under
     // re-runs/repartitioning at any scale — unlike rand()-based sampling,
-    // which is neither. Pure codegen'd expressions; the filter pushes to
-    // the scan, so at 100 TB this reads-and-drops with no shuffle at all.
+    // which is neither. Pure codegen'd expressions evaluated as a map-only
+    // filter directly over the scan (an md5 predicate is not
+    // parquet-pushable, but there is no shuffle — PlanSpec pins it), with
+    // only the needed columns read.
     ("q48_stratified_sample",
       (s: SparkSession, dir: String) => {
         t(s, dir, "documents")

@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
       plan("q35_cosine_topk").contains("BroadcastExchange"))
   }
 
+  test("q48: sampling is a map-only filter — no shuffle before the sort") {
+    val p = plan("q48_stratified_sample")
+    // the md5-bucket predicate is not parquet-pushable (function of a
+    // column), so it runs as a codegen'd Filter directly over the scan;
+    // the only exchange in the plan is the final presentation sort
+    val beforeSort = p.split("Sort ").last
+    assert(beforeSort.contains("Filter"), p.take(800))
+    assert("Exchange".r.findAllIn(p).size <= 1, "sampling itself must not shuffle")
+    // column pruning still applies
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("q60: media stats never reads the payload bytes") {
     // another suite may have cached this parquet — cache substitution would
     // replace the file scan (and its ReadSchema) with an InMemoryTableScan

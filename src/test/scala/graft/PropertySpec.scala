@@ -132,4 +132,41 @@ class PropertySpec extends SparkSpec {
       assert(canon(ii) === canon(ii2))
     }
   }
+
+  // ---- SRP quantizer: the codegen'd expression agrees with the
+  // driver-side scalar model on arbitrary vectors (not just fixtures)
+  val vecGen: Gen[List[Float]] =
+    Gen.listOfN(64, Gen.choose(-4.0f, 4.0f))
+
+  test("srp_cell: fused expression == driver-side cellOf on random vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    forAll(vecGen, n = 10) { vec =>
+      val got = Seq(Tuple1(vec)).toDF("embedding")
+        .selectExpr("srp_cell(embedding, 8, 64) AS c").head().getInt(0)
+      assert(got === graft.similarity.Ivf.cellOf(vec))
+    }
+  }
+
+  test("int8 quantization: reconstruction error ≤ scale/2, codes in [-127, 127]") {
+    import spark.implicits._
+    forAll(vecGen, n = 10) { vec =>
+      val amax = vec.map(v => math.abs(v.toDouble)).max
+      whenever(amax > 0) {
+        val scale = amax / 127.0
+        val rows = Seq(Tuple1(vec)).toDF("embedding")
+          .selectExpr(
+            "transform(embedding, x -> cast(floor(cast(x as double) / " +
+              s"$scale + 0.5) as bigint)) AS q")
+          .head().getSeq[Long](0)
+        rows.zip(vec).foreach { case (q, x) =>
+          assert(q >= -127 && q <= 127, s"code $q out of int8 symmetric range")
+          assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
+            s"reconstruction error for $x at scale $scale")
+        }
+      }
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
