@@ -45,11 +45,26 @@ object ConnectedComponents {
     var round = 0
     while (changes > 0 && round < maxRounds) {
       round += 1
+      // Pointer-jump first: comp ← comp(comp). Plain neighbor-min needs
+      // O(diameter) rounds and real pair graphs have a long convergence
+      // tail (a few chain-shaped clusters fixing one vertex per round);
+      // halving the remaining path length every round cuts that to
+      // O(log diameter). comp values are always member-vertex ids, so the
+      // self-join hits; on checkpoint-backed labels it costs one shuffle.
+      val jumped =
+        if (round == 1) labels // initial comp(v) = v: jump is the identity
+        else labels.as("x")
+          .join(labels.select(col("v").as("jv"), col("comp").as("jc")),
+            col("comp") === col("jv"), "left_outer")
+          .select(col("v"), coalesce(col("jc"), col("comp")).as("comp"))
       val nbrMin = edges
-        .join(labels.select(col("v").as("u"), col("comp").as("nc")), Seq("u"))
+        .join(jumped.select(col("v").as("u"), col("comp").as("nc")), Seq("u"))
         .groupBy(col("v")).agg(min(col("nc")).as("nbr"))
       val obs = Observation(s"cc_$round")
-      val next = labels.select(col("v"), col("comp").as("old"))
+      // convergence test is hook-vs-jumped: zero hook changes means comp
+      // is ≤ every neighbor's comp, i.e. constant per component — and a
+      // constant label over member ids can only be the component min
+      val next = jumped.select(col("v"), col("comp").as("old"))
         .join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
