@@ -24,7 +24,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,15 +77,17 @@ object Bench {
       }
     clearStorage()
 
-    // main scale point: `runs` passes, per-query median over clean runs;
-    // a query that errored in ANY pass is reported under "errors" (no
-    // sentinel a naive consumer could aggregate)
+    // main scale point: `runs` passes, per-query median over clean runs.
+    // A query that errored in ANY pass appears ONLY under "errors" — never
+    // in "queries" or the headline total — so a crash can't be disguised
+    // as a fast clean run (the single-pass invariant, kept under medians).
     val passes = (1 to runs).map(_ => pass(sfDir))
     val names = passes.head.map(_._1)
     val results = names.map { name =>
       val times = passes.flatMap(_.collect { case (`name`, sec, None) => sec })
       val errs = passes.flatMap(_.collect { case (`name`, _, Some(e)) => e })
-      (name, if (times.nonEmpty) Some(median(times)) else None, errs.headOption)
+      if (errs.nonEmpty) (name, None, errs.headOption)
+      else (name, Some(median(times)), None)
     }
 
     // second scale point (single pass — a slope indicator, not a headline)
@@ -99,8 +101,9 @@ object Bench {
     val qs = fmt(results.collect { case (k, Some(v), _) => k -> v.toString })
     val errs = fmt(results.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
     val qs2 = fmt(pass2.collect { case (k, v, None) => k -> v.toString })
+    val errs2 = fmt(pass2.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
     val total = results.collect { case (_, Some(v), _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"queries_sf001":$qs2,"sf2":"$sf2Dir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"queries_sf001":$qs2,"errors_sf001":$errs2,"sf2":"$sf2Dir"}""")
     spark.stop()
   }
 }

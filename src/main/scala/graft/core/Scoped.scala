@@ -87,18 +87,23 @@ object Scoped {
       }
     }
 
-  /** Release every armed-but-never-consumed entry whose Dataset has been
-    * garbage-collected, plus — when `ttlMs` is given — any entry older
-    * than `ttlMs`. Returns the number released. Runs automatically (GC
-    * criterion only) on every [[releaseAfterUse]] call, so a long-lived
-    * session that keeps arming new queries self-heals; call explicitly
-    * with a TTL for deterministic cleanup points. */
+  /** Release every armed-but-never-consumed entry whose ANALYZED PLAN has
+    * been garbage-collected, plus — when `ttlMs` is given — any entry
+    * older than `ttlMs`. The abandoned test keys on the plan, not the
+    * Dataset wrapper: a caller routinely drops the wrapper while a derived
+    * DataFrame (`cp.select(...)`) still references the plan and will
+    * consume the blocks — the wrapper being collected is NOT abandonment,
+    * the plan being unreachable is (no future query can reference it).
+    * Returns the number released. Runs automatically (GC criterion only)
+    * on every [[releaseAfterUse]] call, so a long-lived session that
+    * keeps arming new queries self-heals; call explicitly with a TTL for
+    * deterministic cleanup points. */
   def sweep(ttlMs: Long = Long.MaxValue): Int = {
     val now = System.currentTimeMillis()
     var n = 0
     registry.forEach { e =>
       if (e.done.get) registry.remove(e)
-      else if (e.dfRef.get == null || (ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs)) {
+      else if (e.targetRef.get == null || (ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs)) {
         releaseEntry(e); n += 1
       }
     }

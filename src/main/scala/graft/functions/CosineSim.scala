@@ -120,13 +120,23 @@ object GraftFunctions {
   val srpCellInfo = new ExpressionInfo(classOf[SrpCell].getName, "srp_cell")
 
   /** srp_cell(vec, nbits, dims) — nbits/dims must be int literals (they
-    * parameterize the generated code, not per-row data). */
+    * parameterize the generated code, not per-row data). Validated here
+    * so a misuse surfaces as an analysis-time error with a message, not a
+    * raw IndexOutOfBounds/NPE or — worse — a silently wrapped `1 << j`
+    * for nbits > 31. */
   private[functions] def mkSrpCell(children: Seq[Expression]): Expression = {
-    def litInt(e: Expression, name: String): Int = {
+    require(children.length == 3,
+      s"srp_cell expects (vec, nbits, dims), got ${children.length} arguments")
+    def litInt(e: Expression, name: String, lo: Int, hi: Int): Int = {
       require(e.foldable, s"srp_cell: $name must be a literal")
-      e.eval().asInstanceOf[Number].intValue()
+      val v = e.eval()
+      require(v != null, s"srp_cell: $name must not be NULL")
+      val i = v.asInstanceOf[Number].intValue()
+      require(i >= lo && i <= hi, s"srp_cell: $name must be in [$lo, $hi], got $i")
+      i
     }
-    SrpCell(children(0), litInt(children(1), "nbits"), litInt(children(2), "dims"))
+    SrpCell(children(0), litInt(children(1), "nbits", 1, 31),
+      litInt(children(2), "dims", 1, 1 << 16))
   }
 
   def register(spark: SparkSession): Unit = {

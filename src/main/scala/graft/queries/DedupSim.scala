@@ -523,12 +523,15 @@ object DedupSim {
     // column alongside a per-row scale.
     ("q57_embedding_quantize",
       (s: SparkSession, dir: String) => {
+        // all-zero vectors (padding rows are routine in embedding tables)
+        // quantize to all-zero codes — an unguarded x/scale would be NaN,
+        // whose BIGINT cast crashes DuckDB and silently zeroes in Spark
         t(s, dir, "embeddings")
           .withColumn("amax", expr(
             "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
           .withColumn("scale", col("amax") / 127.0)
           .withColumn("q", expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as bigint))"))
+            "transform(embedding, x -> IF(amax = 0.0D, 0L, cast(floor(cast(x as double) / scale + 0.5) as bigint)))"))
           .select(col("vec_id"), col("scale"),
             expr("aggregate(q, cast(0 as bigint), (s, v) -> s + v)").as("q_sum"),
             expr("aggregate(q, cast(-128 as bigint), (s, v) -> greatest(s, v))").as("q_max"),
@@ -544,7 +547,8 @@ object DedupSim {
         qv AS (
           SELECT vec_id, amax / 127.0 AS scale,
             list_transform(embedding,
-              x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) AS q
+              x -> CASE WHEN amax = 0 THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT) END) AS q
           FROM a)
         SELECT vec_id, scale,
           list_reduce(list_prepend(CAST(0 AS BIGINT), q), (s, v) -> s + v) AS q_sum,

@@ -148,6 +148,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: zero vector quantizes to all-zero codes, not NaN casts") {
+    import spark.implicits._
+    val codes = Seq(Tuple1(List.fill(8)(0.0f))).toDF("embedding")
+      .withColumn("amax", org.apache.spark.sql.functions.expr(
+        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
+      .withColumn("scale", org.apache.spark.sql.functions.col("amax") / 127.0)
+      .selectExpr("transform(embedding, x -> IF(amax = 0.0D, 0L, " +
+        "cast(floor(cast(x as double) / scale + 0.5) as bigint))) AS q")
+      .head().getSeq[Long](0)
+    assert(codes.length === 8 && codes.forall(_ === 0L))
+  }
+
   test("int8 quantization: reconstruction error ≤ scale/2, codes in [-127, 127]") {
     import spark.implicits._
     forAll(vecGen, n = 10) { vec =>
