@@ -39,6 +39,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(assignMap(Seq.empty) === Map.empty)
   }
 
+  test("random graphs agree with a scalar union-find model") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val m = 20 + rnd.nextInt(60)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // scalar union-find with min-id canonicalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      assert(assignMap(pairs) === expected, s"trial $trial (n=$n, m=$m)")
+    }
+  }
+
   test("no storage blocks leak across an assignment") {
     val baseline = liveBlocks()
     assignMap((100L to 120L).map(v => (v, v + 1)))

@@ -70,6 +70,19 @@ class ScopedSpec extends SparkSpec {
     ()
   }
 
+  test("default sweep leaves entries with live plans armed") {
+    val baseline = liveBlocks()
+    val cp = spark.range(500).toDF("id").localCheckpoint()
+    Scoped.releaseAfterUse(cp)
+    // the plan is strongly reachable (cp in scope) — a GC-criterion sweep
+    // must not free it out from under a future consumer
+    assert(Scoped.sweep() === 0)
+    assert(liveBlocks() === baseline + 1)
+    cp.count()
+    assert(awaitRelease(baseline) === baseline)
+    ()
+  }
+
   test("iterative catalog queries leak no storage after their terminal action") {
     val dir = "/root/testdata/sf0.001"
     val baseline = liveBlocks()
