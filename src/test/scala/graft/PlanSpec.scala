@@ -57,6 +57,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q48: sampling is a map-only filter — no shuffle before the sort") {
+    // another suite may have cached this parquet — cache substitution
+    // would splice in the cached relation's unpruned FileScan (q60 note)
+    spark.catalog.clearCache()
     val p = plan("q48_stratified_sample")
     // the md5-bucket predicate is not parquet-pushable (function of a
     // column), so it runs as a codegen'd Filter directly over the scan;
