@@ -352,6 +352,30 @@ object Relational {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    // ---- explicit GROUPING SETS (the third of the trio with rollup/cube;
+    // Spark 4's Dataset.groupingSets): per-status totals, per-priority
+    // totals, and the grand total in ONE Expand pass over one scan —
+    // the COALESCE('ALL') sentinel makes the NULL grouping markers
+    // order-stable across engines
+    ("q58_grouping_sets",
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")),
+
     // ---- CUBE: all 2^k grouping combinations in ONE pass (Spark expands
     // grouping sets inside a single Expand + partial agg — no multi-scan
     // UNION ALL, which is what a hand-rolled version would cost at 100 TB).
