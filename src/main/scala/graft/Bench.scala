@@ -24,7 +24,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(_.toIntOption).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,10 +91,18 @@ object Bench {
       else (name, Some(median(times)), None)
     }
 
-    // second scale point (single pass — a slope indicator, not a headline)
+    // second scale point (single pass — a slope indicator, not a
+    // headline). Only run when it is genuinely SMALLER than the main
+    // scale: with e.g. SPARK_GRAFT_SF_DIR=.../sf0.001 an unconditional
+    // sf0.01 pass would be a 10x-larger run dominating wall time and
+    // inverting the slope the field claims to show.
+    def sfOf(dir: String): Option[Double] =
+      "sf([0-9.]+)".r.findFirstMatchIn(dir).flatMap(_.group(1).toDoubleOption)
     val sf2Dir = "/root/testdata/sf0.01"
     val pass2 =
-      if (sfDir != sf2Dir && new java.io.File(sf2Dir).isDirectory) pass(sf2Dir)
+      if (sfDir != sf2Dir && new java.io.File(sf2Dir).isDirectory &&
+          (for (a <- sfOf(sfDir); b <- sfOf(sf2Dir)) yield b < a).getOrElse(false))
+        pass(sf2Dir)
       else Seq.empty
 
     def fmt(kv: Seq[(String, String)]): String =

@@ -64,7 +64,14 @@ object Scoped {
       val dfRef: WeakReference[DataFrame],
       val targetRef: WeakReference[LogicalPlan],
       val rdds: Seq[RDD[_]],
-      val armedAtMs: Long) {
+      val armedAtMs: Long,
+      // A persist()/cache()-backed DF (no checkpoint leaves) can ONLY be
+      // released through the Dataset — there is no public handle to its
+      // CacheManager entry — so hold it strongly; its memory is pinned by
+      // the cache entry itself regardless, and TTL sweep can still reap
+      // it. Checkpoint-backed DFs stay weak (their blocks are releasable
+      // via the RDD handles after GC).
+      val strongDf: Option[DataFrame]) {
     val done = new AtomicBoolean(false)
     @volatile var listener: QueryExecutionListener = _
   }
@@ -73,14 +80,13 @@ object Scoped {
 
   private def releaseEntry(e: Armed): Unit =
     if (e.done.compareAndSet(false, true)) {
-      try e.dfRef.get match {
-        case null =>
-          // Dataset already collected — free the checkpoint blocks via the
-          // strong RDD handles (the CacheManager entry of a plain persist,
-          // if any, needs the Dataset and dies with the session instead)
+      try e.strongDf.orElse(Option(e.dfRef.get)) match {
+        case Some(df) => free(df)
+        case None =>
+          // Dataset already collected — free the checkpoint blocks via
+          // the strong RDD handles
           e.rdds.filter(_.getStorageLevel != StorageLevel.NONE)
             .foreach(_.unpersist(blocking = false))
-        case df => free(df)
       } finally {
         e.spark.listenerManager.unregister(e.listener)
         registry.remove(e)
@@ -126,15 +132,19 @@ object Scoped {
     * can match early, which is safe — lineage is intact, the later
     * consumer just recomputes.
     *
-    * An armed DF that is never consumed does not pin its listener and
-    * blocks forever: the hook holds the Dataset/plan weakly, and once
-    * they are collected the next listener event or [[sweep]] frees the
-    * checkpoint blocks and unregisters. */
+    * An armed checkpoint-backed DF that is never consumed does not pin
+    * its listener and blocks forever: the hook holds the Dataset/plan
+    * weakly, and once they are collected the next listener event or
+    * [[sweep]] frees the checkpoint blocks and unregisters. (A
+    * persist-backed DF is held strongly — its CacheManager entry has no
+    * Dataset-free release path — and is reaped by TTL [[sweep]] only.) */
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
+      val rdds = checkpointRdds(df)
       val e = new Armed(df.sparkSession, new WeakReference(df),
         new WeakReference(df.queryExecution.analyzed),
-        checkpointRdds(df), System.currentTimeMillis())
+        rdds, System.currentTimeMillis(),
+        strongDf = if (rdds.isEmpty) Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
         private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
           if (!MaterializeOnly.contains(funcName)) {

@@ -129,9 +129,17 @@ object GraftFunctions {
       s"srp_cell expects (vec, nbits, dims), got ${children.length} arguments")
     def litInt(e: Expression, name: String, lo: Int, hi: Int): Int = {
       require(e.foldable, s"srp_cell: $name must be a literal")
-      val v = e.eval()
-      require(v != null, s"srp_cell: $name must not be NULL")
-      val i = v.asInstanceOf[Number].intValue()
+      val i = e.eval() match {
+        case null => throw new IllegalArgumentException(
+          s"srp_cell: $name must not be NULL")
+        case b: java.lang.Byte => b.toInt
+        case s: java.lang.Short => s.toInt
+        case i: java.lang.Integer => i.toInt
+        case l: java.lang.Long if l == l.toInt => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"srp_cell: $name must be an integer literal, got $other " +
+            s"(${e.dataType.catalogString})")
+      }
       require(i >= lo && i <= hi, s"srp_cell: $name must be in [$lo, $hi], got $i")
       i
     }

@@ -71,6 +71,10 @@ object ConnectedComponents {
           col("old"))
         .observe(obs,
           sum(when(col("comp") < col("old"), 1L).otherwise(lit(0L))).as("ch"))
+        // drop the comparison column before materializing: the metric is
+        // collected by the CollectMetrics node above, and checkpointing
+        // `old` would store a dead long per vertex per round
+        .select(col("v"), col("comp"))
         .localCheckpoint()
       changes = obs.get("ch") match {
         case null => 0L // empty pair graph: no rows, no work
@@ -79,9 +83,13 @@ object ConnectedComponents {
       }
       if (prev != null) Scoped.free(prev)
       prev = next
-      labels = next.select(col("v"), col("comp"))
+      labels = next
     }
-    Scoped.free(pairs)
+    // Free the pair checkpoint only once the loop has re-based `labels`
+    // onto its own checkpoint; with maxRounds <= 0 the identity assignment
+    // still reads `pairs`, and the caller's release of `labels` frees it
+    // (the pairs checkpoint is then a leaf of the returned plan).
+    if (prev != null) Scoped.free(pairs)
     labels
   }
 }

@@ -165,7 +165,7 @@ object DedupSim {
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val aug = d.unionByName(
           d.filter(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
         aug
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
@@ -175,7 +175,7 @@ object DedupSim {
       Some("""WITH aug AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+          SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 50 = 0)
         SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
         MIN(doc_id) AS canonical_id
         FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1
@@ -578,7 +578,7 @@ object DedupSim {
         graft.functions.GraftFunctions.register(s)
         val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
         val planted = e0.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((col("vec_id") + 1000000000000L).as("vec_id"),
             concat(
               array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
               expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"),
@@ -600,7 +600,7 @@ object DedupSim {
       Some(s"""WITH aug AS (
           SELECT vec_id, embedding, label FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000,
+          SELECT vec_id + 1000000000000,
             list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT), embedding[2:]),
             label
           FROM embeddings WHERE vec_id % 10 = 0),

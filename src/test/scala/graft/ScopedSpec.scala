@@ -71,6 +71,10 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("default sweep leaves entries with live plans armed") {
+    // drain leftover armed entries from other suites in this JVM first —
+    // the registry is process-global and a stale entry would make the
+    // sweep() === 0 assertion below flaky under GC timing
+    Scoped.sweep(ttlMs = 0)
     val baseline = liveBlocks()
     val cp = spark.range(500).toDF("id").localCheckpoint()
     Scoped.releaseAfterUse(cp)
