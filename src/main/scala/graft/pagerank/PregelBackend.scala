@@ -50,21 +50,40 @@ object PregelBackend {
     val base: RDD[(String, Seq[String])] = graph0.select("title", "links").rdd
       .map(r => (r.getString(0), r.getSeq[String](1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ids: RDD[(String, VertexId)] = base.keys.zipWithIndex()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = ids.count()
+
+    // Vertex ids by 64-bit FNV-1a content hash: edges map to (hash(src),
+    // hash(dst)) with NO join against an id table — two fewer shuffles at
+    // build time than the zipWithIndex path, at any scale. Correctness is
+    // not probabilistic: one aggregate verifies the hash is injective on
+    // this vertex set (64-bit collisions are ~n²/2⁶⁵, but "unlikely" is
+    // not "never"), and a collision falls back to the collision-free
+    // zipWithIndex + double-join assignment.
+    val n = base.count()
+    val hashedDistinct = base.keys.map(PregelBackend.fnv1a64).distinct().count()
+    val ids: RDD[(String, VertexId)] =
+      (if (hashedDistinct == n) base.keys.map(t => (t, PregelBackend.fnv1a64(t)))
+       else base.keys.zipWithIndex())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val nullId = ids.filter(_._1 == NullVertex).values.collect().headOption
 
     // Static out-edges with weight 1/outdeg. NULL's out-edges are NOT
     // materialized (its V-wide adjacency is the hot-key scale hazard the
     // DF loop also avoids); its fan-out is injected analytically below.
-    val edges: RDD[Edge[Double]] = base
-      .filter { case (t, links) => t != NullVertex && links.nonEmpty }
-      .flatMap { case (src, links) => links.map(dst => (dst, (src, 1.0 / links.size))) }
-      .join(ids) // dst title -> dst id
-      .map { case (_, ((src, w), dstId)) => (src, (dstId, w)) }
-      .join(ids) // src title -> src id
-      .map { case (_, ((dstId, w), srcId)) => Edge(srcId, dstId, w) }
+    val edges: RDD[Edge[Double]] =
+      if (hashedDistinct == n)
+        base.filter { case (t, links) => t != NullVertex && links.nonEmpty }
+          .flatMap { case (src, links) =>
+            val srcId = PregelBackend.fnv1a64(src)
+            val w = 1.0 / links.size
+            links.map(dst => Edge(srcId, PregelBackend.fnv1a64(dst), w))
+          }
+      else
+        base.filter { case (t, links) => t != NullVertex && links.nonEmpty }
+          .flatMap { case (src, links) => links.map(dst => (dst, (src, 1.0 / links.size))) }
+          .join(ids) // dst title -> dst id
+          .map { case (_, ((src, w), dstId)) => (src, (dstId, w)) }
+          .join(ids) // src title -> src id
+          .map { case (_, ((dstId, w), srcId)) => Edge(srcId, dstId, w) }
 
     // Partition count proportional to graph size (~20k vertices per
     // partition), capped at the cluster's parallelism: a web-scale graph
@@ -147,5 +166,21 @@ object PregelBackend {
     ids.unpersist(blocking = false)
     base.unpersist(blocking = false)
     PageRank.Result(out, i, avg)
+  }
+
+  /** 64-bit FNV-1a over the title's UTF-8 bytes — deterministic across
+    * driver and executors, no dependency. Injectivity on the actual
+    * vertex set is CHECKED before use (see [[run]]); this is a fast id
+    * assignment, not a probabilistic assumption. */
+  private[pagerank] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 }
