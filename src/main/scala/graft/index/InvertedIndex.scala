@@ -67,4 +67,46 @@ object InvertedIndex {
       .filter(col("df") < dfCutoff) // belt-and-braces; pre-filter did the work
       .select(col("term"), col("df"), col("postings"))
   }
+
+  /** Incremental maintenance: fold a delta corpus into an existing index
+    * without rebuilding it — `merge(build(A, uncut), B, cutoff)` ==
+    * `build(A ∪ B, cutoff)` (IndexMergeSpec pins the equality on the
+    * golden corpus; the q59 gate pins it against a full-rebuild oracle).
+    *
+    * The reference can only rebuild from scratch
+    * (/root/reference/src/main/scala/invertedIndex.scala runs one batch
+    * job over all inputs); this is the operator a growing corpus needs.
+    *
+    * Contract:
+    *  - `existing` must be an UNCUT index (dfCutoff = Int.MaxValue at
+    *    build): a term already dropped by a cutoff cannot be resurrected,
+    *    so the cutoff belongs here (or at serving), applied to merged df.
+    *  - delta titles must be new (disjoint from existing titles);
+    *    re-ingesting a document is an upsert, not a merge, and would need
+    *    a delete pass first.
+    *
+    * Scale notes (100 TB index, small delta): untouched terms pass
+    * through an ANTI join against the delta's term set — with a small
+    * delta that side broadcasts, so the overwhelming majority of the
+    * index is never unnested, regrouped, or even shuffled. Only postings
+    * of terms the delta actually touches are exploded and reassembled. */
+  def merge(existing: DataFrame, deltaDocs: DataFrame,
+      dfCutoff: Int = DefaultDfCutoff): DataFrame = {
+    val deltaPost = occurrences(deltaDocs)
+      .groupBy(col("term"), col("title"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(struct(col("line_off"), col("char_off")))).as("ofs"))
+    val deltaTerms = deltaPost.select(col("term")).distinct()
+    val untouched = existing.join(deltaTerms, Seq("term"), "left_anti")
+    val touched = existing.join(deltaTerms, Seq("term"), "left_semi")
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.title").as("title"),
+        col("p.tf").as("tf"), col("p.ofs").as("ofs"))
+      .unionByName(deltaPost)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("title"), col("tf"), col("ofs")))).as("postings"),
+        count(lit(1)).cast("int").as("df"))
+      .select(col("term"), col("df"), col("postings"))
+    untouched.unionByName(touched).filter(col("df") < dfCutoff)
+  }
 }

@@ -287,6 +287,32 @@ object CorpusSearch {
       },
       Some(keyGraphFixed10Sql)),
 
+    // ---- incremental index maintenance (InvertedIndex.merge): an
+    // existing index built from 80% of the corpus absorbs the other 20%
+    // as a delta — untouched terms anti-join past, only delta terms are
+    // reassembled — and the result must hash-match a FULL-REBUILD oracle.
+    // This is the gate that proves incremental == batch.
+    ("q59_index_merge",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+        def wikiShape(df: DataFrame): DataFrame =
+          df.select(concat(lit("d"), col("doc_id")).as("title"),
+            lit(0L).as("line_offset"), lit(0).as("body_off"),
+            col("text").as("body"))
+        val existing = graft.index.InvertedIndex.build(
+          wikiShape(base.filter(col("doc_id") % 5 =!= 0)), dfCutoff = Int.MaxValue)
+        val merged = graft.index.InvertedIndex.merge(
+          existing, wikiShape(base.filter(col("doc_id") % 5 === 0)))
+        merged.select(col("term"), col("df").cast("long").as("df"),
+          expr("aggregate(postings, 0L, (acc, p) -> acc + p.tf)").as("tf_total"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents)
+        SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+        FROM toks GROUP BY term HAVING COUNT(DISTINCT doc_id) < 3000
+        ORDER BY term""")),
+
     // ---- iterative PageRank, exact reference semantics (I2/A3-A5; loop
     // policy min 10 / tol 0.2 / cap 50), run END-TO-END through
     // PageRank.run on the sf-invariant nation fixture. Because the fixture
