@@ -96,14 +96,19 @@ object Bench {
     // scale: with e.g. SPARK_GRAFT_SF_DIR=.../sf0.001 an unconditional
     // sf0.01 pass would be a 10x-larger run dominating wall time and
     // inverting the slope the field claims to show.
+    // parse the sf from the LAST path segment only ("/data/sf9/sf0.001"
+    // must read 0.001, not 9); unparseable → skip, with a stderr note so
+    // an empty queries_sf001 is explicable (stdout stays one JSON line)
     def sfOf(dir: String): Option[Double] =
-      "sf([0-9.]+)".r.findFirstMatchIn(dir).flatMap(_.group(1).toDoubleOption)
+      "^sf([0-9]+(?:\\.[0-9]+)?)$".r
+        .findFirstMatchIn(new java.io.File(dir).getName)
+        .flatMap(_.group(1).toDoubleOption)
     val sf2Dir = "/root/testdata/sf0.01"
-    val pass2 =
-      if (sfDir != sf2Dir && new java.io.File(sf2Dir).isDirectory &&
-          (for (a <- sfOf(sfDir); b <- sfOf(sf2Dir)) yield b < a).getOrElse(false))
-        pass(sf2Dir)
-      else Seq.empty
+    val runPass2 = sfDir != sf2Dir && new java.io.File(sf2Dir).isDirectory &&
+      (for (a <- sfOf(sfDir); b <- sfOf(sf2Dir)) yield b < a).getOrElse(false)
+    if (!runPass2)
+      System.err.println(s"[bench] second scale point skipped (main=$sfDir, sf2=$sf2Dir)")
+    val pass2 = if (runPass2) pass(sf2Dir) else Seq.empty
 
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -141,10 +141,16 @@ object Scoped {
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
       val rdds = checkpointRdds(df)
+      // Strong hold ONLY for an actually-persisted non-checkpoint DF
+      // (its CacheManager entry has no Dataset-free release path). A
+      // plain un-materialized DF stays weak — strong-holding it would
+      // keep its plan reachable forever and make sweep's GC criterion
+      // structurally dead for an entry that owns no storage at all.
       val e = new Armed(df.sparkSession, new WeakReference(df),
         new WeakReference(df.queryExecution.analyzed),
         rdds, System.currentTimeMillis(),
-        strongDf = if (rdds.isEmpty) Some(df) else None)
+        strongDf = if (rdds.isEmpty && df.storageLevel != StorageLevel.NONE)
+          Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
         private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
           if (!MaterializeOnly.contains(funcName)) {

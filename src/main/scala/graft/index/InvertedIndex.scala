@@ -51,16 +51,22 @@ object InvertedIndex {
     * occurrences), so the semi-join skips building exactly the giant
     * postings arrays that would be thrown away. The distinct+count
     * pre-pass is map-side-combined and cheap by comparison. */
+  /** Level-1 aggregation: occurrences → one row per (term, title) with tf
+    * and document-ordered offsets — shared by [[build]] and [[merge]] so
+    * the posting shape cannot drift between the batch and incremental
+    * paths. */
+  private def postingsByDoc(occ: DataFrame): DataFrame =
+    occ.groupBy(col("term"), col("title"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(struct(col("line_off"), col("char_off")))).as("ofs"))
+
   def build(docs: DataFrame, dfCutoff: Int = DefaultDfCutoff): DataFrame = {
     val occ = occurrences(docs)
     val keep = occ.select(col("term"), col("title")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df_pre"))
       .filter(col("df_pre") < dfCutoff)
       .select(col("term"))
-    occ.join(keep, Seq("term"), "left_semi")
-      .groupBy(col("term"), col("title"))
-      .agg(count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list(struct(col("line_off"), col("char_off")))).as("ofs"))
+    postingsByDoc(occ.join(keep, Seq("term"), "left_semi"))
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("title"), col("tf"), col("ofs")))).as("postings"),
         count(lit(1)).cast("int").as("df"))
@@ -92,21 +98,30 @@ object InvertedIndex {
     * of terms the delta actually touches are exploded and reassembled. */
   def merge(existing: DataFrame, deltaDocs: DataFrame,
       dfCutoff: Int = DefaultDfCutoff): DataFrame = {
-    val deltaPost = occurrences(deltaDocs)
-      .groupBy(col("term"), col("title"))
-      .agg(count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list(struct(col("line_off"), col("char_off")))).as("ofs"))
-    val deltaTerms = deltaPost.select(col("term")).distinct()
-    val untouched = existing.join(deltaTerms, Seq("term"), "left_anti")
-    val touched = existing.join(deltaTerms, Seq("term"), "left_semi")
+    val deltaPost = postingsByDoc(occurrences(deltaDocs))
+    // Pre-filter on the MERGED df before any postings are unnested — the
+    // same commute-the-cutoff move build makes with df_pre. Without it,
+    // the stop-word terms (which every realistic delta touches, and which
+    // own most of an uncut index's bytes) would be exploded, shuffled and
+    // re-collected only to be dropped by the final cutoff. Merged df is
+    // cheap: existing df + the delta's per-term distinct-title count
+    // (delta titles are new by contract, so the sum is exact).
+    val ddf = deltaPost.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val keep = ddf
+      .join(existing.select(col("term"), col("df")), Seq("term"), "left_outer")
+      .filter(coalesce(col("df"), lit(0)) + col("ddf") < dfCutoff)
+      .select(col("term"))
+    val untouched = existing.join(ddf, Seq("term"), "left_anti")
+      .filter(col("df") < dfCutoff)
+    val touched = existing.join(keep, Seq("term"), "left_semi")
       .select(col("term"), explode(col("postings")).as("p"))
       .select(col("term"), col("p.title").as("title"),
         col("p.tf").as("tf"), col("p.ofs").as("ofs"))
-      .unionByName(deltaPost)
+      .unionByName(deltaPost.join(keep, Seq("term"), "left_semi"))
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("title"), col("tf"), col("ofs")))).as("postings"),
         count(lit(1)).cast("int").as("df"))
       .select(col("term"), col("df"), col("postings"))
-    untouched.unionByName(touched).filter(col("df") < dfCutoff)
+    untouched.unionByName(touched)
   }
 }

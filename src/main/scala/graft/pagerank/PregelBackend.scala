@@ -29,12 +29,15 @@ import graft.graph.GraphBuilder.NullVertex
   * CorpusGoldenSpec pins agreement to 1e-9, and the q47 gate pins the
   * quantized fixed-10 run to the same DuckDB oracle as the DataFrame q29.
   *
-  * Scale notes (100 TB): vertex ids come from `zipWithIndex` (collision-
-  * free, unlike hashing titles); edge weights 1/outdeg are static, so the
-  * per-iteration work is ONE aggregateMessages shuffle plus two scalar
-  * actions (NULL rank pull + Δ counter) — same shuffle count as the DF
-  * loop. Each iteration's mass is persisted and the predecessor's vertices
-  * are unpersisted immediately, so storage stays O(1) in iterations.
+  * Scale notes (100 TB): vertex ids are 64-bit content hashes whose
+  * injectivity on the actual vertex set is CHECKED up front (collision →
+  * fall back to collision-free `zipWithIndex` + id-table joins), saving a
+  * build-time shuffle on the happy path; edge weights 1/outdeg are
+  * static, so the per-iteration work is ONE aggregateMessages shuffle
+  * plus one scalar aggregate (Δ counter + NULL rank in a single action) —
+  * same shuffle count as the DF loop. Each iteration's graph is persisted
+  * and the predecessor released once its successor is materialized, so
+  * storage stays O(1) in iterations.
   */
 object PregelBackend {
 
@@ -69,16 +72,40 @@ object PregelBackend {
     // Static out-edges with weight 1/outdeg. NULL's out-edges are NOT
     // materialized (its V-wide adjacency is the hot-key scale hazard the
     // DF loop also avoids); its fan-out is injected analytically below.
+    // EVERY tier resolves the dst against the vertex set — an edge to a
+    // title that is not a vertex is DROPPED, never a phantom vertex (the
+    // DF loop has the same semantics, and an unresolved dst hash could
+    // otherwise collide into a real vertex undetected). Tier selection is
+    // the usual broadcast-vs-shuffle trade:
+    //  1. hash injective, vertex set broadcastable → exact title-set
+    //     membership filter in the flatMap, ZERO edge-build shuffles;
+    //  2. hash injective, too large to broadcast → one dst-resolving join
+    //     (the src is a vertex by construction, its id computed in place);
+    //  3. hash collision (checked, ~never) → zipWithIndex ids, two joins.
+    val edgesByDst = base
+      .filter { case (t, links) => t != NullVertex && links.nonEmpty }
+    val BroadcastTitleCap = 1000000L
     val edges: RDD[Edge[Double]] =
-      if (hashedDistinct == n)
-        base.filter { case (t, links) => t != NullVertex && links.nonEmpty }
+      if (hashedDistinct == n && n <= BroadcastTitleCap) {
+        val titleSet = spark.sparkContext.broadcast(base.keys.collect().toSet)
+        edgesByDst.flatMap { case (src, links) =>
+          val srcId = PregelBackend.fnv1a64(src)
+          val w = 1.0 / links.size
+          links.collect { case dst if titleSet.value.contains(dst) =>
+            Edge(srcId, PregelBackend.fnv1a64(dst), w)
+          }
+        }
+      } else if (hashedDistinct == n)
+        edgesByDst
           .flatMap { case (src, links) =>
             val srcId = PregelBackend.fnv1a64(src)
             val w = 1.0 / links.size
-            links.map(dst => Edge(srcId, PregelBackend.fnv1a64(dst), w))
+            links.map(dst => (dst, (srcId, w)))
           }
+          .join(ids) // dst title -> dst id; drops links to non-vertices
+          .map { case (_, ((srcId, w), dstId)) => Edge(srcId, dstId, w) }
       else
-        base.filter { case (t, links) => t != NullVertex && links.nonEmpty }
+        edgesByDst
           .flatMap { case (src, links) => links.map(dst => (dst, (src, 1.0 / links.size))) }
           .join(ids) // dst title -> dst id
           .map { case (_, ((src, w), dstId)) => (src, (dstId, w)) }

@@ -299,8 +299,15 @@ object CorpusSearch {
           df.select(concat(lit("d"), col("doc_id")).as("title"),
             lit(0L).as("line_offset"), lit(0).as("body_off"),
             col("text").as("body"))
+        // Checkpoint the uncut index: merge's plan references `existing`
+        // three times (untouched / touched / merged-df pre-filter) and the
+        // production shape is a parquet TABLE, not a lazy build — without
+        // materialization the gate would run the expensive build thrice.
+        // Released when the caller's terminal action completes.
         val existing = graft.index.InvertedIndex.build(
           wikiShape(base.filter(col("doc_id") % 5 =!= 0)), dfCutoff = Int.MaxValue)
+          .localCheckpoint()
+        Scoped.releaseAfterUse(existing)
         val merged = graft.index.InvertedIndex.merge(
           existing, wikiShape(base.filter(col("doc_id") % 5 === 0)))
         merged.select(col("term"), col("df").cast("long").as("df"),

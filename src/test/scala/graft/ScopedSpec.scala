@@ -95,7 +95,10 @@ class ScopedSpec extends SparkSpec {
         "q49_dedup_clusters")) {
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      assert(awaitRelease(baseline) === baseline, s"$q leaked storage blocks")
+      // <= not ==: arming inside a query sweeps abandoned entries left by
+      // EARLIER suites in this shared JVM, so the count can drop BELOW the
+      // baseline — that is the self-heal working, not a leak
+      assert(awaitRelease(baseline) <= baseline, s"$q leaked storage blocks")
     }
   }
 }
