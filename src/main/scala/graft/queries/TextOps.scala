@@ -238,6 +238,25 @@ object TextOps {
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
-        FROM d GROUP BY lang, source ORDER BY lang, source"""))
+        FROM d GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- per-language document-length histogram (100-char bins): the
+    // data-quality profiling pass a training pipeline runs before setting
+    // length filters. Pure integer arithmetic (div is exact in both
+    // engines on the positive BIGINT column) and one partial-aggregated
+    // groupBy — a map-side-combined single shuffle at any corpus size.
+    ("q66_length_histogram",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("lang"), expr("n_chars div 100").as("bin"), col("n_chars"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""SELECT lang, n_chars // 100 AS bin, COUNT(*) AS n,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2 ORDER BY lang, bin"""))
   )
 }
