@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   * compilation stall can no longer masquerade as a regression — and one
   * extra pass runs at a second, smaller scale point (sf0.01 when the main
   * dir isn't already it) so the scaling slope between rounds is visible.
-  * The driver-parsed fields (metric/value/unit/queries/errors/sf) are
-  * unchanged; the extras ride along as additional keys.
+  * The printed line keeps the driver-parsed fields
+  * (metric/value/unit/queries/errors/sf) but uses the short "qNN" key per
+  * query and 3-decimal seconds so the line fits the driver's 2000-char
+  * stdout tail capture (rounds 4-5 overflowed it -> parsed:null); the
+  * verbose breakdown (full names, per-run times, the second-scale-point
+  * per-query map) is written to BENCH_DETAIL.json alongside.
   *
   * Cross-query isolation: between timed queries every cache entry and
   * every persisted/checkpointed RDD is dropped (outside the timed window),
@@ -110,14 +114,43 @@ object Bench {
       System.err.println(s"[bench] second scale point skipped (main=$sfDir, sf2=$sf2Dir)")
     val pass2 = if (runPass2) pass(sf2Dir) else Seq.empty
 
+    // ---- output. The driver captures only the LAST ~2000 chars of stdout
+    // and json-parses the single line it finds there, so the printed line
+    // must stay comfortably under that budget even as the catalog grows:
+    // short keys (the unique "qNN" prefix of each query name), 3-decimal
+    // seconds, and NO per-query second-scale-point map. Everything verbose
+    // (full names, every run's time, the sf2 per-query map) goes to
+    // BENCH_DETAIL.json in the working directory instead.
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmt(results.collect { case (k, Some(v), _) => k -> v.toString })
-    val errs = fmt(results.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
-    val qs2 = fmt(pass2.collect { case (k, v, None) => k -> v.toString })
-    val errs2 = fmt(pass2.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
+    def sec3(v: Double): String = f"$v%.3f"
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = fmt(results.collect { case (k, Some(v), _) => shortKey(k) -> sec3(v) })
+    val errs = fmt(results.collect { case (k, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })
     val total = results.collect { case (_, Some(v), _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"queries_sf001":$qs2,"errors_sf001":$errs2,"sf2":"$sf2Dir"}""")
+    val total2 = pass2.collect { case (_, v, None) => v }.sum
+    val errs2n = pass2.count(_._3.isDefined)
+
+    val detail = {
+      val perRun = names.map { name =>
+        val runsJson = passes.map(_.collectFirst {
+          case (`name`, sec, err) =>
+            err.fold(sec3(sec))(e => "\"" + e + "\"")
+        }.getOrElse("null")).mkString("[", ",", "]")
+        name -> runsJson
+      }
+      val med = fmt(results.collect { case (k, Some(v), _) => k -> sec3(v) })
+      val medErrs = fmt(results.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
+      val sf2Qs = fmt(pass2.collect { case (k, v, None) => k -> sec3(v) })
+      val sf2Errs = fmt(pass2.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
+      s"""{"sf":"$sfDir","runs":$runs,"median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
+
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -65,12 +65,16 @@ object Scoped {
       val targetRef: WeakReference[LogicalPlan],
       val rdds: Seq[RDD[_]],
       val armedAtMs: Long,
-      // A persist()/cache()-backed DF (no checkpoint leaves) can ONLY be
-      // released through the Dataset — there is no public handle to its
-      // CacheManager entry — so hold it strongly; its memory is pinned by
-      // the cache entry itself regardless, and TTL sweep can still reap
-      // it. Checkpoint-backed DFs stay weak (their blocks are releasable
-      // via the RDD handles after GC).
+      // Any PERSISTED DF (CacheManager entry, checkpoint leaves or not)
+      // can only be fully released through the Dataset — there is no
+      // Dataset-free handle to its CacheManager entry — so hold it
+      // strongly. This costs nothing in reachability: the CacheManager
+      // itself pins the analyzed plan of every persisted DF, so the GC
+      // criterion is structurally dead for them either way; weak-holding
+      // would only lose the release path (a collected wrapper on a
+      // checkpoint+persist DF used to leak its cache entry, ADVICE r5).
+      // Pure checkpoint-backed DFs stay weak (their blocks are
+      // releasable via the RDD handles after GC).
       val strongDf: Option[DataFrame]) {
     val done = new AtomicBoolean(false)
     @volatile var listener: QueryExecutionListener = _
@@ -94,12 +98,21 @@ object Scoped {
     }
 
   /** Release every armed-but-never-consumed entry whose ANALYZED PLAN has
-    * been garbage-collected, plus — when `ttlMs` is given — any entry
-    * older than `ttlMs`. The abandoned test keys on the plan, not the
-    * Dataset wrapper: a caller routinely drops the wrapper while a derived
-    * DataFrame (`cp.select(...)`) still references the plan and will
-    * consume the blocks — the wrapper being collected is NOT abandonment,
-    * the plan being unreachable is (no future query can reference it).
+    * been garbage-collected, plus — when `ttlMs` is given — any
+    * INTACT-LINEAGE entry older than `ttlMs`. The abandoned test keys on
+    * the plan, not the Dataset wrapper: a caller routinely drops the
+    * wrapper while a derived DataFrame (`cp.select(...)`) still
+    * references the plan and will consume the blocks — the wrapper being
+    * collected is NOT abandonment, the plan being unreachable is (no
+    * future query can reference it).
+    *
+    * TTL applies ONLY to entries with no checkpoint RDDs (persist-backed
+    * or storage-free): their lineage is intact, so an early release can
+    * cost recomputation time, never correctness. Checkpoint-backed
+    * entries are freed on the GC criterion alone — truncated lineage
+    * cannot recompute, so TTL-freeing one under a live consumer would
+    * fail that query irrecoverably (ADVICE r5).
+    *
     * Returns the number released. Runs automatically (GC criterion only)
     * on every [[releaseAfterUse]] call, so a long-lived session that
     * keeps arming new queries self-heals; call explicitly with a TTL for
@@ -109,8 +122,11 @@ object Scoped {
     var n = 0
     registry.forEach { e =>
       if (e.done.get) registry.remove(e)
-      else if (e.targetRef.get == null || (ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs)) {
-        releaseEntry(e); n += 1
+      else {
+        val abandoned = e.targetRef.get == null
+        val ttlHit = ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs &&
+          e.rdds.isEmpty
+        if (abandoned || ttlHit) { releaseEntry(e); n += 1 }
       }
     }
     n
@@ -141,15 +157,15 @@ object Scoped {
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
       val rdds = checkpointRdds(df)
-      // Strong hold ONLY for an actually-persisted non-checkpoint DF
-      // (its CacheManager entry has no Dataset-free release path). A
-      // plain un-materialized DF stays weak — strong-holding it would
-      // keep its plan reachable forever and make sweep's GC criterion
+      // Strong hold for every actually-persisted DF — the CacheManager
+      // pins its plan anyway (see Armed.strongDf). A plain
+      // un-materialized DF stays weak — strong-holding it would keep its
+      // plan reachable forever and make sweep's GC criterion
       // structurally dead for an entry that owns no storage at all.
       val e = new Armed(df.sparkSession, new WeakReference(df),
         new WeakReference(df.queryExecution.analyzed),
         rdds, System.currentTimeMillis(),
-        strongDf = if (rdds.isEmpty && df.storageLevel != StorageLevel.NONE)
+        strongDf = if (df.storageLevel != StorageLevel.NONE)
           Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
         private def maybeRelease(funcName: String, qe: QueryExecution): Unit =

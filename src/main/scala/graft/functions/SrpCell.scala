@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * plane's dot is accumulated in element-index order in its own double
   * accumulator — exactly the ordered left-fold `(p_0·v_0 + p_1·v_1) + …`
   * the SQL `+` chain performs (p ∈ {−1, +1}, so p·v is exact in IEEE
-  * double and the partial sums are identical). NULL parity mirrors
+  * double and the partial sums are identical). The sign test uses Spark's
+  * double ORDERING (NaN > 0 is true, as in the Catalyst GreaterThan it
+  * replaces), not Java primitive comparison. NULL parity mirrors
   * `element_at`: a vector shorter than `dims`, or with a NULL element in
   * the first `dims` positions, yields NULL.
   *
@@ -69,7 +71,15 @@ case class SrpCell(child: Expression, nbits: Int, dims: Int)
     }
     var cell = 0
     var j = 0
-    while (j < nbits) { if (acc(j) > 0) cell |= 1 << j; j += 1 }
+    // sign test under Spark's double ORDERING (SQLOrderingUtil
+    // .compareDoubles), not Java primitive >: NaN sorts greater than every
+    // value, so a NaN accumulator sets the bit — identical to the unfused
+    // Catalyst GreaterThan this expression replaced (ADVICE r5). -0.0 == 0.0
+    // in both orderings, so only NaN needs the extra term.
+    while (j < nbits) {
+      if (acc(j) > 0 || java.lang.Double.isNaN(acc(j))) cell |= 1 << j
+      j += 1
+    }
     cell
   }
 
@@ -98,7 +108,8 @@ case class SrpCell(child: Expression, nbits: Int, dims: Int)
           if (!${ev.isNull}) {
             int $cell = 0;
             for (int $j = 0; $j < $nbits; $j++) {
-              if ($acc[$j] > 0) $cell |= 1 << $j;
+              // NaN sorts greater than 0 in Spark's double ordering
+              if ($acc[$j] > 0 || Double.isNaN($acc[$j])) $cell |= 1 << $j;
             }
             ${ev.value} = $cell;
           }

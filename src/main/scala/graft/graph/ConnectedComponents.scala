@@ -34,7 +34,11 @@ object ConnectedComponents {
     * checkpoint-backed; the caller owns its release (Scoped.free /
     * releaseAfterUse), like PageRank.Result.graph. */
   def assign(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val pairs = pairs0.toDF("id_a", "id_b").localCheckpoint()
+    // take the first two columns explicitly — bare toDF would throw on a
+    // wider input, contradicting the "first two columns are used" contract
+    val pairs = pairs0
+      .select(col(pairs0.columns(0)).as("id_a"), col(pairs0.columns(1)).as("id_b"))
+      .localCheckpoint()
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     var labels = pairs

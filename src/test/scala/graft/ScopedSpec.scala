@@ -55,18 +55,43 @@ class ScopedSpec extends SparkSpec {
 
   test("sweep frees an armed-but-never-consumed checkpoint (abandoned plan)") {
     val baseline = liveBlocks()
-    val cp = spark.range(1000).toDF("id").localCheckpoint()
-    Scoped.releaseAfterUse(cp)
-    assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
-    // the caller walks away without ever running an action; a TTL sweep
-    // must release the blocks and the listener instead of pinning both
-    // for the session lifetime
-    Thread.sleep(5)
-    assert(Scoped.sweep(ttlMs = 0) >= 1)
+    // arm inside a method scope so nothing on this frame keeps the plan
+    // reachable once it returns — real abandonment, not a TTL shortcut
+    // (TTL no longer touches checkpoint-backed entries: truncated lineage
+    // cannot recompute, so only the GC criterion may free them)
+    def armAndAbandon(): Unit = {
+      val cp = spark.range(1000).toDF("id").localCheckpoint()
+      Scoped.releaseAfterUse(cp)
+      assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
+    }
+    armAndAbandon()
+    var swept = 0
+    val deadline = System.currentTimeMillis() + 30000
+    while (swept == 0 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(50); swept = Scoped.sweep()
+    }
+    assert(swept >= 1, "GC-criterion sweep must reap the abandoned plan")
     assert(awaitRelease(baseline) === baseline, "abandoned checkpoint must be freed")
     // idempotent: nothing left to sweep, later actions see a dead listener
     assert(Scoped.sweep(ttlMs = 0) === 0)
     spark.range(10).count()
+    ()
+  }
+
+  test("TTL sweep is lineage-safe: reaps persist-backed, spares checkpoint-backed") {
+    Scoped.sweep(ttlMs = 0) // drain stale cross-suite entries first
+    val baseline = liveBlocks()
+    val cp = spark.range(800).toDF("id").localCheckpoint()
+    val cached = spark.range(900).toDF("id").persist(StorageLevel.MEMORY_ONLY)
+    cached.count() // materialize the cache entry
+    Scoped.releaseAfterUse(cp, cached)
+    Thread.sleep(5)
+    // TTL may reap only the persist-backed entry (lineage intact — worst
+    // case is recomputation); the live checkpoint must survive TTL
+    assert(Scoped.sweep(ttlMs = 0) === 1)
+    assert(cached.storageLevel === StorageLevel.NONE, "cache entry must be gone")
+    assert(cp.count() === 800, "checkpoint must still be consumable after TTL sweep")
+    assert(awaitRelease(baseline) === baseline)
     ()
   }
 
