@@ -218,6 +218,99 @@ object CorpusSearch {
                array_to_string(links, ',') AS links_csv, 1.0 AS pr
         FROM g ORDER BY title""")),
 
+    // ---- DOULION-sampled triangle count (Tsourakakis et al., KDD'09):
+    // keep each undirected edge iff a deterministic portable hash lands in
+    // 1/16 of its range (p = 1/16), count triangles EXACTLY on the sample,
+    // estimate the full count as n_tri / p^3 = n_tri * 4096. This is the
+    // 100 TB shape: the full key graph here is near-complete (~350k edges
+    // on 997 vertices at sf0.1 — an exact count enumerates ~10^8 wedges),
+    // and edge sampling is the standard way to bound that cost while
+    // keeping an unbiased estimator. The count itself uses the
+    // degree-ordered orientation (rank vertices by (degree, id), orient
+    // every edge low-rank -> high-rank): each triangle is counted exactly
+    // once and the wedge fan-out per vertex is bounded by its ORIENTED
+    // out-degree, O(sqrt(m)) — the node-iterator bound that makes the
+    // self-join survive skewed degree distributions.
+    ("q67_triangle_count",
+      (s: SparkSession, dir: String) => {
+        // deterministic 1/16 Bernoulli edge sample over the normalized
+        // undirected pair (portable md5 hash — the oracle applies the
+        // identical predicate); graph/Triangles does the degree-ordered
+        // oriented count, and 4096 = 16³ un-biases the estimate
+        val sampled = t(s, dir, "lineitem")
+          .select(least(col("l_orderkey") % 997, col("l_partkey") % 997).as("u"),
+            greatest(col("l_orderkey") % 997, col("l_partkey") % 997).as("v"))
+          .filter(col("u") =!= col("v"))
+          .filter(graft.core.Portable.hash32(
+            concat(lit("e"), col("u"), lit("_"), col("v"))) % 16 === 0)
+        graft.graph.Triangles.count(sampled)
+          .withColumn("est_triangles", col("n_tri") * 4096)
+      },
+      Some("""WITH re AS (
+          SELECT DISTINCT least(l_orderkey%997, l_partkey%997) AS u,
+                          greatest(l_orderkey%997, l_partkey%997) AS v
+          FROM lineitem WHERE l_orderkey%997 <> l_partkey%997),
+        se AS (SELECT u, v FROM re
+               WHERE ('0x' || substr(md5('e' || u || '_' || v), 1, 8))::BIGINT % 16 = 0),
+        deg AS (SELECT x AS vtx, COUNT(*) AS d FROM (
+                  SELECT u AS x FROM se UNION ALL SELECT v AS x FROM se) GROUP BY 1),
+        ordv AS (SELECT vtx, row_number() OVER (ORDER BY d, vtx) AS r FROM deg),
+        oe AS (SELECT least(ou.r, ov.r) AS lo, greatest(ou.r, ov.r) AS hi
+               FROM se JOIN ordv ou ON se.u = ou.vtx JOIN ordv ov ON se.v = ov.vtx),
+        tri AS (SELECT COUNT(*) AS n_tri
+                FROM oe e1 JOIN oe e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                     JOIN oe e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+               (SELECT COUNT(*) FROM se) AS n_edges,
+               n_tri, n_tri * 4096 AS est_triangles FROM tri""")),
+
+    // ---- out-degree distribution of the built graph (dead links dropped,
+    // NULL sentinel included): the profiling pass that sizes PageRank's
+    // skew handling. Deliberately does NOT materialize adjacency arrays
+    // (GraphBuilder.build's collect_set) — degree is a countDistinct over
+    // the live edges, the dangling->['NULL'] wiring contributes degree 1
+    // via the outer-join coalesce, and the NULL sentinel row contributes
+    // degree = |titles| as a 1-row aggregate. Same result as profiling the
+    // built graph, at a fraction of the shuffle volume — the shape that
+    // matters when the adjacency payload is TBs but the histogram is KBs.
+    ("q73_degree_histogram",
+      (s: SparkSession, dir: String) => {
+        val raw = t(s, dir, "lineitem").select(
+          concat(lit("v"), col("l_orderkey") % 997).as("src"),
+          concat(lit("v"), col("l_partkey") % 1200).as("dst"))
+        val titles = raw.select(col("src").as("title")).distinct()
+          .localCheckpoint() // tiny; feeds the semi-join, outer join, count
+        val deg = raw
+          .join(titles.select(col("title").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(countDistinct(col("dst")).as("deg"))
+        val out = titles
+          .join(deg, col("title") === col("src"), "left_outer")
+          .select(coalesce(col("deg"), lit(1L)).as("degree"))
+          .unionAll(titles.agg(count(lit(1)).as("degree")))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_pages"))
+          .orderBy(col("degree"))
+        Scoped.releaseAfterUse(titles)
+        out
+      },
+      Some("""WITH docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        edges AS (SELECT DISTINCT src, dst FROM rawedges
+                  WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM edges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links)
+        SELECT CAST(len(links) AS BIGINT) AS degree, COUNT(*) AS n_pages
+        FROM g GROUP BY 1 ORDER BY degree""")),
+
     // ---- hash-checked iterative PageRank: exactly 10 power iterations
     // (the reference's minimum, which is also where this graph converges)
     // with per-iteration 1e-9 quantization so both engines stay on the

@@ -611,6 +611,42 @@ object DedupSim {
         FROM c a JOIN c b
           ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.95
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- batch kNN join: a BATCH of query vectors (vec_id < 5) against
+    // the corpus, exact cosine, top-5 each — the multi-probe sibling of
+    // q35's single-query top-k. The probe batch is broadcast (it is always
+    // small relative to the corpus), the corpus side streams through one
+    // codegen'd cosine per (row, probe), and the per-probe top-k is a
+    // window partitioned by probe id. This exact pass is the re-rank stage
+    // of any production ANN stack; q38's SRP-IVF is the candidate
+    // generator that bounds the corpus side at 100 TB.
+    ("q74_knn_join",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"),
+            round(expr(cosSpark("embedding", "qv")), 4).as("sim"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid")).orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+        t AS (SELECT qid, vec_id, ROUND(${cosDuck("embedding", "qv")}, 4) AS sim
+              FROM embeddings, q WHERE vec_id >= 5),
+        r AS (SELECT qid, vec_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+          FROM t)
+        SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim
+        FROM r WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 }

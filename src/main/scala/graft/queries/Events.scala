@@ -232,6 +232,64 @@ object Events {
                 GROUP BY a.day)
         SELECT act.day, act.n_active, COALESCE(ret.n_retained, 0) AS n_retained,
           floor(CAST(COALESCE(ret.n_retained, 0) AS DOUBLE) / act.n_active * 10000.0 + 0.5) / 10000.0 AS retention
-        FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY act.day"""))
+        FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY act.day""")),
+
+    // ---- rolling 10-minute aggregate per user: a VALUE-RANGE window frame
+    // (RANGE BETWEEN 600s PRECEDING AND CURRENT ROW over the microsecond
+    // epoch), not a row-count frame — the per-event trailing-window feature
+    // a fraud/abuse pipeline computes. One shuffle on user_id; the frame is
+    // evaluated with a sliding pointer inside each sorted partition, so
+    // cost is O(events per user), not O(events^2). Ties in `us` share a
+    // frame by definition (value-based), so the result is deterministic
+    // without an event_id tiebreak inside the frame spec.
+    ("q69_rolling_range",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-600000000L, 0L)
+        ev(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("us"),
+            count(lit(1)).over(w).as("n_10min"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("double").as("v_10min"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS us,
+          COUNT(*) OVER w AS n_10min,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_10min
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, us, event_id""")),
+
+    // ---- daily active + cumulative distinct users. COUNT(DISTINCT) is
+    // not a window function in either engine; the scalable formulation is
+    // first-seen-day per user (one groupBy), new-users per day, then a
+    // running sum over the (tiny) per-day aggregate — the standard growth
+    // dashboard query, and the only shape that avoids re-scanning history
+    // per day at 100 TB.
+    ("q70_cumulative_users",
+      (s: SparkSession, dir: String) => {
+        val d = ev(s, dir)
+          .select(col("user_id"), expr("us div 86400000000").as("day"))
+          .distinct()
+        val act = d.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        val nu = d.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        act.join(nu, Seq("day"), "left_outer")
+          .select(col("day"), col("n_active"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        act AS (SELECT day, COUNT(*) AS n_active FROM d GROUP BY day),
+        fs AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id),
+        nu AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY day)
+        SELECT act.day, act.n_active, COALESCE(nu.n_new, 0) AS n_new,
+          CAST(SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY act.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        FROM act LEFT JOIN nu ON act.day = nu.day ORDER BY act.day"""))
   )
 }

@@ -455,6 +455,60 @@ object Relational {
         COUNT(*) AS n
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
-        GROUP BY 1 ORDER BY yr"""))
+        GROUP BY 1 ORDER BY yr""")),
+
+    // ---- correlated EXISTS / NOT EXISTS through the SQL surface.
+    // Catalyst DECORRELATES both subqueries into a left-semi and a
+    // left-anti hash join against `orders` (same shuffle shape as
+    // q05/q06's explicit joins — no per-row re-execution), which is
+    // exactly what makes the construct usable at 100 TB: the predicate
+    // pair costs two hash joins on o_custkey, not |customer| probes.
+    ("q68_exists_subquery",
+      (s: SparkSession, dir: String) => {
+        graft.serve.Serving.registerViews(s, dir)
+        s.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")),
+
+    // ---- exact per-group quartiles (percentile = sort-based exact with
+    // linear interpolation at rank p*(n-1) — the same definition as ANSI
+    // percentile_cont). l_quantity is integer-valued, so the interpolated
+    // quartiles land on exact binary fractions (k/4) and cross-engine
+    // equality is bitwise; the floor-rounding is belt-and-braces. At
+    // 100 TB exact percentiles are a single sort-based aggregate per
+    // group; the approximate path (percentile_approx / t-digest) trades
+    // that for a mergeable sketch when groups get billion-row wide.
+    ("q71_group_percentiles",
+      (s: SparkSession, dir: String) => {
+        val r4 = (c: org.apache.spark.sql.Column) => floor(c * 1e4 + 0.5) / 1e4
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("yr"),
+            r4(element_at(col("q"), 1)).as("p25"),
+            r4(element_at(col("q"), 2)).as("p50"),
+            r4(element_at(col("q"), 3)).as("p75"),
+            col("n"))
+          .orderBy(col("l_returnflag"), col("yr"))
+      },
+      Some("""SELECT l_returnflag,
+          CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+          floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) * 10000.0 + 0.5) / 10000.0 AS p25,
+          floor(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) * 10000.0 + 0.5) / 10000.0 AS p50,
+          floor(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) * 10000.0 + 0.5) / 10000.0 AS p75,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, yr"""))
   )
 }

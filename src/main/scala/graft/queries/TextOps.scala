@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Portable._
 import graft.core.Tables
 
@@ -257,6 +258,37 @@ object TextOps {
       },
       Some("""SELECT lang, n_chars // 100 AS bin, COUNT(*) AS n,
         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        FROM documents GROUP BY 1, 2 ORDER BY lang, bin"""))
+        FROM documents GROUP BY 1, 2 ORDER BY lang, bin""")),
+
+    // ---- top-5 terms per language by DOCUMENT frequency (distinct docs
+    // containing the term; ties broken by term). explode(array_distinct)
+    // keeps the shuffle at one row per (doc, distinct term) — the same
+    // pre-dedup that the inverted-index build uses — and the per-language
+    // top-k is a partitioned window over the (much smaller) df aggregate.
+    // At 100 TB the df aggregate is the only big shuffle and it is
+    // map-side combined; the window runs per language, not globally.
+    ("q72_top_terms_lang",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+          .select(col("lang"),
+            explode(array_distinct(
+              expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))).as("term"))
+        d.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(desc("df"), asc("term"))))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("term"), col("df"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH d AS (SELECT lang,
+            unnest(list_distinct(regexp_extract_all(text, '[a-zA-Z]+'))) AS term
+          FROM documents),
+        f AS (SELECT lang, term, COUNT(*) AS df FROM d GROUP BY 1, 2),
+        r AS (SELECT lang, term, df,
+            row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rk
+          FROM f)
+        SELECT lang, CAST(rk AS BIGINT) AS rk, term, df
+        FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 }

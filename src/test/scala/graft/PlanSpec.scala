@@ -82,4 +82,27 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"),
       s"payload source column must be pruned: $readSchema")
   }
+
+  test("q68: EXISTS / NOT EXISTS decorrelate to semi + anti hash joins") {
+    val p = plan("q68_exists_subquery")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    // decorrelation means no per-row subquery execution survives
+    assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"),
+      "correlated subqueries must be rewritten to joins")
+  }
+
+  test("q69: rolling aggregate is a value-RANGE window frame, one shuffle") {
+    val p = plan("q69_rolling_range")
+    // physical Window prints specifiedwindowframe(RangeFrame, -600000000, ...)
+    assert(p.contains("RangeFrame"), "frame must be value-range, not rows")
+    // one shuffle for the user_id partitioning, one for the final sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
+  test("q74: the probe batch broadcasts; the corpus side never shuffles for the join") {
+    val p = plan("q74_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query-vector batch must broadcast")
+  }
 }
