@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.GraftFunctions
+
+/** Session-extension injection point: registers every graft SQL function
+  * at session build time, so a cluster user enables the library with
+  * configuration alone —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * — and `SELECT cosine_sim(a.embedding, b.embedding)` works in plain
+  * `spark.sql` / JDBC / notebook SQL with no code on the classpath's
+  * caller side. The same expressions are also registrable imperatively
+  * via [[graft.functions.GraftFunctions.register]] (the catalog queries
+  * do that, since they receive an already-built session); both paths
+  * register the identical builders, so plans are indistinguishable.
+  *
+  * This is the SparkSessionExtensions surface from SURVEY §2.10's
+  * preference order — functions only: the library deliberately has no
+  * custom LogicalPlan/Strategy to inject, because every operator proved
+  * expressible in Catalyst's existing algebra (the survey's "compose
+  * first" rule).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      GraftFunctions.cosineSimInfo,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("srp_cell"),
+      GraftFunctions.srpCellInfo,
+      GraftFunctions.mkSrpCell _))
+  }
+}

@@ -124,7 +124,7 @@ object GraftFunctions {
     * so a misuse surfaces as an analysis-time error with a message, not a
     * raw IndexOutOfBounds/NPE or — worse — a silently wrapped `1 << j`
     * for nbits > 31. */
-  private[functions] def mkSrpCell(children: Seq[Expression]): Expression = {
+  private[graft] def mkSrpCell(children: Seq[Expression]): Expression = {
     require(children.length == 3,
       s"srp_cell expects (vec, nbits, dims), got ${children.length} arguments")
     def litInt(e: Expression, name: String, lo: Int, hi: Int): Int = {

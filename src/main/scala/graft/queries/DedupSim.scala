@@ -31,14 +31,48 @@ object DedupSim {
 
   private val P = MersenneP // 2^31-1
 
-  /** Distinct word-5-gram shingles per document. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+  /** Distinct word-5-gram shingles of any (doc_id, text) frame. */
+  private def shingleDf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))")).as("shingle"))
       .distinct()
+
+  /** Distinct word-5-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleDf(t(s, dir, "documents"))
+
+  /** (doc_id, band, sig) LSH banding of a shingle table: 16 minhash perms
+    * grouped into 4 bands of 4, band signature = the "-"-joined row
+    * values. Shared by self-dedup (q32) and incremental dedup (q76). */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"))
+    val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
+    val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** DuckDB CTE pair `mh_<pfx>, bands_<pfx>` mirroring [[minhashBands]]
+    * over the shingle CTE named `sh_<pfx>`. */
+  private def minhashBandsSql(pfx: String): String = {
+    val minSql = (0 until numPerms).map { i =>
+      val (a, b) = perm(i)
+      s"MIN(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P) * $a + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSql = (0 until numBands).map { b =>
+      val sig = (0 until rowsPerBand).map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh_$pfx"
+    }.mkString(" UNION ALL ")
+    s"""mh_$pfx AS (SELECT doc_id, $minSql FROM sh_$pfx GROUP BY doc_id),
+      bands_$pfx AS ($bandSql)"""
+  }
 
   /** DuckDB CTEs mirroring [[shingles]]. */
   private val shinglesSql =
@@ -225,15 +259,7 @@ object DedupSim {
         // materialize-once + release-after-use rationale as q31.
         val sh = shingles(s, dir).localCheckpoint()
         Scoped.releaseAfterUse(sh)
-        val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"), col("shingle"))
-        val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
-        val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-        val bandCols = (0 until numBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("-", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
-        }
-        val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val bands = minhashBands(sh)
         val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
           .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
           .filter(col("id_a") < col("id_b"))
@@ -647,6 +673,92 @@ object DedupSim {
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
           FROM t)
         SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim
-        FROM r WHERE rk <= 5 ORDER BY qid, rk"""))
+        FROM r WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- INCREMENTAL dedup: match a DELTA batch against the existing
+    // corpus — the production crawl-ingest flow (dedup the new shard
+    // against what's already stored, not all-pairs self-dedup). The delta
+    // is derived deterministically so the gate sees all three paths:
+    // exact copies (id+1M, doc_id%37), near-dups with appended tokens
+    // (id+2M, %41 — all original shingles survive, ~5 new), and
+    // reversed-text noise (id+3M, %43 — zero shingle overlap, must NOT
+    // match). Shape: corpus shingles/bands are computed once (at 100 TB
+    // they are a PRECOMPUTED banded index on disk, partitioned by
+    // (band, sig-hash)); the delta side is small, so the band equi-join
+    // is an index probe, verification touches only candidate corpus
+    // docs, and nothing ever pairs corpus×corpus.
+    ("q76_dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val delta = docs.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 41 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"),
+                lit(" graft delta appended tokens marker")).as("text")))
+          .unionAll(docs.filter(col("doc_id") % 43 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+        val shC = shingleDf(docs).localCheckpoint()
+        val shD = shingleDf(delta).localCheckpoint()
+        Scoped.releaseAfterUse(shC, shD)
+        val cand = minhashBands(shD)
+          .select(col("doc_id").as("id_delta"), col("band"), col("sig"))
+          .join(minhashBands(shC)
+            .select(col("doc_id").as("id_corpus"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select(col("id_delta"), col("id_corpus")).distinct()
+        val sizesC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val sizesD = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        cand
+          .join(shD.select(col("doc_id").as("id_delta"), col("shingle")), Seq("id_delta"))
+          .join(shC.select(col("doc_id").as("id_corpus"), col("shingle")),
+            Seq("id_corpus", "shingle"))
+          .groupBy(col("id_delta"), col("id_corpus"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizesD.select(col("doc_id").as("id_delta"), col("n").as("nd")), Seq("id_delta"))
+          .join(sizesC.select(col("doc_id").as("id_corpus"), col("n").as("nc")), Seq("id_corpus"))
+          .filter(col("common").cast("double") / (col("nd") + col("nc") - col("common")) >= 0.5)
+          .select(col("id_delta"), col("id_corpus"),
+            round(col("common").cast("double") / (col("nd") + col("nc") - col("common")), 4).as("jaccard"))
+          .orderBy(col("id_delta"), col("id_corpus"))
+      },
+      Some {
+        s"""WITH delta AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' graft delta appended tokens marker'
+          FROM documents WHERE doc_id % 41 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, reverse(text) FROM documents WHERE doc_id % 43 = 0),
+        toks_c AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        sh_c AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS shingle
+                 FROM toks_c),
+        toks_d AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM delta),
+        sh_d AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS shingle
+                 FROM toks_d),
+        ${minhashBandsSql("c")},
+        ${minhashBandsSql("d")},
+        cand AS (SELECT DISTINCT d.doc_id AS id_delta, c.doc_id AS id_corpus
+                 FROM bands_d d JOIN bands_c c
+                 ON d.band = c.band AND d.sig = c.sig),
+        sizes_c AS (SELECT doc_id, COUNT(*) AS n FROM sh_c GROUP BY doc_id),
+        sizes_d AS (SELECT doc_id, COUNT(*) AS n FROM sh_d GROUP BY doc_id),
+        common AS (SELECT cd.id_delta, cd.id_corpus, COUNT(*) AS common
+                   FROM cand cd
+                   JOIN sh_d sd ON sd.doc_id = cd.id_delta
+                   JOIN sh_c sc ON sc.doc_id = cd.id_corpus AND sc.shingle = sd.shingle
+                   GROUP BY cd.id_delta, cd.id_corpus)
+        SELECT id_delta, id_corpus,
+          ROUND(CAST(common AS DOUBLE) / (sd.n + sc.n - common), 4) AS jaccard
+        FROM common JOIN sizes_d sd ON sd.doc_id = id_delta
+             JOIN sizes_c sc ON sc.doc_id = id_corpus
+        WHERE CAST(common AS DOUBLE) / (sd.n + sc.n - common) >= 0.5
+        ORDER BY id_delta, id_corpus"""
+      })
   )
 }

@@ -290,6 +290,47 @@ object Events {
         SELECT act.day, act.n_active, COALESCE(nu.n_new, 0) AS n_new,
           CAST(SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY act.day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        FROM act LEFT JOIN nu ON act.day = nu.day ORDER BY act.day"""))
+        FROM act LEFT JOIN nu ON act.day = nu.day ORDER BY act.day""")),
+
+    // ---- per-user z-score anomaly detection: flag events more than 3
+    // population-σ from the user's mean value. Cross-engine float safety:
+    // `value` has ≤ 2 decimals, so v100 = round(value·100) is an exact
+    // integer; per-user Σv and Σv² are exact BIGINT sums (order-free);
+    // mean/σ/z are then derived with the IDENTICAL double operations in
+    // both engines, so even the boundary comparison agrees bitwise. A σ=0
+    // user can flag nothing (every deviation is 0), so the σ division
+    // never sees zero on a kept row. One groupBy + one broadcast-back
+    // join — two passes over events, no window state.
+    ("q75_zscore_anomaly",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir).select(col("event_id"), col("user_id"), col("value"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        val g = e.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("v100")).as("s1"),
+          sum(col("v100") * col("v100")).as("s2"))
+        val m = col("s1").cast("double") / col("n")
+        val sd = sqrt(col("s2").cast("double") / col("n") - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+        e.join(g, Seq("user_id"))
+          .withColumn("m", m).withColumn("sd", sd)
+          .filter(abs(col("v100").cast("double") - col("m")) > lit(3.0) * col("sd"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            (floor((col("v100").cast("double") - col("m")) / col("sd") * 1e4 + 0.5) / 1e4).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events),
+        g AS (SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(v100) AS BIGINT) AS s1,
+            CAST(SUM(v100 * v100) AS BIGINT) AS s2
+          FROM e GROUP BY user_id),
+        j AS (SELECT e.event_id, e.user_id, e.value, e.v100,
+            CAST(s1 AS DOUBLE) / n AS m,
+            sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+          FROM e JOIN g ON e.user_id = g.user_id)
+        SELECT event_id, user_id, value,
+          floor((CAST(v100 AS DOUBLE) - m) / sd * 10000.0 + 0.5) / 10000.0 AS z
+        FROM j WHERE abs(CAST(v100 AS DOUBLE) - m) > 3.0 * sd
+        ORDER BY event_id"""))
   )
 }
