@@ -102,7 +102,8 @@ object Bench {
     // inverting the slope the field claims to show.
     // parse the sf from the LAST path segment only ("/data/sf9/sf0.001"
     // must read 0.001, not 9); unparseable → skip, with a stderr note so
-    // an empty queries_sf001 is explicable (stdout stays one JSON line)
+    // an empty sf2_queries map in BENCH_DETAIL.json is explicable
+    // (stdout stays one JSON line)
     def sfOf(dir: String): Option[Double] =
       "^sf([0-9]+(?:\\.[0-9]+)?)$".r
         .findFirstMatchIn(new java.io.File(dir).getName)
@@ -123,7 +124,10 @@ object Bench {
     // BENCH_DETAIL.json in the working directory instead.
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def sec3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would otherwise turn
+    // 1.234 into "1,234" and break the JSON this exists to keep parseable
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = fmt(results.collect { case (k, Some(v), _) => shortKey(k) -> sec3(v) })
     val errs = fmt(results.collect { case (k, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })

@@ -32,8 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSim(children(0), children(1))))
+      GraftFunctions.mkCosineSim _))
     ext.injectFunction((
       FunctionIdentifier("srp_cell"),
       GraftFunctions.srpCellInfo,

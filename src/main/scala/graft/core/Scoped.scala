@@ -74,8 +74,11 @@ object Scoped {
       // would only lose the release path (a collected wrapper on a
       // checkpoint+persist DF used to leak its cache entry, ADVICE r5).
       // Pure checkpoint-backed DFs stay weak (their blocks are
-      // releasable via the RDD handles after GC).
-      val strongDf: Option[DataFrame]) {
+      // releasable via the RDD handles after GC). Mutable: a TTL sweep
+      // on a checkpoint+persist entry releases the (lineage-safe) cache
+      // half and CLEARS this field, unpinning the plan so the GC
+      // criterion can reap the checkpoint half later.
+      @volatile var strongDf: Option[DataFrame]) {
     val done = new AtomicBoolean(false)
     @volatile var listener: QueryExecutionListener = _
   }
@@ -106,12 +109,17 @@ object Scoped {
     * collected is NOT abandonment, the plan being unreachable is (no
     * future query can reference it).
     *
-    * TTL applies ONLY to entries with no checkpoint RDDs (persist-backed
-    * or storage-free): their lineage is intact, so an early release can
-    * cost recomputation time, never correctness. Checkpoint-backed
-    * entries are freed on the GC criterion alone — truncated lineage
-    * cannot recompute, so TTL-freeing one under a live consumer would
-    * fail that query irrecoverably (ADVICE r5).
+    * TTL fully releases ONLY entries with no checkpoint RDDs
+    * (persist-backed or storage-free): their lineage is intact, so an
+    * early release can cost recomputation time, never correctness.
+    * Checkpoint-backed entries are freed on the GC criterion alone —
+    * truncated lineage cannot recompute, so TTL-freeing one under a live
+    * consumer would fail that query irrecoverably (ADVICE r5). The
+    * checkpoint+persist hybrid gets the split treatment: TTL releases
+    * its cache entry (lineage-safe) and drops the strong hold, after
+    * which the ordinary GC criterion can reap the checkpoint blocks —
+    * without this, such an entry would pin its own plan forever and be
+    * unreapable by either rule.
     *
     * Returns the number released. Runs automatically (GC criterion only)
     * on every [[releaseAfterUse]] call, so a long-lived session that
@@ -124,9 +132,15 @@ object Scoped {
       if (e.done.get) registry.remove(e)
       else {
         val abandoned = e.targetRef.get == null
-        val ttlHit = ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs &&
-          e.rdds.isEmpty
-        if (abandoned || ttlHit) { releaseEntry(e); n += 1 }
+        val ttlOld = ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs
+        if (abandoned || (ttlOld && e.rdds.isEmpty)) { releaseEntry(e); n += 1 }
+        else if (ttlOld) e.strongDf.foreach { df =>
+          // checkpoint+persist hybrid: release the recomputable cache
+          // half now; unpinning the plan re-arms the GC criterion for
+          // the checkpoint blocks (counted when that actually fires)
+          df.unpersist()
+          e.strongDf = None
+        }
       }
     }
     n

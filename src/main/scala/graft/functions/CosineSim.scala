@@ -113,11 +113,22 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** Registration: idempotent per-session (used by the query catalog, which
-  * receives externally-created sessions), plus a SparkSessionExtensions
-  * hook for `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * receives externally-created sessions). The config-only path is
+  * [[graft.GraftExtensions]] (`spark.sql.extensions=graft.GraftExtensions`);
+  * both paths share the checked builders below. */
 object GraftFunctions {
   val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
   val srpCellInfo = new ExpressionInfo(classOf[SrpCell].getName, "srp_cell")
+
+  /** Arity-checked builder — a SQL user passing the wrong argument count
+    * gets an analysis-time message, not a dropped argument (3 args would
+    * silently compute cosine of the first two) or a raw
+    * IndexOutOfBoundsException (1 arg). */
+  private[graft] def mkCosineSim(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"cosine_sim expects (a, b), got ${children.length} arguments")
+    CosineSim(children(0), children(1))
+  }
 
   /** srp_cell(vec, nbits, dims) — nbits/dims must be int literals (they
     * parameterize the generated code, not per-row data). Validated here
@@ -150,20 +161,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
-      FunctionIdentifier("cosine_sim"), cosineSimInfo,
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+      FunctionIdentifier("cosine_sim"), cosineSimInfo, mkCosineSim _)
     reg.registerFunction(
       FunctionIdentifier("srp_cell"), srpCellInfo, mkSrpCell _)
   }
 }
 
-class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      GraftFunctions.cosineSimInfo,
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
-    ext.injectFunction((FunctionIdentifier("srp_cell"),
-      GraftFunctions.srpCellInfo,
-      GraftFunctions.mkSrpCell _))
-  }
-}

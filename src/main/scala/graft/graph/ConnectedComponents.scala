@@ -34,10 +34,12 @@ object ConnectedComponents {
     * checkpoint-backed; the caller owns its release (Scoped.free /
     * releaseAfterUse), like PageRank.Result.graph. */
   def assign(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
-    // take the first two columns explicitly — bare toDF would throw on a
-    // wider input, contradicting the "first two columns are used" contract
+    // take the first two columns POSITIONALLY (toDF renames by position,
+    // so duplicate or dotted input names can't break resolution; a bare
+    // 2-ary toDF would throw on wider input, contradicting the contract)
     val pairs = pairs0
-      .select(col(pairs0.columns(0)).as("id_a"), col(pairs0.columns(1)).as("id_b"))
+      .toDF(pairs0.columns.indices.map(i => s"_p$i"): _*)
+      .select(col("_p0").as("id_a"), col("_p1").as("id_b"))
       .localCheckpoint()
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))

@@ -34,10 +34,12 @@ object Triangles {
     * intermediates are checkpointed (the edge set feeds four join legs)
     * and armed for release after the consuming action. */
   def count(pairs0: DataFrame): DataFrame = {
-    val c0 = col(pairs0.columns(0))
-    val c1 = col(pairs0.columns(1))
+    // positional rename first: duplicate or dotted input column names
+    // must not break resolution (toDF renames by position)
     val se = pairs0
-      .select(least(c0, c1).as("u"), greatest(c0, c1).as("v"))
+      .toDF(pairs0.columns.indices.map(i => s"_p$i"): _*)
+      .select(least(col("_p0"), col("_p1")).as("u"),
+        greatest(col("_p0"), col("_p1")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()

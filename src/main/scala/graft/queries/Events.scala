@@ -305,12 +305,19 @@ object Events {
       (s: SparkSession, dir: String) => {
         val e = ev(s, dir).select(col("event_id"), col("user_id"), col("value"),
           floor(col("value") * 100 + 0.5).cast("long").as("v100"))
+        // Domain note: the per-element product v100² is exact in BIGINT
+        // for |value| ≤ 3·10⁷; the SUMS are decimal(38,0) so they cannot
+        // overflow at any realistic row count. The E[x²]−E[x]² double
+        // subtraction can cancel to a tiny negative for a near-constant
+        // user — clamped to 0 in BOTH engines (sd=0 flags nothing, same
+        // as the true variance-0 case), so sqrt never goes NaN.
         val g = e.groupBy(col("user_id")).agg(
           count(lit(1)).as("n"),
-          sum(col("v100")).as("s1"),
-          sum(col("v100") * col("v100")).as("s2"))
+          sum(col("v100").cast("decimal(38,0)")).as("s1"),
+          sum((col("v100") * col("v100")).cast("decimal(38,0)")).as("s2"))
         val m = col("s1").cast("double") / col("n")
-        val sd = sqrt(col("s2").cast("double") / col("n") - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+        val sd = sqrt(greatest(lit(0.0),
+          col("s2").cast("double") / col("n") - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))))
         e.join(g, Seq("user_id"))
           .withColumn("m", m).withColumn("sd", sd)
           .filter(abs(col("v100").cast("double") - col("m")) > lit(3.0) * col("sd"))
@@ -321,12 +328,13 @@ object Events {
       Some("""WITH e AS (SELECT event_id, user_id, value,
             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events),
         g AS (SELECT user_id, COUNT(*) AS n,
-            CAST(SUM(v100) AS BIGINT) AS s1,
-            CAST(SUM(v100 * v100) AS BIGINT) AS s2
+            SUM(CAST(v100 AS DECIMAL(38,0))) AS s1,
+            SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS s2
           FROM e GROUP BY user_id),
         j AS (SELECT e.event_id, e.user_id, e.value, e.v100,
             CAST(s1 AS DOUBLE) / n AS m,
-            sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+            sqrt(greatest(0.0,
+              CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS sd
           FROM e JOIN g ON e.user_id = g.user_id)
         SELECT event_id, user_id, value,
           floor((CAST(v100 AS DOUBLE) - m) / sd * 10000.0 + 0.5) / 10000.0 AS z

@@ -130,4 +130,58 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  final case class AnomalyOut(event_id: Long, user_id: Long, value: Double,
+      z: Double)
+
+  /** Per-user running moments (n, Σv, Σv²) in exact centi-units. O(1)
+    * state per user, forever — the streaming-anomaly state never grows
+    * with event count, only with user cardinality. */
+  final case class Moments(n: Long, s1: Long, s2: Long)
+
+  /** ONLINE z-score anomaly flagging — the streaming twin of batch
+    * q75_zscore_anomaly, with prior-only semantics: each event is scored
+    * against the user's history BEFORE it (the only thing an online
+    * detector can do), then folded into the running moments. Events
+    * inside a micro-batch are processed in (ts, event_id) order so
+    * replays are deterministic. A user needs `minPrior` history before
+    * anything is flagged; a deviation from a CONSTANT history (σ=0) is
+    * flagged with z = ±∞ (any nonzero deviation is infinitely many σ).
+    *
+    * Scale: state is three longs per user (exact integer moments — same
+    * cross-engine-portable centi-unit trick as q75), hash-partitioned by
+    * user_id. No watermark needed for correctness (state is O(1) per
+    * key); idle-user state can be aged out with a processing-time
+    * timeout if user cardinality itself is unbounded. */
+  def anomalyStream(spark: SparkSession, events: Dataset[Event],
+      minPrior: Int = 5, zThresh: Double = 3.0): Dataset[AnomalyOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[Moments]): Iterator[AnomalyOut] = {
+      var m = state.getOption.getOrElse(Moments(0L, 0L, 0L))
+      val out = Seq.newBuilder[AnomalyOut]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val v100 = math.floor(e.value * 100 + 0.5).toLong
+        if (m.n >= minPrior) {
+          val mean = m.s1.toDouble / m.n
+          val sd = math.sqrt(math.max(0.0, m.s2.toDouble / m.n - mean * mean))
+          if (math.abs(v100 - mean) > zThresh * sd) {
+            val z =
+              if (sd == 0.0)
+                if (v100 > mean) Double.PositiveInfinity else Double.NegativeInfinity
+              else (v100 - mean) / sd
+            out += AnomalyOut(e.event_id, userId, e.value, z)
+          }
+        }
+        m = Moments(m.n + 1, m.s1 + v100, m.s2 + v100 * v100)
+      }
+      state.update(m)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
 }

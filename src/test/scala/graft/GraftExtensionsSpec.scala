@@ -30,6 +30,20 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim arity is validated with a message, not an index crash") {
+    graft.functions.GraftFunctions.register(spark)
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString("; ")
+    val tooFew = intercept[Throwable] {
+      spark.sql("SELECT cosine_sim(array(1.0D))").collect()
+    }
+    assert(messageChain(tooFew).contains("cosine_sim expects"))
+    val tooMany = intercept[Throwable] {
+      spark.sql("SELECT cosine_sim(array(1.0D), array(1.0D), array(1.0D))").collect()
+    }
+    assert(messageChain(tooMany).contains("cosine_sim expects"))
+  }
+
   test("extensions class is reflectively constructible (spark.sql.extensions path)") {
     // spark-submit --conf spark.sql.extensions=graft.GraftExtensions does
     // exactly this: Class.forName + no-arg constructor + apply

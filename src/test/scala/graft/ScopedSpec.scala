@@ -78,6 +78,40 @@ class ScopedSpec extends SparkSpec {
     ()
   }
 
+  test("TTL sweep splits a checkpoint+persist hybrid: cache freed, checkpoint spared then GC-reapable") {
+    Scoped.sweep(ttlMs = 0) // drain stale cross-suite entries first
+    spark.catalog.clearCache() // stale cross-suite cache entries would be
+    // re-compiled by this test's uncache and can trip attribute remapping
+    val baseline = liveBlocks()
+    def armHybrid(): Unit = {
+      val cp = spark.range(700).toDF("hyb").localCheckpoint()
+        .persist(StorageLevel.MEMORY_ONLY)
+      cp.count() // materialize the cache entry on top of the checkpoint
+      Scoped.releaseAfterUse(cp)
+      Thread.sleep(5)
+      val before = liveBlocks()
+      // TTL must NOT fully release (checkpoint half is lineage-unsafe)…
+      assert(Scoped.sweep(ttlMs = 0) === 0)
+      // …but must have dropped the cache entry and the strong hold
+      // (no consuming action here — that would fire the normal listener
+      // release and mask the GC path this test pins down)
+      assert(cp.storageLevel === StorageLevel.NONE, "cache half must be gone")
+      val after = awaitRelease(before - 1)
+      assert(after === before - 1, "exactly the cache block must drop")
+    }
+    armHybrid()
+    // with the strong hold cleared and the caller gone, the GC criterion
+    // must eventually reap the checkpoint blocks + listener
+    var swept = 0
+    val deadline = System.currentTimeMillis() + 30000
+    while (swept == 0 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(50); swept = Scoped.sweep()
+    }
+    assert(swept >= 1, "checkpoint half must be GC-reapable after TTL unpin")
+    assert(awaitRelease(baseline) === baseline)
+    ()
+  }
+
   test("TTL sweep is lineage-safe: reaps persist-backed, spares checkpoint-backed") {
     Scoped.sweep(ttlMs = 0) // drain stale cross-suite entries first
     val baseline = liveBlocks()

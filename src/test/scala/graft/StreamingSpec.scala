@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
 
+  test("anomalyStream: online z-score flags only post-warmup outliers, state carries across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // user 1: varied warmup (minPrior=5) then an extreme outlier;
+    // user 2: constant values then the same value again (never anomalous)
+    mem.addData(
+      Event(1, 1, "p", 1.00, ts(0)), Event(2, 1, "p", 1.02, ts(1)),
+      Event(3, 1, "p", 0.98, ts(2)), Event(4, 1, "p", 1.01, ts(3)),
+      Event(5, 1, "p", 0.99, ts(4)),
+      Event(11, 2, "p", 2.00, ts(0)), Event(12, 2, "p", 2.00, ts(1)),
+      Event(13, 2, "p", 2.00, ts(2)), Event(14, 2, "p", 2.00, ts(3)),
+      Event(15, 2, "p", 2.00, ts(4)), Event(16, 2, "p", 2.00, ts(5)))
+    // second batch exercises state carry-over: the outlier is scored
+    // against moments accumulated in batch 1
+    mem.addData(Event(6, 1, "p", 5.00, ts(6)), Event(17, 2, "p", 2.00, ts(6)))
+    val q = EventStreams.anomalyStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("anomalies").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(6L), s"only event 6 is anomalous: ${rows.toSeq}")
+    assert(rows(0)._3 > 3.0, "z must exceed the threshold")
+  }
+
+  test("anomalyStream: sigma-0 history flags any deviation with infinite z") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData((1 to 6).map(i => Event(i.toLong, 7L, "p", 3.00, ts(i))): _*)
+    mem.addData(Event(7, 7, "p", 3.01, ts(7)))
+    val q = EventStreams.anomalyStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("anomalies_sigma0")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("anomalies_sigma0").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(7L))
+    assert(rows(0)._2.isPosInfinity)
+  }
+
   test("dedupStream: duplicate payloads within the watermark are dropped once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -49,6 +49,14 @@ class TrianglesSpec extends SparkSpec {
     assert(countOf(Seq.empty) === ((0L, 0L, 0L)))
   }
 
+  test("duplicate input column names resolve positionally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dup = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("x", "y")
+      .select(col("x").as("id"), col("y").as("id"))
+    assert(Triangles.count(dup).collect()(0).getLong(2) === 1L)
+  }
+
   test("random graph agrees with brute-force enumeration") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
