@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Portable._
-import graft.core.Tables
+import graft.core.{Scoped, Tables}
 
 /** Text-analysis operators a training-data pipeline needs at scale:
   * language-ID (stopword-ratio heuristic), quality scoring, token counting
@@ -289,6 +289,101 @@ object TextOps {
             row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rk
           FROM f)
         SELECT lang, CAST(rk AS BIGINT) AS rk, term, df
-        FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
+        FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---- benchmark-contamination screening: flag training docs sharing
+    // any word-13-gram with a benchmark set, and report the containment
+    // fraction (shared / benchmark's grams) — the n-gram-overlap decontam
+    // check every LLM training pipeline runs before training. The
+    // benchmark set here is DERIVED (first-20-token prompts of doc_id%53
+    // docs, re-keyed +5M) so contamination exists by construction and the
+    // gate verifies the hit path, exactly like q30/q36's planted dups.
+    // Scale shape: benchmark n-grams are tiny (benchmarks are KBs-MBs, the
+    // corpus is the 100 TB side) — they BROADCAST to the corpus n-gram
+    // stream, so the corpus is touched once, map-side, with no corpus
+    // self-join and no shuffle of corpus grams; only the (rare) hits
+    // shuffle into the per-(bench,doc) count.
+    ("q77_contamination",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        def grams13(d: DataFrame): DataFrame = d
+          .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 13)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13)))")).as("gram"))
+          .distinct()
+        val bench = docs.filter(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            expr("concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))").as("text"))
+        val bg = grams13(bench)
+          .select(col("doc_id").as("bench_id"), col("gram"))
+          .localCheckpoint() // feeds the sizes agg and the probe join
+        Scoped.releaseAfterUse(bg)
+        val sizes = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+        grams13(docs)
+          .join(broadcast(bg), Seq("gram"))
+          .groupBy(col("bench_id"), col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes), Seq("bench_id"))
+          .select(col("bench_id"), col("doc_id"), col("n_shared"),
+            (floor(col("n_shared").cast("double") / col("n_bench") * 1e4 + 0.5) / 1e4).as("containment"))
+          .orderBy(col("bench_id"), col("doc_id"))
+      },
+      Some("""WITH bench AS (SELECT doc_id + 5000000 AS doc_id,
+            array_to_string(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 20), ' ') AS text
+          FROM documents WHERE doc_id % 53 = 0),
+        bw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
+        bg AS (SELECT DISTINCT doc_id AS bench_id,
+            unnest(list_transform(range(0, greatest(len(ws) - 12, 0)),
+              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' '))) AS gram
+          FROM bw WHERE len(ws) >= 13),
+        dw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        dg AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(0, greatest(len(ws) - 12, 0)),
+              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' '))) AS gram
+          FROM dw WHERE len(ws) >= 13),
+        sizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bg GROUP BY 1),
+        sh AS (SELECT bg.bench_id, dg.doc_id, COUNT(*) AS n_shared
+               FROM dg JOIN bg ON dg.gram = bg.gram GROUP BY 1, 2)
+        SELECT sh.bench_id, sh.doc_id, sh.n_shared,
+          floor(CAST(n_shared AS DOUBLE) / n_bench * 10000.0 + 0.5) / 10000.0 AS containment
+        FROM sh JOIN sizes ON sh.bench_id = sizes.bench_id
+        ORDER BY sh.bench_id, sh.doc_id""")),
+
+    // ---- within-document repetition ratio: fraction of duplicate word
+    // 3-grams — the Gopher/MassiveText-style quality rule that screens
+    // boilerplate/generated text before training. Pure per-row array
+    // expressions (no explode, no shuffle): the 3-gram list and its
+    // distinct count never leave the row, so this is a map-only pass at
+    // any corpus size. The size(ws) >= 3 guard matters: Spark's
+    // sequence(0, n) with n < 0 would generate a DESCENDING sequence,
+    // not an empty one.
+    ("q78_repetition",
+      (s: SparkSession, dir: String) => {
+        val r4 = (c: org.apache.spark.sql.Column) => floor(c * 1e4 + 0.5) / 1e4
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("g3", when(size(col("ws")) >= 3,
+            expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))"))
+            .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"),
+            size(col("g3")).cast("long").as("n_3grams"),
+            size(array_distinct(col("g3"))).cast("long").as("n_distinct"),
+            r4((size(col("g3")) - size(array_distinct(col("g3")))).cast("double")
+              / greatest(size(col("g3")), lit(1))).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        g AS (SELECT doc_id,
+            CASE WHEN len(ws) >= 3 THEN list_transform(range(0, len(ws) - 2),
+              i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+            ELSE [] END AS g3
+          FROM d)
+        SELECT doc_id,
+          CAST(len(g3) AS BIGINT) AS n_3grams,
+          CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+          floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+            / greatest(len(g3), 1) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+        FROM g ORDER BY doc_id"""))
   )
 }
