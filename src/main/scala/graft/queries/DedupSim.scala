@@ -702,15 +702,18 @@ object DedupSim {
         val shC = shingleDf(docs).localCheckpoint()
         val shD = shingleDf(delta).localCheckpoint()
         Scoped.releaseAfterUse(shC, shD)
-        val cand = minhashBands(shD)
-          .select(col("doc_id").as("id_delta"), col("band"), col("sig"))
+        // the delta side is the SMALL side by definition — broadcast its
+        // band signatures so the corpus index is probed map-side, and
+        // broadcast the candidate list into the verification joins
+        val cand = broadcast(minhashBands(shD)
+          .select(col("doc_id").as("id_delta"), col("band"), col("sig")))
           .join(minhashBands(shC)
             .select(col("doc_id").as("id_corpus"), col("band"), col("sig")),
             Seq("band", "sig"))
           .select(col("id_delta"), col("id_corpus")).distinct()
         val sizesC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val sizesD = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        cand
+        broadcast(cand)
           .join(shD.select(col("doc_id").as("id_delta"), col("shingle")), Seq("id_delta"))
           .join(shC.select(col("doc_id").as("id_corpus"), col("shingle")),
             Seq("id_corpus", "shingle"))
@@ -759,6 +762,56 @@ object DedupSim {
              JOIN sizes_c sc ON sc.doc_id = id_corpus
         WHERE CAST(common AS DOUBLE) / (sd.n + sc.n - common) >= 0.5
         ORDER BY id_delta, id_corpus"""
-      })
+      }),
+
+    // ---- dedup RESOLUTION: after clustering (q49), pick the canonical
+    // survivor per duplicate cluster — the doc with the most content
+    // (max n_chars, ties to the smallest id) — plus cluster stats. This
+    // is the step that actually shrinks the corpus: clusters in, one
+    // kept doc + a drop list out. One partitioned window over the
+    // (doc -> cluster) assignment joined with doc metadata; the shuffle
+    // keys on cluster_id, and cluster sizes are bounded by the near-dup
+    // blocking upstream, so no window partition can blow up.
+    ("q79_dedup_survivors",
+      (s: SparkSession, dir: String) => {
+        val cand = simhashCand(s, dir)
+        val labels = graft.graph.ConnectedComponents.assign(
+          cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+            .select(col("id_a"), col("id_b")))
+        Scoped.free(cand)
+        Scoped.releaseAfterUse(labels)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+        labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+          .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            w.orderBy(desc("n_chars"), asc("doc_id"))))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .withColumn("total_chars", sum(col("n_chars")).over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+            col("n_chars").as("survivor_chars"), col("n_members"),
+            col("total_chars").cast("long").as("total_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS v FROM e),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.u AS v, reach.r FROM reach JOIN e ON e.v = reach.v),
+        lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        m AS (SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+            row_number() OVER (PARTITION BY lab.cluster_id
+              ORDER BY d.n_chars DESC, lab.doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY lab.cluster_id) AS n_members,
+            SUM(d.n_chars) OVER (PARTITION BY lab.cluster_id) AS total_chars
+          FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
+        SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
+          n_members, CAST(total_chars AS BIGINT) AS total_chars
+        FROM m WHERE rk = 1 ORDER BY cluster_id"""))
   )
 }
