@@ -138,6 +138,55 @@ object CorpusSearch {
         FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
         ORDER BY tf.term, score DESC, tf.doc_id""")),
 
+    // ---- BM25 ranking (k1 = 1.2, b = 0.75) — the standard probabilistic
+    // retrieval scorer, beside the reference's tf·idf (q20): adds doc-
+    // length normalization (dl/avgdl) and the saturating tf term. Every
+    // double op is written in the IDENTICAL order in both engines
+    // (literals 2.2/1.2/0.25/0.75, one division shape), so parity holds
+    // bit-for-bit before the 4-dp floor. Shape: the probe-term tf table
+    // joins broadcast df + broadcast doc-length side tables; at 100 TB
+    // dl rides out of the same tokenize pass as tf (one scan), df and
+    // the corpus aggregates are broadcast scalars/dims.
+    ("q80_bm25",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count() // driver-side metadata agg, like ref A2
+        val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        val dl = docs.select(col("doc_id"), size(expr(tokensExpr)).cast("long").as("dl"))
+        val tot = dl.agg(sum(col("dl")).as("tot"))
+        val tf = toks.filter(col("term").isin(searchTerms: _*))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val avgdl = col("tot").cast("double") / lit(n.toDouble)
+        val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        val score = idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .join(broadcast(dl), Seq("doc_id"))
+          .crossJoin(broadcast(tot))
+          .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
+            (floor(score * 1e4 + 0.5) / 1e4).as("score"))
+          .orderBy(col("term"), desc("score"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS dl
+               FROM documents),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+               WHERE term IN ($searchTermsSqlList) GROUP BY term, doc_id),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+        SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+          floor(LN((CAST(n.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))
+            * 10000.0 + 0.5) / 10000.0 AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN tot CROSS JOIN n
+        ORDER BY tf.term, score DESC, tf.doc_id""")),
+
     // ---- inverted index build: term → (df, total tf) with the df-cutoff
     // (ref A7 + P5, invertedIndex.scala:89-96; cutoff 3000 at :93-94)
     ("q21_inverted_index",
