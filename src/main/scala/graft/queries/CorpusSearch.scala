@@ -151,8 +151,15 @@ object CorpusSearch {
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val n = docs.count() // driver-side metadata agg, like ref A2
+        // ONE tokenize pass feeds tf, df and doc length (checkpointed —
+        // three consumers; at 100 TB this is the persisted token table).
+        // Zero-token docs drop out of `toks`, which is harmless: they
+        // can't match a probe term, and their dl contribution to the
+        // avgdl total is 0 either way.
         val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
-        val dl = docs.select(col("doc_id"), size(expr(tokensExpr)).cast("long").as("dl"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(toks)
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         val tot = dl.agg(sum(col("dl")).as("tot"))
         val tf = toks.filter(col("term").isin(searchTerms: _*))
           .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -161,8 +168,10 @@ object CorpusSearch {
         val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
         val score = idf * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-        tf.join(broadcast(dfreq), Seq("term"))
-          .join(broadcast(dl), Seq("doc_id"))
+        // broadcast direction: the probe-term tf×df table is the SMALL
+        // side (terms in the query batch); dl is corpus-cardinality and
+        // stays the streamed probe side of the join
+        dl.join(broadcast(tf.join(broadcast(dfreq), Seq("term"))), Seq("doc_id"))
           .crossJoin(broadcast(tot))
           .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"),
             (floor(score * 1e4 + 0.5) / 1e4).as("score"))

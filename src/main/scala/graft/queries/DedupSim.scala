@@ -279,21 +279,13 @@ object DedupSim {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {
-        val minSql = (0 until numPerms).map { i =>
-          val (a, b) = perm(i)
-          s"MIN((x * $a + $b) % $P) AS m$i"
-        }.mkString(", ")
-        val bandSql = (0 until numBands).map { b =>
-          val sig = (0 until rowsPerBand).map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
-            .mkString(" || '-' || ")
-          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-        }.mkString(" UNION ALL ")
+        // single SQL generator shared with q76 — one place must mirror
+        // Portable.minhashPerm, not two
         s"""WITH $shinglesSql,
-          h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P) AS x FROM sh),
-          mh AS (SELECT doc_id, $minSql FROM h GROUP BY doc_id),
-          bands AS ($bandSql),
+          sh_s AS (SELECT doc_id, shingle FROM sh),
+          ${minhashBandsSql("s")},
           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
+                   FROM bands_s a JOIN bands_s b
                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
@@ -690,14 +682,17 @@ object DedupSim {
     ("q76_dedup_incremental",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
+        // id offsets on the 10^12 grid (q30's planted-dup convention):
+        // collision-free against real corpus ids and across branches at
+        // any realistic corpus size, unlike +1M-scale offsets
         val delta = docs.filter(col("doc_id") % 37 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .select((col("doc_id") + expr("1000000000000L")).as("doc_id"), col("text"))
           .unionAll(docs.filter(col("doc_id") % 41 === 0)
-            .select((col("doc_id") + 2000000).as("doc_id"),
+            .select((col("doc_id") + expr("2000000000000L")).as("doc_id"),
               concat(col("text"),
                 lit(" graft delta appended tokens marker")).as("text")))
           .unionAll(docs.filter(col("doc_id") % 43 === 0)
-            .select((col("doc_id") + 3000000).as("doc_id"),
+            .select((col("doc_id") + expr("3000000000000L")).as("doc_id"),
               reverse(col("text")).as("text")))
         val shC = shingleDf(docs).localCheckpoint()
         val shD = shingleDf(delta).localCheckpoint()
@@ -711,16 +706,23 @@ object DedupSim {
             .select(col("doc_id").as("id_corpus"), col("band"), col("sig")),
             Seq("band", "sig"))
           .select(col("id_delta"), col("id_corpus")).distinct()
-        val sizesC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // candidate PRE-FILTER before verification: only shingles of
+        // corpus docs that banded with some delta doc enter the verify
+        // join — without this, the whole corpus shingle table shuffles
+        // even when cand names a handful of ids (the merge-pre-filter
+        // pattern from InvertedIndex.merge)
+        val candIds = cand.select(col("id_corpus")).distinct()
+        val shCc = shC.select(col("doc_id").as("id_corpus"), col("shingle"))
+          .join(broadcast(candIds), Seq("id_corpus"), "left_semi")
+        val sizesC = shCc.groupBy(col("id_corpus")).agg(count(lit(1)).as("nc"))
         val sizesD = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         broadcast(cand)
           .join(shD.select(col("doc_id").as("id_delta"), col("shingle")), Seq("id_delta"))
-          .join(shC.select(col("doc_id").as("id_corpus"), col("shingle")),
-            Seq("id_corpus", "shingle"))
+          .join(shCc, Seq("id_corpus", "shingle"))
           .groupBy(col("id_delta"), col("id_corpus"))
           .agg(count(lit(1)).as("common"))
           .join(sizesD.select(col("doc_id").as("id_delta"), col("n").as("nd")), Seq("id_delta"))
-          .join(sizesC.select(col("doc_id").as("id_corpus"), col("n").as("nc")), Seq("id_corpus"))
+          .join(sizesC, Seq("id_corpus"))
           .filter(col("common").cast("double") / (col("nd") + col("nc") - col("common")) >= 0.5)
           .select(col("id_delta"), col("id_corpus"),
             round(col("common").cast("double") / (col("nd") + col("nc") - col("common")), 4).as("jaccard"))
@@ -728,12 +730,12 @@ object DedupSim {
       },
       Some {
         s"""WITH delta AS (
-          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
+          SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
           UNION ALL
-          SELECT doc_id + 2000000, text || ' graft delta appended tokens marker'
+          SELECT doc_id + 2000000000000, text || ' graft delta appended tokens marker'
           FROM documents WHERE doc_id % 41 = 0
           UNION ALL
-          SELECT doc_id + 3000000, reverse(text) FROM documents WHERE doc_id % 43 = 0),
+          SELECT doc_id + 3000000000000, reverse(text) FROM documents WHERE doc_id % 43 = 0),
         toks_c AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
         sh_c AS (SELECT DISTINCT doc_id,
                    unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),

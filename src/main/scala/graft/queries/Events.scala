@@ -318,9 +318,16 @@ object Events {
         val m = col("s1").cast("double") / col("n")
         val sd = sqrt(greatest(lit(0.0),
           col("s2").cast("double") / col("n") - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))))
+        // sd > 0 is part of the predicate, not just documentation: at the
+        // domain edge (~2^53-scale sums) cancellation can clamp sd to 0
+        // while the inexact mean keeps |v-m| > 0 — a numerical-noise
+        // "anomaly" whose z would be a divide-by-zero (NULL in Spark,
+        // inf in DuckDB). Excluding sd = 0 drops exactly those rows, in
+        // both engines.
         e.join(g, Seq("user_id"))
           .withColumn("m", m).withColumn("sd", sd)
-          .filter(abs(col("v100").cast("double") - col("m")) > lit(3.0) * col("sd"))
+          .filter(abs(col("v100").cast("double") - col("m")) > lit(3.0) * col("sd")
+            && col("sd") > 0.0)
           .select(col("event_id"), col("user_id"), col("value"),
             (floor((col("v100").cast("double") - col("m")) / col("sd") * 1e4 + 0.5) / 1e4).as("z"))
           .orderBy(col("event_id"))
@@ -338,7 +345,7 @@ object Events {
           FROM e JOIN g ON e.user_id = g.user_id)
         SELECT event_id, user_id, value,
           floor((CAST(v100 AS DOUBLE) - m) / sd * 10000.0 + 0.5) / 10000.0 AS z
-        FROM j WHERE abs(CAST(v100 AS DOUBLE) - m) > 3.0 * sd
+        FROM j WHERE abs(CAST(v100 AS DOUBLE) - m) > 3.0 * sd AND sd > 0.0
         ORDER BY event_id"""))
   )
 }

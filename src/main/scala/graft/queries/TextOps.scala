@@ -296,7 +296,7 @@ object TextOps {
     // fraction (shared / benchmark's grams) — the n-gram-overlap decontam
     // check every LLM training pipeline runs before training. The
     // benchmark set here is DERIVED (first-20-token prompts of doc_id%53
-    // docs, re-keyed +5M) so contamination exists by construction and the
+    // docs, re-keyed onto the 10^12 grid) so contamination exists by construction and the
     // gate verifies the hit path, exactly like q30/q36's planted dups.
     // Scale shape: benchmark n-grams are tiny (benchmarks are KBs-MBs, the
     // corpus is the 100 TB side) — they BROADCAST to the corpus n-gram
@@ -313,7 +313,7 @@ object TextOps {
             "transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13)))")).as("gram"))
           .distinct()
         val bench = docs.filter(col("doc_id") % 53 === 0)
-          .select((col("doc_id") + 5000000).as("doc_id"),
+          .select((col("doc_id") + expr("5000000000000L")).as("doc_id"),
             expr("concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))").as("text"))
         val bg = grams13(bench)
           .select(col("doc_id").as("bench_id"), col("gram"))
@@ -329,7 +329,7 @@ object TextOps {
             (floor(col("n_shared").cast("double") / col("n_bench") * 1e4 + 0.5) / 1e4).as("containment"))
           .orderBy(col("bench_id"), col("doc_id"))
       },
-      Some("""WITH bench AS (SELECT doc_id + 5000000 AS doc_id,
+      Some("""WITH bench AS (SELECT doc_id + 5000000000000 AS doc_id,
             array_to_string(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 20), ' ') AS text
           FROM documents WHERE doc_id % 53 = 0),
         bw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
