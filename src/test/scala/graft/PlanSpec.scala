@@ -105,4 +105,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "query-vector batch must broadcast")
   }
+
+  test("q76: corpus shingles are semi-join pre-filtered before verification") {
+    val p = plan("q76_dedup_incremental")
+    assert(p.contains("LeftSemi"),
+      "candidate pre-filter must plan as a left-semi join on the corpus side")
+    assert(p.contains("BroadcastExchange"), "candidate id set must broadcast")
+  }
+
+  test("q80: probe-term tf side broadcasts into the doc-length probe") {
+    val p = plan("q80_bm25")
+    assert(p.contains("BroadcastExchange"), "tf x df side must broadcast")
+  }
 }
