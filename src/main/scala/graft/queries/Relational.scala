@@ -509,6 +509,64 @@ object Relational {
           floor(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) * 10000.0 + 0.5) / 10000.0 AS p50,
           floor(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) * 10000.0 + 0.5) / 10000.0 AS p75,
           COUNT(*) AS n
-        FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, yr"""))
+        FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, yr""")),
+
+    // ---- CSV serde round-trip: to_csv(struct) → from_csv(schema) must be
+    // the identity on simple types, verified by aggregating the
+    // round-tripped rows against the oracle's DIRECT aggregation of the
+    // source table — a mis-parse (wrong column order, locale decimal,
+    // lossy double) breaks the hash. This is the ingest-side serde
+    // surface: both directions run as codegen'd expressions, so a
+    // CSV-shaped ingest is a map-only pass at any scale.
+    ("q81_csv_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        val schema = "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+          .select(to_csv(struct(cols.map(col): _*)).as("line"))
+          .select(from_csv(col("line"), lit(schema),
+            new java.util.HashMap[String, String]()).as("r"))
+          .select(cols.map(c => col(s"r.$c").as(c)): _*)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_key"),
+            sum(col("l_linenumber")).cast("long").as("sum_line"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+          CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- JSON serde round-trip: to_json(struct) → from_json(schema),
+    // same identity-under-aggregation gate as q81. JSON is the wire
+    // format of the event feeds (q52 extracts from it); this pins the
+    // producer side too.
+    ("q82_json_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING"
+        t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+          .select(to_json(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))).as("js"))
+          .select(from_json(col("js"), lit(schema),
+            new java.util.HashMap[String, String]()).as("r"))
+          .select(col("r.o_orderkey").as("o_orderkey"),
+            col("r.o_custkey").as("o_custkey"),
+            col("r.o_totalprice").as("o_totalprice"),
+            col("r.o_orderstatus").as("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        FROM orders WHERE o_orderkey % 50 = 0
+        GROUP BY 1 ORDER BY o_orderstatus"""))
   )
 }
