@@ -346,6 +346,34 @@ object Events {
         SELECT event_id, user_id, value,
           floor((CAST(v100 AS DOUBLE) - m) / sd * 10000.0 + 0.5) / 10000.0 AS z
         FROM j WHERE abs(CAST(v100 AS DOUBLE) - m) > 3.0 * sd AND sd > 0.0
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- time-series gap fill (densification): an hourly rollup has no
+    // row for an hour with no events, which breaks window arithmetic and
+    // chart axes downstream — generate the full hour spine between the
+    // observed bounds and left-join the aggregate onto it, zero-filling
+    // gaps. The spine derives from a 2-value bounds aggregate (broadcast
+    // scalar), so it costs nothing next to the event scan; the fill join
+    // keys on the hour, same as the rollup shuffle.
+    ("q83_gap_fill",
+      (s: SparkSession, dir: String) => {
+        val hourly = ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("us div 3600000000").as("hour"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        val spine = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("hour"))
+        spine.join(hourly, Seq("hour"), "left_outer")
+          .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b)
+        SELECT spine.hour, COALESCE(h.n, 0) AS n, COALESCE(h.total, 0.0) AS total
+        FROM spine LEFT JOIN h ON spine.hour = h.hour ORDER BY spine.hour"""))
   )
 }

@@ -384,6 +384,43 @@ object TextOps {
           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
           floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
             / greatest(len(g3), 1) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
-        FROM g ORDER BY doc_id"""))
+        FROM g ORDER BY doc_id""")),
+
+    // ---- sequence packing: assign docs to fixed 2048-token context bins
+    // by running token count in doc order — the batch-construction step
+    // of a pretraining pipeline (greedy sequential packing; bin id =
+    // floor((cumsum-1)/2048) so a doc ending exactly on the boundary
+    // stays in its bin). The global-order window here matches the
+    // fixture's single logical shard; at 100 TB packing is per OUTPUT
+    // SHARD — Window.partitionBy(shard).orderBy(doc_id) — so no global
+    // sort exists, just a per-shard cumulative sum.
+    ("q84_sequence_packing",
+      (s: SparkSession, dir: String) => {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", expr("(cum - 1) div 2048"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, n_tok,
+            SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT CAST((cum - 1) // 2048 AS BIGINT) AS bin,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY bin"""))
   )
 }
