@@ -814,6 +814,68 @@ object DedupSim {
           FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
         SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
           n_members, CAST(total_chars AS BIGINT) AS total_chars
-        FROM m WHERE rk = 1 ORDER BY cluster_id"""))
+        FROM m WHERE rk = 1 ORDER BY cluster_id""")),
+
+    // ---- deterministic per-group min-wise sample: the k docs with the
+    // SMALLEST md5-derived hash per language — a fixed-size, seed-free,
+    // re-run-stable sample per stratum (the "show me 10 random docs per
+    // language" debugging/eval-set primitive; complements q48, which
+    // applies a RATE per stratum). Hash-ordering makes it exactly
+    // reproducible in DuckDB. The window is one shuffle on lang; at
+    // 100 TB with few giant strata the two-phase variant applies (per-
+    // partition top-k, then merge k·P candidates — see MinwiseSpec for
+    // the library form's equivalence).
+    ("q88_minwise_sample",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("hk", hash32(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("hk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS hk
+          FROM documents),
+        r AS (SELECT lang, doc_id, hk,
+            row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+          FROM h)
+        SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hk
+        FROM r WHERE rk <= 10 ORDER BY lang, rk""")),
+
+    // ---- Bloom-prefiltered semi-join: build a 16 KB Bloom filter over the
+    // (small) filtered-orders key set, pre-filter the lineitem scan with
+    // codegen'd bit tests, THEN run the exact semi-join on survivors —
+    // the explicit runtime-filter pattern (core/Bloom.scala). The oracle
+    // is the plain semi-join: Bloom false positives are removed by the
+    // exact join, so the result is identical while the 100 TB probe side
+    // sends only sketch-passing rows into the shuffle. BloomSpec pins the
+    // no-false-negative property and the pre-filter's selectivity.
+    ("q90_bloom_semi_join",
+      (s: SparkSession, dir: String) => {
+        val build = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"))
+        val bloom = graft.core.Bloom.build(build, col("o_orderkey"))
+        t(s, dir, "lineitem")
+          .filter(bloom.mightContain(col("l_orderkey")))
+          .join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            sum(col("l_orderkey")).as("sum_key"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        FROM lineitem WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+        GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

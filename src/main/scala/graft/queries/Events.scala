@@ -374,6 +374,54 @@ object Events {
         b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
         spine AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b)
         SELECT spine.hour, COALESCE(h.n, 0) AS n, COALESCE(h.total, 0.0) AS total
-        FROM spine LEFT JOIN h ON spine.hour = h.hour ORDER BY spine.hour"""))
+        FROM spine LEFT JOIN h ON spine.hour = h.hour ORDER BY spine.hour""")),
+
+    // ---- interval overlap-merge (gaps-and-islands): give each event a
+    // 5-minute activity interval and coalesce overlapping/touching
+    // intervals per user into maximal islands — the range-dedup /
+    // coverage primitive (distinct from q51: sessionize splits on a GAP
+    // between POINTS; this merges RANGES that overlap). Classic single-
+    // window formulation: an interval starts a new island iff its start
+    // exceeds the running max of all previous ends; the island id is the
+    // running sum of those start flags. One shuffle on user_id, two
+    // windows over the same (user, start, event_id) order, then the
+    // per-island rollup reuses the same partitioning. Deterministic:
+    // (us, event_id) is a total order within a user.
+    ("q92_interval_merge",
+      (s: SparkSession, dir: String) => {
+        val lenUs = 300000000L // 5 min
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+        val prevMaxEnd = max(col("en"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("us").as("st"),
+            (col("us") + lit(lenUs)).as("en"))
+          .withColumn("flag",
+            when(prevMaxEnd.isNull || col("st") > prevMaxEnd, 1L).otherwise(0L))
+          .withColumn("island", sum(col("flag"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("start_us"), max(col("en")).as("end_us"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("island"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+            epoch_us(ts) + 300000000 AS en
+          FROM events),
+        f AS (SELECT user_id, event_id, st, en,
+            CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS flag
+          FROM iv),
+        g AS (SELECT user_id, event_id, st, en,
+            CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY st, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+          FROM f)
+        SELECT user_id, island, MIN(st) AS start_us, MAX(en) AS end_us,
+          COUNT(*) AS n_events
+        FROM g GROUP BY 1, 2 ORDER BY user_id, island"""))
   )
 }

@@ -567,6 +567,113 @@ object Relational {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         FROM orders WHERE o_orderkey % 50 = 0
-        GROUP BY 1 ORDER BY o_orderstatus"""))
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ---- ORC sink + source round-trip: parquet → ORC files → read back
+    // with a filter, aggregate. Completes the columnar-format surface
+    // (parquet native, CSV/JSON via q81/q82 expressions, ORC here as real
+    // files). The read-back filter sits directly on the ORC scan so ORC's
+    // predicate pushdown + column pruning engage (same Catalyst path as
+    // parquet); the oracle runs the identical filter+aggregate on the
+    // source parquet, so any serde loss (timestamp precision, double
+    // rounding, string escaping) breaks the hash. The write is a one-pass
+    // map-only job at any scale.
+    ("q85_orc_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val out = System.getProperty("java.io.tmpdir") + "/graft_q85_orc"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderdate"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("o_totalprice") > 150000.0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(col("o_custkey")).as("sum_cust"),
+            min(year(col("o_orderdate")).cast("long")).as("min_yr"),
+            max(year(col("o_orderdate")).cast("long")).as("max_yr"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(MIN(EXTRACT(YEAR FROM o_orderdate)) AS BIGINT) AS min_yr,
+          CAST(MAX(EXTRACT(YEAR FROM o_orderdate)) AS BIGINT) AS max_yr
+        FROM orders WHERE o_totalprice > 150000.0
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ---- CDC upsert (MERGE): apply a change batch — updates (price bump,
+    // status 'U') and inserts (re-keyed onto the 10^12 grid, status 'N') —
+    // to the orders table via graft.maintenance.Upsert, then aggregate the
+    // merged state. The batch is DERIVED from orders so matched and
+    // unmatched rows both exist by construction and the gate verifies both
+    // paths (replaced rows must not double-count; inserts must survive).
+    // Scale: Upsert broadcasts the batch's key set, so the pass over the
+    // 100 TB target is a map-only broadcast anti join — no target shuffle.
+    ("q86_cdc_upsert",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        val upd = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .withColumn("o_orderstatus", lit("U"))
+        val ins = base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + expr("7000000000000L")).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit("N").as("o_orderstatus"))
+        graft.maintenance.Upsert(base, upd.unionByName(ins), Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+            'U' AS o_orderstatus FROM base WHERE o_orderkey % 97 = 0),
+        ins AS (SELECT o_orderkey + 7000000000000 AS o_orderkey, o_custkey,
+            o_totalprice, 'N' AS o_orderstatus FROM base WHERE o_orderkey % 101 = 0),
+        src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        merged AS (
+          SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          UNION ALL SELECT * FROM src)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        FROM merged GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ---- z-order (Morton) layout: interleave (l_partkey, l_suppkey) into
+    // a 32-bit z-value and report the per-z-range min/max rectangle of
+    // both dimensions — exactly the zone-map statistics a z-clustered
+    // file layout gives the scan planner. The gate pins the bit-interleave
+    // arithmetic against the oracle's identical shift/mask chain; the
+    // rectangles being BOUNDED in both dims (unlike a single-column sort,
+    // which is unbounded in the other dim) is what makes 2-D data skipping
+    // work at 100 TB — see core/ZOrder.scala and ZOrderSpec for the
+    // skipping-quality property. Bucketing by z >> 16 is a pure map
+    // (no global sort needed to measure layout quality); the actual
+    // rewrite would `repartitionByRange(zvalue)` + sortWithinPartitions.
+    ("q87_zorder_layout",
+      (s: SparkSession, dir: String) => {
+        import graft.core.ZOrder
+        t(s, dir, "lineitem")
+          .select((col("l_partkey") % 65536).as("x"),
+            (col("l_suppkey") % 65536).as("y"))
+          .withColumn("z", ZOrder.zvalue16(col("x"), col("y")))
+          .groupBy(shiftright(col("z"), 16).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy(col("zbucket"))
+      },
+      Some(s"""WITH c AS (SELECT (l_partkey % 65536) AS x, (l_suppkey % 65536) AS y
+            FROM lineitem),
+          z AS (SELECT x, y, ${graft.core.ZOrder.sqlZvalue16("x", "y")} AS z FROM c)
+          SELECT (z >> 16) AS zbucket, COUNT(*) AS n,
+            MIN(x) AS min_x, MAX(x) AS max_x,
+            MIN(y) AS min_y, MAX(y) AS max_y
+          FROM z GROUP BY 1 ORDER BY zbucket"""))
   )
 }

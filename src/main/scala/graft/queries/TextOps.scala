@@ -421,6 +421,93 @@ object TextOps {
           COUNT(*) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c GROUP BY 1 ORDER BY bin"""))
+        FROM c GROUP BY 1 ORDER BY bin""")),
+
+    // ---- unigram-LM surprisal scoring (the cheap stand-in for a
+    // perplexity quality filter): fit a unigram model over the corpus'
+    // own tokens, then score each doc by average negative log-probability
+    // and keep the 20 most surprising — exactly the "drop gibberish /
+    // boilerplate outliers" filter step of an LLM data pipeline. Float
+    // parity discipline: ln() is evaluated ONCE PER DISTINCT TERM on the
+    // model side and immediately quantized to an integer 1e-4 grid, so
+    // the per-doc aggregation is pure integer arithmetic (order-free) and
+    // the final division is one IEEE-exact double op in both engines.
+    // Scale: the model is vocabulary-sized — broadcast here; for a
+    // web-scale vocabulary swap the broadcast for a shuffle join on term
+    // (both sides already hash-partitioned by term) and checkpoint the
+    // token stream instead of re-deriving it.
+    ("q89_unigram_surprisal",
+      (s: SparkSession, dir: String) => {
+        def toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val lp = model.crossJoin(broadcast(total))
+          .select(col("term"),
+            floor(log(col("cnt").cast("double") / col("n_total").cast("double"))
+              * 1e4 + 0.5).as("lp4"))
+        toks.join(broadcast(lp), Seq("term"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lp4")).as("slp"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (floor(-col("slp") / col("n_tokens") + 0.5) / 1e4).as("avg_nll"))
+          .orderBy(desc("avg_nll"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        model AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        lp AS (SELECT term,
+            floor(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 10000.0 + 0.5) AS lp4
+          FROM model, tot),
+        sc AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
+            CAST(SUM(lp4) AS BIGINT) AS slp
+          FROM toks JOIN lp USING (term) GROUP BY 1, 2)
+        SELECT doc_id, lang, n_tokens,
+          floor(-CAST(slp AS DOUBLE) / n_tokens + 0.5) / 10000.0 AS avg_nll
+        FROM sc ORDER BY avg_nll DESC, doc_id LIMIT 20""")),
+
+    // ---- training-mixture planning: given target language shares and a
+    // token budget, derive the per-language sampling RATE (capped at 1 —
+    // you cannot upsample what you don't have) and the planned token
+    // yield. This is the aggregate-side companion to q48 (which APPLIES a
+    // rate deterministically): one tiny per-language aggregate over the
+    // corpus, then pure literal arithmetic — the planning step costs one
+    // map-side-combined groupBy at any corpus size. Rates are quantized
+    // to the 1e-6 grid with the floor(+0.5) idiom so both engines agree.
+    ("q91_mixture_plan",
+      (s: SparkSession, dir: String) => {
+        val budget = 1000000.0
+        val share = when(col("lang") === "en", 0.30)
+          .when(col("lang") === "de", 0.20)
+          .when(col("lang") === "fr", 0.20)
+          .when(col("lang") === "es", 0.15)
+          .otherwise(0.15)
+        t(s, dir, "documents")
+          .select(col("lang"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("rate",
+            floor(least(lit(1.0), share * budget / col("n_tokens")) * 1e6 + 0.5) / 1e6)
+          .withColumn("planned_tokens",
+            floor(col("rate") * col("n_tokens") + 0.5))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH a AS (SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        r AS (SELECT lang, n_docs, n_tokens,
+            floor(least(1.0, (CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20
+              WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15 ELSE 0.15 END) * 1000000.0
+              / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS rate
+          FROM a)
+        SELECT lang, n_docs, n_tokens, rate,
+          CAST(floor(rate * n_tokens + 0.5) AS BIGINT) AS planned_tokens
+        FROM r ORDER BY lang"""))
   )
 }
