@@ -823,8 +823,7 @@ object DedupSim {
     // applies a RATE per stratum). Hash-ordering makes it exactly
     // reproducible in DuckDB. The window is one shuffle on lang; at
     // 100 TB with few giant strata the two-phase variant applies (per-
-    // partition top-k, then merge k·P candidates — see MinwiseSpec for
-    // the library form's equivalence).
+    // partition top-k, then merge k·P candidates ).
     ("q88_minwise_sample",
       (s: SparkSession, dir: String) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -853,7 +852,7 @@ object DedupSim {
     // the explicit runtime-filter pattern (core/Bloom.scala). The oracle
     // is the plain semi-join: Bloom false positives are removed by the
     // exact join, so the result is identical while the 100 TB probe side
-    // sends only sketch-passing rows into the shuffle. BloomSpec pins the
+    // sends only sketch-passing rows into the shuffle. LayoutToolsSpec pins the
     // no-false-negative property and the pre-filter's selectivity.
     ("q90_bloom_semi_join",
       (s: SparkSession, dir: String) => {

@@ -651,7 +651,7 @@ object Relational {
     // arithmetic against the oracle's identical shift/mask chain; the
     // rectangles being BOUNDED in both dims (unlike a single-column sort,
     // which is unbounded in the other dim) is what makes 2-D data skipping
-    // work at 100 TB — see core/ZOrder.scala and ZOrderSpec for the
+    // work at 100 TB — see core/ZOrder.scala and LayoutToolsSpec for the
     // skipping-quality property. Bucketing by z >> 16 is a pure map
     // (no global sort needed to measure layout quality); the actual
     // rewrite would `repartitionByRange(zvalue)` + sortWithinPartitions.
