@@ -530,6 +530,86 @@ object CorpusSearch {
           WHERE x.iter IS NOT NULL)
         SELECT title, ROUND(pr, 6) AS pr, CAST($it AS BIGINT) AS iterations
         FROM pr WHERE iter = $it ORDER BY title"""
-      })
+      }),
+
+    // ---- PERSONALIZED PageRank: teleport mass lands only on a seed set
+    // (titles with hash32 % 10 == 0 — ~10% of pages, md5-derived so the
+    // oracle selects the identical set) instead of uniformly — the
+    // query-dependent ranking variant (seed = "pages about X", rank =
+    // proximity to the seeds). Same loop/checkpoint/quantization
+    // discipline as q29 (fixed 5 iterations, per-iteration 1e-9 grid);
+    // the dangling NULL-vertex wiring stays uniform, as in the base
+    // graph semantics — only the teleport term is personalized. The seed
+    // share 0.15/|S| is computed ONCE driver-side and enters the plan as
+    // one double literal, so both engines do the identical division.
+    ("q95_personalized_pagerank",
+      (s: SparkSession, dir: String) => {
+        val g0 = GraphBuilder.build(keyGraphDocs(s, dir)).localCheckpoint()
+        val seed = graft.core.Portable.hash32(col("title")) % 10 === 0
+        val ns = g0.filter(seed).count()
+        val edges = g0.select(col("title").as("src"),
+          explode(col("links")).as("dst"), size(col("links")).as("outdeg"))
+          .localCheckpoint()
+        var pr = g0.select(col("title"), col("pr"))
+        var cp: DataFrame = null
+        for (i <- 1 to 5) {
+          val mass = edges.join(pr.withColumnRenamed("title", "src"), Seq("src"))
+            .groupBy(col("dst").as("title"))
+            .agg(sum(col("pr") / col("outdeg")).as("mass"))
+          var next = g0.select(col("title"))
+            .join(mass, Seq("title"), "left_outer")
+            .select(col("title"),
+              (floor((when(seed, lit(0.15 / ns)).otherwise(lit(0.0))
+                + lit(0.85) * coalesce(col("mass"), lit(0.0)))
+                * 1e9 + 0.5) / 1e9).as("pr"))
+          if (i % 3 == 0) {
+            val c = next.localCheckpoint()
+            if (cp != null) Scoped.free(cp)
+            cp = c
+            next = c
+          }
+          pr = next
+        }
+        Scoped.releaseAfterUse(g0, edges, cp)
+        pr.orderBy(col("title"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        realedges AS (SELECT DISTINCT src, dst FROM rawedges
+                      WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM realedges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        verts AS (SELECT title FROM g),
+        sn AS (SELECT 0.15 / COUNT(*) AS share FROM g
+               WHERE ('0x' || substr(md5(title), 1, 8))::BIGINT % 10 = 0),
+        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
+        pr AS (
+          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.title,
+              floor(((CASE WHEN ('0x' || substr(md5(t.title), 1, 8))::BIGINT % 10 = 0
+                    THEN (SELECT share FROM sn) ELSE 0.0 END)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1000000000.0 + 0.5)
+                / 1000000000.0 AS pr
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM pr p JOIN edges2 e ON p.title = e.src
+              WHERE p.iter < 5
+              GROUP BY 1, 2) m
+            ON t.title = m.title) x
+          WHERE x.iter IS NOT NULL)
+        SELECT title, pr FROM pr WHERE iter = 5 ORDER BY title"""))
   )
 }

@@ -674,6 +674,88 @@ object Relational {
           SELECT (z >> 16) AS zbucket, COUNT(*) AS n,
             MIN(x) AS min_x, MAX(x) AS max_x,
             MIN(y) AS min_y, MAX(y) AS max_y
-          FROM z GROUP BY 1 ORDER BY zbucket"""))
+          FROM z GROUP BY 1 ORDER BY zbucket""")),
+
+    // ---- SCD2 historization: three derived snapshot versions of a key
+    // subset of orders (price drifts per version) collapsed into
+    // [valid_from, valid_to) interval rows with a current flag —
+    // maintenance.Scd2's single-window formulation (no version-to-
+    // successor self-join). The key subset (o_orderkey % 499 == 0) keeps
+    // the gate output small while all three version shapes (start, middle,
+    // open-ended current) occur by construction.
+    ("q93_scd2_history",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val snaps = base.select(col("o_orderkey"), lit(1L).as("version"),
+            col("o_totalprice").as("price"))
+          .unionByName(base.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), lit(2L).as("version"),
+              (col("o_totalprice") + lit(1.0)).as("price")))
+          .unionByName(base.filter(col("o_orderkey") % 4 === 0)
+            .select(col("o_orderkey"), lit(3L).as("version"),
+              (col("o_totalprice") + lit(2.0)).as("price")))
+        graft.maintenance.Scd2.historize(snaps, Seq("o_orderkey"), col("version"))
+          .select(col("o_orderkey"), col("valid_from"),
+            coalesce(col("valid_to"), lit(0L)).as("valid_to"),
+            col("is_current"), col("price"))
+          .orderBy(col("o_orderkey"), col("valid_from"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 499 = 0),
+        snaps AS (
+          SELECT o_orderkey, 1 AS version, o_totalprice AS price FROM base
+          UNION ALL
+          SELECT o_orderkey, 2, o_totalprice + 1.0 FROM base WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, o_totalprice + 2.0 FROM base WHERE o_orderkey % 4 = 0),
+        h AS (SELECT o_orderkey, CAST(version AS BIGINT) AS valid_from,
+            CAST(lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+              AS BIGINT) AS valid_to,
+            price
+          FROM snaps)
+        SELECT o_orderkey, valid_from, COALESCE(valid_to, 0) AS valid_to,
+          (valid_to IS NULL) AS is_current, price
+        FROM h ORDER BY o_orderkey, valid_from""")),
+
+    // ---- mergeable histogram quantiles: the promised SCALE path for q71
+    // (exact percentile() needs per-group sorted values; a fixed-bin
+    // histogram is additive, so billion-row groups reduce to a bin-count
+    // vector via ordinary partial aggregation, and the quantile is read
+    // off the cumulative counts). l_quantity is integral in [1, 50], so
+    // bin = floor(qty) makes the estimate deterministic integer arithmetic
+    // — the gate pins the whole cumulative-read-off, engine-exactly.
+    // p_q = smallest bin with cum ≥ ceil(q·total), via the
+    // multiply-through form (4·cum ≥ q·4·total avoids any float).
+    ("q94_histogram_quantile",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), floor(col("l_quantity")).as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("total", sum(col("cnt")).over(
+            Window.partitionBy(col("l_returnflag"))))
+          .groupBy(col("l_returnflag"))
+          .agg(min(when(col("cum") * 4 >= col("total"), col("bin"))).as("p25"),
+            min(when(col("cum") * 2 >= col("total"), col("bin"))).as("p50"),
+            min(when(col("cum") * 4 >= col("total") * 3, col("bin"))).as("p75"),
+            max(col("total")).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS bin,
+            COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, bin, cnt,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+          FROM b)
+        SELECT l_returnflag,
+          MIN(CASE WHEN cum * 4 >= total THEN bin END) AS p25,
+          MIN(CASE WHEN cum * 2 >= total THEN bin END) AS p50,
+          MIN(CASE WHEN cum * 4 >= total * 3 THEN bin END) AS p75,
+          MAX(total) AS n
+        FROM c GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }
