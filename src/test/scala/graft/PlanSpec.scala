@@ -117,4 +117,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("q80_bm25")
     assert(p.contains("BroadcastExchange"), "tf x df side must broadcast")
   }
+
+  test("q85: read-back filter is pushed into the ORC scan") {
+    val p = plan("q85_orc_roundtrip")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]")
+      || (p.contains("GreaterThan(o_totalprice") && p.contains("PushedFilters")),
+      "price filter must reach the ORC scan:\n" + p.take(1200))
+  }
+
+  test("q86: upsert's anti join broadcasts the batch key set (no target shuffle)") {
+    val p = plan("q86_cdc_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "CDC key set must broadcast into a LeftAnti join:\n" + p.take(1200))
+  }
+
+  test("q90: bloom pre-filter stays in the scan stage before the semi join") {
+    val p = plan("q90_bloom_semi_join")
+    // the sketch bit tests compile to shiftright/AND over a literal array
+    val filterIdx = p.indexOf("shiftright")
+    assert(filterIdx >= 0, "bloom bit-test filter missing:\n" + p.take(1200))
+    assert(p.contains("LeftSemi"), "exact semi join must follow the sketch")
+    // map-side property: the tree prints parent-above-child, so between
+    // the bit-test Filter and the lineitem scan it guards there must be
+    // NO Exchange — the sketch runs in the scan stage, pre-shuffle
+    val below = p.substring(filterIdx)
+    val scanOff = below.indexOf("Scan")
+    assert(scanOff >= 0, "no scan below the bloom filter:\n" + p.take(1200))
+    assert(!below.take(scanOff).contains("Exchange"),
+      "bloom filter must run map-side, directly over the scan:\n" + p.take(1200))
+  }
 }
