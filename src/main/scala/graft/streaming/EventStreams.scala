@@ -184,4 +184,45 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** Streaming CDC apply: maintain a parquet serving table by MERGE-ing
+    * each micro-batch through [[graft.maintenance.Upsert]] — the
+    * streaming twin of q86 (a crawl feed continuously upserting a
+    * serving corpus). Within a batch, `seqCol` breaks multi-version keys
+    * (highest wins) so replays and bursty feeds apply deterministically;
+    * across failures foreachBatch may re-run a batch, and the apply is
+    * idempotent (re-merging the same batch lands the identical state).
+    *
+    * Scale: the batch is small relative to the table, so the merge is
+    * Upsert's broadcast anti join. The wholesale rewrite here is the
+    * single-node stand-in for a partition-scoped rewrite (only
+    * partitions containing batch keys) or a MERGE-capable table format;
+    * the localCheckpoint materializes the merged state before the
+    * overwrite so the plan never reads the path it is replacing. */
+  def upsertStream(changes: DataFrame, keys: Seq[String], seqCol: String,
+      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val latest = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val hPath = new org.apache.hadoop.fs.Path(tablePath)
+        val exists = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(hPath)
+        val merged =
+          if (exists)
+            graft.maintenance.Upsert(
+              s.read.parquet(tablePath).select(batch.columns.map(col): _*),
+              latest, keys)
+          else latest
+        val snap = merged.localCheckpoint()
+        try snap.write.mode("overwrite").parquet(tablePath)
+        finally graft.core.Scoped.free(snap)
+      }
+      .start()
 }

@@ -202,4 +202,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).sorted
     assert(rows.toSeq === Seq(1L, 3L), "first arrival per content hash survives")
   }
+
+  test("upsertStream: serving table converges to latest-per-key across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("serve").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("serveckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    def start() = EventStreams.upsertStream(
+      mem.toDF().toDF("k", "payload", "seq"), Seq("k"), "seq", table, ckpt)
+
+    // batch 1: two inserts
+    mem.addData((1L, "a1", 10L), (2L, "b1", 11L))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val s1 = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(s1.toSeq === Seq((1L, "a1"), (2L, "b1")))
+
+    // batch 2: two versions of k=1 in ONE batch (highest seq wins) + insert
+    mem.addData((1L, "a2-stale", 20L), (1L, "a3", 21L), (3L, "c1", 22L))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val s2 = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(s2.toSeq === Seq((1L, "a3"), (2L, "b1"), (3L, "c1")),
+      "update replaces, insert appends, untouched keys survive")
+  }
 }
