@@ -35,10 +35,12 @@ object ZOrder {
   def zvalue16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
-  /** The same spread as nested ANSI SQL over expression string `e`
-    * (DuckDB-compatible; `&`/`|`/`<<` are 64-bit there too). */
+  /** The same spread as nested ANSI SQL over expression string `e`. The
+    * input is CAST to BIGINT first: DuckDB keeps `&`/`<<` in the
+    * operand's own width, and a 32-bit INTEGER input overflows at the
+    * final `<< 1` once the spread reaches 0x55555555. */
   def sqlSpread16(e: String): String =
-    Steps.foldLeft(s"($e & 65535)") { case (s, (sh, m)) =>
+    Steps.foldLeft(s"(CAST($e AS BIGINT) & 65535)") { case (s, (sh, m)) =>
       s"(($s | ($s << $sh)) & $m)"
     }
 

@@ -21,11 +21,19 @@ object Upsert {
 
   /** Last-writer-wins upsert: rows of `source` replace rows of `target`
     * that share the same `keys` tuple; unmatched source rows are inserted.
-    * Both inputs must carry the same columns (by name). */
+    * Both inputs must carry the same columns (by name). Key matching is
+    * NULL-SAFE (`<=>`): a NULL key in the batch replaces the NULL-key row
+    * in the target instead of appending a fresh duplicate every apply —
+    * plain equality never matches NULL = NULL, which would break
+    * last-writer-wins for exactly the malformed rows most likely to
+    * recur in every batch. */
   def apply(target: DataFrame, source: DataFrame, keys: Seq[String],
             broadcastKeys: Boolean = true): DataFrame = {
-    val srcKeys0 = source.select(keys.map(col): _*).distinct()
+    val srcKeys0 = keys.foldLeft(source.select(keys.map(col): _*).distinct()) {
+      (d, k) => d.withColumnRenamed(k, s"_src_$k")
+    }
     val srcKeys = if (broadcastKeys) broadcast(srcKeys0) else srcKeys0
-    target.join(srcKeys, keys, "left_anti").unionByName(source)
+    val cond = keys.map(k => col(k) <=> col(s"_src_$k")).reduce(_ && _)
+    target.join(srcKeys, cond, "left_anti").unionByName(source)
   }
 }

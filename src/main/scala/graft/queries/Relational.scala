@@ -580,7 +580,10 @@ object Relational {
     // map-only job at any scale.
     ("q85_orc_roundtrip",
       (s: SparkSession, dir: String) => {
-        val out = System.getProperty("java.io.tmpdir") + "/graft_q85_orc"
+        // unique dir per invocation: a fixed path would let concurrent
+        // harness runs (Verify vs sbt test, two sf dirs) overwrite each
+        // other's input mid-read
+        val out = java.nio.file.Files.createTempDirectory("graft_q85_orc_").toString
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderstatus"), col("o_orderdate"))

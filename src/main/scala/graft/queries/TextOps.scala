@@ -441,8 +441,14 @@ object TextOps {
         def toks = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        // the model is materialized once (vocabulary-sized) and feeds BOTH
+        // the total and the per-term quantization — without the checkpoint,
+        // deriving the corpus token total would cost a third full
+        // tokenize pass over the documents scan
         val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val total = toks.agg(count(lit(1)).as("n_total"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(model)
+        val total = model.agg(sum(col("cnt")).as("n_total"))
         val lp = model.crossJoin(broadcast(total))
           .select(col("term"),
             floor(log(col("cnt").cast("double") / col("n_total").cast("double"))

@@ -189,16 +189,24 @@ object EventStreams {
     * each micro-batch through [[graft.maintenance.Upsert]] — the
     * streaming twin of q86 (a crawl feed continuously upserting a
     * serving corpus). Within a batch, `seqCol` breaks multi-version keys
-    * (highest wins) so replays and bursty feeds apply deterministically;
-    * across failures foreachBatch may re-run a batch, and the apply is
-    * idempotent (re-merging the same batch lands the identical state).
+    * (highest wins, further ties broken by a content hash so the winner
+    * is independent of partition order); across failures foreachBatch may
+    * re-run a batch, and the apply is idempotent (re-merging the same
+    * batch lands the identical state).
+    *
+    * Crash safety: the merged state is written to a STAGING directory
+    * while the live table stays intact, then swapped in (delete old,
+    * rename staging) — a crash mid-write leaves the old table untouched;
+    * a crash between delete and rename leaves the staging dir, which the
+    * next batch recovers by completing the rename before reading. (A
+    * production deployment on an object store would use a MERGE-capable
+    * table format's commit protocol instead; the staging swap is the
+    * plain-parquet equivalent.)
     *
     * Scale: the batch is small relative to the table, so the merge is
-    * Upsert's broadcast anti join. The wholesale rewrite here is the
+    * Upsert's broadcast anti join. The wholesale rewrite is the
     * single-node stand-in for a partition-scoped rewrite (only
-    * partitions containing batch keys) or a MERGE-capable table format;
-    * the localCheckpoint materializes the merged state before the
-    * overwrite so the plan never reads the path it is replacing. */
+    * partitions containing batch keys). */
   def upsertStream(changes: DataFrame, keys: Seq[String], seqCol: String,
       tablePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -206,23 +214,30 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        val others = batch.columns.filterNot(_ == seqCol).map(col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(col(seqCol).desc)
+          .orderBy(col(seqCol).desc, xxhash64(others: _*))
         val latest = batch.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        val hPath = new org.apache.hadoop.fs.Path(tablePath)
-        val exists = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .exists(hPath)
+        val live = new org.apache.hadoop.fs.Path(tablePath)
+        val staged = new org.apache.hadoop.fs.Path(tablePath + ".staging")
+        val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // recovery: a previous batch crashed between delete and rename
+        if (!fs.exists(live) && fs.exists(staged)) fs.rename(staged, live)
         val merged =
-          if (exists)
+          if (fs.exists(live))
             graft.maintenance.Upsert(
               s.read.parquet(tablePath).select(batch.columns.map(col): _*),
               latest, keys)
           else latest
-        val snap = merged.localCheckpoint()
-        try snap.write.mode("overwrite").parquet(tablePath)
-        finally graft.core.Scoped.free(snap)
+        // the staging write reads the INTACT live table (no read-and-
+        // overwrite conflict), so no checkpoint is needed before it
+        merged.write.mode("overwrite").parquet(staged.toString)
+        fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"failed to publish staged table over $tablePath")
       }
       .start()
 }

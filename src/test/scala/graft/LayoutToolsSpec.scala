@@ -93,6 +93,17 @@ class LayoutToolsSpec extends SparkSpec {
       (3L, "c", 30.0), (9L, "z", 1.0)))
   }
 
+  test("upsert matches NULL keys null-safely (replaces, never accumulates)") {
+    val target = Seq((Option(1L), "a", 1.0), (Option.empty[Long], "n1", 2.0))
+      .toDF("k", "name", "v")
+    val batch = Seq((Option.empty[Long], "n2", 3.0)).toDF("k", "name", "v")
+    val out = Upsert(target, batch, Seq("k")).orderBy(asc_nulls_first("k"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1)))
+    assert(out.toSeq === Seq((None, "n2"), (Some(1L), "a")),
+      "the NULL-key row must be replaced, not duplicated")
+  }
+
   test("upsert with broadcastKeys plans a broadcast anti join (no target shuffle)") {
     val target = spark.range(1000).select(col("id").as("k"),
       (col("id") * 2).as("v"))

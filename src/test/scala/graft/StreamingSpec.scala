@@ -226,5 +226,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(s2.toSeq === Seq((1L, "a3"), (2L, "b1"), (3L, "c1")),
       "update replaces, insert appends, untouched keys survive")
+
+    // simulate a crash between delete(live) and rename(staging, live):
+    // the table sits in .staging only — the next batch must recover it
+    // and merge on top, not rebuild from the batch alone
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + ".staging")))
+    mem.addData((4L, "d1", 30L))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val s3 = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(s3.toSeq === Seq((1L, "a3"), (2L, "b1"), (3L, "c1"), (4L, "d1")),
+      "staged state must be recovered before the merge")
   }
 }
