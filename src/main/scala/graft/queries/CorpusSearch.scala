@@ -610,6 +610,65 @@ object CorpusSearch {
               GROUP BY 1, 2) m
             ON t.title = m.title) x
           WHERE x.iter IS NOT NULL)
-        SELECT title, pr FROM pr WHERE iter = 5 ORDER BY title"""))
+        SELECT title, pr FROM pr WHERE iter = 5 ORDER BY title""")),
+
+    // ---- two-hop neighborhood expansion from a PROBE SET: |N1| and
+    // |N≤2 \ {self}| per probe page — the friends-of-friends / related-
+    // pages shape. The scale discipline is the probe restriction: a full
+    // two-hop self-join of a web graph explodes on hub vertices (Σ d(v)²),
+    // so the operator expands only from the (broadcast) probe set — hop 1
+    // touches probe-incident edges, hop 2 joins those midpoints back to
+    // the edge table hashed on src. On a real cluster add a hub cap
+    // (degree-truncate midpoints) to bound the worst key; the md5-derived
+    // probe (~5% of pages) makes the oracle's set identical.
+    ("q96_two_hop",
+      (s: SparkSession, dir: String) => {
+        val rawE = t(s, dir, "lineitem").select(
+          concat(lit("v"), col("l_orderkey") % 997).as("src"),
+          concat(lit("v"), col("l_partkey") % 1200).as("dst"))
+        val titles = rawE.select(col("src").as("title")).distinct()
+          .localCheckpoint()
+        val edges = rawE
+          .join(titles.select(col("title").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).distinct()
+          .localCheckpoint() // consumed by BOTH hop joins
+        val probe = titles
+          .filter(graft.core.Portable.hash32(col("title")) % 20 === 0)
+          .select(col("title").as("p"))
+        val h1 = edges.join(broadcast(probe), col("src") === col("p"))
+          .select(col("p"), col("dst"))
+        val h2 = h1.select(col("p"), col("dst").as("src"))
+          .join(edges, Seq("src")).select(col("p"), col("dst"))
+        val reach = h1.unionByName(h2).filter(col("dst") =!= col("p")).distinct()
+        val n1 = h1.filter(col("dst") =!= col("p")).distinct()
+          .groupBy(col("p")).agg(count(lit(1)).as("n_1hop"))
+        val out = reach.groupBy(col("p")).agg(count(lit(1)).as("n_2hop"))
+          .join(n1, Seq("p"), "left_outer")
+          .select(col("p").as("title"),
+            coalesce(col("n_1hop"), lit(0L)).as("n_1hop"), col("n_2hop"))
+          .orderBy(col("title"))
+        Scoped.releaseAfterUse(titles, edges)
+        out
+      },
+      Some("""WITH rawe AS (SELECT DISTINCT
+            'v' || CAST(l_orderkey % 997 AS VARCHAR) AS src,
+            'v' || CAST(l_partkey % 1200 AS VARCHAR) AS dst
+          FROM lineitem),
+        titles AS (SELECT DISTINCT src AS title FROM rawe),
+        edges AS (SELECT src, dst FROM rawe
+                  WHERE dst IN (SELECT title FROM titles)),
+        probe AS (SELECT title AS p FROM titles
+                  WHERE ('0x' || substr(md5(title), 1, 8))::BIGINT % 20 = 0),
+        h1 AS (SELECT p, dst FROM probe JOIN edges ON src = p),
+        h2 AS (SELECT h1.p, e.dst FROM h1 JOIN edges e ON e.src = h1.dst),
+        reach AS (SELECT DISTINCT p, dst FROM
+            (SELECT p, dst FROM h1 UNION ALL SELECT p, dst FROM h2)
+          WHERE dst <> p),
+        n1 AS (SELECT p, COUNT(DISTINCT dst) AS n_1hop FROM h1
+               WHERE dst <> p GROUP BY 1),
+        n2 AS (SELECT p, COUNT(*) AS n_2hop FROM reach GROUP BY 1)
+        SELECT n2.p AS title, COALESCE(n1.n_1hop, 0) AS n_1hop, n2.n_2hop
+        FROM n2 LEFT JOIN n1 ON n1.p = n2.p
+        ORDER BY title"""))
   )
 }
