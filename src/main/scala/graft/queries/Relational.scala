@@ -759,6 +759,69 @@ object Relational {
           MIN(CASE WHEN cum * 2 >= total THEN bin END) AS p50,
           MIN(CASE WHEN cum * 4 >= total * 3 THEN bin END) AS p75,
           MAX(total) AS n
-        FROM c GROUP BY 1 ORDER BY l_returnflag"""))
+        FROM c GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- statistical aggregates from EXACT integer moments: per-group
+    // Pearson correlation and OLS slope/intercept of price vs quantity.
+    // Spark's native corr()/regr_slope() accumulate in float — partition-
+    // order-dependent and engine-divergent — so the operator quantizes
+    // both variables to their natural cent grid (floor(v·100+0.5), exact
+    // in both engines), aggregates six EXACT sums (decimal(38,0) /
+    // hugeint — Σx² of a cent-scaled price overflows int64 at 100 TB row
+    // counts, so the wide type is the scale-correct choice, not caution),
+    // and evaluates the closed forms with ONE double conversion at the
+    // end. The moments are ordinary partial aggregates — map-side
+    // combined, mergeable across any partitioning, same as q94's bins.
+    ("q97_group_stats",
+      (s: SparkSession, dir: String) => {
+        val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+        val dec = "decimal(38,0)"
+        val x = floor(col("l_quantity") * 100 + lit(0.5))
+        val y = floor(col("l_extendedprice") * 100 + lit(0.5))
+        val d = (c: Column) => c.cast("double")
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec)).as("sx"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum((col("x") * col("x")).cast(dec)).as("sxx"),
+            sum((col("y") * col("y")).cast(dec)).as("syy"),
+            sum((col("x") * col("y")).cast(dec)).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            r6(d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              / sqrt(d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+                * d(col("n").cast(dec) * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            r6(d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              / d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx")))
+              .as("slope_cents"),
+            r6((d(col("sy")) - d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              / d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              * d(col("sx"))) / d(col("n")))
+              .as("intercept_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+            CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        m AS (SELECT l_returnflag, COUNT(*) AS n,
+            SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM q GROUP BY 1)
+        SELECT l_returnflag, n,
+          floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+            AS corr_qty_price,
+          floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+            AS slope_cents,
+          floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+            AS intercept_cents
+        FROM m ORDER BY l_returnflag"""))
   )
 }
