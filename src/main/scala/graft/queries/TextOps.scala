@@ -514,6 +514,100 @@ object TextOps {
           FROM a)
         SELECT lang, n_docs, n_tokens, rate,
           CAST(floor(rate * n_tokens + 0.5) AS BIGINT) AS planned_tokens
-        FROM r ORDER BY lang"""))
+        FROM r ORDER BY lang""")),
+
+    // ---- overlapping token chunking (the RAG / context-window ingest
+    // primitive): split each document into 128-token chunks with 32-token
+    // overlap (stride 96). The chunk COUNT is closed-form from the token
+    // count, so the operator explodes a chunk-index sequence and slices —
+    // one map-only pass, no self-join, no window; chunk content is gated
+    // via md5 so the hash pins exact text reassembly (boundaries,
+    // spacing) without shipping full chunk strings through the gate.
+    // sequence(0, nc-1) is safe: nc >= 1 is enforced by the n >= 1
+    // filter (sequence(a, b) with b < a would generate DESCENDING).
+    ("q98_chunking",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .filter(col("n") >= 1)
+          .withColumn("nc",
+            lit(1L) + expr("(greatest(n - 128L, 0L) + 95L) div 96L"))
+          .select(col("doc_id"), col("ws"), col("n"),
+            explode(expr("sequence(0L, nc - 1)")).as("i"))
+          .select(col("doc_id"), col("i").as("chunk_idx"),
+            least(lit(128L), col("n") - col("i") * 96).as("n_chunk_tokens"),
+            md5(expr("concat_ws(' ', slice(ws, cast(i * 96 + 1 as int), 128))"))
+              .as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents),
+        n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM d
+              WHERE len(ws) >= 1),
+        c AS (SELECT doc_id, ws, n,
+            1 + (greatest(n - 128, 0) + 95) // 96 AS nc
+          FROM n),
+        e AS (SELECT doc_id, ws, n, unnest(range(0, nc)) AS i FROM c)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          least(128, n - i * 96) AS n_chunk_tokens,
+          md5(array_to_string(list_slice(ws, CAST(i * 96 + 1 AS BIGINT),
+            CAST(i * 96 + 128 AS BIGINT)), ' ')) AS chunk_md5
+        FROM e ORDER BY doc_id, chunk_idx""")),
+
+    // ---- quality-filter funnel accounting: how many docs each rule of
+    // the keep-pipeline drops, CUMULATIVELY (the report every filtering
+    // run produces before committing a corpus rebuild). One scan with
+    // conditional aggregation — k cumulative predicates cost k counters
+    // inside a single partial aggregate, NOT k passes; at 100 TB that is
+    // the difference between one corpus read and four. Rules reuse the
+    // catalog's quality vocabulary: length, alpha ratio, type-token
+    // ratio (all integer/grid-exact, q41/q42 parity discipline).
+    ("q99_filter_funnel",
+      (s: SparkSession, dir: String) => {
+        val pass1 = col("n_tokens") >= 50
+        val pass2 = pass1 && col("n_alpha") * 10 >= col("n_chars") * 6
+        val pass3 = pass2 && col("n_unique") * 10 >= col("n_tokens") * 3
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"),
+            length(col("text")).cast("long").as("n_chars"))
+          .select(col("doc_id"), col("n_chars"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            length(array_join(col("ws"), "")).cast("long").as("n_alpha"),
+            size(array_distinct(col("ws"))).cast("long").as("n_unique"))
+          .agg(count(lit(1)).as("total"),
+            count(when(pass1, 1)).as("pass_len"),
+            count(when(pass2, 1)).as("pass_alpha"),
+            count(when(pass3, 1)).as("pass_ttr"))
+          .select(lit("funnel").as("stage"), col("total"), col("pass_len"),
+            col("pass_alpha"), col("pass_ttr"),
+            (col("total") - col("pass_len")).as("drop_len"),
+            (col("pass_len") - col("pass_alpha")).as("drop_alpha"),
+            (col("pass_alpha") - col("pass_ttr")).as("drop_ttr"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+        m AS (SELECT doc_id, n_chars,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_alpha,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique
+          FROM d),
+        f AS (SELECT COUNT(*) AS total,
+            COUNT(CASE WHEN n_tokens >= 50 THEN 1 END) AS pass_len,
+            COUNT(CASE WHEN n_tokens >= 50 AND n_alpha * 10 >= n_chars * 6
+                  THEN 1 END) AS pass_alpha,
+            COUNT(CASE WHEN n_tokens >= 50 AND n_alpha * 10 >= n_chars * 6
+                  AND n_unique * 10 >= n_tokens * 3 THEN 1 END) AS pass_ttr
+          FROM m)
+        SELECT 'funnel' AS stage, total, pass_len, pass_alpha, pass_ttr,
+          total - pass_len AS drop_len,
+          pass_len - pass_alpha AS drop_alpha,
+          pass_alpha - pass_ttr AS drop_ttr
+        FROM f"""))
   )
 }
