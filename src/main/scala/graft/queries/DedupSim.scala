@@ -875,6 +875,51 @@ object DedupSim {
           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
         FROM lineitem WHERE l_orderkey IN
           (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
-        GROUP BY 1 ORDER BY l_returnflag"""))
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- THE PIPELINE, END TO END: exact dedup (keep min doc_id per
+    // content hash) → quality gate (≥ 50 tokens) → deterministic
+    // stratified downsample (en to 50%, rest to 90%) → per-language
+    // corpus report. Each stage is an operator the catalog gates in
+    // isolation (q30, q99's rule 1, q48); this query pins that they
+    // COMPOSE into one declarative plan — one scan, one dedup shuffle,
+    // then map-only filters into the final tiny aggregate, which is how
+    // the actual corpus rebuild runs at 100 TB (no materialization
+    // between stages unless you want restartability, in which case each
+    // arrow becomes a parquet checkpoint).
+    ("q100_corpus_build",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("text")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .withColumn("n_tok",
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long"))
+          .filter(col("n_tok") >= 50)
+          .filter(hash32(col("doc_id").cast("string")) % 100 <
+            when(col("lang") === "en", 50).otherwise(90))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, text, md5(text) AS h,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM documents),
+        surv AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tok
+          FROM d WHERE rk = 1),
+        q AS (SELECT * FROM surv WHERE n_tok >= 50),
+        samp AS (SELECT * FROM q
+          WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+            < CASE WHEN lang = 'en' THEN 50 ELSE 90 END)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM samp GROUP BY 1 ORDER BY lang"""))
   )
 }
