@@ -623,18 +623,23 @@ object CorpusSearch {
     // probe (~5% of pages) makes the oracle's set identical.
     ("q96_two_hop",
       (s: SparkSession, dir: String) => {
+        // the expansion runs on INTEGER vertex ids — the hop joins and
+        // dedups touch millions of rows, and long equality beats string
+        // ('v123') hashing/compares throughout the hot path; the 'v'-
+        // prefixed titles are rebuilt only on the ~1k-row probe filter
+        // (md5 parity with the oracle) and the final output
         val rawE = t(s, dir, "lineitem").select(
-          concat(lit("v"), col("l_orderkey") % 997).as("src"),
-          concat(lit("v"), col("l_partkey") % 1200).as("dst"))
-        val titles = rawE.select(col("src").as("title")).distinct()
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst"))
+        val titles = rawE.select(col("src").as("v")).distinct()
           .localCheckpoint()
         val edges = rawE
-          .join(titles.select(col("title").as("dst")), Seq("dst"), "left_semi")
+          .join(titles.select(col("v").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")).distinct()
           .localCheckpoint() // consumed by BOTH hop joins
         val probe = titles
-          .filter(graft.core.Portable.hash32(col("title")) % 20 === 0)
-          .select(col("title").as("p"))
+          .filter(graft.core.Portable.hash32(concat(lit("v"), col("v"))) % 20 === 0)
+          .select(col("v").as("p"))
         val h1 = edges.join(broadcast(probe), col("src") === col("p"))
           .select(col("p"), col("dst"))
         val h2 = h1.select(col("p"), col("dst").as("src"))
@@ -644,7 +649,7 @@ object CorpusSearch {
           .groupBy(col("p")).agg(count(lit(1)).as("n_1hop"))
         val out = reach.groupBy(col("p")).agg(count(lit(1)).as("n_2hop"))
           .join(n1, Seq("p"), "left_outer")
-          .select(col("p").as("title"),
+          .select(concat(lit("v"), col("p")).as("title"),
             coalesce(col("n_1hop"), lit(0L)).as("n_1hop"), col("n_2hop"))
           .orderBy(col("title"))
         Scoped.releaseAfterUse(titles, edges)
