@@ -185,6 +185,33 @@ object EventStreams {
         GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** Ingest-time contamination screening — the STREAM-STATIC twin of the
+    * batch decontam check (q77): each arriving document is flagged if it
+    * shares any word-13-gram with the static benchmark gram table. The
+    * static side collapses to ONE row holding the gram set (benchmarks
+    * are KBs–MBs), so the stream side is completely stateless map work:
+    * no watermark, no join state, each doc decided within its own
+    * micro-batch — `array_intersect` against the broadcast set. At
+    * production gram-set sizes beyond broadcast range, swap the
+    * collected set for an exploded stream-static equi join plus a
+    * windowless `dropDuplicates` on doc_id within the batch. */
+  def contaminationStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val grams13 = expr(
+      """CASE WHEN size(regexp_extract_all(text, '[a-zA-Z]+', 0)) >= 13
+         THEN transform(
+           sequence(0, size(regexp_extract_all(text, '[a-zA-Z]+', 0)) - 13),
+           i -> concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), i + 1, 13)))
+         ELSE array() END""")
+    val benchSet = broadcast(
+      benchGrams.agg(collect_set(col("gram")).as("bench_set")))
+    docs.withColumn("grams", grams13)
+      .crossJoin(benchSet)
+      .select(col("doc_id"), col("ts"),
+        size(array_intersect(col("grams"), col("bench_set"))).cast("long")
+          .as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Streaming CDC apply: maintain a parquet serving table by MERGE-ing
     * each micro-batch through [[graft.maintenance.Upsert]] — the
     * streaming twin of q86 (a crawl feed continuously upserting a

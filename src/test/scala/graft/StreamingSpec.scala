@@ -203,6 +203,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(1L, 3L), "first arrival per content hash survives")
   }
 
+  test("contaminationStream: stream-static screen flags only benchmark overlap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // letter-only tokens: the 13-gram tokenizer is [a-zA-Z]+, so digits
+    // would be stripped from the doc side but not from this literal
+    val words = (0 until 13).map(i => "tok" + ('a' + i).toChar).mkString(" ")
+    val bench = Seq(words).toDF("gram")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, s"prefix $words suffix", ts(0)),           // contains the gram
+      (2L, "totally unrelated clean text", ts(1)),    // clean
+      (3L, "short", ts(2)))                           // < 13 tokens
+    val q = EventStreams.contaminationStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), bench)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("contam_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
   test("upsertStream: serving table converges to latest-per-key across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
