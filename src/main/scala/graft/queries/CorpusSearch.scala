@@ -645,7 +645,9 @@ object CorpusSearch {
         val h2 = h1.select(col("p"), col("dst").as("src"))
           .join(edges, Seq("src")).select(col("p"), col("dst"))
         val reach = h1.unionByName(h2).filter(col("dst") =!= col("p")).distinct()
-        val n1 = h1.filter(col("dst") =!= col("p")).distinct()
+        // h1 is already duplicate-free: distinct edges inner-joined to
+        // distinct probe values — count directly, no dedup exchange
+        val n1 = h1.filter(col("dst") =!= col("p"))
           .groupBy(col("p")).agg(count(lit(1)).as("n_1hop"))
         val out = reach.groupBy(col("p")).agg(count(lit(1)).as("n_2hop"))
           .join(n1, Seq("p"), "left_outer")

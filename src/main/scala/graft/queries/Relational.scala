@@ -789,16 +789,21 @@ object Relational {
             sum((col("y") * col("y")).cast(dec)).as("syy"),
             sum((col("x") * col("y")).cast(dec)).as("sxy"))
           .select(col("l_returnflag"), col("n"),
-            r6(d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-              / sqrt(d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
-                * d(col("n").cast(dec) * col("syy") - col("sy") * col("sy"))))
+            d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("cov"),
+            d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("varx"),
+            d(col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("vary"),
+            d(col("sx")).as("dsx"), d(col("sy")).as("dsy"), d(col("n")).as("dn"))
+          // zero-variance guard: a constant-x (or constant-y / n=1) group
+          // would divide by 0, and Spark's NaN/Infinity vs DuckDB's
+          // division-by-zero semantics diverge — both engines emit NULL
+          .select(col("l_returnflag"), col("n"),
+            when(col("varx") > 0 && col("vary") > 0,
+              r6(col("cov") / sqrt(col("varx") * col("vary"))))
               .as("corr_qty_price"),
-            r6(d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-              / d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx")))
+            when(col("varx") > 0, r6(col("cov") / col("varx")))
               .as("slope_cents"),
-            r6((d(col("sy")) - d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-              / d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
-              * d(col("sx"))) / d(col("n")))
+            when(col("varx") > 0,
+              r6((col("dsy") - col("cov") / col("varx") * col("dsx")) / col("dn")))
               .as("intercept_cents"))
           .orderBy(col("l_returnflag"))
       },
@@ -809,19 +814,24 @@ object Relational {
         m AS (SELECT l_returnflag, COUNT(*) AS n,
             SUM(x) AS sx, SUM(y) AS sy,
             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-          FROM q GROUP BY 1)
+          FROM q GROUP BY 1),
+        v AS (SELECT l_returnflag, n,
+            CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+            CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+            CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+            CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+            CAST(n AS DOUBLE) AS dn
+          FROM m)
         SELECT l_returnflag, n,
-          floor(CAST(n * sxy - sx * sy AS DOUBLE)
-            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-              * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-            AS corr_qty_price,
-          floor(CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-            AS slope_cents,
-          floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-            AS intercept_cents
-        FROM m ORDER BY l_returnflag"""))
+          CASE WHEN varx > 0 AND vary > 0 THEN
+            floor(cov / sqrt(varx * vary) * 1000000.0 + 0.5) / 1000000.0
+          END AS corr_qty_price,
+          CASE WHEN varx > 0 THEN
+            floor(cov / varx * 1000000.0 + 0.5) / 1000000.0
+          END AS slope_cents,
+          CASE WHEN varx > 0 THEN
+            floor((dsy - cov / varx * dsx) / dn * 1000000.0 + 0.5) / 1000000.0
+          END AS intercept_cents
+        FROM v ORDER BY l_returnflag"""))
   )
 }

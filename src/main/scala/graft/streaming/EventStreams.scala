@@ -196,15 +196,18 @@ object EventStreams {
     * collected set for an exploded stream-static equi join plus a
     * windowless `dropDuplicates` on doc_id within the batch. */
   def contaminationStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    // tokenize ONCE into a bound column — referencing regexp_extract_all
+    // inside the transform() lambda would re-run it per gram position
+    // (higher-order lambdas get no common-subexpression hoisting)
     val grams13 = expr(
-      """CASE WHEN size(regexp_extract_all(text, '[a-zA-Z]+', 0)) >= 13
-         THEN transform(
-           sequence(0, size(regexp_extract_all(text, '[a-zA-Z]+', 0)) - 13),
-           i -> concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), i + 1, 13)))
+      """CASE WHEN size(ws) >= 13
+         THEN transform(sequence(0, size(ws) - 13),
+           i -> concat_ws(' ', slice(ws, i + 1, 13)))
          ELSE array() END""")
     val benchSet = broadcast(
       benchGrams.agg(collect_set(col("gram")).as("bench_set")))
-    docs.withColumn("grams", grams13)
+    docs.withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+      .withColumn("grams", grams13)
       .crossJoin(benchSet)
       .select(col("doc_id"), col("ts"),
         size(array_intersect(col("grams"), col("bench_set"))).cast("long")
