@@ -333,16 +333,21 @@ object CorpusSearch {
     // matters when the adjacency payload is TBs but the histogram is KBs.
     ("q73_degree_histogram",
       (s: SparkSession, dir: String) => {
+        // degrees never leave the query as titles, so the whole pipeline
+        // runs on INTEGER vertex ids — long equality beats 'v123' string
+        // hashing in the semi-join and the distinct-count shuffle (same
+        // lesson as q96); the 'v'-prefix is a bijection, so semantics
+        // and the string-keyed oracle are unchanged
         val raw = t(s, dir, "lineitem").select(
-          concat(lit("v"), col("l_orderkey") % 997).as("src"),
-          concat(lit("v"), col("l_partkey") % 1200).as("dst"))
-        val titles = raw.select(col("src").as("title")).distinct()
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst"))
+        val titles = raw.select(col("src").as("v")).distinct()
           .localCheckpoint() // tiny; feeds the semi-join, outer join, count
         val deg = raw
-          .join(titles.select(col("title").as("dst")), Seq("dst"), "left_semi")
+          .join(titles.select(col("v").as("dst")), Seq("dst"), "left_semi")
           .groupBy(col("src")).agg(countDistinct(col("dst")).as("deg"))
         val out = titles
-          .join(deg, col("title") === col("src"), "left_outer")
+          .join(deg, col("v") === col("src"), "left_outer")
           .select(coalesce(col("deg"), lit(1L)).as("degree"))
           .unionAll(titles.agg(count(lit(1)).as("degree")))
           .groupBy(col("degree")).agg(count(lit(1)).as("n_pages"))
