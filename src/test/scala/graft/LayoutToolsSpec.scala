@@ -93,6 +93,50 @@ class LayoutToolsSpec extends SparkSpec {
       (3L, "c", 30.0), (9L, "z", 1.0)))
   }
 
+  test("scd2: intervals partition the version line; exactly one current per key") {
+    val rnd = new scala.util.Random(42)
+    val snaps = (0 until 200).flatMap { k =>
+      val versions = (1 to 1 + rnd.nextInt(5)).scanLeft(0L)(
+        (acc, _) => acc + 1 + rnd.nextInt(9)).tail
+      versions.map(v => (k.toLong, v, s"payload-$k-$v"))
+    }
+    val h = graft.maintenance.Scd2.historize(
+      snaps.toDF("k", "version", "payload"), Seq("k"), col("version"))
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .groupBy(_._1)
+    h.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // chained: each interval's valid_to is the next interval's valid_from
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to), _), (_, from, _, _)) =>
+          assert(to === from, s"key $k: gap or overlap at $to vs $from")
+        case _ =>
+      }
+      assert(sorted.count(_._4) === 1, s"key $k: exactly one current row")
+      assert(sorted.last._4 && sorted.last._3.isEmpty,
+        s"key $k: the latest version must be the open-ended current row")
+    }
+  }
+
+  test("chunking invariant (q98 formula): chunks cover all tokens with 32 overlap") {
+    // scalar model of q98's closed-form chunk count and slicing:
+    // nc = 1 + ceil(max(n-128, 0)/96), chunk i covers [i·96+1, min(i·96+128, n)]
+    for (n <- Seq(1, 50, 127, 128, 129, 223, 224, 225, 320, 321, 500, 5000)) {
+      val nc = 1 + (math.max(n - 128, 0) + 95) / 96
+      val spans = (0 until nc).map(i => (i * 96 + 1, math.min(i * 96 + 128, n)))
+      assert(spans.head._1 === 1 && spans.last._2 === n, s"n=$n: bounds")
+      assert(spans.forall { case (a, b) => a <= b }, s"n=$n: empty chunk emitted")
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, e2)) =>
+          assert(s2 <= e1 + 1, s"n=$n: gap between chunks")
+          if (e2 - s2 + 1 == 128) // unclipped successor ⇒ exact 32 overlap
+            assert(e1 - s2 + 1 === 32, s"n=$n: overlap ${e1 - s2 + 1}")
+        case _ =>
+      }
+    }
+  }
+
   test("upsert matches NULL keys null-safely (replaces, never accumulates)") {
     val target = Seq((Option(1L), "a", 1.0), (Option.empty[Long], "n1", 2.0))
       .toDF("k", "name", "v")
