@@ -832,6 +832,57 @@ object Relational {
           CASE WHEN varx > 0 THEN
             floor((dsy - cov / varx * dsx) / dn * 1000000.0 + 0.5) / 1000000.0
           END AS intercept_cents
-        FROM v ORDER BY l_returnflag"""))
+        FROM v ORDER BY l_returnflag""")),
+
+    // ---- point-in-time (as-of-version) lookup against the SCD2 history —
+    // the feature-store correctness query q93's historization exists FOR:
+    // "what did this record look like at version V" with a per-row V, so
+    // training features can never leak the future. Equi-join on the key,
+    // interval-containment filter after (open-ended current rows match
+    // via NULL valid_to) — on a key-bucketed history this co-locates; the
+    // history side is versions-per-key small, so the join never explodes.
+    ("q101_pit_lookup",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val snaps = base.select(col("o_orderkey"), lit(1L).as("version"),
+            col("o_totalprice").as("price"))
+          .unionByName(base.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), lit(2L).as("version"),
+              (col("o_totalprice") + lit(1.0)).as("price")))
+          .unionByName(base.filter(col("o_orderkey") % 4 === 0)
+            .select(col("o_orderkey"), lit(3L).as("version"),
+              (col("o_totalprice") + lit(2.0)).as("price")))
+        val hist = graft.maintenance.Scd2.historize(
+          snaps, Seq("o_orderkey"), col("version"))
+        val lookup = base.select(col("o_orderkey"),
+          (lit(1L) + col("o_orderkey") % 3).as("at_version"))
+        lookup.join(hist, Seq("o_orderkey"))
+          .filter(col("valid_from") <= col("at_version") &&
+            (col("valid_to").isNull || col("valid_to") > col("at_version")))
+          .select(col("o_orderkey"), col("at_version"),
+            col("valid_from").as("resolved_version"), col("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 499 = 0),
+        snaps AS (
+          SELECT o_orderkey, 1 AS version, o_totalprice AS price FROM base
+          UNION ALL
+          SELECT o_orderkey, 2, o_totalprice + 1.0 FROM base WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, o_totalprice + 2.0 FROM base WHERE o_orderkey % 4 = 0),
+        h AS (SELECT o_orderkey, CAST(version AS BIGINT) AS valid_from,
+            CAST(lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+              AS BIGINT) AS valid_to,
+            price
+          FROM snaps),
+        lk AS (SELECT o_orderkey, 1 + o_orderkey % 3 AS at_version FROM base)
+        SELECT lk.o_orderkey, lk.at_version,
+          h.valid_from AS resolved_version, h.price
+        FROM lk JOIN h ON lk.o_orderkey = h.o_orderkey
+        WHERE h.valid_from <= lk.at_version
+          AND (h.valid_to IS NULL OR h.valid_to > lk.at_version)
+        ORDER BY lk.o_orderkey"""))
   )
 }
