@@ -203,6 +203,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(1L, 3L), "first arrival per content hash survives")
   }
 
+  test("dedupStream runs on the RocksDB state store (the production config)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      mem.addData((1L, "rocks text", ts(0)), (2L, "rocks text", ts(1)),
+        (3L, "other text", ts(2)))
+      val q = EventStreams.dedupStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), horizon = "1 hour")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode(OutputMode.Append()).start()
+      runToCompletion(q)
+      val rows = spark.table("rocks_dedup").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq === Seq(1L, 3L),
+        "dedup semantics must hold identically under RocksDB state")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("contaminationStream: stream-static screen flags only benchmark overlap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
