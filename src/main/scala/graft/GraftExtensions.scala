@@ -25,7 +25,11 @@ import graft.functions.GraftFunctions
   * preference order — functions only: the library deliberately has no
   * custom LogicalPlan/Strategy to inject, because every operator proved
   * expressible in Catalyst's existing algebra (the survey's "compose
-  * first" rule).
+  * first" rule). Candidate optimizer rules were evaluated and rejected
+  * as no-ops — e.g. rewriting `size(regexp_extract_all(s, p, 0))` to
+  * `regexp_count(s, p)` is circular: Spark implements `regexp_count` as
+  * exactly that expression (`RegExpCount.replacement`), so the "cheap"
+  * form already executes the same tree.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
