@@ -287,4 +287,118 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[Media]
   }
+
+  // ======================================================================
+  // REAL AVI CONTAINER (RIFF) — video container metadata without a codec.
+  // The JDK ships no video PIXEL decoder (that path stays stubbed above),
+  // but the CONTAINER level — RIFF('AVI ' LIST('hdrl' avih) LIST('movi'
+  // frame chunks)) — is plain byte structure, so the writer and the
+  // chunk-walking parser below are real: a malformed header, a wrong
+  // little-endian field, or a broken even-byte chunk pad breaks the
+  // round-trip and the q102 hash gate with it. This mirrors how the WAV
+  // (also RIFF) audio path became real in q65.
+
+  final case class AviInfo(usPerFrame: Int, totalFrames: Int, width: Int,
+      height: Int, moviFrames: Int)
+
+  final case class DecodedVideo(media_id: Long, width: Int, height: Int,
+      total_frames: Long, movi_frames: Long, duration_ms: Double,
+      parsed: Boolean)
+
+  private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+    b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+  }
+  private def fourCC(b: java.io.ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes("US-ASCII"))
+
+  /** Write a minimal-but-well-formed AVI: RIFF size includes everything
+    * after the size field; chunks are padded to even length per RIFF. */
+  def synthAvi(frames: Int, width: Int, height: Int, usPerFrame: Int,
+      seed: Long): Array[Byte] = {
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, usPerFrame); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    le32(avih, frames); le32(avih, 0); le32(avih, 1); le32(avih, 0)
+    le32(avih, width); le32(avih, height)
+    (0 until 4).foreach(_ => le32(avih, 0))
+    val hdrl = new java.io.ByteArrayOutputStream()
+    fourCC(hdrl, "hdrl"); fourCC(hdrl, "avih"); le32(hdrl, avih.size())
+    hdrl.write(avih.toByteArray)
+    val movi = new java.io.ByteArrayOutputStream()
+    fourCC(movi, "movi")
+    for (i <- 0 until frames) {
+      val len = 5 + (seed + i).toInt.abs % 4 // odd sizes exercise the pad
+      val data = Array.tabulate(len)(j => ((seed * 31 + i * 17 + j) & 0xFF).toByte)
+      fourCC(movi, "00db"); le32(movi, len); movi.write(data)
+      if (len % 2 == 1) movi.write(0)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    fourCC(body, "AVI ")
+    fourCC(body, "LIST"); le32(body, hdrl.size()); body.write(hdrl.toByteArray)
+    fourCC(body, "LIST"); le32(body, movi.size()); body.write(movi.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    fourCC(out, "RIFF"); le32(out, body.size()); out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Real RIFF chunk walker: validates magics, reads avih fields, counts
+    * the movi frame chunks (respecting the even-byte pad). */
+  def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
+      return None
+    var info: Option[(Int, Int, Int, Int)] = None
+    var frames = 0
+    var off = 12
+    val end = math.min(8L + readLe32(bytes, 4), bytes.length.toLong).toInt
+    while (off + 8 <= end) {
+      val id = cc(bytes, off); val len = readLe32(bytes, off + 4)
+      if (id == "LIST" && off + 12 <= end) {
+        val listType = cc(bytes, off + 8)
+        if (listType == "hdrl" && cc(bytes, off + 12) == "avih") {
+          val a = off + 20 // past 'avih' + its size field
+          info = Some((readLe32(bytes, a), readLe32(bytes, a + 16),
+            readLe32(bytes, a + 32), readLe32(bytes, a + 36)))
+        } else if (listType == "movi") {
+          var p = off + 12
+          val listEnd = math.min(off + 8L + len, end.toLong).toInt
+          while (p + 8 <= listEnd) {
+            val clen = readLe32(bytes, p + 4)
+            if (cc(bytes, p) == "00db") frames += 1
+            p += 8 + clen + (clen % 2)
+          }
+        }
+      }
+      off += 8 + len + (len % 2)
+    }
+    info.map { case (us, tf, w, h) => AviInfo(us, tf, w, h, frames) }
+  }
+
+  /** Batch-shaped container-metadata extraction over video payloads —
+    * same mapPartitions discipline as [[audioStats]]; duration_ms is one
+    * exact integer product and one IEEE division, oracle-reproducible. */
+  def videoContainerStats(spark: SparkSession, media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        inBatches(it, batchSize) { batch =>
+          batch.map { m =>
+            parseAvi(m.payload) match {
+              case Some(a) => DecodedVideo(m.media_id, a.width, a.height,
+                a.totalFrames.toLong, a.moviFrames.toLong,
+                a.totalFrames.toLong * a.usPerFrame / 1000.0, parsed = true)
+              case None => DecodedVideo(m.media_id, 0, 0, 0L, 0L, 0.0,
+                parsed = false)
+            }
+          }
+        }
+      }
+  }
 }

@@ -162,6 +162,45 @@ object MultimodalQ {
       },
       Some(s"""WITH $mediaSql
         SELECT media_id, CAST(CEIL(CAST(n_frames AS DOUBLE) / 5) AS BIGINT) AS n_sampled
-        FROM m WHERE kind = 'video' ORDER BY media_id"""))
+        FROM m WHERE kind = 'video' ORDER BY media_id""")),
+
+    // ---- REAL video CONTAINER round-trip: executors write a well-formed
+    // RIFF/AVI per document (Multimodal.synthAvi — header fields, frame
+    // chunks, even-byte padding), the chunk-walking parser reads it back,
+    // and the oracle predicts every container field from the generation
+    // arithmetic. Pixel decode stays stubbed (no JDK video codec), but
+    // the container level — what a 100 TB media-ingest pipeline needs for
+    // routing, sampling, and cost estimation — is now real and gated,
+    // exactly like WAV (the other RIFF format) in q65.
+    ("q102_video_container",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val frames = (id % 7 + 2).toInt
+            val w = (16 * (id % 4 + 1)).toInt
+            val h = (16 * (id % 3 + 1)).toInt
+            val us = if (id % 2 == 0) 33333 else 40000
+            Multimodal.Media(id, "video",
+              Multimodal.MediaMeta(w, h, 0, 0, frames),
+              Multimodal.synthAvi(frames, w, h, us, id))
+          }
+        Multimodal.videoContainerStats(s, media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("total_frames"), col("movi_frames"), col("duration_ms"),
+            col("parsed"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(16 * (doc_id % 4 + 1) AS INT) AS width,
+        CAST(16 * (doc_id % 3 + 1) AS INT) AS height,
+        CAST(doc_id % 7 + 2 AS BIGINT) AS total_frames,
+        CAST(doc_id % 7 + 2 AS BIGINT) AS movi_frames,
+        CAST((doc_id % 7 + 2) *
+          (CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END) AS DOUBLE)
+          / 1000.0 AS duration_ms,
+        true AS parsed
+        FROM documents ORDER BY media_id"""))
   )
 }

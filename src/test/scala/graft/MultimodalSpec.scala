@@ -136,4 +136,29 @@ class MultimodalSpec extends SparkSpec {
     val aggInput = plan.children.head.output.map(_.name)
     assert(!aggInput.contains("payload"), s"agg reads: $aggInput")
   }
+
+  test("AVI container: parse(synth) returns the exact written fields") {
+    for ((frames, w, h, us, seed) <- Seq((1, 16, 16, 33333, 0L),
+        (7, 64, 48, 40000, 12345L), (25, 640, 480, 16667, -9L))) {
+      val bytes = Multimodal.synthAvi(frames, w, h, us, seed)
+      assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(bytes, 8, 4, "US-ASCII") === "AVI ")
+      assert(bytes.length % 2 === 0, "RIFF chunks must pad to even length")
+      val info = Multimodal.parseAvi(bytes).get
+      assert(info === Multimodal.AviInfo(us, frames, w, h, frames),
+        s"frames=$frames w=$w h=$h us=$us")
+    }
+  }
+
+  test("AVI container: malformed inputs parse to None, not a crash") {
+    assert(Multimodal.parseAvi(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseAvi(Array.fill(64)(0x41.toByte)).isEmpty)
+    // truncated mid-chunk: header magics intact, movi list cut short
+    val full = Multimodal.synthAvi(5, 32, 32, 33333, 7L)
+    val cut = java.util.Arrays.copyOf(full, full.length - 6)
+    val p = Multimodal.parseAvi(cut)
+    assert(p.isDefined && p.get.moviFrames <= 5,
+      "truncation may lose trailing frames but must not crash or overcount")
+  }
 }
