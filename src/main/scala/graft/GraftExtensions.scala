@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_cell"),
       GraftFunctions.srpCellInfo,
       GraftFunctions.mkSrpCell _))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      GraftFunctions.l2SqInfo,
+      GraftFunctions.mkL2Sq _))
   }
 }

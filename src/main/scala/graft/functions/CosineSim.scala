@@ -119,6 +119,7 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
   val srpCellInfo = new ExpressionInfo(classOf[SrpCell].getName, "srp_cell")
+  val l2SqInfo = new ExpressionInfo(classOf[L2Sq].getName, "l2_sq")
 
   /** Arity-checked builder — a SQL user passing the wrong argument count
     * gets an analysis-time message, not a dropped argument (3 args would
@@ -128,6 +129,12 @@ object GraftFunctions {
     require(children.length == 2,
       s"cosine_sim expects (a, b), got ${children.length} arguments")
     CosineSim(children(0), children(1))
+  }
+
+  private[graft] def mkL2Sq(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"l2_sq expects (a, b), got ${children.length} arguments")
+    L2Sq(children(0), children(1))
   }
 
   /** srp_cell(vec, nbits, dims) — nbits/dims must be int literals (they
@@ -164,6 +171,8 @@ object GraftFunctions {
       FunctionIdentifier("cosine_sim"), cosineSimInfo, mkCosineSim _)
     reg.registerFunction(
       FunctionIdentifier("srp_cell"), srpCellInfo, mkSrpCell _)
+    reg.registerFunction(
+      FunctionIdentifier("l2_sq"), l2SqInfo, mkL2Sq _)
   }
 }
 
