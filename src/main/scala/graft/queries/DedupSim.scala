@@ -186,6 +186,67 @@ object DedupSim {
           FROM blocks a JOIN blocks b
           ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)"""
 
+  /** Doc-level leakage-safe split assignment (q104's core): near-dup
+    * clusters (simhash hamming ≤ 3, connected-componented) move into a
+    * split ATOMICALLY — the split is decided by md5 of the cluster id, so
+    * no near-duplicate pair ever straddles train/val/test. Singletons are
+    * their own cluster. Returns documents + (cluster_id, split). */
+  def splitAssignment(s: SparkSession, dir: String): DataFrame = {
+    val cand = simhashCand(s, dir)
+    val labels = graft.graph.ConnectedComponents.assign(
+      cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+        .select(col("id_a"), col("id_b")))
+    Scoped.free(cand)
+    Scoped.releaseAfterUse(labels)
+    t(s, dir, "documents")
+      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("b",
+        hash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+  }
+
+  private val kmeansK = 4
+  private val kmeansIters = 2
+
+  /** Unrolled-CTE DuckDB twin of q103: c0 = seeds, then per round i an
+    * assignment (a_i/s_i: nearest centroid, ties to smallest cluster) and
+    * an update (c_i, with c_if carrying empty clusters' previous centroid
+    * forward), then a final assignment against the last centroids. */
+  private def kmeansSql: String = {
+    val k = kmeansK
+    def asg(i: Int, cprev: String) =
+      s"""a$i AS (SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS dist
+          FROM e JOIN $cprev c ON c.dim = e.dim GROUP BY e.vec_id, c.cluster),
+        s$i AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+            SELECT vec_id, cluster, dist,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM a$i) WHERE rk = 1)"""
+    def upd(i: Int) =
+      s"""c$i AS (SELECT s.cluster, e.dim,
+            CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+          FROM s$i s JOIN e ON e.vec_id = s.vec_id GROUP BY s.cluster, e.dim),
+        c${i}f AS (SELECT * FROM c$i UNION ALL
+          SELECT p.cluster, p.dim, p.c FROM c${i - 1}f p
+          WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM c$i))"""
+    val rounds = (1 to kmeansIters)
+      .map(i => s"${asg(i, s"c${i - 1}f")},\n        ${upd(i)}").mkString(",\n        ")
+    val fin = kmeansIters + 1
+    s"""WITH e AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS v
+          FROM embeddings),
+        c0f AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < $k),
+        $rounds,
+        ${asg(fin, s"c${kmeansIters}f")}
+        SELECT s.cluster, COUNT(*) AS n_points, CAST(SUM(s.dist) AS BIGINT) AS inertia,
+          MIN(cs.cent_sum) AS cent_sum
+        FROM s$fin s JOIN (SELECT cluster, CAST(SUM(c) AS BIGINT) AS cent_sum
+          FROM c${kmeansIters}f GROUP BY cluster) cs ON cs.cluster = s.cluster
+        GROUP BY s.cluster ORDER BY s.cluster"""
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- exact dedup: content-hash groupBy, canonical = min doc_id.
@@ -920,6 +981,75 @@ object DedupSim {
         SELECT lang, COUNT(*) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        FROM samp GROUP BY 1 ORDER BY lang"""))
+        FROM samp GROUP BY 1 ORDER BY lang""")),
+
+    // ---- integer-exact k-means over the embedding corpus (k=4, 2 Lloyd
+    // rounds, seeds = vec_id 0..3): the semantic-clustering primitive for
+    // diversity sampling / topic balancing. All arithmetic on the 1/4096
+    // integer grid so the unrolled-CTE DuckDB oracle matches bit-for-bit
+    // (see graft.similarity.KMeans for the grid/exactness argument and the
+    // broadcast-centroid 100 TB shape). Gate = per-cluster size, exact
+    // integer inertia, and the centroid-component checksum — any divergence
+    // in any round's assignment or update moves at least one of them.
+    ("q103_kmeans",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.KMeans
+        val eq = t(s, dir, "embeddings")
+          .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+          .localCheckpoint()
+        val cents = KMeans.fit(eq, k = kmeansK, iters = kmeansIters)
+        // fit's per-round collects are done — the gate action below is the
+        // last consumer of the checkpoint blocks
+        Scoped.releaseAfterUse(eq)
+        val centSums = cents.map(_.sum)
+        KMeans.assign(eq, cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+          .withColumn("cent_sum",
+            element_at(array(centSums.map(lit(_)): _*), (col("cluster") + 1).cast("int")))
+          .orderBy(col("cluster"))
+      },
+      Some(kmeansSql)),
+
+    // ---- leakage-safe train/val/test split: near-duplicate documents
+    // (simhash hamming ≤ 3, connected-componented like q49) must land in
+    // the SAME split, or held-out evaluation leaks training text. Split is
+    // decided by md5 of the CLUSTER id (singletons = their own cluster), so
+    // the assignment is seed-free, re-run-stable, and moves whole dup
+    // groups atomically. 80/10/10 on the hash grid; gate = per (split,
+    // lang) doc/char/cluster counts.
+    ("q104_split_leakage",
+      (s: SparkSession, dir: String) => {
+        splitAssignment(s, dir)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        eg AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS v FROM eg),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT eg.u AS v, reach.r FROM reach JOIN eg ON eg.v = reach.v),
+        comp AS (SELECT v AS doc_id, MIN(r) AS comp FROM reach GROUP BY v),
+        dd AS (SELECT d.doc_id, d.lang, d.n_chars,
+            COALESCE(c.comp, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        sp AS (SELECT *,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *,
+            ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM dd))
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          COUNT(DISTINCT cluster_id) AS n_clusters
+        FROM sp GROUP BY split, lang ORDER BY split, lang"""))
   )
+
 }

@@ -146,4 +146,16 @@ class PlanSpec extends SparkSpec {
     assert(!below.take(scanOff).contains("Exchange"),
       "bloom filter must run map-side, directly over the scan:\n" + p.take(1200))
   }
+
+  test("q103: k-means assignment is join-free with one aggregate shuffle") {
+    val p = plan("q103_kmeans")
+    // centroids enter as literal arrays — nearest-centroid must be a
+    // map-only expression pass, never a join against a centroid table
+    assert(!p.contains("Join"), "assignment must not join:\n" + p.take(1200))
+    // exactly one keyed data movement: the (cluster)-keyed final
+    // aggregate (the orderBy's range exchange over k output rows is the
+    // gate's presentation sort, not a scale cost)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n" + p.take(1600))
+  }
 }
