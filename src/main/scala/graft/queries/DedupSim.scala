@@ -1049,7 +1049,34 @@ object DedupSim {
         SELECT split, lang, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
           COUNT(DISTINCT cluster_id) AS n_clusters
-        FROM sp GROUP BY split, lang ORDER BY split, lang"""))
+        FROM sp GROUP BY split, lang ORDER BY split, lang""")),
+
+    // ---- deterministic training-shard layout: the "global shuffle" every
+    // training run needs — docs dealt into N shards by content-free hash,
+    // ordered within each shard by the same hash (seed-free, re-run-stable,
+    // and decorrelated from crawl/source order). pos is the within-shard
+    // read position. At 100 TB the identical shape is
+    // repartition(N, shard) + sortWithinPartitions(h): one shard-keyed
+    // shuffle; the per-shard sort is the write path's sort, not an extra
+    // pass. Gate = the full layout (doc_id → shard, pos).
+    ("q105_shard_layout",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("h", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("shard", hash32(concat(lit("shard:"), col("doc_id").cast("string"))) % 8)
+          .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+            ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM d ORDER BY shard, pos"""))
   )
 
 }

@@ -289,4 +289,37 @@ class StreamingSpec extends SparkSpec {
     assert(s3.toSeq === Seq((1L, "a3"), (2L, "b1"), (3L, "c1"), (4L, "d1")),
       "staged state must be recovered before the merge")
   }
+
+  test("k-means assignment applies to a stream (map-only model scoring)") {
+    // the fitted centroids are literals in the plan, so KMeans.assign is a
+    // stateless streaming projection — score arriving embeddings against a
+    // batch-fitted model with no state store and batch-identical results
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val eq = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), graft.similarity.KMeans.quantCol(col("embedding")).as("eq"))
+    val cents = graft.similarity.KMeans.fit(eq.localCheckpoint(), k = 4, iters = 2)
+    val batchAsg = graft.similarity.KMeans.assign(eq, cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val sample = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    mem.addData(sample.toIndexedSeq)
+    val streamed = graft.similarity.KMeans.assign(
+      mem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), graft.similarity.KMeans.quantCol(col("embedding")).as("eq")),
+      cents)
+    val q = streamed.select("vec_id", "cluster")
+      .writeStream.format("memory").queryName("kmeans_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val got = spark.table("kmeans_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 10)
+    got.foreach { case (id, c) => assert(c === batchAsg(id), s"vec $id") }
+  }
 }
