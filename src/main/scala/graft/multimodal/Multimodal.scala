@@ -212,6 +212,88 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(media_id: Long, b0: Int, b1: Int, b2: Int,
+      b3: Int, decoded: Boolean)
+
+  /** Perceptual average-hash (aHash) of a decoded image, returned as four
+    * 16-bit blocks (bit i of the 64-bit hash lives in block i/16 at
+    * position i%16, i = cellY*8 + cellX). Blocks instead of one Long keep
+    * every value in [0, 65536) — no sign-bit hazards in either engine when
+    * the hash is re-derived arithmetically by the SQL oracle, and the
+    * 4-block split IS the hamming-pairing key (pigeonhole: any pair at
+    * distance ≤ 3 shares at least one intact block).
+    *
+    * All arithmetic is integer (gray = (r+g+b)/3 summed per cell then one
+    * integer division; global mean = Σcells/64), so a SQL oracle that knows
+    * the pixel-generation formula reproduces the hash bit-for-bit. Images
+    * larger than 8×8 are box-downsampled on integer cell boundaries
+    * (cx·w/8 ≤ x < (cx+1)·w/8); smaller sides clamp to ≥ 1 pixel/cell. */
+  def aHashBlocks(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = math.min(cx * w / 8, w - 1)
+        val x1 = math.max((cx + 1) * w / 8, x0 + 1)
+        val y0 = math.min(cy * h / 8, h - 1)
+        val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            n += 3
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    val blocks = new Array[Int](4)
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) blocks(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    blocks
+  }
+
+  /** Batch-shaped REAL decode → perceptual hash over the media table
+    * (image rows only): ImageIO decode, 8×8 integer box-downsample,
+    * mean-threshold bits. The q106 near-dup gate runs the full
+    * encode→decode→hash path on executors and hamming-pairs the blocks —
+    * a broken codec, downsample, or threshold fails the hash gate. */
+  def imageAHash(spark: SparkSession, media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        inBatches(it, batchSize) { batch =>
+          batch.map { m =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            catch { case _: Throwable => null }
+            if (img == null) ImageHash(m.media_id, 0, 0, 0, 0, decoded = false)
+            else {
+              val b = aHashBlocks(img)
+              ImageHash(m.media_id, b(0), b(1), b(2), b(3), decoded = true)
+            }
+          }
+        }
+      }
+  }
+
   /** Iterator-of-batches runner: the mapInPandas contract on the JVM.
     * Bounded memory (one batch of rows materialized at a time), amortized
     * per-batch setup (a real codec would init its context once per batch). */

@@ -153,6 +153,110 @@ object MultimodalQ {
         3 AS channels, true AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // ---- MULTIMODAL DEDUP: perceptual-hash (aHash) image near-dup, the
+    // image twin of q34's simhash text pairs — the dedup modality a 100 TB
+    // multimodal corpus needs (re-encoded/resized copies of the same image
+    // hash to nearby aHashes; exact byte-dedup misses them). The REAL path
+    // runs end-to-end on executors: encode a deterministic 8×8 grayscale
+    // PNG per doc (ImageIO), DECODE it back, box-downsample, mean-threshold
+    // to the 64-bit aHash (4×16-bit blocks). Pairing is blocked, never
+    // all-pairs: pigeonhole on the 4 blocks (distance ≤ 3 ⇒ one intact
+    // block), equi-join per block, verify bit_count on candidates — q34's
+    // scale shape exactly. Near-dup pairs are PLANTED (q30/q36 discipline):
+    // every doc_id % 37 == 0 gets an id-shifted copy with pixel (0,0)
+    // nudged +1, so the gate verifies non-empty output. The oracle predicts
+    // every pixel from the generation arithmetic (md5-derived gray values,
+    // pure integer), so a broken encode, decode, downsample, or threshold
+    // fails the hash gate.
+    ("q106_image_ahash_dedup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val ids = docs
+          .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
+            lit(0).as("perturb"))
+          .unionByName(docs.filter(col("doc_id") % 37 === 0)
+            .select((col("doc_id") + 10000000L).as("media_id"),
+              col("doc_id").as("src_id"), lit(1).as("perturb")))
+          .as[(Long, Long, Int)]
+        val media = ids.map { case (mid, sid, pert) =>
+          val h = Multimodal.md5Hash32(s"img:$sid".getBytes("UTF-8"))
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val base = (((h >> (8 * ((x + y) % 4))) + 13 * x + 31 * y) % 256).toInt
+              val g = if (pert == 1 && x == 0 && y == 0) (base + 1) % 256 else base
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.Media(mid, "image", Multimodal.MediaMeta(8, 8, 3, 0, 0),
+            bos.toByteArray)
+        }
+        val ah = Multimodal.imageAHash(s, media).toDF().localCheckpoint()
+        graft.core.Scoped.releaseAfterUse(ah)
+        val blocks = ah.select(col("media_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .toDF("media_id", "k", "bv")
+        val cand = blocks.as("l").join(blocks.as("r"),
+            col("l.k") === col("r.k") && col("l.bv") === col("r.bv") &&
+              col("l.media_id") < col("r.media_id"))
+          .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+          .distinct()
+        cand
+          .join(ah.select(col("media_id").as("id_a"), col("b0").as("a0"),
+            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("id_a"))
+          .join(ah.select(col("media_id").as("id_b"), col("b0").as("c0"),
+            col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("id_b"))
+          .withColumn("dist",
+            (expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")).cast("long"))
+          .filter(col("dist") <= 3)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id AS media_id, doc_id AS src_id, 0 AS perturb FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 37 = 0),
+        hs AS (SELECT media_id, perturb,
+            ('0x' || substr(md5('img:' || CAST(src_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM base),
+        px AS (SELECT media_id, x, y,
+            ((((h >> CAST(8 * ((x + y) % 4) AS INT)) + 13 * x + 31 * y) % 256
+              + CASE WHEN perturb = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256) AS g
+          FROM hs, range(8) tx(x), range(8) ty(y)),
+        sums AS (SELECT media_id, SUM(g) AS sg FROM px GROUP BY media_id),
+        bits AS (SELECT p.media_id, (y * 8 + x) AS pos,
+            CASE WHEN g > sg // 64 THEN 1 ELSE 0 END AS bit
+          FROM px p JOIN sums s ON s.media_id = p.media_id),
+        blk AS (SELECT media_id, CAST(pos // 16 AS INT) AS k,
+            CAST(SUM(bit * (1 << CAST(pos % 16 AS INT))) AS INT) AS bv
+          FROM bits GROUP BY media_id, pos // 16),
+        bh AS (SELECT media_id,
+            SUM(CASE WHEN k = 0 THEN bv ELSE 0 END) AS b0,
+            SUM(CASE WHEN k = 1 THEN bv ELSE 0 END) AS b1,
+            SUM(CASE WHEN k = 2 THEN bv ELSE 0 END) AS b2,
+            SUM(CASE WHEN k = 3 THEN bv ELSE 0 END) AS b3
+          FROM blk GROUP BY media_id),
+        cand AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b
+          FROM blk l JOIN blk r ON l.k = r.k AND l.bv = r.bv
+            AND l.media_id < r.media_id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+             + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS dist
+        FROM cand
+        JOIN bh a ON a.media_id = id_a
+        JOIN bh c ON c.media_id = id_b
+        WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+            + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ---- frame sampling: every 5th frame of each video → one row/frame
     ("q63_frame_sample",
       (s: SparkSession, dir: String) => {

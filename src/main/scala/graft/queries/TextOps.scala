@@ -608,6 +608,125 @@ object TextOps {
           total - pass_len AS drop_len,
           pass_len - pass_alpha AS drop_alpha,
           pass_alpha - pass_ttr AS drop_ttr
-        FROM f"""))
+        FROM f""")),
+
+    // ---- mergeable cardinality sketch: KMV (k-minimum-values, k=64) per
+    // language, vs the exact distinct count beside it. At 100 TB exact
+    // per-group COUNT(DISTINCT token) shuffles every (group, token) pair;
+    // the KMV sketch is a bounded 64-value state per group, mergeable
+    // across partitions/days (union the sets, keep the 64 smallest), which
+    // is why warehouses sketch cardinality instead of counting it. All
+    // integer except the single estimator division (k-1)·2^32 / kth_min —
+    // one IEEE op, bit-identical across engines (no rounding needed).
+    // The exact count stays in the output so the gate ALSO pins the
+    // estimator's accuracy contract against drift.
+    ("q107_kmv_distinct",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents")
+          .select(col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val hv = toks.select(col("lang"), hash32(col("tok")).as("h")).distinct()
+        val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+        val sk = hv.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 64)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_min"))
+        toks.groupBy(col("lang")).agg(countDistinct(col("tok")).as("n_exact"))
+          .join(sk, Seq("lang"))
+          .withColumn("est_distinct",
+            when(col("n_sketch") < 64, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0 * 4294967296.0) / col("kth_min")))
+          .select(col("lang"), col("n_exact"), col("n_sketch"),
+            col("kth_min"), col("est_distinct"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        hv AS (SELECT DISTINCT lang,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        rk AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hv),
+        sk AS (SELECT lang, COUNT(*) AS n_sketch, MAX(h) AS kth_min
+          FROM rk WHERE rk <= 64 GROUP BY lang),
+        ex AS (SELECT lang, COUNT(DISTINCT tok) AS n_exact
+          FROM toks GROUP BY lang)
+        SELECT ex.lang, n_exact, n_sketch, kth_min,
+          CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+               ELSE 63.0 * 4294967296.0 / kth_min END AS est_distinct
+        FROM ex JOIN sk ON sk.lang = ex.lang ORDER BY ex.lang""")),
+
+    // ---- mergeable frequency sketch: count-min (depth 4 × width 256),
+    // probed for the exact top-10 terms so the gate pins the one-sided
+    // error contract (cm_est >= n_exact always; equality when no
+    // collision). The sketch build is ONE corpus pass with map-side
+    // partial aggregation into ≤ 1024 counters — additive across
+    // partitions/shards, which is the 100 TB replacement for a full
+    // (term → count) shuffle when only heavy hitters matter. The probe
+    // side broadcasts (10 terms × 4 rows against the 1024-row sketch).
+    ("q108_cm_heavy_hitters",
+      (s: SparkSession, dir: String) => {
+        def cmCol(d: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+          hash32(concat(d.cast("string"), lit(":"), tok)) % 256
+        val toks = t(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val sketch = toks
+          .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+          .withColumn("c", cmCol(col("d"), col("tok")))
+          .groupBy(col("d"), col("c")).agg(count(lit(1)).as("cnt"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), asc("tok")).limit(10)
+          .select(col("tok"), col("n_exact"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+          .withColumn("c", cmCol(col("d"), col("tok")))
+          .join(broadcast(sketch), Seq("d", "c"))
+          .groupBy(col("tok"), col("n_exact"))
+          .agg(min(col("cnt")).as("cm_est"))
+          .select(col("tok"), col("n_exact"), col("cm_est"))
+          .orderBy(desc("n_exact"), asc("tok"))
+      },
+      Some("""WITH toks AS (SELECT
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        sk AS (SELECT d,
+            ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256 AS c,
+            COUNT(*) AS cnt
+          FROM toks, ds GROUP BY 1, 2),
+        ex AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok),
+        top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 10),
+        probe AS (SELECT t.tok, t.n_exact, d.d,
+            ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % 256 AS c
+          FROM top t, ds d)
+        SELECT p.tok, p.n_exact, MIN(s.cnt) AS cm_est
+        FROM probe p JOIN sk s ON s.d = p.d AND s.c = p.c
+        GROUP BY p.tok, p.n_exact
+        ORDER BY n_exact DESC, tok""")),
+
+    // ---- tokenizer training primitive: one BPE learn step — the most
+    // frequent adjacent character pairs across the corpus (the pair a BPE
+    // trainer would merge next). Pair extraction is a map-only
+    // index-explode (bounded by token length); the count is one shuffle
+    // with map-side combine on a vocabulary-sized key space. Iterating
+    // this per merge is exactly how a distributed BPE trainer runs its
+    // outer loop at corpus scale.
+    ("q109_bpe_merge",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("pair"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        t2 AS (SELECT tok FROM toks WHERE length(tok) >= 2),
+        idx AS (SELECT tok, unnest(range(1, length(tok))) AS i FROM t2),
+        pairs AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair FROM idx)
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
   )
 }

@@ -83,6 +83,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded && out(3L).width === 0)
   }
 
+  test("aHash: integer scalar model, downsample invariance, perturbation locality") {
+    import spark.implicits._
+    def grayImg(w: Int, h: Int, g: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def pix(x: Int, y: Int): Int = (x * 13 + y * 31 + 7) % 256
+    // scalar model: cells = pixels for an 8x8 input, mean = Σ/64 int div,
+    // bit i (= y*8+x) set iff cell > mean, block k = bits [16k, 16k+16)
+    val cells = for (y <- 0 until 8; x <- 0 until 8) yield pix(x, y).toLong
+    val mean = cells.sum / 64
+    val expected = Array.fill(4)(0)
+    cells.zipWithIndex.foreach { case (c, i) =>
+      if (c > mean) expected(i / 16) |= 1 << (i % 16)
+    }
+    assert(Multimodal.aHashBlocks(grayImg(8, 8, pix)).toSeq === expected.toSeq)
+    // box-downsample invariance: 16x16 of uniform 2x2 cells = same hash
+    val big = grayImg(16, 16, (x, y) => pix(x / 2, y / 2))
+    assert(Multimodal.aHashBlocks(big).toSeq === expected.toSeq)
+    // end-to-end through PNG encode + the Dataset decode path, with a
+    // single-pixel perturbation: hamming distance stays local (≤ 2 bits:
+    // the pixel's own bit plus at most a mean-boundary flip)
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = grayImg(8, 8, pix)
+    val pert = grayImg(8, 8, (x, y) => if (x == 0 && y == 0) (pix(0, 0) + 1) % 256 else pix(x, y))
+    val ds = Seq(
+      Media(1L, "image", MediaMeta(8, 8, 3, 0, 0), png(base)),
+      Media(2L, "image", MediaMeta(8, 8, 3, 0, 0), png(pert)),
+      Media(3L, "image", MediaMeta(0, 0, 0, 0, 0), Array[Byte](9, 9)))
+      .toDS()
+    val out = Multimodal.imageAHash(spark, ds).collect().map(h => h.media_id -> h).toMap
+    assert(out(1L).decoded && out(2L).decoded && !out(3L).decoded)
+    assert(Seq(out(1L).b0, out(1L).b1, out(1L).b2, out(1L).b3) === expected.toSeq)
+    val dist = Seq(out(1L).b0 ^ out(2L).b0, out(1L).b1 ^ out(2L).b1,
+      out(1L).b2 ^ out(2L).b2, out(1L).b3 ^ out(2L).b3)
+      .map(Integer.bitCount).sum
+    assert(dist <= 2, s"perturbed hamming distance $dist")
+  }
+
   test("extractFeatures: values are md5-derived on the exact 1/4096 grid") {
     // the q62 oracle recomputes these from md5(text) — pin the formula
     val f = extractFeatures(spark, media).collect().sortBy(_.media_id)
