@@ -727,6 +727,43 @@ object TextOps {
         idx AS (SELECT tok, unnest(range(1, length(tok))) AS i FROM t2),
         pairs AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair FROM idx)
         SELECT pair, COUNT(*) AS n FROM pairs
-        GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
+    // ---- tokenizer vocabulary coverage: build the vocab from half the
+    // corpus (doc_id parity = the training split), measure per-language
+    // OOV occurrence rate on the other half — the go/no-go check before
+    // committing a tokenizer to a 100 TB tokenization run. The OOV probe
+    // is a left-anti join ON TOKEN (shuffle-hash at scale — the vocab of a
+    // web corpus outgrows broadcast; Spark picks broadcast at fixture
+    // size, which is the same plan a sampled vocab would use at 100 TB).
+    // oov_rate is one IEEE division of exact integers — engine-exact.
+    ("q110_vocab_coverage",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val vocab = toks.filter(col("doc_id") % 2 === 0).select(col("tok")).distinct()
+        val ev = toks.filter(col("doc_id") % 2 === 1)
+        ev.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+          .join(ev.join(vocab, Seq("tok"), "left_anti")
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_oov")),
+            Seq("lang"), "left")
+          .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+          .select(col("lang"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        vocab AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 2 = 0),
+        ev AS (SELECT lang, tok FROM toks WHERE doc_id % 2 = 1),
+        tot AS (SELECT lang, COUNT(*) AS n_tokens FROM ev GROUP BY lang),
+        oov AS (SELECT lang, COUNT(*) AS n_oov FROM ev
+          WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY lang)
+        SELECT t.lang, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+          CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        FROM tot t LEFT JOIN oov o ON o.lang = t.lang ORDER BY t.lang"""))
   )
 }

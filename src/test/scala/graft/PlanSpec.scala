@@ -147,6 +147,17 @@ class PlanSpec extends SparkSpec {
       "bloom filter must run map-side, directly over the scan:\n" + p.take(1200))
   }
 
+  test("q106: aHash pairing is a blocked equi-join, never a cartesian") {
+    val p = plan("q106_image_ahash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "hamming pairing must pigeonhole on blocks, not compare all pairs:\n" + p.take(1600))
+    assert(p.contains("Join"), "expected the block equi-join")
+  }
+
+  test("q108: the 1024-counter count-min sketch broadcasts to the probe") {
+    assert(plan("q108_cm_heavy_hitters").contains("BroadcastHashJoin"))
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a
