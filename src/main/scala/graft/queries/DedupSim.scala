@@ -1076,7 +1076,85 @@ object DedupSim {
           FROM documents)
         SELECT doc_id, shard,
           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-        FROM d ORDER BY shard, pos"""))
+        FROM d ORDER BY shard, pos""")),
+
+    // ---- content-defined chunking (CDC) dedup: rolling-hash boundaries
+    // (4-char polynomial window, boundary where h % 64 == 0) cut each doc
+    // into content-aligned chunks, so a prefix insertion or deletion only
+    // perturbs the FIRST chunk — every later boundary re-synchronizes and
+    // the shared tail dedups exactly. This is the shift-robust exact-dedup
+    // primitive (rsync/LBFS-style) that fixed-stride shingling lacks, and
+    // the backbone of storage-level dedup in corpus pipelines. Shape at
+    // 100 TB: chunking is map-only per doc (array HOFs, no shuffle);
+    // pairing is one chunk-hash equi-join with a stop-chunk cap (chunks in
+    // > 20 docs are dropped, the frequent-shingle blowup guard). Planted
+    // 'PFX '-prefixed copies (doc_id % 43) verify the re-synchronization
+    // property end-to-end: every planted pair shares ≥ 1 post-shift chunk.
+    ("q111_cdc_chunk_dedup",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val d0 = docs.unionByName(docs.filter(col("doc_id") % 43 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(lit("PFX "), col("text")).as("text")))
+        val ch = d0
+          .withColumn("L", length(col("text")).cast("long"))
+          .withColumn("cs",
+            expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
+          .withColumn("hs", expr(
+            "transform(filter(sequence(cast(4 as bigint), greatest(L, cast(4 as bigint))), i -> i <= L), i -> " +
+              "(((element_at(cs, cast(i-3 as int))*31 + element_at(cs, cast(i-2 as int)))*31 + " +
+              "element_at(cs, cast(i-1 as int)))*31 + element_at(cs, cast(i as int))) % 1048576)"))
+          .withColumn("bnds", expr(
+            "concat(array(cast(0 as bigint)), " +
+              "filter(filter(sequence(cast(4 as bigint), greatest(L, cast(4 as bigint))), i -> i <= L), " +
+              "i -> i < L AND element_at(hs, cast(i-3 as int)) % 64 = 0), array(L))"))
+          .select(col("doc_id"), explode(expr(
+            "filter(transform(sequence(1, size(bnds) - 1), j -> " +
+              "substring(text, cast(element_at(bnds, j) + 1 as int), " +
+              "cast(element_at(bnds, j+1) - element_at(bnds, j) as int))), ck -> length(ck) >= 16)"))
+            .as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+          .distinct()
+          .localCheckpoint()
+        Scoped.releaseAfterUse(ch)
+        val keep = ch.join(
+          ch.groupBy(col("h")).agg(count(lit(1)).as("nf"))
+            .filter(col("nf") <= 20).select(col("h")), Seq("h"))
+        keep.as("a").join(keep.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("n_shared"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 20000000, 'PFX ' || text
+          FROM documents WHERE doc_id % 43 = 0),
+        d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+            list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+          FROM d0),
+        h AS (SELECT doc_id, text, L, cs,
+            list_transform(list_filter(range(4, greatest(L, 4) + 1), i -> i <= L), i ->
+              (((cs[i-3]*31 + cs[i-2])*31 + cs[i-1])*31 + cs[i]) % 1048576) AS hs
+          FROM d),
+        b AS (SELECT doc_id, text, L,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_filter(list_filter(range(4, greatest(L, 4) + 1), i -> i <= L),
+                i -> i < L AND hs[i-3] % 64 = 0)), [L]) AS bnds
+          FROM h),
+        c AS (SELECT doc_id,
+            list_filter(list_transform(range(1, len(bnds)), j ->
+              substr(text, CAST(bnds[j] + 1 AS INT), CAST(bnds[j+1] - bnds[j] AS INT))),
+              ck -> length(ck) >= 16) AS chunks
+          FROM b),
+        ch AS (SELECT DISTINCT doc_id, md5(chunk) AS h
+          FROM (SELECT doc_id, unnest(chunks) AS chunk FROM c)),
+        freq AS (SELECT h, COUNT(*) AS nf FROM ch GROUP BY h),
+        keep AS (SELECT ch.doc_id, ch.h FROM ch JOIN freq USING (h) WHERE nf <= 20)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
 }
