@@ -214,7 +214,20 @@ object DedupSim {
     * assignment (a_i/s_i: nearest centroid, ties to smallest cluster) and
     * an update (c_i, with c_if carrying empty clusters' previous centroid
     * forward), then a final assignment against the last centroids. */
-  private def kmeansSql: String = {
+  private def kmeansSql: String =
+    s"""WITH ${kmeansCtes("embeddings")}
+        SELECT s.cluster, COUNT(*) AS n_points, CAST(SUM(s.dist) AS BIGINT) AS inertia,
+          MIN(cs.cent_sum) AS cent_sum
+        FROM s${kmeansIters + 1} s JOIN (SELECT cluster, CAST(SUM(c) AS BIGINT) AS cent_sum
+          FROM c${kmeansIters}f GROUP BY cluster) cs ON cs.cluster = s.cluster
+        GROUP BY s.cluster ORDER BY s.cluster"""
+
+  /** The Lloyd-rounds CTE body alone (no WITH, no final SELECT), with the
+    * (vec_id, embedding) source table pluggable — q103 runs it on the raw
+    * `embeddings`, q112 on the planted-near-dup union. Exposes `e`
+    * (quantized dims), `c${iters}f` (final centroids) and
+    * `s${iters + 1}` (final assignment). */
+  private def kmeansCtes(src: String): String = {
     val k = kmeansK
     def asg(i: Int, cprev: String) =
       s"""a$i AS (SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS dist
@@ -233,18 +246,13 @@ object DedupSim {
     val rounds = (1 to kmeansIters)
       .map(i => s"${asg(i, s"c${i - 1}f")},\n        ${upd(i)}").mkString(",\n        ")
     val fin = kmeansIters + 1
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
             generate_subscripts(embedding, 1) - 1 AS dim,
             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS v
-          FROM embeddings),
+          FROM $src),
         c0f AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < $k),
         $rounds,
-        ${asg(fin, s"c${kmeansIters}f")}
-        SELECT s.cluster, COUNT(*) AS n_points, CAST(SUM(s.dist) AS BIGINT) AS inertia,
-          MIN(cs.cent_sum) AS cent_sum
-        FROM s$fin s JOIN (SELECT cluster, CAST(SUM(c) AS BIGINT) AS cent_sum
-          FROM c${kmeansIters}f GROUP BY cluster) cs ON cs.cluster = s.cluster
-        GROUP BY s.cluster ORDER BY s.cluster"""
+        ${asg(fin, s"c${kmeansIters}f")}"""
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -1154,7 +1162,65 @@ object DedupSim {
         keep AS (SELECT ch.doc_id, ch.h FROM ch JOIN freq USING (h) WHERE nf <= 20)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- SEMANTIC dedup (SemDeDup-shaped): k-means clusters as the
+    // learned blocking key, exact cosine ≥ 0.95 only WITHIN a cluster.
+    // This is the published recipe for embedding-space dedup at corpus
+    // scale (cluster first, compare inside clusters): the pair space
+    // shrinks from O(n²) to Σ|cluster|², and the per-cluster compare is
+    // embarrassingly parallel after one cluster-keyed shuffle. Clustering
+    // reuses q103's integer-exact Lloyd loop (broadcast centroids,
+    // map-only assignment); pairs reuse q36's planted near-dups (halved
+    // first element on the float grid) so the gate is non-vacuous. q36
+    // blocks on the STATIC (label, SRP-cell) key; this operator is its
+    // LEARNED-blocking sibling — same verify stage, data-adaptive blocks.
+    ("q112_semantic_dedup",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.KMeans
+        graft.functions.GraftFunctions.register(s)
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+        val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e0.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000000000L).as("vec_id"),
+            concat(
+              array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
+              expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
+        val aug = e0.unionByName(planted).localCheckpoint()
+        val eq = aug.select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+          .localCheckpoint()
+        val cents = KMeans.fit(eq, k = kmeansK, iters = kmeansIters)
+        // fit's per-round collects are done — the gate action is the last
+        // consumer of both checkpoints
+        Scoped.releaseAfterUse(aug, eq)
+        val asgn = KMeans.assign(eq, cents).select(col("vec_id"), col("cluster"))
+        val v = aug.join(asgn, Seq("vec_id"))
+        val a = v.select(col("vec_id").as("id_a"), col("cluster"),
+          col("embedding").as("ea"))
+        val b = v.select(col("vec_id").as("id_b"), col("cluster"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+          .withColumn("sim", expr(cosSpark("ea", "eb")))
+          .filter(col("sim") >= 0.95)
+          .select(col("cluster"), col("id_a"), col("id_b"), r4(col("sim")).as("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000000000,
+            list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT), embedding[2:])
+          FROM embeddings WHERE vec_id % 10 = 0),
+        ${kmeansCtes("aug")},
+        asgn AS (SELECT vec_id, cluster FROM s${kmeansIters + 1}),
+        v AS (SELECT a.vec_id, a.embedding, g.cluster
+          FROM aug a JOIN asgn g ON g.vec_id = a.vec_id)
+        SELECT v1.cluster, v1.vec_id AS id_a, v2.vec_id AS id_b,
+          floor(${cosDuck("v1.embedding", "v2.embedding")} * 1e4 + 0.5) / 1e4 AS sim
+        FROM v v1 JOIN v v2
+          ON v1.cluster = v2.cluster AND v1.vec_id < v2.vec_id
+        WHERE ${cosDuck("v1.embedding", "v2.embedding")} >= 0.95
+        ORDER BY id_a, id_b"""))
   )
 
 }
