@@ -215,6 +215,31 @@ object EventStreams {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming count-min sketch: per event-time window, maintain the
+    * depth-4 × width-256 counter table as a watermarked windowed
+    * aggregate — the streaming twin of q108's batch sketch build. The
+    * engine state is (windows in flight) × ≤ 1024 counters REGARDLESS of
+    * vocabulary size — the point of sketching a stream: heavy-hitter
+    * estimates probe min-over-d of the emitted counters downstream with
+    * no per-term state anywhere. Counters are additive, so late windows
+    * merge and per-shard sketches union at 100 TB. Hashing is the same
+    * md5-derived [[graft.core.Portable.hash32]] family as the batch
+    * sketch, so stream and batch counters are bit-identical on the same
+    * data (pinned by StreamingSpec). */
+  def cmSketchStream(docs: DataFrame, window: String = "1 hour",
+      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .select(col("ts"), col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("c",
+        graft.core.Portable.hash32(
+          concat(col("d").cast("string"), lit(":"), col("tok"))) % 256)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("d"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming CDC apply: maintain a parquet serving table by MERGE-ing
     * each micro-batch through [[graft.maintenance.Upsert]] — the
     * streaming twin of q86 (a crawl feed continuously upserting a

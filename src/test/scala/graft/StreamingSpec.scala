@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
@@ -201,6 +202,39 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("dedup_stream")
       .collect().map(r => r.getLong(0)).sorted
     assert(rows.toSeq === Seq(1L, 3L), "first arrival per content hash survives")
+  }
+
+  test("cmSketchStream: windowed counters are bit-identical to the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha", ts(0)),
+      (2L, "beta gamma", ts(5)),
+      (3L, "alpha delta epsilon", ts(20)))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs.take(2): _*)
+    mem.addData(docs.drop(2): _*)
+    val q = EventStreams.cmSketchStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), window = "1 hour")
+      .writeStream.format("memory").queryName("cm_sketch")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    // latest update per (window, d, c) is the final counter value
+    val streamed = spark.table("cm_sketch")
+      .groupBy(col("window"), col("d"), col("c")).agg(max("cnt").as("cnt"))
+      .select(col("d"), col("c"), col("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = docs.toDF("doc_id", "text", "ts")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+      .withColumn("c", graft.core.Portable.hash32(
+        concat(col("d").cast("string"), lit(":"), col("tok"))) % 256)
+      .groupBy(col("d"), col("c")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "stream-maintained counters must equal the batch-built sketch")
+    // the sketch state is counter-bounded: no row outside d 0..3 / c 0..255
+    assert(streamed.forall { case (d, c, _) => d >= 0 && d < 4 && c >= 0 && c < 256 })
   }
 
   test("dedupStream runs on the RocksDB state store (the production config)") {
