@@ -1104,22 +1104,38 @@ object DedupSim {
         val d0 = docs.unionByName(docs.filter(col("doc_id") % 43 === 0)
           .select((col("doc_id") + 20000000L).as("doc_id"),
             concat(lit("PFX "), col("text")).as("text")))
+        // boundary detection is ONE aggregate() pass over the char array:
+        // the fold lambda receives each element VALUE, so the rolling
+        // window lives in the accumulator and the work is O(L) per doc.
+        // (The index-based formulation — element_at(cs, i) inside a
+        // transform lambda — re-evaluates the cs expression per access
+        // because higher-order lambdas get no common-subexpression
+        // hoisting: O(L²) per doc, 40x slower at sf0.1.) The accumulator
+        // carries the last 3 char codes + the boundary list; chunk
+        // substrings then come from zip_with over the shifted bound
+        // arrays, again binding VALUES, not indices.
         val ch = d0
           .withColumn("L", length(col("text")).cast("long"))
-          .withColumn("cs",
-            expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
-          .withColumn("hs", expr(
-            "transform(filter(sequence(cast(4 as bigint), greatest(L, cast(4 as bigint))), i -> i <= L), i -> " +
-              "(((element_at(cs, cast(i-3 as int))*31 + element_at(cs, cast(i-2 as int)))*31 + " +
-              "element_at(cs, cast(i-1 as int)))*31 + element_at(cs, cast(i as int))) % 1048576)"))
           .withColumn("bnds", expr(
-            "concat(array(cast(0 as bigint)), " +
-              "filter(filter(sequence(cast(4 as bigint), greatest(L, cast(4 as bigint))), i -> i <= L), " +
-              "i -> i < L AND element_at(hs, cast(i-3 as int)) % 64 = 0), array(L))"))
+            """concat(array(cast(0 as bigint)),
+                 aggregate(
+                   transform(split(text, ''), ch -> cast(ascii(ch) as bigint)),
+                   named_struct(
+                     'pos', cast(0 as bigint), 'c1', cast(0 as bigint),
+                     'c2', cast(0 as bigint), 'c3', cast(0 as bigint),
+                     'bs', cast(array() as array<bigint>)),
+                   (acc, x) -> named_struct(
+                     'pos', acc.pos + 1, 'c1', acc.c2, 'c2', acc.c3, 'c3', x,
+                     'bs', if(acc.pos + 1 >= 4 AND acc.pos + 1 < L
+                              AND (((acc.c1*31 + acc.c2)*31 + acc.c3)*31 + x) % 1048576 % 64 = 0,
+                            concat(acc.bs, array(acc.pos + 1)), acc.bs)),
+                   acc -> acc.bs),
+                 array(L))"""))
           .select(col("doc_id"), explode(expr(
-            "filter(transform(sequence(1, size(bnds) - 1), j -> " +
-              "substring(text, cast(element_at(bnds, j) + 1 as int), " +
-              "cast(element_at(bnds, j+1) - element_at(bnds, j) as int))), ck -> length(ck) >= 16)"))
+            """filter(
+                 zip_with(slice(bnds, 1, size(bnds) - 1), slice(bnds, 2, size(bnds) - 1),
+                   (p, q) -> substring(text, cast(p + 1 as int), cast(q - p as int))),
+                 ck -> length(ck) >= 16)"""))
             .as("chunk"))
           .select(col("doc_id"), md5(col("chunk")).as("h"))
           .distinct()
