@@ -681,6 +681,87 @@ object CorpusSearch {
         n2 AS (SELECT p, COUNT(*) AS n_2hop FROM reach GROUP BY 1)
         SELECT n2.p AS title, COALESCE(n1.n_1hop, 0) AS n_1hop, n2.n_2hop
         FROM n2 LEFT JOIN n1 ON n1.p = n2.p
-        ORDER BY title"""))
+        ORDER BY title""")),
+
+    // ---- HYBRID retrieval: reciprocal-rank fusion of the lexical (BM25,
+    // q80's formula, probe term "spark") and vector (cosine to vec 0's
+    // embedding, q35's probe) rankings — the standard lexical+semantic
+    // fusion step of a RAG/search stack (rrf = Σ 1/(60 + rank), k=60 per
+    // the original RRF paper). Both rankings quantize scores on the 1e-4
+    // grid before ranking so ranks are cross-engine stable; the fused
+    // score is two IEEE divisions + one add, identical op order in both
+    // engines — no rounding needed. The global row_number windows rank
+    // CANDIDATE lists (docs matching the term / similarity probe), which
+    // are top-k-bounded per query in production — the fuse itself is a
+    // doc_id equi-join, never a corpus-wide shuffle.
+    ("q113_hybrid_rrf",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val n = docs.count() // driver-side metadata agg, like ref A2
+        val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(toks)
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val tot = dl.agg(sum(col("dl")).as("tot"))
+        val tf = toks.filter(col("term") === "spark")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        val dfv = toks.filter(col("term") === "spark")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val avgdl = col("tot").cast("double") / lit(n.toDouble)
+        val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        val score = idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        val lex = dl.join(broadcast(tf), Seq("doc_id"))
+          .crossJoin(broadcast(dfv)).crossJoin(broadcast(tot))
+          .select(col("doc_id"), (floor(score * 1e4 + 0.5) / 1e4).as("lex_score"))
+          .withColumn("rank_lex", row_number()
+            .over(Window.orderBy(desc("lex_score"), asc("doc_id"))).cast("long"))
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            (floor(expr(DedupSim.cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("vec_score"))
+          .withColumn("rank_vec", row_number()
+            .over(Window.orderBy(desc("vec_score"), asc("doc_id"))).cast("long"))
+        lex.join(vec, Seq("doc_id"))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60.0) + col("rank_lex")) + lit(1.0) / (lit(60.0) + col("rank_vec")))
+          .withColumn("rn", row_number().over(Window.orderBy(desc("rrf"), asc("doc_id"))))
+          .filter(col("rn") <= 20)
+          .select(col("doc_id"), col("rank_lex"), col("rank_vec"), col("rrf"))
+          .orderBy(desc("rrf"), asc("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        tf AS (SELECT doc_id, COUNT(*) AS tf FROM toks
+               WHERE term = 'spark' GROUP BY doc_id),
+        dfv AS (SELECT COUNT(DISTINCT doc_id) AS df FROM toks WHERE term = 'spark'),
+        lex AS (SELECT tf.doc_id,
+            floor(LN((CAST(n.n AS DOUBLE) - dfv.df + 0.5) / (dfv.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                  / (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))
+              * 10000.0 + 0.5) / 10000.0 AS lex_score
+          FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN dfv CROSS JOIN tot CROSS JOIN n),
+        lexr AS (SELECT doc_id, CAST(row_number()
+            OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT) AS rank_lex FROM lex),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vec AS (SELECT vec_id AS doc_id,
+            floor(${DedupSim.cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS vec_score
+          FROM embeddings, q WHERE vec_id <> 0),
+        vecr AS (SELECT doc_id, CAST(row_number()
+            OVER (ORDER BY vec_score DESC, doc_id) AS BIGINT) AS rank_vec FROM vec),
+        f AS (SELECT l.doc_id, l.rank_lex, v.rank_vec,
+            1.0 / (60.0 + l.rank_lex) + 1.0 / (60.0 + v.rank_vec) AS rrf
+          FROM lexr l JOIN vecr v ON v.doc_id = l.doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
+        SELECT doc_id, rank_lex, rank_vec, rrf
+        FROM r WHERE rn <= 20 ORDER BY rrf DESC, doc_id"""))
   )
 }

@@ -99,7 +99,7 @@ object DedupSim {
   /** Spark side uses the native codegen'd [[graft.functions.CosineSim]]
     * expression — one fused loop, bit-compatible with the HOF/oracle
     * formulation (same index-order double accumulation). */
-  private def cosSpark(a: String, b: String): String = s"cosine_sim($a, $b)"
+  private[queries] def cosSpark(a: String, b: String): String = s"cosine_sim($a, $b)"
 
   /** DuckDB twin of [[graft.similarity.Ivf.cellCol]]: the SRP cell id of a
     * vector expression, with the same plane literals and the same ordered
@@ -118,7 +118,7 @@ object DedupSim {
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
-  private def cosDuck(a: String, b: String): String =
+  private[queries] def cosDuck(a: String, b: String): String =
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
   /** Shared DuckDB CTE chain producing sig(doc_id, simhash) — must mirror
