@@ -1236,7 +1236,62 @@ object DedupSim {
         FROM v v1 JOIN v v2
           ON v1.cluster = v2.cluster AND v1.vec_id < v2.vec_id
         WHERE ${cosDuck("v1.embedding", "v2.embedding")} >= 0.95
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- LSH quality evaluation: recall of q32's band-join CANDIDATE set
+    // against q31's exact jaccard-≥0.5 ground truth — the measurement every
+    // production dedup pipeline runs before trusting a sketch config (16
+    // perms, 4×4 banding here). At 100 TB the exact side runs on a SAMPLE;
+    // the shape is identical (two pair sets, one semi join, scalar
+    // report). n_cand/n_hit also expose the precision side (how much
+    // verification work the bands induce). recall is one IEEE division of
+    // exact integers.
+    ("q114_lsh_recall",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val exact = sh.select(col("doc_id").as("id_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val bands = minhashBands(sh)
+        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .select(col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+      },
+      Some(s"""WITH $shinglesSql,
+        sh_s AS (SELECT doc_id, shingle FROM sh),
+        ${minhashBandsSql("s")},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ex AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) p
+          JOIN sizes na ON na.doc_id = p.id_a
+          JOIN sizes nb ON nb.doc_id = p.id_b
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands_s a JOIN bands_s b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        hit AS (SELECT ex.id_a, ex.id_b FROM ex
+                JOIN cand ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b)
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+          (SELECT COUNT(*) FROM cand) AS n_cand,
+          (SELECT COUNT(*) FROM hit) AS n_hit,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ex) AS recall"""))
   )
 
 }

@@ -180,5 +180,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- q111's content-defined chunking: scalar model of the Spark/SQL
+  // boundary formula (4-char polynomial window, boundary where h % 64 == 0
+  // at 1-based position p in [4, L))
+  private def cdcChunks(text: String): Seq[String] = {
+    val L = text.length
+    val cs = text.map(_.toInt)
+    val bs = (4 until L).filter { p =>
+      val h = (((cs(p - 4) * 31L + cs(p - 3)) * 31 + cs(p - 2)) * 31 + cs(p - 1)) % 1048576
+      h % 64 == 0
+    }
+    val bnds = (0 +: bs) :+ L
+    bnds.sliding(2).collect { case Seq(p, q) if q > p => text.substring(p, q) }.toSeq
+  }
+
+  val cdcTextGen: Gen[(String, String)] = for {
+    n <- Gen.choose(30, 200)
+    body <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'e', ' '))
+    m <- Gen.choose(1, 10)
+    pfx <- Gen.listOfN(m, Gen.oneOf('x', 'y', 'z', ' '))
+  } yield (body.mkString, pfx.mkString)
+
+  test("CDC chunking: partition totality + boundary re-synchronization under prefix insertion") {
+    forAll(cdcTextGen, n = 50) { case (text, pfx) =>
+      val orig = cdcChunks(text)
+      // the chunks partition the text exactly
+      assert(orig.mkString === text)
+      // a prefix insertion only perturbs chunks up to the FIRST original
+      // boundary: every interior window of `text` reappears intact in the
+      // prefixed copy, so all later boundaries (and chunks) re-synchronize
+      val shifted = cdcChunks(pfx + text)
+      assert(shifted.mkString === pfx + text)
+      if (orig.size > 1) {
+        val tail = orig.drop(1)
+        assert(shifted.takeRight(tail.size) === tail,
+          s"post-boundary chunks must survive the shift (orig=$orig shifted=$shifted)")
+      }
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
