@@ -42,11 +42,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     /** Drop all storage residue: CacheManager entries AND RDD-level blocks
-      * (localCheckpoint blocks live only at the RDD level). */
+      * (localCheckpoint blocks live only at the RDD level). Each unpersist
+      * is individually guarded: a Scoped.releaseAfterUse listener can free
+      * the same blocks CONCURRENTLY (it fires right after the query's
+      * action), and a blocking unpersist of an already-released block
+      * throws "Block ... does not exist" — which must not kill the bench
+      * (it is exactly the storage-is-gone outcome this sweep wants). */
     def clearStorage(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = true)
+        catch { case _: Throwable => () }
+      }
     }
 
     /** One timed pass over the whole catalog at `dir`:

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** k-minimum-values cardinality sketch as a typed `Aggregator`: the buffer
+  * is the k smallest DISTINCT hash values seen so far, kept sorted —
+  * bounded state (≤ k longs) per (partition, group), merged
+  * associatively, so Catalyst runs it as ordinary partial aggregation
+  * (map-side combine). This is q107's 100 TB shape: one input-sized scan
+  * collapses to one k-long buffer per (partition, group) before a single
+  * tiny shuffle — no global per-group sort, no (group, token) shuffle.
+  * The sketch is also the natural cross-shard/day merge: union buffers,
+  * keep the k smallest (exactly [[merge]]).
+  *
+  * Estimator inputs come out as (n_sketch, kth_min): distinct-count ≈
+  * (k-1)·2^32 / kth_min when the buffer filled, exactly n_sketch when it
+  * didn't. Deduplication is the buffer's job (insert-if-absent), so
+  * callers feed RAW hash streams — no upstream distinct needed.
+  */
+class KmvSketch(k: Int)
+    extends Aggregator[Long, KmvSketch.Buf, KmvSketch.Out] {
+
+  override def zero: KmvSketch.Buf = KmvSketch.Buf(Array.emptyLongArray)
+
+  override def reduce(b: KmvSketch.Buf, h: Long): KmvSketch.Buf = {
+    val vs = b.vs
+    val idx = java.util.Arrays.binarySearch(vs, h)
+    if (idx >= 0) b // already present — KMV is over distinct values
+    else {
+      val ins = -idx - 1
+      if (vs.length >= k && ins >= k) b // larger than the kth minimum
+      else {
+        val n = math.min(vs.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(vs, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(vs, ins, out, ins + 1, n - ins - 1)
+        KmvSketch.Buf(out)
+      }
+    }
+  }
+
+  override def merge(a: KmvSketch.Buf, b: KmvSketch.Buf): KmvSketch.Buf = {
+    // merge two sorted distinct arrays, keep the k smallest distinct
+    val out = new Array[Long](math.min(a.vs.length + b.vs.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.vs.length || j < b.vs.length)) {
+      val takeA = j >= b.vs.length || (i < a.vs.length && a.vs(i) <= b.vs(j))
+      val v = if (takeA) a.vs(i) else b.vs(j)
+      if (takeA) i += 1 else j += 1
+      if (i <= a.vs.length && j <= b.vs.length &&
+        (n == 0 || out(n - 1) != v)) { out(n) = v; n += 1 }
+    }
+    KmvSketch.Buf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  override def finish(b: KmvSketch.Buf): KmvSketch.Out =
+    KmvSketch.Out(b.vs.length.toLong, if (b.vs.isEmpty) 0L else b.vs.last)
+
+  override def bufferEncoder: Encoder[KmvSketch.Buf] = Encoders.product[KmvSketch.Buf]
+  override def outputEncoder: Encoder[KmvSketch.Out] = Encoders.product[KmvSketch.Out]
+}
+
+object KmvSketch {
+  /** `vs`: sorted, distinct, length ≤ k. */
+  final case class Buf(vs: Array[Long])
+  final case class Out(n_sketch: Long, kth_min: Long)
+}

@@ -613,24 +613,28 @@ object TextOps {
     // ---- mergeable cardinality sketch: KMV (k-minimum-values, k=64) per
     // language, vs the exact distinct count beside it. At 100 TB exact
     // per-group COUNT(DISTINCT token) shuffles every (group, token) pair;
-    // the KMV sketch is a bounded 64-value state per group, mergeable
-    // across partitions/days (union the sets, keep the 64 smallest), which
-    // is why warehouses sketch cardinality instead of counting it. All
-    // integer except the single estimator division (k-1)·2^32 / kth_min —
-    // one IEEE op, bit-identical across engines (no rounding needed).
-    // The exact count stays in the output so the gate ALSO pins the
-    // estimator's accuracy contract against drift.
+    // the KMV sketch runs as a typed Aggregator whose buffer is the ≤ 64
+    // smallest distinct hashes — partial-aggregated map-side, one k-long
+    // buffer per (partition, group) into a single tiny shuffle, and the
+    // same merge unions per-shard/day sketches. This is why warehouses
+    // sketch cardinality instead of counting it. All integer except the
+    // single estimator division (k-1)·2^32 / kth_min — one IEEE op,
+    // bit-identical across engines (no rounding needed). The exact count
+    // stays in the output so the gate ALSO pins the estimator's accuracy
+    // contract against drift.
     ("q107_kmv_distinct",
       (s: SparkSession, dir: String) => {
+        import s.implicits._
         val toks = t(s, dir, "documents")
           .select(col("lang"),
             explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
-        val hv = toks.select(col("lang"), hash32(col("tok")).as("h")).distinct()
-        val w = Window.partitionBy(col("lang")).orderBy(col("h"))
-        val sk = hv.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 64)
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_min"))
+        val sk = toks.select(col("lang"), hash32(col("tok")).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.functions.KmvSketch(64).toColumn.name("sk"))
+          .toDF("lang", "sk")
+          .select(col("lang"), col("sk.n_sketch").as("n_sketch"),
+            col("sk.kth_min").as("kth_min"))
         toks.groupBy(col("lang")).agg(countDistinct(col("tok")).as("n_exact"))
           .join(sk, Seq("lang"))
           .withColumn("est_distinct",

@@ -19,6 +19,47 @@ class ApproxSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("KmvSketch: buffer dedups, stays bounded, merge == rebuild, matches brute force") {
+    import graft.functions.KmvSketch
+    val k = 8
+    val agg = new KmvSketch(k)
+    def build(xs: Seq[Long]): KmvSketch.Buf =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { trial =>
+      val xs = Seq.fill(40)(rnd.nextLong(100).abs)
+      val buf = build(xs)
+      val expect = xs.distinct.sorted.take(k)
+      assert(buf.vs.toSeq === expect, s"trial $trial")
+      // merge of any split == sketch of the whole
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.size + 1))
+      assert(agg.merge(build(l), build(r)).vs.toSeq === expect, s"merge trial $trial")
+      val out = agg.finish(buf)
+      assert(out.n_sketch === expect.size.toLong)
+      assert(out.kth_min === (if (expect.isEmpty) 0L else expect.last))
+    }
+    // degenerate: empty input
+    assert(agg.finish(agg.zero) === KmvSketch.Out(0L, 0L))
+  }
+
+  test("KmvSketch over a grouped Dataset partial-aggregates (no global sort)") {
+    import spark.implicits._
+    val k = 4
+    val ds = Seq(("a", 10L), ("a", 3L), ("a", 10L), ("a", 7L), ("a", 1L),
+      ("a", 9L), ("b", 5L)).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KmvSketch(k).toColumn.name("sk"))
+      .collect().toMap
+    assert(out("a") === graft.functions.KmvSketch.Out(4L, 9L)) // {1,3,7,9}
+    assert(out("b") === graft.functions.KmvSketch.Out(1L, 5L))
+    // plan shape: a hash/object aggregate with a partial phase, no window
+    val plan = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KmvSketch(k).toColumn.name("sk"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("Aggregate"), plan.take(800))
+  }
+
   test("approx_percentile brackets the exact median") {
     val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
     val approx = li.agg(
