@@ -171,6 +171,16 @@ object Scoped {
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
       val rdds = checkpointRdds(df)
+      // Stale-event watermark: the listener bus is ASYNCHRONOUS, so
+      // events from actions that ran BEFORE arming (e.g. the driver-side
+      // collects of an iterative fit against this very checkpoint) can be
+      // delivered to the listener registered here — their plans reference
+      // `df` and would release the blocks before the real consumer runs
+      // (bit q103/q112 in the bench: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+      // QueryExecution ids are monotonically assigned at construction, so
+      // a fresh throwaway execution's id is a strict lower bound for
+      // every consumer built after this call — older events are ignored.
+      val armedAfterId = df.sparkSession.range(0).queryExecution.id
       // Strong hold for every actually-persisted DF — the CacheManager
       // pins its plan anyway (see Armed.strongDf). A plain
       // un-materialized DF stays weak — strong-holding it would keep its
@@ -183,7 +193,7 @@ object Scoped {
           Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
         private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
-          if (!MaterializeOnly.contains(funcName)) {
+          if (!MaterializeOnly.contains(funcName) && qe.id > armedAfterId) {
             e.targetRef.get match {
               case null => releaseEntry(e) // abandoned — nothing can consume it now
               case target =>

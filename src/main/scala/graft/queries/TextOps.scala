@@ -768,6 +768,64 @@ object TextOps {
           WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY lang)
         SELECT t.lang, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
           CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
-        FROM tot t LEFT JOIN oov o ON o.lang = t.lang ORDER BY t.lang"""))
+        FROM tot t LEFT JOIN oov o ON o.lang = t.lang ORDER BY t.lang""")),
+
+    // ---- curriculum ordering: quality quartiles (q41's score, ntile over
+    // the grid-quantized total order) × seed-free within-bucket hash order
+    // — the "easy-to-hard" data schedule a curriculum-training run reads,
+    // composed with q105's shard discipline (deterministic, re-run-stable,
+    // decorrelated from crawl order within each difficulty band). ntile
+    // over (score, doc_id) is a global-rank presentation at fixture scale;
+    // at 100 TB the quartile CUTOFFS come from the q94 histogram sketch
+    // and bucketing becomes a map-only filter against three literals.
+    ("q115_curriculum_order",
+      (s: SparkSession, dir: String) => {
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("n_alpha", length(array_join(col("ws"), "")).cast("long"))
+          .withColumn("alpha_ratio",
+            r4(col("n_alpha").cast("double") / greatest(length(col("text")).cast("long"), lit(1L))))
+          .withColumn("avg_w_len",
+            r4(col("n_alpha").cast("double") / greatest(col("n_tokens"), lit(1L))))
+          .withColumn("q",
+            r4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+              + lit(0.3) * col("alpha_ratio")
+              + lit(0.3) * least(col("avg_w_len") / 10.0, lit(1.0))))
+        val wq = Window.orderBy(col("q"), col("doc_id"))
+        val wb = Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+        scored
+          .withColumn("bucket", ntile(4).over(wq).cast("long"))
+          .withColumn("h", hash32(concat(lit("curr:"), col("doc_id").cast("string"))))
+          .withColumn("pos", (row_number().over(wb) - 1).cast("long"))
+          .select(col("doc_id"), col("bucket"), col("q").as("quality_score"),
+            col("pos"))
+          .orderBy(col("bucket"), col("pos"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        e AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_alpha,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+        f AS (SELECT doc_id, n_tokens,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) * 10000.0 + 0.5) / 10000.0 AS avg_w_len
+          FROM e),
+        g AS (SELECT doc_id,
+            floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * alpha_ratio + 0.3 * least(avg_w_len / 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
+          FROM f),
+        b AS (SELECT doc_id, q,
+            CAST(ntile(4) OVER (ORDER BY q, doc_id) AS BIGINT) AS bucket,
+            ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM g)
+        SELECT doc_id, bucket, q AS quality_score,
+          CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM b ORDER BY bucket, pos"""))
   )
 }
