@@ -21,12 +21,13 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures.add(s"[verify] $name failed: ${e.getClass.getSimpleName} ${e.getMessage}")
         }
       }
     }
@@ -34,6 +35,13 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // failure summary LAST, on stdout AND stderr: sbt -batch folds the
+    // forked process's stderr into its own stdout tagged [error], so a
+    // stderr-only, mid-run message can be lost by stream-filtering
+    // wrappers (check.py keeps the stdout TAIL + a grep over stderr; a
+    // q112 race once surfaced as a bare NO SPARK OUTPUT with no cause)
+    failures.forEach { m => println(m); System.err.println(m) }
+    println(s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -171,15 +171,21 @@ object Scoped {
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
       val rdds = checkpointRdds(df)
-      // Stale-event watermark: the listener bus is ASYNCHRONOUS, so
-      // events from actions that ran BEFORE arming (e.g. the driver-side
+      // Stale-event cutoff: the listener bus is ASYNCHRONOUS, so events
+      // from actions that COMPLETED before arming (e.g. the driver-side
       // collects of an iterative fit against this very checkpoint) can be
       // delivered to the listener registered here — their plans reference
       // `df` and would release the blocks before the real consumer runs
       // (bit q103/q112 in the bench: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
-      // QueryExecution ids are monotonically assigned at construction, so
-      // a fresh throwaway execution's id is a strict lower bound for
-      // every consumer built after this call — older events are ignored.
+      // The listener therefore starts DEAF and goes live at the first
+      // event whose QueryExecution was CONSTRUCTED after this point
+      // (ids are monotonic at construction; `armedAfterId` is a fresh
+      // throwaway execution's id). Because the bus is FIFO, everything
+      // delivered after that first post-arm event was also POSTED after
+      // arming — so a consumer whose action reuses a pre-arm
+      // QueryExecution (collect() on an already-built DF) still matches
+      // once live. The marker action below guarantees the flip happens
+      // before any real consumer's event can arrive.
       val armedAfterId = df.sparkSession.range(0).queryExecution.id
       // Strong hold for every actually-persisted DF — the CacheManager
       // pins its plan anyway (see Armed.strongDf). A plain
@@ -192,8 +198,13 @@ object Scoped {
         strongDf = if (df.storageLevel != StorageLevel.NONE)
           Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
-        private def maybeRelease(funcName: String, qe: QueryExecution): Unit =
-          if (!MaterializeOnly.contains(funcName) && qe.id > armedAfterId) {
+        @volatile private var live = false
+        private def maybeRelease(funcName: String, qe: QueryExecution): Unit = {
+          if (!live) {
+            if (qe.id > armedAfterId) live = true // first post-arm post — go live
+            else return // posted before arming: a stale queued event
+          }
+          if (!MaterializeOnly.contains(funcName)) {
             e.targetRef.get match {
               case null => releaseEntry(e) // abandoned — nothing can consume it now
               case target =>
@@ -203,6 +214,7 @@ object Scoped {
                 if (hit) releaseEntry(e)
             }
           }
+        }
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
           maybeRelease(funcName, qe)
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
@@ -211,6 +223,16 @@ object Scoped {
       e.listener = listener
       df.sparkSession.listenerManager.register(listener)
       registry.add(e)
+    }
+    // Marker: one no-op action per session, POSTED after every listener
+    // above registered. Its event's execution id is above every entry's
+    // armedAfterId, so its delivery flips each listener live — and FIFO
+    // delivery puts it ahead of any real consumer's event (the caller
+    // can only run the consumer after this call returns). Without it, a
+    // consumer action that reuses a pre-arm QueryExecution (collect() on
+    // an already-built DF) would be mistaken for a stale queued event.
+    dfs.map(_.sparkSession).distinct.foreach { s =>
+      try s.range(0).count() catch { case _: Throwable => () }
     }
     sweep()
     ()
