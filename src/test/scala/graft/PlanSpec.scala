@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q108_cm_heavy_hitters").contains("BroadcastHashJoin"))
   }
 
+  test("q111/q112: dedup pairing joins stay equi-joins, never cartesian") {
+    Seq("q111_cdc_chunk_dedup", "q112_semantic_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must pair via its blocking key (chunk hash / cluster):\n" + p.take(1600))
+    }
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a
