@@ -42,6 +42,12 @@ object Verify {
     // q112 race once surfaced as a bare NO SPARK OUTPUT with no cause)
     failures.forEach { m => println(m); System.err.println(m) }
     println(s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok")
+    // also persist failures: wrappers that keep only a stdout tail lose
+    // the lines above when late WARNs interleave — the file survives
+    try {
+      val fs = new java.io.PrintWriter(s"$outDir/failures.txt")
+      try failures.forEach(fs.println) finally fs.close()
+    } catch { case _: Throwable => () }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -231,8 +231,18 @@ object Scoped {
     // can only run the consumer after this call returns). Without it, a
     // consumer action that reuses a pre-arm QueryExecution (collect() on
     // an already-built DF) would be mistaken for a stale queued event.
+    // The marker must be a FRESH QueryExecution every call — NOT
+    // spark.emptyDataFrame, which is a cached lazy val whose execution
+    // id predates every entry (its event is itself filtered as stale and
+    // flips nothing). An empty LocalRelation built here is fresh, and
+    // collect() on it is a driver-local executeCollect: the listener
+    // event posts WITHOUT launching a Spark job (a real job here cost
+    // iterative queries seconds — one queued no-op job per released
+    // checkpoint round).
     dfs.map(_.sparkSession).distinct.foreach { s =>
-      try s.range(0).count() catch { case _: Throwable => () }
+      try s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Nil)).collect()
+      catch { case _: Throwable => () }
     }
     sweep()
     ()

@@ -1002,15 +1002,18 @@ object DedupSim {
     ("q103_kmeans",
       (s: SparkSession, dir: String) => {
         import graft.similarity.KMeans
-        val eq = t(s, dir, "embeddings")
+        def eqOf() = t(s, dir, "embeddings")
           .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
-          .localCheckpoint()
-        val cents = KMeans.fit(eq, k = kmeansK, iters = kmeansIters)
-        // fit's per-round collects are done — the gate action below is the
-        // last consumer of the checkpoint blocks
-        Scoped.releaseAfterUse(eq)
+        // checkpoint ONLY for the fit's per-round collects, free it
+        // SYNCHRONOUSLY once fit returns, and build the gate plan fresh
+        // from the parquet scan: one extra scan (cheap vs the rounds;
+        // at 100 TB the persisted table would simply outlive the query)
+        // in exchange for zero deferred-release machinery in flight
+        val eqCp = eqOf().localCheckpoint()
+        val cents = KMeans.fit(eqCp, k = kmeansK, iters = kmeansIters)
+        Scoped.free(eqCp)
         val centSums = cents.map(_.sum)
-        KMeans.assign(eq, cents)
+        KMeans.assign(eqOf(), cents)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
           .withColumn("cent_sum",
@@ -1196,19 +1199,24 @@ object DedupSim {
         import graft.similarity.KMeans
         graft.functions.GraftFunctions.register(s)
         def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
-        val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val planted = e0.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000000000L).as("vec_id"),
-            concat(
-              array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
-              expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
-        val aug = e0.unionByName(planted).localCheckpoint()
-        val eq = aug.select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+        def augOf() = {
+          val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000000000L).as("vec_id"),
+              concat(
+                array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
+                expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding")))
+        }
+        // q103's discipline: checkpoint only for fit, free synchronously,
+        // rebuild the (cheap) derivation for the gate plan — no deferred
+        // release in flight during the gate action
+        val eqCp = augOf()
+          .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
           .localCheckpoint()
-        val cents = KMeans.fit(eq, k = kmeansK, iters = kmeansIters)
-        // fit's per-round collects are done — the gate action is the last
-        // consumer of both checkpoints
-        Scoped.releaseAfterUse(aug, eq)
+        val cents = KMeans.fit(eqCp, k = kmeansK, iters = kmeansIters)
+        Scoped.free(eqCp)
+        val aug = augOf()
+        val eq = aug.select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
         val asgn = KMeans.assign(eq, cents).select(col("vec_id"), col("cluster"))
         val v = aug.join(asgn, Seq("vec_id"))
         val a = v.select(col("vec_id").as("id_a"), col("cluster"),

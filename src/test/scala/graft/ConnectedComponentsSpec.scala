@@ -66,7 +66,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     val baseline = liveBlocks()
     assignMap((100L to 120L).map(v => (v, v + 1)))
     // all intermediates freed synchronously; only async listener-driven
-    // releases would need awaiting, and assign uses none internally
-    assert(liveBlocks() === baseline)
+    // releases would need awaiting, and assign uses none internally.
+    // <= not ==: a prior suite's abandoned entry (shared session) can
+    // release in the background between baseline and here
+    assert(liveBlocks() <= baseline)
   }
 }

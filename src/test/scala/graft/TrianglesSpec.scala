@@ -72,6 +72,9 @@ class TrianglesSpec extends SparkSpec {
     val deadline = System.currentTimeMillis() + 20000
     while (liveBlocks() > baseline && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
-    assert(liveBlocks() === baseline, "triangle checkpoints must be released")
+    // <= not ==: a PRIOR suite's abandoned entry (shared session) can have
+    // its GC-criterion release fire during this wait, legitimately
+    // dropping the count below the baseline captured above
+    assert(liveBlocks() <= baseline, "triangle checkpoints must be released")
   }
 }
