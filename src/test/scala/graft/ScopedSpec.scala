@@ -22,7 +22,44 @@ class ScopedSpec extends SparkSpec {
     liveBlocks()
   }
 
+  /** Poll [[Scoped.sweep]] under REAL garbage-collection pressure until it
+    * reaps something (or the deadline passes). `System.gc()` alone is
+    * advisory — under a busy full-suite heap it repeatedly failed to
+    * clear the abandoned plan's weak reference within 30 s — so each
+    * round also churns ~32 MB of young-gen garbage to force an actual
+    * collection. */
+  private def gcSweep(timeoutMs: Long = 30000): Int = {
+    var swept = 0
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (swept == 0 && System.currentTimeMillis() < deadline) {
+      var garbage = new Array[Array[Long]](64)
+      var g = 0
+      while (g < 64) { garbage(g) = new Array[Long](1 << 16); g += 1 }
+      garbage = null
+      System.gc(); Thread.sleep(50); swept = Scoped.sweep()
+    }
+    swept
+  }
+
+  /** Evict cross-suite leftovers before a strict-equality baseline:
+    * suites like PlanSpec CONSTRUCT catalog queries (eagerly
+    * checkpointing + arming releases) without ever consuming them, and
+    * those entries release on GC timing — mid-test, a baseline taken
+    * over them shifts and a `=== baseline` assertion flakes. Reap every
+    * abandoned entry, then drop all remaining storage outright. */
+  private def drain(): Unit = {
+    var reaped = 1
+    val deadline = System.currentTimeMillis() + 5000
+    while (reaped > 0 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(30); reaped = Scoped.sweep()
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
+    spark.catalog.clearCache()
+  }
+
   test("Scoped.free releases localCheckpoint blocks (Dataset.unpersist does not)") {
+    drain()
     val df = spark.range(1000).toDF("id").localCheckpoint()
     assert(liveBlocks() >= 1)
     val before = liveBlocks()
@@ -33,6 +70,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("releaseAfterUse frees the checkpoint after the first terminal action") {
+    drain()
     val baseline = liveBlocks()
     val cp = spark.range(1000).toDF("id").localCheckpoint()
     Scoped.releaseAfterUse(cp)
@@ -42,6 +80,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("releaseAfterUse ignores unrelated queries") {
+    drain()
     val baseline = liveBlocks()
     val cp = spark.range(100).toDF("id").localCheckpoint()
     Scoped.releaseAfterUse(cp)
@@ -54,6 +93,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("sweep frees an armed-but-never-consumed checkpoint (abandoned plan)") {
+    drain()
     val baseline = liveBlocks()
     // arm inside a method scope so nothing on this frame keeps the plan
     // reachable once it returns — real abandonment, not a TTL shortcut
@@ -65,11 +105,7 @@ class ScopedSpec extends SparkSpec {
       assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
     }
     armAndAbandon()
-    var swept = 0
-    val deadline = System.currentTimeMillis() + 30000
-    while (swept == 0 && System.currentTimeMillis() < deadline) {
-      System.gc(); Thread.sleep(50); swept = Scoped.sweep()
-    }
+    val swept = gcSweep()
     assert(swept >= 1, "GC-criterion sweep must reap the abandoned plan")
     assert(awaitRelease(baseline) === baseline, "abandoned checkpoint must be freed")
     // idempotent: nothing left to sweep, later actions see a dead listener
@@ -79,7 +115,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("TTL sweep splits a checkpoint+persist hybrid: cache freed, checkpoint spared then GC-reapable") {
-    Scoped.sweep(ttlMs = 0) // drain stale cross-suite entries first
+    drain()
     spark.catalog.clearCache() // stale cross-suite cache entries would be
     // re-compiled by this test's uncache and can trip attribute remapping
     val baseline = liveBlocks()
@@ -102,18 +138,13 @@ class ScopedSpec extends SparkSpec {
     armHybrid()
     // with the strong hold cleared and the caller gone, the GC criterion
     // must eventually reap the checkpoint blocks + listener
-    var swept = 0
-    val deadline = System.currentTimeMillis() + 30000
-    while (swept == 0 && System.currentTimeMillis() < deadline) {
-      System.gc(); Thread.sleep(50); swept = Scoped.sweep()
-    }
-    assert(swept >= 1, "checkpoint half must be GC-reapable after TTL unpin")
+    assert(gcSweep() >= 1, "checkpoint half must be GC-reapable after TTL unpin")
     assert(awaitRelease(baseline) === baseline)
     ()
   }
 
   test("TTL sweep is lineage-safe: reaps persist-backed, spares checkpoint-backed") {
-    Scoped.sweep(ttlMs = 0) // drain stale cross-suite entries first
+    drain()
     val baseline = liveBlocks()
     val cp = spark.range(800).toDF("id").localCheckpoint()
     val cached = spark.range(900).toDF("id").persist(StorageLevel.MEMORY_ONLY)
@@ -130,6 +161,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("default sweep leaves entries with live plans armed") {
+    drain()
     // drain leftover armed entries from other suites in this JVM first —
     // the registry is process-global and a stale entry would make the
     // sweep() === 0 assertion below flaky under GC timing
@@ -147,6 +179,7 @@ class ScopedSpec extends SparkSpec {
   }
 
   test("iterative catalog queries leak no storage after their terminal action") {
+    drain()
     val dir = "/root/testdata/sf0.001"
     val baseline = liveBlocks()
     for (q <- Seq("q29_pagerank_fixed10", "q25_pagerank", "q31_ngram_jaccard",
