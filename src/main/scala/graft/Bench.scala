@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main (driver contract): runs every catalog query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Queries are fully materialized
@@ -8,28 +9,41 @@ import org.apache.spark.sql.SparkSession
   * aren't polluted by JVM/codegen warmup.
   *
   * Robustness (VERDICT r4 #6): per-query times are the MEDIAN of
-  * `SPARK_GRAFT_RUNS` (default 3) full passes — a one-off GC pause or
-  * compilation stall can no longer masquerade as a regression — and one
-  * extra pass runs at a second, smaller scale point (sf0.01 when the main
-  * dir isn't already it) so the scaling slope between rounds is visible.
-  * The printed line keeps the driver-parsed fields
-  * (metric/value/unit/queries/errors/sf) but uses the short "qNN" key per
-  * query and 3-decimal seconds so the line fits the driver's 2000-char
-  * stdout tail capture (rounds 4-5 overflowed it -> parsed:null); the
-  * verbose breakdown (full names, per-run times, the second-scale-point
-  * per-query map) is written to BENCH_DETAIL.json alongside.
+  * `SPARK_GRAFT_RUNS` (default 3) full passes, and one extra pass runs at a
+  * second, smaller scale point (sf0.01 when the main dir isn't already it)
+  * so the scaling slope between rounds is visible.
   *
-  * Cross-query isolation: between timed queries every cache entry and
-  * every persisted/checkpointed RDD is dropped (outside the timed window),
-  * so one query's storage residue can never tax the next — per-query
-  * numbers stay attributable and any storage leak shows up as that query's
-  * own cost instead of a tax on everything after it. */
+  * Pass isolation (VERDICT r6 #1): in round 6 the three passes shared one
+  * JVM and degraded monotonically (pass sums 308 s → 530 s → 1233 s —
+  * metaspace/codegen-cache/listener accumulation across ~460 query
+  * compilations), poisoning every median. Each pass therefore now runs in
+  * its OWN CHILD JVM (same classpath + JVM flags as this process, spawned
+  * via ProcessBuilder): warmup + one timed pass + exit. The parent never
+  * creates a SparkContext — it only orchestrates, aggregates medians, and
+  * prints the driver's single JSON line. Per-pass JVM health (GC time/count,
+  * metaspace, heap, wall) is recorded in BENCH_DETAIL.json `pass_jvm` so
+  * any residual drift is measurable instead of inferred. If spawning fails
+  * (classpath oddity), the fallback runs each pass in-process against a
+  * fresh SparkSession+SparkContext — weaker isolation (shared metaspace),
+  * still a fresh listener bus/ContextCleaner/BlockManager per pass; the
+  * mode used is recorded as `pass_mode`.
+  *
+  * Cross-query isolation (within a pass): between timed queries every cache
+  * entry and every persisted/checkpointed RDD is dropped (outside the timed
+  * window). The sweep first releases armed Scoped entries through the
+  * registry (CAS-guarded) and SKIPS their RDD ids, so it can no longer race
+  * the asynchronous release listener over the same blocks (the r6 "cannot
+  * be recomputed after unpersisting" / "Asked to remove block" tail
+  * warnings, VERDICT r6 #7). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  // ---------- shared by parent fallback and child ----------
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS")
-      .flatMap(_.toIntOption).getOrElse(3))
+    // a fresh session per pass: clear any stopped session handles first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,61 +54,216 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // RDD.unpersist logs a WARN ("locally checkpointed ... cannot be
+    // recomputed after unpersisting") on EVERY release of a localCheckpoint
+    // — including the deliberate single-owner releases Scoped/clearStorage
+    // perform between queries (hundreds per pass). That caution is moot
+    // under the one-consumer contract, so the bench quiets the rdd package
+    // alone; the genuinely diagnostic race signature ("Asked to remove
+    // block ... does not exist") comes from org.apache.spark.storage and
+    // stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
 
-    /** Drop all storage residue: CacheManager entries AND RDD-level blocks
-      * (localCheckpoint blocks live only at the RDD level). Each unpersist
-      * is individually guarded: a Scoped.releaseAfterUse listener can free
-      * the same blocks CONCURRENTLY (it fires right after the query's
-      * action), and a blocking unpersist of an already-released block
-      * throws "Block ... does not exist" — which must not kill the bench
-      * (it is exactly the storage-is-gone outcome this sweep wants). */
-    def clearStorage(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+  /** Drop all storage residue: CacheManager entries AND RDD-level blocks
+    * (localCheckpoint blocks live only at the RDD level). Armed Scoped
+    * entries are released FIRST, through the registry's CAS guard, and
+    * their RDD ids skipped — the sweep and the async release listener
+    * therefore never both unpersist the same blocks. NonFatal only: an
+    * OOM/Interrupted in the sweep must surface, not be swallowed
+    * (ADVICE r6). */
+  private def clearStorage(spark: SparkSession): Unit = {
+    val releasing = graft.core.Scoped.releaseAllArmed(spark)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+      if (!releasing.contains(r.id))
         try r.unpersist(blocking = true)
-        catch { case _: Throwable => () }
-      }
+        catch { case NonFatal(_) => () } // concurrent removal: storage is gone, which is the goal
     }
+  }
 
-    /** One timed pass over the whole catalog at `dir`:
-      * name → (seconds, error). A crashed query must be visible, not
-      * disguised as a fast success. */
-    // optional comma-separated filter for local iteration (unset = all)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def pass(dir: String): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
-          catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-        val sec = (System.nanoTime() - t0) / 1e9
-        clearStorage() // outside the timed window: isolation, not overhead
-        (name, sec, err)
-      }
-
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-
-    // warmup: JIT + codegen + parquet footer caches, plus one pass of the
-    // iterative checkpoint path (q25 at the smallest sf) so the first timed
-    // iterative query isn't paying cold-JIT for shuffle+checkpoint code
+  /** JIT + codegen + parquet footer caches, plus one pass of the iterative
+    * checkpoint path (q25 at the smallest sf) so the first timed iterative
+    * query isn't paying cold-JIT for shuffle+checkpoint code. Runs once per
+    * (fresh) JVM/session, before its timed pass. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001")
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q)
-          .foreach(fn => try fn(spark, dir).count() catch { case _: Throwable => () })
+          .foreach(fn => try fn(spark, dir).count() catch { case NonFatal(_) => () })
       }
-    clearStorage()
+    clearStorage(spark)
+  }
+
+  /** One timed pass over the whole catalog at `dir`: name → (seconds,
+    * error). A crashed query must be visible, not disguised as a fast
+    * success. Query failures catch Throwable deliberately: a single
+    * query's NoSuchMethodError/SOE must be reported as that query's error,
+    * not kill the whole pass. */
+  private def pass(spark: SparkSession, dir: String): Seq[(String, Double, Option[String])] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
+          catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        clearStorage(spark) // outside the timed window: isolation, not overhead
+        (name, sec, err)
+      }
+  }
+
+  // Locale.ROOT: a comma-decimal default locale would otherwise turn
+  // 1.234 into "1,234" and break the JSON this exists to keep parseable
+  private def sec3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** JVM health snapshot (taken at end of a pass): cumulative GC time and
+    * count, metaspace used, heap used, for BENCH_DETAIL's per-pass drift
+    * record. */
+  private def jvmStats(wallSec: Double): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory.{getGarbageCollectorMXBeans, getMemoryPoolMXBeans, getMemoryMXBean}
+    val gcs = getGarbageCollectorMXBeans.asScala
+    val meta = getMemoryPoolMXBeans.asScala
+      .find(_.getName.contains("Metaspace")).map(_.getUsage.getUsed).getOrElse(0L)
+    Seq(
+      "gc_ms" -> gcs.map(_.getCollectionTime).sum.toString,
+      "gc_count" -> gcs.map(_.getCollectionCount).sum.toString,
+      "metaspace_mb" -> (meta >> 20).toString,
+      "heap_mb" -> (getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20).toString,
+      "pass_wall_s" -> sec3(wallSec))
+  }
+
+  // ---------- child protocol ----------
+  // The child writes a TSV result file (stdout would race the parent's
+  // single-JSON-line contract): one "Q\tname\tsecs|ERR:Class" line per
+  // query, "J\tkey\tvalue" JVM stat lines, and a trailing "DONE" sentinel
+  // so a truncated file (child crash mid-write) is detected, never parsed
+  // as a clean short pass.
+
+  private def childMain(outPath: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
+    warmup(spark, sfDir)
+    val t0 = System.nanoTime()
+    val res = pass(spark, sfDir)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val sb = new StringBuilder
+    res.foreach { case (name, sec, err) =>
+      sb ++= s"Q\t$name\t${err.fold(sec3(sec))(e => "ERR:" + e)}\n"
+    }
+    jvmStats(wall).foreach { case (k, v) => sb ++= s"J\t$k\t$v\n" }
+    sb ++= "DONE\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    sys.exit(0) // don't wait on lingering non-daemon threads
+  }
+
+  private def spawnPass(dir: String, out: java.io.File, log: java.io.File): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", out.getAbsolutePath)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log) // child stdout/stderr → log file, parent stdout stays one JSON line
+      val p = pb.start()
+      // generous ceiling: a full sf0.1 pass is minutes; a hung child must
+      // not hang the bench forever (fallback takes over)
+      val finished = p.waitFor(90, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { p.destroyForcibly(); p.waitFor(); false }
+      else p.exitValue() == 0
+    } catch { case NonFatal(t) =>
+      System.err.println(s"[bench] child spawn failed: $t"); false
+    }
+  }
+
+  /** Parse a child result file; None unless the DONE sentinel is present
+    * (truncated output must trigger the fallback, not a short pass). */
+  private def readPass(out: java.io.File)
+      : Option[(Seq[(String, Double, Option[String])], Seq[(String, String)])] = {
+    if (!out.isFile) return None
+    val lines = scala.io.Source.fromFile(out, "UTF-8")
+    try {
+      val ls = lines.getLines().toVector
+      if (!ls.lastOption.contains("DONE")) None
+      else {
+        val qs = ls.collect { case l if l.startsWith("Q\t") =>
+          l.split('\t') match {
+            case Array(_, name, v) if v.startsWith("ERR:") => (name, 0.0, Some(v.drop(4)))
+            case Array(_, name, v) => (name, v.toDouble, None)
+          }
+        }
+        val js = ls.collect { case l if l.startsWith("J\t") =>
+          l.split('\t') match { case Array(_, k, v) => (k, v) }
+        }
+        Some((qs, js))
+      }
+    } finally lines.close()
+  }
+
+  // ---------- parent ----------
+
+  def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
+      case Some(out) => childMain(out); return
+      case None => ()
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(_.toIntOption).getOrElse(3))
+
+    // lazily-created fallback session factory: one fresh session per pass,
+    // previous one stopped — used only when a child JVM can't be spawned
+    var fallbackUsed = false
+    def inProcessPass(dir: String): (Seq[(String, Double, Option[String])], Seq[(String, String)]) = {
+      fallbackUsed = true
+      val spark = buildSession()
+      warmup(spark, dir)
+      val t0 = System.nanoTime()
+      val res = pass(spark, dir)
+      val stats = jvmStats((System.nanoTime() - t0) / 1e9)
+      spark.stop()
+      (res, stats)
+    }
+
+    def runOnePass(dir: String, tag: String)
+        : (Seq[(String, Double, Option[String])], Seq[(String, String)]) = {
+      val out = java.io.File.createTempFile(s"bench_$tag", ".tsv")
+      val log = new java.io.File(s"bench_$tag.log")
+      val ok = spawnPass(dir, out, log)
+      val parsed = if (ok) readPass(out) else None
+      out.delete()
+      parsed.getOrElse {
+        System.err.println(s"[bench] pass $tag: child JVM unusable (see ${log.getName}), " +
+          "falling back to in-process fresh SparkSession")
+        inProcessPass(dir)
+      }
+    }
 
     // main scale point: `runs` passes, per-query median over clean runs.
     // A query that errored in ANY pass appears ONLY under "errors" — never
     // in "queries" or the headline total — so a crash can't be disguised
     // as a fast clean run (the single-pass invariant, kept under medians).
-    val passes = (1 to runs).map(_ => pass(sfDir))
+    val passesFull = (1 to runs).map(i => runOnePass(sfDir, s"pass$i"))
+    val passes = passesFull.map(_._1)
     val names = passes.head.map(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = names.map { name =>
       val times = passes.flatMap(_.collect { case (`name`, sec, None) => sec })
       val errs = passes.flatMap(_.collect { case (`name`, _, Some(e)) => e })
@@ -120,27 +289,25 @@ object Bench {
       (for (a <- sfOf(sfDir); b <- sfOf(sf2Dir)) yield b < a).getOrElse(false)
     if (!runPass2)
       System.err.println(s"[bench] second scale point skipped (main=$sfDir, sf2=$sf2Dir)")
-    val pass2 = if (runPass2) pass(sf2Dir) else Seq.empty
+    val (pass2, pass2Jvm) =
+      if (runPass2) runOnePass(sf2Dir, "sf2") else (Seq.empty, Seq.empty)
 
     // ---- output. The driver captures only the LAST ~2000 chars of stdout
     // and json-parses the single line it finds there, so the printed line
     // must stay comfortably under that budget even as the catalog grows:
     // short keys (the unique "qNN" prefix of each query name), 3-decimal
     // seconds, and NO per-query second-scale-point map. Everything verbose
-    // (full names, every run's time, the sf2 per-query map) goes to
-    // BENCH_DETAIL.json in the working directory instead.
+    // (full names, every run's time, per-pass JVM stats, the sf2 per-query
+    // map) goes to BENCH_DETAIL.json in the working directory instead.
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // Locale.ROOT: a comma-decimal default locale would otherwise turn
-    // 1.234 into "1,234" and break the JSON this exists to keep parseable
-    def sec3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = fmt(results.collect { case (k, Some(v), _) => shortKey(k) -> sec3(v) })
     val errs = fmt(results.collect { case (k, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })
     val total = results.collect { case (_, Some(v), _) => v }.sum
     val total2 = pass2.collect { case (_, v, None) => v }.sum
     val errs2n = pass2.count(_._3.isDefined)
+    val passMode = if (fallbackUsed) "in-process-fresh-session" else "child-jvm-per-pass"
 
     val detail = {
       val perRun = names.map { name =>
@@ -154,14 +321,16 @@ object Bench {
       val medErrs = fmt(results.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
       val sf2Qs = fmt(pass2.collect { case (k, v, None) => k -> sec3(v) })
       val sf2Errs = fmt(pass2.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
-      s"""{"sf":"$sfDir","runs":$runs,"median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs}"""
+      val jvm = passesFull.map { case (_, stats) => fmt(stats) }
+        .mkString("[", ",", "]")
+      val jvm2 = fmt(pass2Jvm)
+      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
+    catch { case NonFatal(t) => System.err.println(s"[bench] detail write failed: $t") }
 
     println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
-    spark.stop()
   }
 }

@@ -47,7 +47,7 @@ object Verify {
     try {
       val fs = new java.io.PrintWriter(s"$outDir/failures.txt")
       try failures.forEach(fs.println) finally fs.close()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -85,6 +85,38 @@ object Scoped {
 
   private val registry = new ConcurrentLinkedQueue[Armed]()
 
+  /** Marker-action failures (see [[releaseAfterUse]]'s marker): a failed
+    * marker leaves every listener armed in that call deaf until some other
+    * post-arm event arrives, which for a consumer reusing a pre-arm
+    * QueryExecution means a silent storage leak. Counted and logged so the
+    * condition is diagnosable instead of invisible (ADVICE r6). */
+  private val markerFailures = new java.util.concurrent.atomic.AtomicLong(0)
+  def markerFailureCount: Long = markerFailures.get
+
+  /** Force-release every entry armed on `spark` NOW, through the same
+    * CAS-guarded [[releaseEntry]] the listeners use, and return the ids of
+    * every checkpoint RDD those entries own — including entries a
+    * concurrent listener is releasing at this very moment (done but not
+    * yet unregistered). This is the bench/test isolation point: a sweeper
+    * about to blanket-unpersist `getPersistentRDDs` calls this FIRST and
+    * SKIPS the returned ids, so the sweep and the (asynchronous) listener
+    * release can never both unpersist the same blocks — the source of the
+    * r6 bench-tail "cannot be recomputed after unpersisting" / "Asked to
+    * remove block" warnings. Safe anytime between queries: the armed
+    * contract is one consumer action, and between queries every armed
+    * entry is either already consumed (CAS makes this a no-op) or
+    * abandoned (this frees it earlier than the GC sweep would). */
+  def releaseAllArmed(spark: SparkSession): Set[Int] = {
+    val ids = Set.newBuilder[Int]
+    registry.forEach { e =>
+      if (e.spark eq spark) {
+        ids ++= e.rdds.map(_.id)
+        releaseEntry(e)
+      }
+    }
+    ids.result()
+  }
+
   private def releaseEntry(e: Armed): Unit =
     if (e.done.compareAndSet(false, true)) {
       try e.strongDf.orElse(Option(e.dfRef.get)) match {
@@ -242,7 +274,11 @@ object Scoped {
     dfs.map(_.sparkSession).distinct.foreach { s =>
       try s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Nil)).collect()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(t) =>
+        markerFailures.incrementAndGet()
+        System.err.println(s"[scoped] marker action failed — listeners armed in this " +
+          s"call stay deaf until the next post-arm event (possible deferred leak): $t")
+      }
     }
     sweep()
     ()

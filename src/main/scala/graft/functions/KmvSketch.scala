@@ -49,8 +49,7 @@ class KmvSketch(k: Int)
       val takeA = j >= b.vs.length || (i < a.vs.length && a.vs(i) <= b.vs(j))
       val v = if (takeA) a.vs(i) else b.vs(j)
       if (takeA) i += 1 else j += 1
-      if (i <= a.vs.length && j <= b.vs.length &&
-        (n == 0 || out(n - 1) != v)) { out(n) = v; n += 1 }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
     }
     KmvSketch.Buf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
   }

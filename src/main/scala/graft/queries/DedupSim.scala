@@ -186,20 +186,88 @@ object DedupSim {
           FROM blocks a JOIN blocks b
           ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)"""
 
+  /** (doc_id, text) → (doc_id, hs: array<string>): per-doc DISTINCT md5
+    * chunk hashes under content-defined chunking — MAP-ONLY, shared by
+    * q111 (batch pair dedup) and
+    * [[graft.streaming.EventStreams.cdcChunkStream]] (the ingest twin,
+    * which needs a shuffle-free per-row shape to run on a stream).
+    *
+    * Boundary detection is ONE aggregate() pass over the char array: the
+    * fold lambda receives each element VALUE, so the rolling window lives
+    * in the accumulator and the work is O(L) per doc. (The index-based
+    * formulation — element_at(cs, i) inside a transform lambda —
+    * re-evaluates the cs expression per access because higher-order
+    * lambdas get no common-subexpression hoisting: O(L²) per doc, 40x
+    * slower at sf0.1.) The accumulator carries the last 3 char codes +
+    * the boundary list; chunk substrings then come from zip_with over the
+    * shifted bound arrays, again binding VALUES, not indices. Chunk-hash
+    * dedup is per-row array_distinct — doc_id is unique per input row, so
+    * the exploded (doc_id, h) stream is already globally distinct and no
+    * corpus-wide distinct() shuffle is needed (same in-row-dedup
+    * discipline as q77's gram stream). Every input column except `text`
+    * passes through (the stream twin needs its event-time column). */
+  private[graft] def cdcChunkHashArray(d: DataFrame): DataFrame = {
+    val keep = d.columns.filterNot(_ == "text").map(col).toSeq
+    d
+    .withColumn("L", length(col("text")).cast("long"))
+    .withColumn("bnds", expr(
+      """concat(array(cast(0 as bigint)),
+           aggregate(
+             transform(split(text, ''), ch -> cast(ascii(ch) as bigint)),
+             named_struct(
+               'pos', cast(0 as bigint), 'c1', cast(0 as bigint),
+               'c2', cast(0 as bigint), 'c3', cast(0 as bigint),
+               'bs', cast(array() as array<bigint>)),
+             (acc, x) -> named_struct(
+               'pos', acc.pos + 1, 'c1', acc.c2, 'c2', acc.c3, 'c3', x,
+               'bs', if(acc.pos + 1 >= 4 AND acc.pos + 1 < L
+                        AND (((acc.c1*31 + acc.c2)*31 + acc.c3)*31 + x) % 1048576 % 64 = 0,
+                      concat(acc.bs, array(acc.pos + 1)), acc.bs)),
+             acc -> acc.bs),
+           array(L))"""))
+    .select(keep :+ expr(
+      """array_distinct(transform(
+           filter(
+             zip_with(slice(bnds, 1, size(bnds) - 1), slice(bnds, 2, size(bnds) - 1),
+               (p, q) -> substring(text, cast(p + 1 as int), cast(q - p as int))),
+             ck -> length(ck) >= 16),
+           ck -> md5(ck)))""").as("hs"): _*)
+  }
+
+  /** The simhash hamming-≤3 edge list — the input q49's clustering and
+    * [[splitAssignment]]'s self-contained path both consume (test hook for
+    * the label-reuse contract). */
+  private[graft] def simhashPairsForTest(s: SparkSession, dir: String): DataFrame =
+    simhashCand(s, dir)
+      .filter(expr("bit_count(ha ^ hb)") <= 3)
+      .select(col("id_a"), col("id_b"))
+
   /** Doc-level leakage-safe split assignment (q104's core): near-dup
     * clusters (simhash hamming ≤ 3, connected-componented) move into a
     * split ATOMICALLY — the split is decided by md5 of the cluster id, so
     * no near-duplicate pair ever straddles train/val/test. Singletons are
-    * their own cluster. Returns documents + (cluster_id, split). */
-  def splitAssignment(s: SparkSession, dir: String): DataFrame = {
-    val cand = simhashCand(s, dir)
-    val labels = graft.graph.ConnectedComponents.assign(
-      cand.filter(expr("bit_count(ha ^ hb)") <= 3)
-        .select(col("id_a"), col("id_b")))
-    Scoped.free(cand)
-    Scoped.releaseAfterUse(labels)
+    * their own cluster. Returns documents + (cluster_id, split).
+    *
+    * `labels`: precomputed (v, comp) cluster labels — q49's output. A
+    * pipeline that has already materialized the dedup clustering passes
+    * them here and the split is ONE left join + a map over documents; the
+    * simhash+CC pipeline is only recomputed when no labels are supplied
+    * (the self-contained gate path). One-pipeline-feeds-many-consumers,
+    * same discipline as q31/q32's shared shingle checkpoint (VERDICT r6
+    * #5). The caller owns the storage lifecycle of labels it passes in. */
+  def splitAssignment(s: SparkSession, dir: String,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val lbl = labels.getOrElse {
+      val cand = simhashCand(s, dir)
+      val l = graft.graph.ConnectedComponents.assign(
+        cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("id_a"), col("id_b")))
+      Scoped.free(cand)
+      Scoped.releaseAfterUse(l)
+      l
+    }
     t(s, dir, "documents")
-      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .join(lbl.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
       .withColumn("b",
         hash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 100)
@@ -253,6 +321,51 @@ object DedupSim {
         c0f AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < $k),
         $rounds,
         ${asg(fin, s"c${kmeansIters}f")}"""
+  }
+
+  /** q114's core, parameterized: recall/precision of the MinHash band-join
+    * candidate set (16 perms, 4×4 banding) against the exact jaccard-≥0.5
+    * ground truth. `sampleFraction` bounds the EXACT side at scale: the
+    * all-pairs-by-shingle ground-truth join is the one intentionally
+    * unscalable shape in the dedup family, so at a real corpus it runs
+    * only over a deterministic md5-bucket sample of docs (q48's
+    * mechanism — seed-free, re-run-stable; both endpoints of a kept pair
+    * must land in the sample). Pair recall estimated on a doc sample is
+    * the standard sketch-eval estimator; `n_cand` stays the FULL candidate
+    * count (it measures the verification work the banding induces, which
+    * is a property of the whole corpus, not the sample). At the default
+    * 1.0 the sample filter is absent and plan and result are identical to
+    * the unsampled eval — the catalog gate runs there, so the DuckDB
+    * oracle needs no sampling twin. */
+  def lshRecall(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val shAll = shingles(s, dir).localCheckpoint()
+    Scoped.releaseAfterUse(shAll)
+    val sh = if (sampleFraction >= 1.0) shAll
+      else shAll.filter(
+        hash32(concat(lit("lshs:"), col("doc_id").cast("string"))) % 10000 <
+          lit(math.floor(sampleFraction * 10000).toLong))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exact = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val bands = minhashBands(shAll)
+    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -1107,41 +1220,8 @@ object DedupSim {
         val d0 = docs.unionByName(docs.filter(col("doc_id") % 43 === 0)
           .select((col("doc_id") + 20000000L).as("doc_id"),
             concat(lit("PFX "), col("text")).as("text")))
-        // boundary detection is ONE aggregate() pass over the char array:
-        // the fold lambda receives each element VALUE, so the rolling
-        // window lives in the accumulator and the work is O(L) per doc.
-        // (The index-based formulation — element_at(cs, i) inside a
-        // transform lambda — re-evaluates the cs expression per access
-        // because higher-order lambdas get no common-subexpression
-        // hoisting: O(L²) per doc, 40x slower at sf0.1.) The accumulator
-        // carries the last 3 char codes + the boundary list; chunk
-        // substrings then come from zip_with over the shifted bound
-        // arrays, again binding VALUES, not indices.
-        val ch = d0
-          .withColumn("L", length(col("text")).cast("long"))
-          .withColumn("bnds", expr(
-            """concat(array(cast(0 as bigint)),
-                 aggregate(
-                   transform(split(text, ''), ch -> cast(ascii(ch) as bigint)),
-                   named_struct(
-                     'pos', cast(0 as bigint), 'c1', cast(0 as bigint),
-                     'c2', cast(0 as bigint), 'c3', cast(0 as bigint),
-                     'bs', cast(array() as array<bigint>)),
-                   (acc, x) -> named_struct(
-                     'pos', acc.pos + 1, 'c1', acc.c2, 'c2', acc.c3, 'c3', x,
-                     'bs', if(acc.pos + 1 >= 4 AND acc.pos + 1 < L
-                              AND (((acc.c1*31 + acc.c2)*31 + acc.c3)*31 + x) % 1048576 % 64 = 0,
-                            concat(acc.bs, array(acc.pos + 1)), acc.bs)),
-                   acc -> acc.bs),
-                 array(L))"""))
-          .select(col("doc_id"), explode(expr(
-            """filter(
-                 zip_with(slice(bnds, 1, size(bnds) - 1), slice(bnds, 2, size(bnds) - 1),
-                   (p, q) -> substring(text, cast(p + 1 as int), cast(q - p as int))),
-                 ck -> length(ck) >= 16)"""))
-            .as("chunk"))
-          .select(col("doc_id"), md5(col("chunk")).as("h"))
-          .distinct()
+        val ch = cdcChunkHashArray(d0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
           .localCheckpoint()
         Scoped.releaseAfterUse(ch)
         val keep = ch.join(
@@ -1249,36 +1329,14 @@ object DedupSim {
     // ---- LSH quality evaluation: recall of q32's band-join CANDIDATE set
     // against q31's exact jaccard-≥0.5 ground truth — the measurement every
     // production dedup pipeline runs before trusting a sketch config (16
-    // perms, 4×4 banding here). At 100 TB the exact side runs on a SAMPLE;
-    // the shape is identical (two pair sets, one semi join, scalar
-    // report). n_cand/n_hit also expose the precision side (how much
-    // verification work the bands induce). recall is one IEEE division of
-    // exact integers.
+    // perms, 4×4 banding here). At 100 TB the exact side runs on a sample:
+    // [[lshRecall]]'s sampleFraction (md5-bucket, exercised by
+    // DedupSimSpec; the gate runs at 1.0 where the plan is identical).
+    // n_cand/n_hit also expose the precision side (how much verification
+    // work the bands induce). recall is one IEEE division of exact
+    // integers.
     ("q114_lsh_recall",
-      (s: SparkSession, dir: String) => {
-        val sh = shingles(s, dir).localCheckpoint()
-        Scoped.releaseAfterUse(sh)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val exact = sh.select(col("doc_id").as("id_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
-          .select(col("id_a"), col("id_b"))
-        val bands = minhashBands(sh)
-        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
-          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
-          .select(col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
-      },
+      (s: SparkSession, dir: String) => lshRecall(s, dir),
       Some(s"""WITH $shinglesSql,
         sh_s AS (SELECT doc_id, shingle FROM sh),
         ${minhashBandsSql("s")},

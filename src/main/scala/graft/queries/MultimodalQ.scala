@@ -201,7 +201,12 @@ object MultimodalQ {
         }
         val ah = Multimodal.imageAHash(s, media).toDF().localCheckpoint()
         graft.core.Scoped.releaseAfterUse(ah)
-        val blocks = ah.select(col("media_id"),
+        // decode failures hash to (0,0,0,0); without this filter they would
+        // all pair with each other at distance 0 (and with any zero block)
+        // on real data, flooding the near-dup output (ADVICE r6). The
+        // synthetic fixture always decodes, so the oracle is unchanged.
+        val ahOk = ah.filter(col("decoded"))
+        val blocks = ahOk.select(col("media_id"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
           .toDF("media_id", "k", "bv")
         val cand = blocks.as("l").join(blocks.as("r"),

@@ -306,12 +306,17 @@ object TextOps {
     ("q77_contamination",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
+        // per-doc gram dedup happens INSIDE the row (array_distinct on the
+        // gram array, before the explode): doc_id is unique per input row,
+        // so the exploded (doc_id, gram) stream is already globally
+        // distinct — a post-explode .distinct() here would shuffle every
+        // corpus gram and contradict the map-only broadcast-probe design
+        // (it did, until r7: the one plan-level finding of VERDICT r6)
         def grams13(d: DataFrame): DataFrame = d
           .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
           .filter(size(col("ws")) >= 13)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13)))")).as("gram"))
-          .distinct()
+            "array_distinct(transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13))))")).as("gram"))
         val bench = docs.filter(col("doc_id") % 53 === 0)
           .select((col("doc_id") + expr("5000000000000L")).as("doc_id"),
             expr("concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))").as("text"))
@@ -333,14 +338,14 @@ object TextOps {
             array_to_string(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 20), ' ') AS text
           FROM documents WHERE doc_id % 53 = 0),
         bw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
-        bg AS (SELECT DISTINCT doc_id AS bench_id,
-            unnest(list_transform(range(0, greatest(len(ws) - 12, 0)),
-              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' '))) AS gram
+        bg AS (SELECT doc_id AS bench_id,
+            unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
+              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
           FROM bw WHERE len(ws) >= 13),
         dw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
-        dg AS (SELECT DISTINCT doc_id,
-            unnest(list_transform(range(0, greatest(len(ws) - 12, 0)),
-              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' '))) AS gram
+        dg AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
+              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
           FROM dw WHERE len(ws) >= 13),
         sizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bg GROUP BY 1),
         sh AS (SELECT bg.bench_id, dg.doc_id, COUNT(*) AS n_shared

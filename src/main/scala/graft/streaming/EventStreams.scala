@@ -215,6 +215,36 @@ object EventStreams {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Ingest-time CDC chunk dedup — the STREAM-STATIC twin of batch q111
+    * (the dedup-at-ingest shape: decide keep/drop while the doc arrives,
+    * not in a later batch sweep). Each arriving doc is chunked MAP-SIDE by
+    * the same O(L) rolling-hash fold as the batch path (shared
+    * [[graft.queries.DedupSim.cdcChunkHashArray]], so stream and batch
+    * chunk hashes are bit-identical — pinned by StreamingSpec), then its
+    * chunk set probes the STATIC corpus chunk index with one equi join;
+    * the per-doc verdict is (n_chunks, n_dup, dup_ratio). Stream-static
+    * joins keep no join state and the static side is re-planned per
+    * micro-batch, so the corpus index can exceed broadcast size; the
+    * per-doc aggregation is windowed on the watermarked ingest time, so
+    * agg state is horizon-bounded. A doc whose text yields no ≥16-char
+    * chunk carries no dedup signal and reports n_chunks = 0 (explode_outer
+    * keeps its row). */
+  def cdcChunkStream(docs: DataFrame, corpusChunks: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val ch = graft.queries.DedupSim.cdcChunkHashArray(docs)
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"), size(col("hs")).as("n_chunks"),
+        explode_outer(col("hs")).as("h"))
+    val idx = corpusChunks.select(col("h")).distinct().withColumn("dup", lit(1))
+    ch.join(idx, Seq("h"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("doc_id"), col("n_chunks"))
+      .agg(sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        when(col("n_chunks") > 0,
+          col("n_dup").cast("double") / col("n_chunks")))
+  }
+
   /** Streaming count-min sketch: per event-time window, maintain the
     * depth-4 × width-256 counter table as a watermarked windowed
     * aggregate — the streaming twin of q108's batch sketch build. The

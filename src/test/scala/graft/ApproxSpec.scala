@@ -70,6 +70,36 @@ class ApproxSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("lshRecall sampleFraction bounds the exact side deterministically (md5-bucket)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupSim
+    val dir = "/root/testdata/sf0.001"
+    // the sample filter must be proper at this fraction: some docs in,
+    // some out — otherwise the <=-chain below would be vacuous
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = docs.filter(
+      graft.core.Portable.hash32(concat(lit("lshs:"), col("doc_id").cast("string"))) % 10000
+        < lit(2500L)).count()
+    assert(kept > 0 && kept < docs.count(), s"fraction 0.25 kept $kept docs")
+    def run(f: Double) = {
+      val r = DedupSim.lshRecall(spark, dir, f).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2)) // (n_exact, n_cand, n_hit)
+    }
+    val full = run(1.0)
+    val half = run(0.75)
+    val quarter = run(0.25)
+    // buckets are NESTED (bucket < 2500 ⊆ bucket < 7500 ⊆ all) and a pair
+    // survives only if BOTH endpoints do → exact-pair counts are monotone
+    assert(quarter._1 <= half._1 && half._1 <= full._1)
+    assert(quarter._3 <= quarter._1 && half._3 <= half._1)
+    // the candidate side is a full-corpus property, untouched by sampling
+    assert(quarter._2 === full._2 && half._2 === full._2)
+    // deterministic: same fraction, same result (seed-free md5 buckets)
+    assert(run(0.25) === quarter)
+    intercept[IllegalArgumentException](DedupSim.lshRecall(spark, dir, 0.0))
+    ()
+  }
+
   test("typed Dataset surface compiles the same plan") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("t", ".txt")

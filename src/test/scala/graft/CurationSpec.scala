@@ -33,4 +33,20 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(snap() === snap())
   }
+
+  test("precomputed cluster labels compose: identical split, no pipeline recompute") {
+    // a pipeline that already ran q49 hands its materialized (v, comp)
+    // labels to splitAssignment and must get the exact same split as the
+    // self-contained path — the VERDICT r6 #5 reuse contract
+    val labels = graft.graph.ConnectedComponents.assign(
+      DedupSim.simhashPairsForTest(spark, dir)) // checkpoint-backed; we own its release
+    val viaLabels = DedupSim.splitAssignment(spark, dir, Some(labels))
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    graft.core.Scoped.free(labels)
+    val selfContained = DedupSim.splitAssignment(spark, dir)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(viaLabels === selfContained)
+  }
 }

@@ -166,6 +166,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q77: corpus grams never shuffle — per-doc array_distinct, then broadcast probe") {
+    val p = plan("q77_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast into the corpus stream:\n" + p.take(1200))
+    // the r6 finding: a post-explode distinct() shuffled every corpus
+    // (doc_id, gram) pair before the probe. Dedup now happens inside the
+    // row, so NO exchange may partition on the gram column — the only
+    // hash exchanges left key on bench_id/doc_id over the (rare) hits
+    val gramExchange = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).filter(_.contains("gram"))
+    assert(gramExchange.isEmpty,
+      "corpus gram stream must stay map-side:\n" + gramExchange.mkString("\n"))
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a

@@ -160,6 +160,29 @@ class ScopedSpec extends SparkSpec {
     ()
   }
 
+  test("releaseAllArmed frees armed entries and reports their RDD ids (bench sweep serialization)") {
+    drain()
+    val baseline = liveBlocks()
+    val cp = spark.range(1000).toDF("id").localCheckpoint()
+    val cpIds = cp.queryExecution.analyzed.collectLeaves()
+      .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }.toSet
+    Scoped.releaseAfterUse(cp)
+    assert(liveBlocks() === baseline + 1, "armed but not yet consumed")
+    // the bench isolation point: release through the registry, get the ids
+    // the sweep must skip — and the release must actually free the blocks
+    val ids = Scoped.releaseAllArmed(spark)
+    assert(cpIds.subsetOf(ids), s"returned ids $ids must cover the checkpoint's $cpIds")
+    assert(awaitRelease(baseline) === baseline, "storage must be freed by the registry release")
+    // idempotent: everything already released, nothing left to claim
+    assert(Scoped.releaseAllArmed(spark).isEmpty)
+    // the skip contract: a blanket sweep that skips `ids` touches nothing
+    // the listener path might also be releasing — no shared-block race
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => ids.contains(r.id))
+      .foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
+    ()
+  }
+
   test("default sweep leaves entries with live plans armed") {
     drain()
     // drain leftover armed entries from other suites in this JVM first —

@@ -237,6 +237,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (d, c, _) => d >= 0 && d < 4 && c >= 0 && c < 256 })
   }
 
+  test("cdcChunkStream: ingest-time chunk dedup matches the batch chunker") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog and then some " * 20
+    val textC = "completely different content sharing no chunk with the corpus " * 20
+    val corpus = Seq((1L, textA)).toDF("doc_id", "text")
+    val corpusIdx = graft.queries.DedupSim.cdcChunkHashArray(corpus)
+      .select(explode(col("hs")).as("h"))
+    val streamDocs = Seq(
+      (10L, textA, ts(0)),          // exact copy: every chunk is in the index
+      (11L, "PFX " + textA, ts(1)), // prefix shift: boundaries re-sync on the tail
+      (12L, textC, ts(2)),          // fresh text: no chunk can collide (md5)
+      (13L, "tiny", ts(3)))         // < 16 chars: no chunk, no signal
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(streamDocs: _*)
+    val q = EventStreams.cdcChunkStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), corpusIdx)
+      .writeStream.format("memory").queryName("cdc_chunks")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val streamed = spark.table("cdc_chunks")
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // batch reference: same shared chunker, same probe, on a static DF —
+    // the stream twin must be bit-identical to the batch decision
+    val batch = graft.queries.DedupSim.cdcChunkHashArray(
+        streamDocs.toDF("doc_id", "text", "ts"))
+      .select(col("doc_id"), size(col("hs")).as("n_chunks"),
+        explode_outer(col("hs")).as("h"))
+      .join(corpusIdx.withColumn("dup", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batch, "stream verdicts must equal the batch chunker's")
+    // deterministic semantics independent of boundary luck:
+    val byDoc = streamed.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(10L)._1 > 0 && byDoc(10L)._2.toInt === byDoc(10L)._1,
+      "an exact copy's chunks are all duplicates")
+    assert(byDoc(12L)._2 === 0L, "fresh text shares no chunk")
+    assert(byDoc(13L) === ((0, 0L)), "chunkless doc still reports, with zero signal")
+  }
+
   test("dedupStream runs on the RocksDB state store (the production config)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
