@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.CorpusSearch.catalog ++
       graft.queries.DedupSim.catalog ++
       graft.queries.TextOps.catalog ++
+      graft.queries.TextOps.catalogTrainer ++
       graft.queries.Events.catalog ++
       graft.queries.MultimodalQ.catalog
 

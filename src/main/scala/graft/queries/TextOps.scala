@@ -833,4 +833,98 @@ object TextOps {
           CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM b ORDER BY bucket, pos"""))
   )
+
+  /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1
+    * pair counts (q109's numbers), APPLY it, re-count — the step that turns
+    * a pair counter into a TRAINER (VERDICT r6 #8). Declared next to the
+    * catalog for Scaladoc visibility; appended to [[catalog]] below. */
+  val catalogTrainer: Seq[(String, Q, Option[String])] = Seq(
+    // ---- the classic trainer shape: operate on word TYPES weighted by
+    // frequency, not token occurrences — the corpus is read ONCE to build
+    // the (tok, cnt) vocab (one combinable shuffle of |tokens| rows), and
+    // every later round touches only |vocab| rows. At 100 TB that is the
+    // difference between re-scanning 100 TB per merge and iterating over
+    // a few-MB type table. The learned merge is a 1-row broadcast scalar
+    // (no driver collect); applying it is a map-only greedy left-to-right
+    // non-overlapping fold per type (the BPE apply contract), O(L) rows ×
+    // O(L²) char work on ≤ word-length arrays; the re-count is one
+    // combinable (sym_a, sym_b) shuffle. Gate = top-20 iteration-2 pairs,
+    // where merged symbols appear as multi-char units — a broken argmax,
+    // apply, or re-count all move the top-20.
+    ("q116_bpe_train2",
+      (s: SparkSession, dir: String) => {
+        val types = t(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val m1 = types
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .select(substring(col("pair"), 1, 1).as("s1"),
+            substring(col("pair"), 2, 1).as("s2"))
+        // greedy LTR fold: merge when the PREVIOUS emitted symbol is s1
+        // and the current char is s2 — a symbol already produced by a
+        // merge in this pass can't be re-used as a left operand because
+        // it string-differs from the single-char s1
+        val merged = types.crossJoin(broadcast(m1))
+          .withColumn("syms", expr(
+            """aggregate(
+                 transform(sequence(1, length(tok)), i -> substring(tok, i, 1)),
+                 cast(array() as array<string>),
+                 (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
+                   concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
+                   concat(acc, array(c))))"""))
+          .filter(size(col("syms")) >= 2) // a fully-merged 2-char type has no it2 pair
+        merged
+          // zip_with binds element VALUES (no per-index re-eval of syms)
+          .select(col("cnt"), explode(expr(
+            """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+                 (a, b) -> named_struct('sym_a', a, 'sym_b', b))""")).as("p"))
+          .select(col("p.sym_a"), col("p.sym_b"), col("cnt"))
+          .groupBy(col("sym_a"), col("sym_b")).agg(sum(col("cnt")).as("n"))
+          .orderBy(desc("n"), asc("sym_a"), asc("sym_b")).limit(20)
+      },
+      // DuckDB has no list fold, so the oracle applies the merge with the
+      // gaps-and-islands parity rule: within each run of CONSECUTIVE match
+      // positions keep the 0th, 2nd, ... — exactly greedy left-to-right
+      // non-overlapping (proved equivalent to the fold in PropertySpec)
+      Some("""WITH toks AS (SELECT
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        types AS (SELECT tok, COUNT(*) AS cnt FROM toks
+          WHERE length(tok) >= 2 GROUP BY tok),
+        it1 AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair, SUM(cnt) AS n
+          FROM (SELECT tok, cnt, unnest(range(1, length(tok))) AS i FROM types)
+          GROUP BY pair),
+        m1 AS (SELECT substr(pair, 1, 1) AS s1, substr(pair, 2, 1) AS s2
+          FROM it1 ORDER BY n DESC, pair LIMIT 1),
+        chars AS (SELECT tok, cnt, CAST(i AS BIGINT) AS i,
+            substr(tok, CAST(i AS INT), 1) AS sym
+          FROM (SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS i FROM types)),
+        mt AS (SELECT c.tok, c.i FROM chars c
+          JOIN chars d ON d.tok = c.tok AND d.i = c.i + 1
+          CROSS JOIN m1 WHERE c.sym = m1.s1 AND d.sym = m1.s2),
+        isl AS (SELECT tok, i,
+            i - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY i) AS grp
+          FROM mt),
+        keep AS (SELECT tok, i FROM (
+            SELECT tok, i, (i - MIN(i) OVER (PARTITION BY tok, grp)) % 2 AS par
+            FROM isl) WHERE par = 0),
+        ns AS (SELECT c.tok, c.cnt, c.i,
+            CASE WHEN k.i IS NOT NULL THEN m.s1 || m.s2 ELSE c.sym END AS sym
+          FROM chars c CROSS JOIN m1 m
+          LEFT JOIN keep k ON k.tok = c.tok AND k.i = c.i
+          LEFT JOIN keep k2 ON k2.tok = c.tok AND k2.i = c.i - 1
+          WHERE k2.i IS NULL),
+        seq AS (SELECT tok, cnt, sym,
+            ROW_NUMBER() OVER (PARTITION BY tok ORDER BY i) AS j
+          FROM ns),
+        it2 AS (SELECT a.sym AS sym_a, b.sym AS sym_b, SUM(a.cnt) AS n
+          FROM seq a JOIN seq b ON b.tok = a.tok AND b.j = a.j + 1
+          GROUP BY a.sym, b.sym)
+        SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n
+        FROM it2 ORDER BY n DESC, sym_a, sym_b LIMIT 20"""))
+  )
 }

@@ -219,5 +219,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- BPE merge application (q116): the Spark fold, an index-scan
+  // greedy reference, and the DuckDB oracle's gaps-and-islands parity
+  // rule must agree on every word — the cross-engine contract that lets
+  // the oracle apply the merge with window functions while Spark uses a
+  // map-only fold
+  val bpeGen: Gen[(String, String, String)] = for {
+    n <- Gen.choose(2, 12)
+    w <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    s1 <- Gen.oneOf("a", "b", "c")
+    s2 <- Gen.oneOf("a", "b", "c")
+  } yield (w.mkString, s1, s2)
+
+  test("bpe apply: Spark fold == greedy LTR reference == oracle parity rule") {
+    import spark.implicits._
+    def greedy(tok: String, s1: String, s2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < tok.length) {
+        if (i + 1 < tok.length && tok(i).toString == s1 && tok(i + 1).toString == s2) {
+          out += s1 + s2; i += 2
+        } else { out += tok(i).toString; i += 1 }
+      }
+      out.toSeq
+    }
+    def parity(tok: String, s1: String, s2: String): Seq[String] = {
+      // 1-based match positions, islands of consecutive ints, keep
+      // (p - island_min) even — exactly the oracle's keep CTE
+      val ms = (1 until tok.length)
+        .filter(p => tok(p - 1).toString == s1 && tok(p).toString == s2)
+      val kept = scala.collection.mutable.Set[Int]()
+      var idx = 0
+      while (idx < ms.length) {
+        var j = idx
+        while (j + 1 < ms.length && ms(j + 1) == ms(j) + 1) j += 1
+        var p = ms(idx) // island [ms(idx)..ms(j)]: keep 0th, 2nd, ...
+        while (p <= ms(j)) { kept += p; p += 2 }
+        idx = j + 1
+      }
+      (1 to tok.length).flatMap { i =>
+        if (kept.contains(i - 1)) None
+        else if (kept.contains(i)) Some(s1 + s2)
+        else Some(tok(i - 1).toString)
+      }
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    forAll(bpeGen, n = 80)(t => buf += t)
+    val got = buf.toSeq.toDF("tok", "s1", "s2")
+      .withColumn("syms", expr(
+        """aggregate(
+             transform(sequence(1, length(tok)), i -> substring(tok, i, 1)),
+             cast(array() as array<string>),
+             (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
+               concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
+               concat(acc, array(c))))"""))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getSeq[String](3)))
+    got.foreach { case (tok, s1, s2, syms) =>
+      assert(syms.mkString === tok, s"merge must preserve the word ($tok, $s1$s2)")
+      assert(syms === greedy(tok, s1, s2), s"fold != greedy for ($tok, $s1, $s2)")
+      assert(syms === parity(tok, s1, s2), s"fold != parity for ($tok, $s1, $s2)")
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
