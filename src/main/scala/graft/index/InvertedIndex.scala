@@ -35,9 +35,10 @@ object InvertedIndex {
   /** docs(title, line_offset, body_off, body) → occurrences
     * (term, title, line_off, char_off), one row per token occurrence. */
   def occurrences(docs: DataFrame): DataFrame =
-    docs.filter(col("body").isNotNull)
-      .select(col("title"), col("line_offset"),
-        explode(tokUdf(col("body"), col("body_off"))).as("t"))
+    graft.core.Portable.explodeLean(
+      docs.filter(col("body").isNotNull),
+      Seq(col("title"), col("line_offset")),
+      tokUdf(col("body"), col("body_off")), "t")
       .select(col("t._1").as("term"), col("title"),
         col("line_offset").as("line_off"), col("t._2").cast("long").as("char_off"))
 

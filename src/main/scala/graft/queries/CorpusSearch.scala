@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Scoped, Tables}
+import graft.core.Portable.explodeLean
 import graft.graph.GraphBuilder
 import graft.pagerank.PageRank
 
@@ -115,8 +116,7 @@ object CorpusSearch {
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val n = docs.count() // driver-side metadata agg, like ref A2
-        val toks = docs.select(col("doc_id"),
-          explode(expr(tokensExpr)).as("term"))
+        val toks = explodeLean(docs, Seq(col("doc_id")), expr(tokensExpr), "term")
         val tf = toks.filter(col("term").isin(searchTerms: _*))
           .groupBy(col("term"), col("doc_id"))
           .agg(count(lit(1)).as("tf"))
@@ -156,7 +156,7 @@ object CorpusSearch {
         // Zero-token docs drop out of `toks`, which is harmless: they
         // can't match a probe term, and their dl contribution to the
         // avgdl total is 0 either way.
-        val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        val toks = explodeLean(docs, Seq(col("doc_id")), expr(tokensExpr), "term")
           .localCheckpoint()
         Scoped.releaseAfterUse(toks)
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -200,8 +200,7 @@ object CorpusSearch {
     // (ref A7 + P5, invertedIndex.scala:89-96; cutoff 3000 at :93-94)
     ("q21_inverted_index",
       (s: SparkSession, dir: String) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        explodeLean(t(s, dir, "documents"), Seq(col("doc_id")), expr(tokensExpr), "term")
           .groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df"),
             count(lit(1)).as("tf_total"))
@@ -218,8 +217,7 @@ object CorpusSearch {
     // postings-list payload of ref A6 (combiner = Catalyst partial agg)
     ("q22_postings",
       (s: SparkSession, dir: String) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        explodeLean(t(s, dir, "documents"), Seq(col("doc_id")), expr(tokensExpr), "term")
           .filter(col("term").isin(searchTerms: _*))
           .groupBy(col("term"), col("doc_id"))
           .agg(count(lit(1)).as("tf"))
@@ -700,7 +698,7 @@ object CorpusSearch {
         graft.functions.GraftFunctions.register(s)
         val docs = t(s, dir, "documents")
         val n = docs.count() // driver-side metadata agg, like ref A2
-        val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        val toks = explodeLean(docs, Seq(col("doc_id")), expr(tokensExpr), "term")
           .localCheckpoint()
         Scoped.releaseAfterUse(toks)
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))

@@ -31,12 +31,16 @@ object DedupSim {
 
   private val P = MersenneP // 2^31-1
 
-  /** Distinct word-5-gram shingles of any (doc_id, text) frame. */
+  /** Distinct word-5-gram shingles of any (doc_id, text) frame.
+    * explodeLean: the shingle transform must not be duplicated into an
+    * inferred pre-Generate filter (see Portable.explodeLean). */
   private def shingleDf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
-      .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))")).as("shingle"))
+    explodeLean(
+      d.select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+        .filter(size(col("ws")) >= 5),
+      Seq(col("doc_id")),
+      expr("transform(sequence(0, size(ws)-5), i -> concat_ws(' ', slice(ws, i+1, 5)))"),
+      "shingle")
       .distinct()
 
   /** Distinct word-5-gram shingles per document. */
@@ -143,8 +147,8 @@ object DedupSim {
     * one of them 32× |distinct terms|. Shared by q33 (sorted view) and
     * q34 (pair search). */
   private def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val occ = t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("term"))
+    val occ = explodeLean(t(s, dir, "documents"), Seq(col("doc_id")),
+      expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"), "term")
       .withColumn("h", hash32(col("term")))
     val bitSums = (0 until 32).map(i =>
       sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i"))
@@ -192,38 +196,45 @@ object DedupSim {
     * [[graft.streaming.EventStreams.cdcChunkStream]] (the ingest twin,
     * which needs a shuffle-free per-row shape to run on a stream).
     *
-    * Boundary detection is ONE aggregate() pass over the char array: the
-    * fold lambda receives each element VALUE, so the rolling window lives
-    * in the accumulator and the work is O(L) per doc. (The index-based
-    * formulation — element_at(cs, i) inside a transform lambda —
-    * re-evaluates the cs expression per access because higher-order
-    * lambdas get no common-subexpression hoisting: O(L²) per doc, 40x
-    * slower at sf0.1.) The accumulator carries the last 3 char codes +
-    * the boundary list; chunk substrings then come from zip_with over the
-    * shifted bound arrays, again binding VALUES, not indices. Chunk-hash
-    * dedup is per-row array_distinct — doc_id is unique per input row, so
-    * the exploded (doc_id, h) stream is already globally distinct and no
-    * corpus-wide distinct() shuffle is needed (same in-row-dedup
-    * discipline as q77's gram stream). Every input column except `text`
-    * passes through (the stream twin needs its event-time column). */
+    * The rolling 4-char hash is a PURE SLIDING WINDOW (no reset at
+    * boundaries — LBFS-style), so boundary detection needs no sequential
+    * fold: three zip_with passes over shifted slices of the char-code
+    * array compute every window hash, and an index-lambda transform turns
+    * hash hits into boundary positions. All lambdas bind element VALUES
+    * (`cs` is referenced 4×, so CollapseProject keeps it a materialized
+    * attribute and the slices are O(1) array reads — never a per-index
+    * re-evaluation). This replaced an aggregate() fold that allocated a
+    * 5-field struct per character in interpreted eval: same boundaries,
+    * ~20× cheaper per char (the fold measured 17 s for 1.5 MB of sf0.1
+    * text on one core; see SCALING.md "Measurement discipline").
+    *
+    * Chunk-hash dedup is per-row array_distinct — doc_id is unique per
+    * input row, so the exploded (doc_id, h) stream is already globally
+    * distinct and no corpus-wide distinct() shuffle is needed (same
+    * in-row-dedup discipline as q77's gram stream). Every input column
+    * except `text` passes through (the stream twin needs its event-time
+    * column). */
   private[graft] def cdcChunkHashArray(d: DataFrame): DataFrame = {
     val keep = d.columns.filterNot(_ == "text").map(col).toSeq
     d
     .withColumn("L", length(col("text")).cast("long"))
+    .withColumn("cs", expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
+    // h4[i] (0-based) = hash of 1-based chars [i+1 .. i+4]
+    .withColumn("h4", expr(
+      """zip_with(
+           zip_with(
+             zip_with(slice(cs, 1, greatest(L - 3, 0)),
+                      slice(cs, 2, greatest(L - 3, 0)), (a, b) -> a * 31 + b),
+             slice(cs, 3, greatest(L - 3, 0)), (a, b) -> a * 31 + b),
+           slice(cs, 4, greatest(L - 3, 0)), (a, b) -> a * 31 + b)"""))
+    // boundary at 1-based p = i + 4 ∈ [4, L) where h4[i] % 2^20 % 64 = 0
+    // (drop h4's last entry: a boundary at p = L would duplicate the
+    // sentinel). Same formula as the PropertySpec scalar model.
     .withColumn("bnds", expr(
       """concat(array(cast(0 as bigint)),
-           aggregate(
-             transform(split(text, ''), ch -> cast(ascii(ch) as bigint)),
-             named_struct(
-               'pos', cast(0 as bigint), 'c1', cast(0 as bigint),
-               'c2', cast(0 as bigint), 'c3', cast(0 as bigint),
-               'bs', cast(array() as array<bigint>)),
-             (acc, x) -> named_struct(
-               'pos', acc.pos + 1, 'c1', acc.c2, 'c2', acc.c3, 'c3', x,
-               'bs', if(acc.pos + 1 >= 4 AND acc.pos + 1 < L
-                        AND (((acc.c1*31 + acc.c2)*31 + acc.c3)*31 + x) % 1048576 % 64 = 0,
-                      concat(acc.bs, array(acc.pos + 1)), acc.bs)),
-             acc -> acc.bs),
+           filter(transform(slice(h4, 1, greatest(L - 4, 0)),
+             (h, i) -> if(h % 1048576 % 64 = 0, cast(i + 4 as bigint), cast(-1 as bigint))),
+             p -> p >= 0),
            array(L))"""))
     .select(keep :+ expr(
       """array_distinct(transform(
@@ -1220,8 +1231,16 @@ object DedupSim {
         val d0 = docs.unionByName(docs.filter(col("doc_id") % 43 === 0)
           .select((col("doc_id") + 20000000L).as("doc_id"),
             concat(lit("PFX "), col("text")).as("text")))
+        // explode_outer, NOT explode: InferFiltersFromGenerate would bolt a
+        // size(hs)>0 ∧ isnotnull(hs) filter under a plain explode,
+        // duplicating the whole chunk expression into the scan's
+        // DataFilters — the pipeline then runs ~3× per row (measured 9 s
+        // vs 1 s at sf0.1). The rule skips outer generates; the cheap
+        // null filter on the exploded ATTRIBUTE restores inner-join
+        // semantics (chunkless docs drop).
         val ch = cdcChunkHashArray(d0)
-          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+          .filter(col("h").isNotNull)
           .localCheckpoint()
         Scoped.releaseAfterUse(ch)
         val keep = ch.join(

@@ -312,11 +312,12 @@ object TextOps {
         // distinct — a post-explode .distinct() here would shuffle every
         // corpus gram and contradict the map-only broadcast-probe design
         // (it did, until r7: the one plan-level finding of VERDICT r6)
-        def grams13(d: DataFrame): DataFrame = d
-          .select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
-          .filter(size(col("ws")) >= 13)
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13))))")).as("gram"))
+        def grams13(d: DataFrame): DataFrame = explodeLean(
+          d.select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+            .filter(size(col("ws")) >= 13),
+          Seq(col("doc_id")),
+          expr("array_distinct(transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13))))"),
+          "gram")
         val bench = docs.filter(col("doc_id") % 53 === 0)
           .select((col("doc_id") + expr("5000000000000L")).as("doc_id"),
             expr("concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))").as("text"))
@@ -443,9 +444,9 @@ object TextOps {
     // token stream instead of re-deriving it.
     ("q89_unigram_surprisal",
       (s: SparkSession, dir: String) => {
-        def toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        def toks = explodeLean(t(s, dir, "documents"),
+          Seq(col("doc_id"), col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "term")
         // the model is materialized once (vocabulary-sized) and feeds BOTH
         // the total and the per-term quantization — without the checkpoint,
         // deriving the corpus token total would cost a third full
@@ -630,9 +631,8 @@ object TextOps {
     ("q107_kmv_distinct",
       (s: SparkSession, dir: String) => {
         import s.implicits._
-        val toks = t(s, dir, "documents")
-          .select(col("lang"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
         val sk = toks.select(col("lang"), hash32(col("tok")).as("h"))
           .as[(String, Long)]
           .groupByKey(_._1).mapValues(_._2)
@@ -677,8 +677,8 @@ object TextOps {
       (s: SparkSession, dir: String) => {
         def cmCol(d: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
           hash32(concat(d.cast("string"), lit(":"), tok)) % 256
-        val toks = t(s, dir, "documents")
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val toks = explodeLean(t(s, dir, "documents"), Seq(),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
         val sketch = toks
           .select(col("tok"), explode(expr("array(0, 1, 2, 3)")).as("d"))
           .withColumn("c", cmCol(col("d"), col("tok")))
@@ -720,11 +720,13 @@ object TextOps {
     // outer loop at corpus scale.
     ("q109_bpe_merge",
       (s: SparkSession, dir: String) => {
-        t(s, dir, "documents")
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
-          .filter(length(col("tok")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        explodeLean(
+          explodeLean(t(s, dir, "documents"), Seq(),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+            .filter(length(col("tok")) >= 2),
+          Seq(),
+          expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"),
+          "pair")
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("pair"))
           .limit(20)
@@ -748,9 +750,9 @@ object TextOps {
     // oov_rate is one IEEE division of exact integers — engine-exact.
     ("q110_vocab_coverage",
       (s: SparkSession, dir: String) => {
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val toks = explodeLean(t(s, dir, "documents"),
+          Seq(col("doc_id"), col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
         val vocab = toks.filter(col("doc_id") % 2 === 0).select(col("tok")).distinct()
         val ev = toks.filter(col("doc_id") % 2 === 1)
         ev.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
@@ -853,8 +855,8 @@ object TextOps {
     // apply, or re-count all move the top-20.
     ("q116_bpe_train2",
       (s: SparkSession, dir: String) => {
-        val types = t(s, dir, "documents")
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val types = explodeLean(t(s, dir, "documents"), Seq(),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
           .filter(length(col("tok")) >= 2)
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         val m1 = types
