@@ -95,6 +95,23 @@ object Bench {
         SparkEntry.queries.get(q)
           .foreach(fn => try fn(spark, dir).count() catch { case NonFatal(_) => () })
       }
+    // ImageIO codec JIT warmup: with a fresh JVM per pass, whichever of
+    // q64/q106 hits the PNG encode/decode path first absorbed 4-5 s of
+    // cold-JIT (bimodal per_run in the r7 bench). ~3000 tiny images push
+    // the codec loops past the C2 threshold in ~1 s, outside any timed
+    // window.
+    try {
+      var i = 0
+      while (i < 3000) {
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, i)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+        i += 1
+      }
+    } catch { case NonFatal(_) => () }
     clearStorage(spark)
   }
 

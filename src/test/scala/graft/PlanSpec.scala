@@ -180,6 +180,21 @@ class PlanSpec extends SparkSpec {
       "corpus gram stream must stay map-side:\n" + gramExchange.mkString("\n"))
   }
 
+  test("computed-array explodes carry no inferred-filter tax (scan DataFilters stay cheap)") {
+    // InferFiltersFromGenerate duplicates a plain explode's computed array
+    // input into the scan's DataFilters (2-3x the expression per row, r7
+    // finding). explodeLean keeps the scan clean — pin that for the
+    // token-stream, and chunk-pipeline explodes.
+    Seq("q21_inverted_index" -> "regexp_extract_all",
+        "q20_tfidf_search" -> "regexp_extract_all",
+        "q111_cdc_chunk_dedup" -> "zip_with").foreach { case (q, marker) =>
+      val p = plan(q)
+      val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      assert(!scans.contains(marker),
+        s"$q: generator input duplicated into the scan:\n" + scans.take(800))
+    }
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a
