@@ -334,6 +334,39 @@ object DedupSim {
         ${asg(fin, s"c${kmeansIters}f")}"""
   }
 
+  /** DuckDB twin of the SRP-IVF quantizer + multi-probe (q38's oracle,
+    * shared with q118's nDCG eval): plane coefficients embedded as
+    * literals, every dot the same ordered left-fold as the Scala side,
+    * probe ranking (flip-cost, cell) in SQL. Exposes CTEs `q` (query
+    * vector), `probe` (probed cells), `idx` (indexed vectors + cell). */
+  private def srpIvfOracleCtes: String = {
+    import graft.similarity.Ivf
+    val nbits = Ivf.DefaultBits
+    val dims = Ivf.DefaultDims
+    // ordered left-fold dot of plane j against a vector expression
+    def dotSql(j: Int, vec: String) = (0 until dims)
+      .map(d => s"(${Ivf.plane(j, dims)(d)}.0 * CAST($vec[${d + 1}] AS DOUBLE))")
+      .mkString(" + ")
+    val dCols = (0 until nbits).map(j => s"(${dotSql(j, "qv")}) AS d$j").mkString(", ")
+    val cell0 = (0 until nbits)
+      .map(j => s"(CASE WHEN d$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    val margins = (0 until nbits).map(j => s"ABS(d$j) AS m$j").mkString(", ")
+    val cost = (0 until nbits)
+      .map(j => s"(CASE WHEN (xor(r.c, cell0) >> $j) & 1 = 1 THEN m$j ELSE 0.0 END)")
+      .mkString(" + ")
+    val dataCell = (0 until nbits)
+      .map(j => s"(CASE WHEN (${dotSql(j, "embedding")}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          d AS (SELECT $dCols FROM q),
+          c0 AS (SELECT $cell0 AS cell0, $margins FROM d),
+          cand AS (SELECT r.c AS cell, ($cost) AS cost
+                   FROM (SELECT unnest(range(0, ${1 << nbits})) AS c) r, c0),
+          probe AS (SELECT cell FROM cand ORDER BY cost, cell LIMIT 32),
+          idx AS (SELECT vec_id, label, embedding, ($dataCell) AS cell
+                  FROM embeddings WHERE vec_id <> 0)"""
+  }
+
   /** q114's core, parameterized: recall/precision of the MinHash band-join
     * candidate set (16 perms, 4×4 banding) against the exact jaccard-≥0.5
     * ground truth. `sampleFraction` bounds the EXACT side at scale: the
@@ -693,37 +726,12 @@ object DedupSim {
           .limit(20)
       }
     },
-      Some {
-        import graft.similarity.Ivf
-        val nbits = Ivf.DefaultBits
-        val dims = Ivf.DefaultDims
-        // ordered left-fold dot of plane j against a vector expression
-        def dotSql(j: Int, vec: String) = (0 until dims)
-          .map(d => s"(${Ivf.plane(j, dims)(d)}.0 * CAST($vec[${d + 1}] AS DOUBLE))")
-          .mkString(" + ")
-        val dCols = (0 until nbits).map(j => s"(${dotSql(j, "qv")}) AS d$j").mkString(", ")
-        val cell0 = (0 until nbits)
-          .map(j => s"(CASE WHEN d$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-        val margins = (0 until nbits).map(j => s"ABS(d$j) AS m$j").mkString(", ")
-        val cost = (0 until nbits)
-          .map(j => s"(CASE WHEN (xor(r.c, cell0) >> $j) & 1 = 1 THEN m$j ELSE 0.0 END)")
-          .mkString(" + ")
-        val dataCell = (0 until nbits)
-          .map(j => s"(CASE WHEN (${dotSql(j, "embedding")}) > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-          d AS (SELECT $dCols FROM q),
-          c0 AS (SELECT $cell0 AS cell0, $margins FROM d),
-          cand AS (SELECT r.c AS cell, ($cost) AS cost
-                   FROM (SELECT unnest(range(0, ${1 << nbits})) AS c) r, c0),
-          probe AS (SELECT cell FROM cand ORDER BY cost, cell LIMIT 32),
-          idx AS (SELECT vec_id, label, embedding, ($dataCell) AS cell
-                  FROM embeddings WHERE vec_id <> 0)
+      Some(
+        s"""WITH $srpIvfOracleCtes
           SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS cell,
             floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
           FROM idx, q WHERE cell IN (SELECT cell FROM probe)
-          ORDER BY sim DESC, vec_id LIMIT 20"""
-      }),
+          ORDER BY sim DESC, vec_id LIMIT 20""")),
 
     // ---- per-vector symmetric int8 quantization — the 4×-smaller storage
     // format every embedding pipeline writes before serving/ANN. scale =
@@ -1376,7 +1384,92 @@ object DedupSim {
           (SELECT COUNT(*) FROM cand) AS n_cand,
           (SELECT COUNT(*) FROM hit) AS n_hit,
           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM ex) AS recall"""))
+            / (SELECT COUNT(*) FROM ex) AS recall""")),
+
+    // ---- ANN ranking quality: nDCG@10 of q38's SRP-IVF multi-probe
+    // ranking against the exact brute-force cosine ranking — q114's
+    // measure-the-sketch discipline applied to the retrieval stack
+    // (recall says WHETHER neighbors were found; nDCG says whether they
+    // arrive in the right ORDER, graded). Relevance is derived from the
+    // exact ranking (top-3 → gain 7, top-6 → 3, top-10 → 1: the 2^rel - 1
+    // gains of graded nDCG), discounts are 1/log2(rank+1) quantized to
+    // BIGINTs on the 1e-6 grid (log2 of small ints is IEEE-exact or
+    // grid-distant in both engines), so DCG sums are pure integer
+    // arithmetic and nDCG is one IEEE division. Scale shape: the exact
+    // side is ONE brute-force pass for the eval probe (what you'd run on
+    // a sampled probe set at 100 TB, like q114's sampled ground truth);
+    // the ANN side is the partition-pruned cell probe.
+    ("q118_ann_ndcg", {
+      import graft.similarity.Ivf
+      val nbits = Ivf.DefaultBits
+      val dims = Ivf.DefaultDims
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val qv = array(qvec.map(v => lit(v)): _*)
+        def discOf(rank: org.apache.spark.sql.Column) =
+          floor(lit(1e6) / log2(rank.cast("double") + lit(1.0)) + lit(0.5)).cast("long")
+        val exact = e.filter(col("vec_id") =!= 0)
+          .withColumn("qv", qv)
+          .select(col("vec_id"),
+            (floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("sim"))
+          .withColumn("exact_rank", row_number()
+            .over(Window.orderBy(desc("sim"), asc("vec_id"))).cast("long"))
+          .withColumn("gain",
+            when(col("exact_rank") <= 3, 7L).when(col("exact_rank") <= 6, 3L)
+              .when(col("exact_rank") <= 10, 1L).otherwise(0L))
+        val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = 32)
+        val ann = Ivf.buildIndex(e.filter(col("vec_id") =!= 0), "embedding", nbits, dims)
+          .filter(col("cell").isin(cells: _*))
+          .withColumn("qv", qv)
+          .select(col("vec_id"),
+            (floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("sim"))
+          .withColumn("ann_rank", row_number()
+            .over(Window.orderBy(desc("sim"), asc("vec_id"))).cast("long"))
+          .filter(col("ann_rank") <= 10)
+        val dcg = ann
+          .join(exact.select(col("vec_id"), col("gain")), Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("gain"), lit(0L)) * discOf(col("ann_rank"))).as("dcg_scaled"),
+            sum(when(coalesce(col("gain"), lit(0L)) > 0, 1L).otherwise(0L)).as("n_relevant"))
+        val idcg = exact.filter(col("exact_rank") <= 10)
+          .agg(sum(col("gain") * discOf(col("exact_rank"))).as("idcg_scaled"))
+        dcg.crossJoin(idcg) // both single-row aggregates
+          .select(col("n_relevant"), col("dcg_scaled"), col("idcg_scaled"),
+            (col("dcg_scaled").cast("double") / col("idcg_scaled")).as("ndcg"))
+      }
+    },
+      Some(
+        s"""WITH $srpIvfOracleCtes,
+          exact AS (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS exact_rank
+            FROM (SELECT vec_id,
+                floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
+              FROM embeddings, q WHERE vec_id <> 0)),
+          gains AS (SELECT vec_id, exact_rank,
+              CASE WHEN exact_rank <= 3 THEN 7 WHEN exact_rank <= 6 THEN 3
+                   WHEN exact_rank <= 10 THEN 1 ELSE 0 END AS gain
+            FROM exact),
+          ann AS (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS ann_rank
+            FROM (SELECT vec_id,
+                floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
+              FROM idx, q WHERE cell IN (SELECT cell FROM probe))),
+          a10 AS (SELECT ann.vec_id, ann.ann_rank, COALESCE(g.gain, 0) AS gain
+            FROM ann LEFT JOIN gains g ON g.vec_id = ann.vec_id
+            WHERE ann.ann_rank <= 10),
+          dcg AS (SELECT
+              CAST(SUM(gain * CAST(floor(1000000.0 / log2(CAST(ann_rank AS DOUBLE) + 1.0) + 0.5) AS BIGINT)) AS BIGINT) AS dcg_scaled,
+              CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+            FROM a10),
+          idcg AS (SELECT
+              CAST(SUM(gain * CAST(floor(1000000.0 / log2(CAST(exact_rank AS DOUBLE) + 1.0) + 0.5) AS BIGINT)) AS BIGINT) AS idcg_scaled
+            FROM gains WHERE exact_rank <= 10)
+          SELECT n_relevant, dcg_scaled, idcg_scaled,
+            CAST(dcg_scaled AS DOUBLE) / idcg_scaled AS ndcg
+          FROM dcg, idcg"""))
   )
 
 }

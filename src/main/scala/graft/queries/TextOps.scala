@@ -833,7 +833,63 @@ object TextOps {
           FROM g)
         SELECT doc_id, bucket, q AS quality_score,
           CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-        FROM b ORDER BY bucket, pos"""))
+        FROM b ORDER BY bucket, pos""")),
+
+    // ---- mixture EXECUTION: apply q91's planned per-language rates with
+    // q48's deterministic md5-bucket mechanism — the step that actually
+    // materializes the mixture a training run reads (q91 plans, q117
+    // executes). Rates are a per-language aggregate (5 rows → broadcast);
+    // sampling is a map-only bucket comparison against the 1e-6 rate grid
+    // (integerized on both sides — rate*1e6 re-floored so no float edge);
+    // the report is one tiny agg. At 100 TB: one corpus pass to plan
+    // (map-side combined), one map-only pass to execute, seed-free and
+    // re-run-stable like every sampling step in the catalog.
+    ("q117_mixture_apply",
+      (s: SparkSession, dir: String) => {
+        val budget = 1000000.0
+        val share = when(col("lang") === "en", 0.30)
+          .when(col("lang") === "de", 0.20)
+          .when(col("lang") === "fr", 0.20)
+          .when(col("lang") === "es", 0.15)
+          .otherwise(0.15)
+        // one tokenize pass: the narrow (doc_id, lang, n_tok) projection
+        // feeds BOTH the rate plan and the apply — materialized once
+        // (at 100 TB this is the token-count column a pipeline persists
+        // anyway), released on the gate's terminal action
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast("long").as("n_tok"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(d)
+        val rates = d.groupBy(col("lang"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+          .withColumn("rate",
+            floor(least(lit(1.0), share * budget / col("n_tokens")) * 1e6 + 0.5) / 1e6)
+          .select(col("lang"), col("rate"))
+        d.join(broadcast(rates), Seq("lang"))
+          .withColumn("b",
+            hash32(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000)
+          .filter(col("b") < floor(col("rate") * 1e6 + 0.5))
+          .groupBy(col("lang"), col("rate"))
+          .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tokens_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok
+          FROM documents),
+        a AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        r AS (SELECT lang,
+            floor(least(1.0, (CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20
+              WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15 ELSE 0.15 END) * 1000000.0
+              / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS rate
+          FROM a),
+        k AS (SELECT d.lang, r.rate, d.n_tok FROM d JOIN r ON r.lang = d.lang
+          WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000) < floor(r.rate * 1000000.0 + 0.5))
+        SELECT lang, rate, COUNT(*) AS n_docs_kept,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+        FROM k GROUP BY lang, rate ORDER BY lang"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1
@@ -927,6 +983,103 @@ object TextOps {
           FROM seq a JOIN seq b ON b.tok = a.tok AND b.j = a.j + 1
           GROUP BY a.sym, b.sym)
         SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n
-        FROM it2 ORDER BY n DESC, sym_a, sym_b LIMIT 20"""))
+        FROM it2 ORDER BY n DESC, sym_a, sym_b LIMIT 20""")),
+
+    // ---- the FULL trainer loop (k = 3 rounds): count → argmax → apply →
+    // recount, iterated — q116's single step driven to a real merge-table
+    // build, the distributed analog of a BPE tokenizer trainer's main
+    // loop. Every round: one combinable (sym_a, sym_b)-keyed shuffle over
+    // the TYPE table for counts, a 1-row broadcast argmax (no driver
+    // collect of data — only the per-round checkpoint of a 1-row merge),
+    // a map-only greedy fold to re-symbolize, and a localCheckpoint so
+    // round r+1 doesn't re-execute rounds 1..r (the PageRank loop's
+    // materialize-and-free discipline; the corpus itself is never
+    // re-read after the vocab build). In rounds ≥ 2 the merge operands
+    // are themselves multi-char merged symbols — the fold's
+    // last-emitted-symbol test stays exact because a merged symbol
+    // (s1||s2, s2 non-empty) can never string-equal the s1 that formed
+    // it. Gate = the learned merge table (round, s1, s2, n) — the
+    // trainer's actual artifact.
+    ("q119_bpe_train_loop",
+      (s: SparkSession, dir: String) => {
+        val rounds = 3
+        val types = explodeLean(t(s, dir, "documents"), Seq(),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+          .filter(length(col("tok")) >= 2)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        var seq = types
+          .select(col("cnt"), expr(
+            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").as("syms"))
+          .localCheckpoint()
+        var merges = List.empty[DataFrame]
+        for (r <- 1 to rounds) {
+          val pairs = seq.filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+                   (a, b) -> named_struct('sym_a', a, 'sym_b', b))""")).as("p"))
+            .groupBy(col("p.sym_a").as("s1"), col("p.sym_b").as("s2"))
+            .agg(sum(col("cnt")).as("n"))
+          val top = pairs.orderBy(desc("n"), asc("s1"), asc("s2")).limit(1)
+            .localCheckpoint() // 1 row; keeps later rounds from re-running the count
+          merges :+= top.withColumn("round", lit(r.toLong))
+          val next = seq.crossJoin(broadcast(top.select(col("s1"), col("s2"))))
+            .withColumn("syms", expr(
+              """aggregate(syms, cast(array() as array<string>),
+                   (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
+                     concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
+                     concat(acc, array(c))))"""))
+            .select(col("cnt"), col("syms"))
+            .localCheckpoint()
+          Scoped.free(seq) // predecessor released only after successor materialized
+          seq = next
+        }
+        Scoped.free(seq) // the merges, not the final seq, are the artifact
+        val out = merges.reduce(_ unionByName _)
+          .select(col("round"), col("s1"), col("s2"), col("n"))
+          .orderBy(col("round"))
+        Scoped.releaseAfterUse(merges: _*)
+        out
+      },
+      Some {
+        def round(r: Int) =
+          s"""pairs_$r AS (SELECT a.sym AS s1, b.sym AS s2, SUM(a.cnt) AS n
+            FROM seq_$r a JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
+            GROUP BY 1, 2),
+          m_$r AS (SELECT s1, s2, n FROM pairs_$r ORDER BY n DESC, s1, s2 LIMIT 1),
+          mt_$r AS (SELECT a.tok, a.j FROM seq_$r a
+            JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
+            CROSS JOIN m_$r m WHERE a.sym = m.s1 AND b.sym = m.s2),
+          isl_$r AS (SELECT tok, j,
+              j - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS grp
+            FROM mt_$r),
+          keep_$r AS (SELECT tok, j FROM (
+              SELECT tok, j, (j - MIN(j) OVER (PARTITION BY tok, grp)) % 2 AS par
+              FROM isl_$r) WHERE par = 0),
+          ns_$r AS (SELECT c.tok, c.cnt, c.j,
+              CASE WHEN k.j IS NOT NULL THEN m.s1 || m.s2 ELSE c.sym END AS sym
+            FROM seq_$r c CROSS JOIN m_$r m
+            LEFT JOIN keep_$r k ON k.tok = c.tok AND k.j = c.j
+            LEFT JOIN keep_$r k2 ON k2.tok = c.tok AND k2.j = c.j - 1
+            WHERE k2.j IS NULL),
+          seq_${r + 1} AS (SELECT tok, cnt, sym,
+              CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS BIGINT) AS j
+            FROM ns_$r)"""
+        s"""WITH toks AS (SELECT
+              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          types AS (SELECT tok, COUNT(*) AS cnt FROM toks
+            WHERE length(tok) >= 2 GROUP BY tok),
+          seq_1 AS (SELECT tok, cnt, CAST(i AS BIGINT) AS j,
+              substr(tok, CAST(i AS INT), 1) AS sym
+            FROM (SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS i FROM types)),
+          ${round(1)},
+          ${round(2)},
+          ${round(3)}
+          SELECT CAST(r AS BIGINT) AS round, s1, s2, CAST(n AS BIGINT) AS n FROM (
+            SELECT 1 AS r, s1, s2, n FROM m_1
+            UNION ALL SELECT 2, s1, s2, n FROM m_2
+            UNION ALL SELECT 3, s1, s2, n FROM m_3)
+          ORDER BY round"""
+      })
   )
 }

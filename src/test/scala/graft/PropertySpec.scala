@@ -282,5 +282,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // q119's later rounds apply merges whose operands are themselves merged
+  // (multi-char) symbols — the fold must stay exact there too. The key
+  // invariant: a merged output (s1||s2, s2 nonempty) can never
+  // string-equal the s1 that formed it, so the last-emitted-symbol test
+  // never matches a symbol produced in the same pass.
+  val bpeSymGen: Gen[(List[String], String, String)] = for {
+    n <- Gen.choose(2, 10)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba"))
+    s1 <- Gen.oneOf("a", "b", "ab", "ba")
+    s2 <- Gen.oneOf("a", "b", "ab", "ba")
+  } yield (syms, s1, s2)
+
+  test("bpe apply on SYMBOL sequences (multi-char merges): fold == greedy") {
+    import spark.implicits._
+    def greedy(syms: Seq[String], s1: String, s2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == s1 && syms(i + 1) == s2) {
+          out += s1 + s2; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[(List[String], String, String)]()
+    forAll(bpeSymGen, n = 80)(t => buf += t)
+    val got = buf.toSeq.toDF("syms", "s1", "s2")
+      .withColumn("merged", expr(
+        """aggregate(syms, cast(array() as array<string>),
+             (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
+               concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
+               concat(acc, array(c))))"""))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getString(1), r.getString(2), r.getSeq[String](3)))
+    got.foreach { case (syms, s1, s2, merged) =>
+      assert(merged.mkString === syms.mkString, s"($syms, $s1+$s2) must preserve content")
+      assert(merged === greedy(syms, s1, s2), s"fold != greedy for ($syms, $s1, $s2)")
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
