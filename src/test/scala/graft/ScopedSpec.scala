@@ -207,7 +207,8 @@ class ScopedSpec extends SparkSpec {
     val baseline = liveBlocks()
     for (q <- Seq("q29_pagerank_fixed10", "q25_pagerank", "q31_ngram_jaccard",
         "q32_minhash_lsh", "q34_simhash_pairs", "q47_pagerank_pregel",
-        "q49_dedup_clusters", "q103_kmeans", "q104_split_leakage")) {
+        "q49_dedup_clusters", "q103_kmeans", "q104_split_leakage",
+        "q111_cdc_chunk_dedup", "q117_mixture_apply", "q119_bpe_train_loop")) {
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       // <= not ==: arming inside a query sweeps abandoned entries left by
