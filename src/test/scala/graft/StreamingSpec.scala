@@ -304,6 +304,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunkStream runs on the RocksDB state store (the production config)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog and then some " * 20
+      val corpusIdx = graft.queries.DedupSim.cdcChunkHashArray(
+        Seq((1L, textA)).toDF("doc_id", "text"))
+        .select(explode(col("hs")).as("h"))
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      mem.addData((10L, textA, ts(0)), (12L, "fresh rocks-backed text " * 10, ts(1)))
+      val q = EventStreams.cdcChunkStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), corpusIdx)
+        .writeStream.format("memory").queryName("rocks_cdc")
+        .outputMode(OutputMode.Update()).start()
+      runToCompletion(q)
+      val byDoc = spark.table("rocks_cdc")
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(byDoc(10L)._1 > 0 && byDoc(10L)._2.toInt === byDoc(10L)._1,
+        "exact copy fully duplicate under RocksDB state")
+      assert(byDoc(12L)._2 === 0L, "fresh text clean under RocksDB state")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("contaminationStream: stream-static screen flags only benchmark overlap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
