@@ -1002,84 +1002,150 @@ object TextOps {
     // trainer's actual artifact.
     ("q119_bpe_train_loop",
       (s: SparkSession, dir: String) => {
-        val rounds = 3
-        val types = explodeLean(t(s, dir, "documents"), Seq(),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
-          .filter(length(col("tok")) >= 2)
-          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        var seq = types
-          .select(col("cnt"), expr(
-            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").as("syms"))
-          .localCheckpoint()
-        var merges = List.empty[DataFrame]
-        for (r <- 1 to rounds) {
-          val pairs = seq.filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
-                   (a, b) -> named_struct('sym_a', a, 'sym_b', b))""")).as("p"))
-            .groupBy(col("p.sym_a").as("s1"), col("p.sym_b").as("s2"))
-            .agg(sum(col("cnt")).as("n"))
-          val top = pairs.orderBy(desc("n"), asc("s1"), asc("s2")).limit(1)
-            .localCheckpoint() // 1 row; keeps later rounds from re-running the count
-          merges :+= top.withColumn("round", lit(r.toLong))
-          val next = seq.crossJoin(broadcast(top.select(col("s1"), col("s2"))))
-            .withColumn("syms", expr(
-              """aggregate(syms, cast(array() as array<string>),
-                   (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
-                     concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
-                     concat(acc, array(c))))"""))
-            .select(col("cnt"), col("syms"))
-            .localCheckpoint()
-          Scoped.free(seq) // predecessor released only after successor materialized
-          seq = next
-        }
-        Scoped.free(seq) // the merges, not the final seq, are the artifact
+        val (tops, finalSeq) = bpeTrain(s, dir, rounds = 3)
+        Scoped.free(finalSeq) // the merges, not the final seq, are the artifact
+        val merges = tops.zipWithIndex.map { case (tp, i) =>
+          tp.withColumn("round", lit((i + 1).toLong)) }
         val out = merges.reduce(_ unionByName _)
           .select(col("round"), col("s1"), col("s2"), col("n"))
           .orderBy(col("round"))
         Scoped.releaseAfterUse(merges: _*)
         out
       },
-      Some {
-        def round(r: Int) =
-          s"""pairs_$r AS (SELECT a.sym AS s1, b.sym AS s2, SUM(a.cnt) AS n
-            FROM seq_$r a JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
-            GROUP BY 1, 2),
-          m_$r AS (SELECT s1, s2, n FROM pairs_$r ORDER BY n DESC, s1, s2 LIMIT 1),
-          mt_$r AS (SELECT a.tok, a.j FROM seq_$r a
-            JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
-            CROSS JOIN m_$r m WHERE a.sym = m.s1 AND b.sym = m.s2),
-          isl_$r AS (SELECT tok, j,
-              j - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS grp
-            FROM mt_$r),
-          keep_$r AS (SELECT tok, j FROM (
-              SELECT tok, j, (j - MIN(j) OVER (PARTITION BY tok, grp)) % 2 AS par
-              FROM isl_$r) WHERE par = 0),
-          ns_$r AS (SELECT c.tok, c.cnt, c.j,
-              CASE WHEN k.j IS NOT NULL THEN m.s1 || m.s2 ELSE c.sym END AS sym
-            FROM seq_$r c CROSS JOIN m_$r m
-            LEFT JOIN keep_$r k ON k.tok = c.tok AND k.j = c.j
-            LEFT JOIN keep_$r k2 ON k2.tok = c.tok AND k2.j = c.j - 1
-            WHERE k2.j IS NULL),
-          seq_${r + 1} AS (SELECT tok, cnt, sym,
-              CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS BIGINT) AS j
-            FROM ns_$r)"""
-        s"""WITH toks AS (SELECT
-              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
-            FROM documents),
-          types AS (SELECT tok, COUNT(*) AS cnt FROM toks
-            WHERE length(tok) >= 2 GROUP BY tok),
-          seq_1 AS (SELECT tok, cnt, CAST(i AS BIGINT) AS j,
-              substr(tok, CAST(i AS INT), 1) AS sym
-            FROM (SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS i FROM types)),
-          ${round(1)},
-          ${round(2)},
-          ${round(3)}
+      Some(
+        s"""WITH $bpeTrainSqlCtes
           SELECT CAST(r AS BIGINT) AS round, s1, s2, CAST(n AS BIGINT) AS n FROM (
             SELECT 1 AS r, s1, s2, n FROM m_1
             UNION ALL SELECT 2, s1, s2, n FROM m_2
             UNION ALL SELECT 3, s1, s2, n FROM m_3)
-          ORDER BY round"""
-      })
+          ORDER BY round""")),
+
+    // ---- tokenizer APPLY (the serving side of q119): encode the corpus
+    // with the learned merge table and report per-language symbol counts
+    // and the char-per-symbol compression the tokenizer achieves — the
+    // go/no-go number before committing a vocab to a 100 TB tokenization
+    // run. Shape: the trainer runs on the TYPE table (tiny); per-type
+    // final symbol counts then join the corpus token stream (vocab-sized
+    // build side — broadcast at fixture scale, shuffle-hash beyond) and
+    // aggregate per language. Tokens shorter than 2 chars never merge and
+    // count as one symbol. The oracle reuses the trainer CTEs' final
+    // symbolization (seq_4) directly.
+    ("q120_bpe_apply_corpus",
+      (s: SparkSession, dir: String) => {
+        val (tops, finalSeq) = bpeTrain(s, dir, rounds = 3)
+        // merge values are already baked into finalSeq's fold rounds
+        tops.foreach(Scoped.free(_))
+        Scoped.releaseAfterUse(finalSeq)
+        val typeCounts = finalSeq
+          .select(col("tok"), size(col("syms")).cast("long").as("n_syms"))
+        val dt = explodeLean(t(s, dir, "documents"), Seq(col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        dt.join(typeCounts, Seq("tok"), "left")
+          .withColumn("n_syms", coalesce(col("n_syms"), lit(1L)))
+          .withColumn("n_chars", length(col("tok")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("n_chars")).as("n_chars"),
+            sum(col("n_syms")).as("n_syms"))
+          .withColumn("compression",
+            floor(col("n_chars").cast("double") / col("n_syms") * 1e4 + 0.5) / 1e4)
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH $bpeTrainSqlCtes,
+          tcount AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_syms
+            FROM seq_4 GROUP BY tok),
+          dt AS (SELECT lang,
+              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+            FROM documents),
+          j AS (SELECT lang, tok, CAST(length(tok) AS BIGINT) AS n_chars,
+              COALESCE(t.n_syms, 1) AS n_syms
+            FROM dt LEFT JOIN tcount t USING (tok))
+          SELECT lang, COUNT(*) AS n_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+            CAST(SUM(n_syms) AS BIGINT) AS n_syms,
+            floor(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_syms) * 10000.0 + 0.5)
+              / 10000.0 AS compression
+          FROM j GROUP BY lang ORDER BY lang"""))
   )
+
+  /** k BPE trainer rounds over the frequency-weighted word-TYPE table
+    * (shared by q119/q120). Returns the per-round 1-row merge tables
+    * ((s1, s2, n), checkpoint-backed) and the final (tok, cnt, syms)
+    * symbolization (checkpoint-backed). Intermediate rounds are freed as
+    * soon as their successor materializes (the PageRank loop discipline);
+    * the caller owns the release of everything returned. */
+  private def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+      : (List[DataFrame], DataFrame) = {
+    val types = explodeLean(t(s, dir, "documents"), Seq(),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    var seq = types
+      .select(col("tok"), col("cnt"), expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").as("syms"))
+      .localCheckpoint()
+    var tops = List.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val pairs = seq.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+               (a, b) -> named_struct('sym_a', a, 'sym_b', b))""")).as("p"))
+        .groupBy(col("p.sym_a").as("s1"), col("p.sym_b").as("s2"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(desc("n"), asc("s1"), asc("s2")).limit(1)
+        .localCheckpoint() // 1 row; keeps later rounds from re-running the count
+      tops :+= top
+      val next = seq.crossJoin(broadcast(top.select(col("s1"), col("s2"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>),
+               (acc, c) -> if(size(acc) > 0 AND element_at(acc, -1) = s1 AND c = s2,
+                 concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),
+                 concat(acc, array(c))))"""))
+        .select(col("tok"), col("cnt"), col("syms"))
+        .localCheckpoint()
+      Scoped.free(seq) // predecessor released only after successor materialized
+      seq = next
+    }
+    (tops, seq)
+  }
+
+  /** DuckDB twin of [[bpeTrain]] (3 rounds, gaps-and-islands parity
+    * apply — PropertySpec proves it equals the Spark fold): exposes
+    * m_1..m_3 (per-round merges) and seq_4 (final symbolization). */
+  private def bpeTrainSqlCtes: String = {
+    def round(r: Int) =
+      s"""pairs_$r AS (SELECT a.sym AS s1, b.sym AS s2, SUM(a.cnt) AS n
+        FROM seq_$r a JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
+        GROUP BY 1, 2),
+      m_$r AS (SELECT s1, s2, n FROM pairs_$r ORDER BY n DESC, s1, s2 LIMIT 1),
+      mt_$r AS (SELECT a.tok, a.j FROM seq_$r a
+        JOIN seq_$r b ON b.tok = a.tok AND b.j = a.j + 1
+        CROSS JOIN m_$r m WHERE a.sym = m.s1 AND b.sym = m.s2),
+      isl_$r AS (SELECT tok, j,
+          j - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS grp
+        FROM mt_$r),
+      keep_$r AS (SELECT tok, j FROM (
+          SELECT tok, j, (j - MIN(j) OVER (PARTITION BY tok, grp)) % 2 AS par
+          FROM isl_$r) WHERE par = 0),
+      ns_$r AS (SELECT c.tok, c.cnt, c.j,
+          CASE WHEN k.j IS NOT NULL THEN m.s1 || m.s2 ELSE c.sym END AS sym
+        FROM seq_$r c CROSS JOIN m_$r m
+        LEFT JOIN keep_$r k ON k.tok = c.tok AND k.j = c.j
+        LEFT JOIN keep_$r k2 ON k2.tok = c.tok AND k2.j = c.j - 1
+        WHERE k2.j IS NULL),
+      seq_${r + 1} AS (SELECT tok, cnt, sym,
+          CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY j) AS BIGINT) AS j
+        FROM ns_$r)"""
+    s"""toks AS (SELECT
+          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents),
+      types AS (SELECT tok, COUNT(*) AS cnt FROM toks
+        WHERE length(tok) >= 2 GROUP BY tok),
+      seq_1 AS (SELECT tok, cnt, CAST(i AS BIGINT) AS j,
+          substr(tok, CAST(i AS INT), 1) AS sym
+        FROM (SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS i FROM types)),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}"""
+  }
 }
