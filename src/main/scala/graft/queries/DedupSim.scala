@@ -1469,7 +1469,80 @@ object DedupSim {
             FROM gains WHERE exact_rank <= 10)
           SELECT n_relevant, dcg_scaled, idcg_scaled,
             CAST(dcg_scaled AS DOUBLE) / idcg_scaled AS ndcg
-          FROM dcg, idcg"""))
+          FROM dcg, idcg""")),
+
+    // ---- margin-based bitext mining (Artetxe & Schwenk-style): mine
+    // cross-"lingual" sentence pairs (label 0 side ↔ label 1 side) by
+    // MARGIN score — cos(a,b) normalized by both endpoints' k-NN
+    // neighborhood density (2·cos / (avgK(a) + avgK(b))) — the standard
+    // parallel-corpus mining step of a multilingual data pipeline (raw
+    // cosine over-selects hub vectors; margin cancels the hubness).
+    // Scale shape: candidate pairs are SRP-CELL-BLOCKED (q36/q38's
+    // learned-free blocking — same cell ⇒ similar direction), never an
+    // A×B cartesian, and the k-NN normalizers are computed within the
+    // same candidate set (the standard ANN-candidate margin
+    // approximation). Cross-engine exactness: sims are 1e4-grid INTEGERS,
+    // so the k-NN sums are exact and the margin is 3 IEEE ops on exact
+    // inputs. Gate = top-20 margin pairs.
+    ("q121_bitext_margin", {
+      import graft.similarity.Ivf
+      val nbits = Ivf.DefaultBits
+      val dims = Ivf.DefaultDims
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val idx = Ivf.buildIndex(
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0), "embedding", nbits, dims)
+          .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
+          .localCheckpoint() // feeds both sides of the blocked pair join
+        Scoped.releaseAfterUse(idx)
+        val a = idx.filter(col("label") === 0)
+          .select(col("vec_id").as("id_a"), col("cell"), col("embedding").as("ea"))
+        val b = idx.filter(col("label") === 1)
+          .select(col("vec_id").as("id_b"), col("cell"), col("embedding").as("eb"))
+        val pairs = a.join(b, Seq("cell"))
+          .select(col("id_a"), col("id_b"),
+            floor(expr(cosSpark("ea", "eb")) * 1e4 + 0.5).cast("long").as("s"))
+          .localCheckpoint() // feeds both k-NN normalizers and the margin join
+        Scoped.releaseAfterUse(pairs)
+        def knnAvg(key: String, other: String, out: String) = {
+          val w = Window.partitionBy(col(key)).orderBy(desc("s"), asc(other))
+          pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+            .groupBy(col(key))
+            .agg((sum(col("s")).cast("double") / count(lit(1))).as(out))
+        }
+        pairs
+          .join(knnAvg("id_a", "id_b", "avg_a"), Seq("id_a"))
+          .join(knnAvg("id_b", "id_a", "avg_b"), Seq("id_b"))
+          .withColumn("margin",
+            floor(lit(2.0) * col("s") / (col("avg_a") + col("avg_b")) * 1e4 + 0.5) / 1e4)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(desc("margin"), asc("id_a"), asc("id_b"))))
+          .filter(col("rn") <= 20)
+          .select(col("id_a"), col("id_b"), col("s"), col("margin"))
+          .orderBy(desc("margin"), asc("id_a"), asc("id_b"))
+      }
+    },
+      Some(
+        s"""WITH $srpIvfOracleCtes,
+          a AS (SELECT vec_id AS id_a, cell, embedding AS ea FROM idx WHERE label = 0),
+          b AS (SELECT vec_id AS id_b, cell, embedding AS eb FROM idx WHERE label = 1),
+          p AS (SELECT id_a, id_b,
+              CAST(floor(${cosDuck("ea", "eb")} * 10000.0 + 0.5) AS BIGINT) AS s
+            FROM a JOIN b USING (cell)),
+          ka AS (SELECT id_a, CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_a FROM (
+              SELECT id_a, s,
+                row_number() OVER (PARTITION BY id_a ORDER BY s DESC, id_b) AS rk
+              FROM p) WHERE rk <= 4 GROUP BY id_a),
+          kb AS (SELECT id_b, CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_b FROM (
+              SELECT id_b, s,
+                row_number() OVER (PARTITION BY id_b ORDER BY s DESC, id_a) AS rk
+              FROM p) WHERE rk <= 4 GROUP BY id_b),
+          m AS (SELECT p.id_a, p.id_b, p.s,
+              floor(2.0 * p.s / (ka.avg_a + kb.avg_b) * 10000.0 + 0.5) / 10000.0 AS margin
+            FROM p JOIN ka USING (id_a) JOIN kb USING (id_b)),
+          r AS (SELECT *, row_number() OVER (ORDER BY margin DESC, id_a, id_b) AS rn FROM m)
+          SELECT id_a, id_b, s, margin FROM r WHERE rn <= 20
+          ORDER BY margin DESC, id_a, id_b"""))
   )
 
 }

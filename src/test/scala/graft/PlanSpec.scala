@@ -158,11 +158,11 @@ class PlanSpec extends SparkSpec {
     assert(plan("q108_cm_heavy_hitters").contains("BroadcastHashJoin"))
   }
 
-  test("q111/q112: dedup pairing joins stay equi-joins, never cartesian") {
-    Seq("q111_cdc_chunk_dedup", "q112_semantic_dedup").foreach { q =>
+  test("q111/q112/q121: pairing joins stay equi-joins, never cartesian") {
+    Seq("q111_cdc_chunk_dedup", "q112_semantic_dedup", "q121_bitext_margin").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q must pair via its blocking key (chunk hash / cluster):\n" + p.take(1600))
+        s"$q must pair via its blocking key (chunk hash / cluster / SRP cell):\n" + p.take(1600))
     }
   }
 
