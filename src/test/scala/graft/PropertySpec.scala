@@ -282,6 +282,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC chunk hashes: the Spark zip_with pipeline == the scalar model") {
+    import spark.implicits._
+    import graft.queries.DedupSim
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    forAll(cdcTextGen, n = 40) { case (text, pfx) => buf += text; buf += (pfx + text) }
+    val docs = buf.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = DedupSim.cdcChunkHashArray(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    buf.toSeq.zipWithIndex.foreach { case (text, i) =>
+      val expected = cdcChunks(text).filter(_.length >= 16).map(md5hex).distinct
+      assert(got(i.toLong) === expected,
+        s"chunk hashes diverge from the scalar model for text #$i (${text.take(40)}...)")
+    }
+    // non-vacuous: any text >= 16 chars yields at least the whole-text chunk
+    assert(buf.zipWithIndex.exists { case (t, i) => t.length >= 16 && got(i.toLong).nonEmpty })
+  }
+
   // q119's later rounds apply merges whose operands are themselves merged
   // (multi-char) symbols — the fold must stay exact there too. The key
   // invariant: a merged output (s1||s2, s2 nonempty) can never
