@@ -367,6 +367,23 @@ object DedupSim {
                   FROM embeddings WHERE vec_id <> 0)"""
   }
 
+  /** Exact jaccard-≥0.5 ground-truth pairs over a shingle table — the
+    * eval-side all-pairs-by-shingle join shared by the q114 (MinHash) and
+    * q122 (SimHash) sketch-quality gates. Intentionally quadratic: it IS
+    * the ground truth, run unsampled at fixture scale and on a
+    * deterministic sample at corpus scale (see [[lshRecall]]). */
+  private def exactJaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** q114's core, parameterized: recall/precision of the MinHash band-join
     * candidate set (16 perms, 4×4 banding) against the exact jaccard-≥0.5
     * ground truth. `sampleFraction` bounds the EXACT side at scale: the
@@ -390,15 +407,7 @@ object DedupSim {
       else shAll.filter(
         hash32(concat(lit("lshs:"), col("doc_id").cast("string"))) % 10000 <
           lit(math.floor(sampleFraction * 10000).toLong))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val exact = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.5)
-      .select(col("id_a"), col("id_b"))
+    val exact = exactJaccardPairs(sh)
     val bands = minhashBands(shAll)
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
@@ -1542,7 +1551,60 @@ object DedupSim {
             FROM p JOIN ka USING (id_a) JOIN kb USING (id_b)),
           r AS (SELECT *, row_number() OVER (ORDER BY margin DESC, id_a, id_b) AS rn FROM m)
           SELECT id_a, id_b, s, margin FROM r WHERE rn <= 20
-          ORDER BY margin DESC, id_a, id_b"""))
+          ORDER BY margin DESC, id_a, id_b""")),
+
+    // ---- SimHash config quality: precision/recall of the hamming-≤3
+    // block-bucketed pairs (q34's config) against the exact jaccard-≥0.5
+    // ground truth — q114's measure-the-sketch discipline for the OTHER
+    // sketch family (a simhash threshold is a tuning choice; this is the
+    // measurement that justifies it). Shares [[exactJaccardPairs]] with
+    // q114; the predicted side is checkpointed once and the sig
+    // checkpoint behind it is freed as soon as the prediction
+    // materializes (splitAssignment's discipline). Precision here reads
+    // LOW by construction: simhash buckets token-frequency similarity
+    // while the ground truth is shingle jaccard — exactly the gap the
+    // eval exists to expose.
+    ("q122_simhash_quality",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
+        val exact = exactJaccardPairs(sh)
+        val cand = simhashCand(s, dir)
+        val pred = cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint() // consumed twice below (semi join + count)
+        Scoped.free(cand) // releases the sig checkpoint behind the plan
+        Scoped.releaseAfterUse(pred)
+        val hit = exact.join(pred, Seq("id_a", "id_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .withColumn("prec", col("n_hit").cast("double") / col("n_pred"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+          .select(col("n_exact"), col("n_pred"), col("n_hit"),
+            col("prec"), col("recall"))
+      },
+      Some(s"""WITH $shinglesSql,
+        ${simhashSql.replaceFirst("WITH ", "").replace("toks", "occt")},
+        $simhashCandSql,
+        pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ex AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) p
+          JOIN sizes na ON na.doc_id = p.id_a
+          JOIN sizes nb ON nb.doc_id = p.id_b
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
+        hit AS (SELECT ex.id_a, ex.id_b FROM ex
+                JOIN pred ON pred.id_a = ex.id_a AND pred.id_b = ex.id_b)
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+          (SELECT COUNT(*) FROM pred) AS n_pred,
+          (SELECT COUNT(*) FROM hit) AS n_hit,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM pred) AS prec,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ex) AS recall"""))
   )
 
 }
