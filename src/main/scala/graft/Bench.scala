@@ -208,7 +208,11 @@ object Bench {
   }
 
   /** Parse a child result file; None unless the DONE sentinel is present
-    * (truncated output must trigger the fallback, not a short pass). */
+    * (truncated output must trigger the fallback, not a short pass) AND
+    * every line parses — a corrupted Q/J line in a file that still ends
+    * with DONE (interleaved write, partial disk) must also hand over to
+    * the in-process fallback, not throw NumberFormatException/MatchError
+    * out of main (ADVICE r7). */
   private def readPass(out: java.io.File)
       : Option[(Seq[(String, Double, Option[String])], Seq[(String, String)])] = {
     if (!out.isFile) return None
@@ -228,6 +232,9 @@ object Bench {
         }
         Some((qs, js))
       }
+    } catch { case NonFatal(t) =>
+      System.err.println(s"[bench] child result file unparseable ($t), falling back")
+      None
     } finally lines.close()
   }
 

@@ -22,7 +22,12 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (same contract as Bench): run only the named
+    // queries; the driver never sets this, so the gate always runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val futures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -41,7 +46,7 @@ object Verify {
     // wrappers (check.py keeps the stdout TAIL + a grep over stderr; a
     // q112 race once surfaced as a bare NO SPARK OUTPUT with no cause)
     failures.forEach { m => println(m); System.err.println(m) }
-    println(s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok")
+    println(s"[verify] done: ${futures.size - failures.size}/${futures.size} ok")
     // also persist failures: wrappers that keep only a stdout tail lose
     // the lines above when late WARNs interleave — the file survives
     try {

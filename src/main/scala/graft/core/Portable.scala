@@ -37,8 +37,13 @@ object Portable {
     * `explode_outer` is skipped by that rule; filtering nulls on the
     * exploded ATTRIBUTE afterwards restores inner-explode semantics
     * (empty/null arrays drop) at the cost of one null check per output
-    * row. Use for computed arrays; a plain explode over a stored column
-    * is fine as-is. */
+    * row — EXCEPT for null array ELEMENTS, which plain `explode` emits as
+    * rows but this helper silently drops (the null check cannot tell a
+    * null element from an outer-padded row). Contract: use only for
+    * computed, null-element-free arrays (regexp_extract_all, transform
+    * over non-null lambdas, the tokenize UDF — every current call site);
+    * a stored array column that may hold null elements needs plain
+    * explode, which is fine as-is over a stored column anyway. */
   def explodeLean(df: DataFrame, keep: Seq[Column], arr: Column, as: String): DataFrame =
     df.select(keep :+ explode_outer(arr).as(as): _*)
       .filter(col(as).isNotNull)

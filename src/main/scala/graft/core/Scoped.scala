@@ -39,8 +39,20 @@ object Scoped {
   /** Release `df`'s storage now — RDD blocks for a
     * `localCheckpoint`/`checkpoint` result (or a plan built directly on
     * one), CacheManager entry for a `persist` result. Safe to call twice
-    * (second call is a no-op). */
-  def free(df: DataFrame, blocking: Boolean = false): Unit = {
+    * (second call is a no-op).
+    *
+    * BLOCKING by default (r7 "Asked to remove block" race): a
+    * non-blocking unpersist leaves the per-block removal in flight on the
+    * BlockManagerStorageEndpoint's async pool while this method returns
+    * and the caller drops its last strong reference — the ContextCleaner
+    * then GC-fires a SECOND RemoveRdd for the same id, the two removals
+    * enumerate the same block set concurrently, and the loser logs
+    * `Asked to remove block rdd_N_M, which does not exist` per block.
+    * Waiting for removal to complete before returning means any later
+    * cleaner pass enumerates zero blocks and stays silent; the cost is
+    * one local RPC round-trip per release, off every timed window
+    * (ScopedSpec pins the blocks-gone-on-return contract). */
+  def free(df: DataFrame, blocking: Boolean = true): Unit = {
     checkpointRdds(df)
       .filter(_.getStorageLevel != StorageLevel.NONE)
       .foreach(_.unpersist(blocking))
@@ -123,9 +135,12 @@ object Scoped {
         case Some(df) => free(df)
         case None =>
           // Dataset already collected — free the checkpoint blocks via
-          // the strong RDD handles
+          // the strong RDD handles (blocking, same race rationale as
+          // [[free]]: the handles are dropped when this entry
+          // unregisters, so an in-flight removal would race the
+          // ContextCleaner's GC-triggered duplicate)
           e.rdds.filter(_.getStorageLevel != StorageLevel.NONE)
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
       } finally {
         e.spark.listenerManager.unregister(e.listener)
         registry.remove(e)
@@ -169,8 +184,9 @@ object Scoped {
         else if (ttlOld) e.strongDf.foreach { df =>
           // checkpoint+persist hybrid: release the recomputable cache
           // half now; unpinning the plan re-arms the GC criterion for
-          // the checkpoint blocks (counted when that actually fires)
-          df.unpersist()
+          // the checkpoint blocks (counted when that actually fires).
+          // Blocking for the same cleaner-race reason as [[free]].
+          df.unpersist(blocking = true)
           e.strongDf = None
         }
       }

@@ -168,8 +168,11 @@ object PregelBackend {
       // doubling per-iteration cost (the classic GraphX iteration trap;
       // GraphX's own Pregel persists the full graph and defers the
       // predecessor's unpersist exactly like this).
-      if (prevG != null) { prevG.unpersistVertices(false); prevG.edges.unpersist(false) }
-      if (prevMass != null) prevMass.unpersist(blocking = false)
+      // blocking releases: a non-blocking unpersist whose handle is then
+      // dropped races the ContextCleaner's GC-triggered duplicate
+      // RemoveRdd ("Asked to remove block" warns — see Scoped.free)
+      if (prevG != null) { prevG.unpersistVertices(true); prevG.edges.unpersist(true) }
+      if (prevMass != null) prevMass.unpersist(blocking = true)
       val ng = g.outerJoinVertices(mass.mapValues(damp))((_, old, opt) => opt.getOrElse(old))
       ng.persist(StorageLevel.MEMORY_AND_DISK)
       ng.vertices.foreachPartition(_ => ()) // edges materialize in the next counter job
@@ -187,11 +190,11 @@ object PregelBackend {
       .join(base.toDF("title", "links"), Seq("title"))
       .select($"title", $"links", $"pr")
       .localCheckpoint()
-    if (prevMass != null) prevMass.unpersist(blocking = false)
-    if (prevG != null) { prevG.unpersistVertices(false); prevG.edges.unpersist(false) }
-    g.unpersist(blocking = false)
-    ids.unpersist(blocking = false)
-    base.unpersist(blocking = false)
+    if (prevMass != null) prevMass.unpersist(blocking = true)
+    if (prevG != null) { prevG.unpersistVertices(true); prevG.edges.unpersist(true) }
+    g.unpersist(blocking = true)
+    ids.unpersist(blocking = true)
+    base.unpersist(blocking = true)
     PageRank.Result(out, i, avg)
   }
 

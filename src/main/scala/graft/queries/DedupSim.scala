@@ -126,16 +126,19 @@ object DedupSim {
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
   /** Shared DuckDB CTE chain producing sig(doc_id, simhash) — must mirror
-    * q33's single-shuffle Spark formulation exactly. */
-  private val simhashSql = {
+    * q33's single-shuffle Spark formulation exactly. `tokCte` names the
+    * occurrence CTE so a caller whose surrounding WITH already defines
+    * `toks` (e.g. q122, which also includes [[shinglesSql]]) can pick a
+    * non-colliding name instead of post-hoc string surgery (ADVICE r7). */
+  private def simhashSql(tokCte: String = "toks"): String = {
     val sums = (0 until 32).map(i =>
       s"SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // ${1L << i}) % 2) = 1 THEN 1 ELSE -1 END) AS c$i")
       .mkString(", ")
     val assemble = (0 until 32).map(i =>
       s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""WITH $tokCte AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
-      bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+      bits AS (SELECT doc_id, $sums FROM $tokCte GROUP BY doc_id),
       sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
   }
 
@@ -372,6 +375,24 @@ object DedupSim {
     * q122 (SimHash) sketch-quality gates. Intentionally quadratic: it IS
     * the ground truth, run unsampled at fixture scale and on a
     * deterministic sample at corpus scale (see [[lshRecall]]). */
+  /** Deterministic md5-bucket doc filter on a (doc_id, …) table — q48's
+    * seed-free sampling mechanism, shared by the sketch-quality evals'
+    * EXACT sides (q114 via [[lshRecall]], q122 via [[simhashQuality]]).
+    * Keeps a doc iff hash32(salt ++ doc_id) % 10000 < ⌊fraction·10⁴⌋, so
+    * the sample is re-run-stable and nested across fractions. At 1.0 the
+    * input is returned unchanged (no filter node): the catalog gates run
+    * there, so their plans and hashes are identical to the unsampled
+    * eval and the DuckDB oracles need no sampling twin. */
+  private def sampleDocs(df: DataFrame, salt: String, fraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $fraction")
+    if (fraction >= 1.0) df
+    else df.filter(
+      hash32(concat(lit(salt), col(idCol).cast("string"))) % 10000 <
+        lit(math.floor(fraction * 10000).toLong))
+  }
+
   private def exactJaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.select(col("doc_id").as("id_a"), col("shingle"))
@@ -399,15 +420,9 @@ object DedupSim {
     * the unsampled eval — the catalog gate runs there, so the DuckDB
     * oracle needs no sampling twin. */
   def lshRecall(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val shAll = shingles(s, dir).localCheckpoint()
     Scoped.releaseAfterUse(shAll)
-    val sh = if (sampleFraction >= 1.0) shAll
-      else shAll.filter(
-        hash32(concat(lit("lshs:"), col("doc_id").cast("string"))) % 10000 <
-          lit(math.floor(sampleFraction * 10000).toLong))
-    val exact = exactJaccardPairs(sh)
+    val exact = exactJaccardPairs(sampleDocs(shAll, "lshs:", sampleFraction))
     val bands = minhashBands(shAll)
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")), Seq("band", "sig"))
@@ -419,6 +434,50 @@ object DedupSim {
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+  }
+
+  /** q122's core, parameterized: precision/recall of the hamming-≤3
+    * simhash block-bucketed pairs (q34's config) against the exact
+    * jaccard-≥0.5 ground truth — [[lshRecall]]'s measure-the-sketch
+    * discipline for the OTHER sketch family, with the SAME scale bound:
+    * `sampleFraction` restricts the all-pairs-by-shingle exact side to a
+    * deterministic md5-bucket doc sample ([[sampleDocs]]; a kept pair
+    * needs BOTH endpoints in the sample). Metric semantics under
+    * sampling: `recall` = n_hit / n_exact is the standard sampled-pair
+    * estimator; `prec` divides by the predicted pairs whose endpoints
+    * are BOTH in the sample (unbiased — dividing by the full predicted
+    * count would deflate precision by the sample rate squared), while
+    * `n_pred` stays the FULL candidate count (it measures the
+    * verification work the bucketing induces, a whole-corpus property).
+    * At the default 1.0 no filter node exists, plan and result are
+    * identical to the unsampled eval, and prec = n_hit / n_pred — the
+    * catalog gate runs there, so the DuckDB oracle needs no sampling
+    * twin. */
+  def simhashQuality(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
+    val sh = shingles(s, dir).localCheckpoint()
+    Scoped.releaseAfterUse(sh)
+    val exact = exactJaccardPairs(sampleDocs(sh, "shq:", sampleFraction))
+    val cand = simhashCand(s, dir)
+    val pred = cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // consumed twice below (semi join + counts)
+    Scoped.free(cand) // releases the sig checkpoint behind the plan
+    Scoped.releaseAfterUse(pred)
+    val hit = exact.join(pred, Seq("id_a", "id_b"), "left_semi")
+    val counts = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    val withDenom = // prec denominator: sample-endpoint preds (= n_pred at 1.0)
+      if (sampleFraction >= 1.0) counts.withColumn("n_pred_s", col("n_pred"))
+      else counts.crossJoin(
+        sampleDocs(sampleDocs(pred, "shq:", sampleFraction, "id_a"),
+            "shq:", sampleFraction, "id_b")
+          .agg(count(lit(1)).as("n_pred_s")))
+    withDenom
+      .withColumn("prec", col("n_hit").cast("double") / col("n_pred_s"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .select(col("n_exact"), col("n_pred"), col("n_hit"),
+        col("prec"), col("recall"))
   }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
@@ -538,7 +597,7 @@ object DedupSim {
     ("q33_simhash",
       (s: SparkSession, dir: String) =>
         simhashSig(s, dir).orderBy(col("doc_id")),
-      Some(simhashSql + " SELECT doc_id, simhash FROM sig ORDER BY doc_id")),
+      Some(simhashSql() + " SELECT doc_id, simhash FROM sig ORDER BY doc_id")),
 
     // ---- SimHash near-dup pairs via 4×8-bit block bucketing
     // (hamming ≤ 3 ⇒ at least one of the 4 blocks matches exactly —
@@ -551,7 +610,7 @@ object DedupSim {
           .select(col("id_a"), col("id_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""$simhashSql,
+      Some(s"""${simhashSql()},
         $simhashCandSql
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
@@ -613,7 +672,7 @@ object DedupSim {
         labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
         $simhashCandSql,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         e AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1005,7 +1064,7 @@ object DedupSim {
             col("total_chars").cast("long").as("total_chars"))
           .orderBy(col("cluster_id"))
       },
-      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
         $simhashCandSql,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         e AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1179,7 +1238,7 @@ object DedupSim {
             countDistinct(col("cluster_id")).as("n_clusters"))
           .orderBy(col("split"), col("lang"))
       },
-      Some(s"""${simhashSql.replaceFirst("WITH", "WITH RECURSIVE")},
+      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
         $simhashCandSql,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         eg AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1585,7 +1644,7 @@ object DedupSim {
             col("prec"), col("recall"))
       },
       Some(s"""WITH $shinglesSql,
-        ${simhashSql.replaceFirst("WITH ", "").replace("toks", "occt")},
+        ${simhashSql("occt").replaceFirst("WITH ", "")},
         $simhashCandSql,
         pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

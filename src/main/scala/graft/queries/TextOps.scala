@@ -396,26 +396,14 @@ object TextOps {
     // by running token count in doc order — the batch-construction step
     // of a pretraining pipeline (greedy sequential packing; bin id =
     // floor((cumsum-1)/2048) so a doc ending exactly on the boundary
-    // stays in its bin). The global-order window here matches the
-    // fixture's single logical shard; at 100 TB packing is per OUTPUT
-    // SHARD — Window.partitionBy(shard).orderBy(doc_id) — so no global
-    // sort exists, just a per-shard cumulative sum.
+    // stays in its bin). Packing is per OUTPUT SHARD —
+    // Window.partitionBy(shard).orderBy(doc_id), see [[sequencePacking]] —
+    // so no corpus-wide single-partition window exists at any shard
+    // count. The gate runs nShards=1 (the fixture's single logical
+    // shard), where per-shard ≡ global packing (PropertySpec pins the
+    // equivalence and exercises nShards=4).
     ("q84_sequence_packing",
-      (s: SparkSession, dir: String) => {
-        val w = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
-          .withColumn("bin", expr("(cum - 1) div 2048"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("bin_tokens"),
-            min(col("doc_id")).as("first_doc"),
-            max(col("doc_id")).as("last_doc"))
-          .orderBy(col("bin"))
-      },
+      (s: SparkSession, dir: String) => sequencePacking(s, dir).drop("shard"),
       Some("""WITH d AS (SELECT doc_id,
             CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tok
           FROM documents),
@@ -777,41 +765,17 @@ object TextOps {
           CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
         FROM tot t LEFT JOIN oov o ON o.lang = t.lang ORDER BY t.lang""")),
 
-    // ---- curriculum ordering: quality quartiles (q41's score, ntile over
-    // the grid-quantized total order) × seed-free within-bucket hash order
-    // — the "easy-to-hard" data schedule a curriculum-training run reads,
-    // composed with q105's shard discipline (deterministic, re-run-stable,
-    // decorrelated from crawl order within each difficulty band). ntile
-    // over (score, doc_id) is a global-rank presentation at fixture scale;
-    // at 100 TB the quartile CUTOFFS come from the q94 histogram sketch
-    // and bucketing becomes a map-only filter against three literals.
+    // ---- curriculum ordering: quality quartiles (q41's score) × seed-free
+    // within-bucket hash order — the "easy-to-hard" data schedule a
+    // curriculum-training run reads, composed with q105's shard discipline
+    // (deterministic, re-run-stable, decorrelated from crawl order within
+    // each difficulty band). Bucketing is by PERCENTILE CUTOFFS computed
+    // from the bounded score histogram (≤ 10⁴ grid values) — a map-only
+    // comparison against three literals, no corpus-wide ntile window; see
+    // [[curriculumOrder]]. PropertySpec pins cutoff-bucket ≡ ntile on
+    // tie-free scores.
     ("q115_curriculum_order",
-      (s: SparkSession, dir: String) => {
-        def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
-        val scored = t(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
-          .withColumn("n_tokens", size(col("ws")).cast("long"))
-          .withColumn("n_alpha", length(array_join(col("ws"), "")).cast("long"))
-          .withColumn("alpha_ratio",
-            r4(col("n_alpha").cast("double") / greatest(length(col("text")).cast("long"), lit(1L))))
-          .withColumn("avg_w_len",
-            r4(col("n_alpha").cast("double") / greatest(col("n_tokens"), lit(1L))))
-          .withColumn("q",
-            r4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
-              + lit(0.3) * col("alpha_ratio")
-              + lit(0.3) * least(col("avg_w_len") / 10.0, lit(1.0))))
-        val wq = Window.orderBy(col("q"), col("doc_id"))
-        val wb = Window.partitionBy(col("bucket"))
-          .orderBy(col("h"), col("doc_id"))
-        scored
-          .withColumn("bucket", ntile(4).over(wq).cast("long"))
-          .withColumn("h", hash32(concat(lit("curr:"), col("doc_id").cast("string"))))
-          .withColumn("pos", (row_number().over(wb) - 1).cast("long"))
-          .select(col("doc_id"), col("bucket"), col("q").as("quality_score"),
-            col("pos"))
-          .orderBy(col("bucket"), col("pos"))
-      },
+      (s: SparkSession, dir: String) => curriculumOrder(s, dir),
       Some("""WITH d AS (SELECT doc_id, text,
             regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
         e AS (SELECT doc_id,
@@ -827,11 +791,23 @@ object TextOps {
             floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
               + 0.3 * alpha_ratio + 0.3 * least(avg_w_len / 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
           FROM f),
+        gi AS (SELECT doc_id, q,
+            CAST(floor(q * 10000.0 + 0.5) AS BIGINT) AS qi FROM g),
+        nn AS (SELECT COUNT(*) AS n FROM gi),
+        hist AS (SELECT qi, COUNT(*) AS cnt FROM gi GROUP BY qi),
+        cum AS (SELECT qi, SUM(cnt) OVER (ORDER BY qi) AS cumleq FROM hist),
+        cuts AS (SELECT
+            MIN(CASE WHEN cumleq >= 1 * (n // 4) + LEAST(1, n % 4) THEN qi END) AS c1,
+            MIN(CASE WHEN cumleq >= 2 * (n // 4) + LEAST(2, n % 4) THEN qi END) AS c2,
+            MIN(CASE WHEN cumleq >= 3 * (n // 4) + LEAST(3, n % 4) THEN qi END) AS c3
+          FROM cum, nn),
         b AS (SELECT doc_id, q,
-            CAST(ntile(4) OVER (ORDER BY q, doc_id) AS BIGINT) AS bucket,
+            1 + (CASE WHEN qi > c1 THEN 1 ELSE 0 END)
+              + (CASE WHEN qi > c2 THEN 1 ELSE 0 END)
+              + (CASE WHEN qi > c3 THEN 1 ELSE 0 END) AS bucket,
             ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-          FROM g)
-        SELECT doc_id, bucket, q AS quality_score,
+          FROM gi, cuts)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, q AS quality_score,
           CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM b ORDER BY bucket, pos""")),
 
@@ -1074,6 +1050,106 @@ object TextOps {
     * symbolization (checkpoint-backed). Intermediate rounds are freed as
     * soon as their successor materializes (the PageRank loop discipline);
     * the caller owns the release of everything returned. */
+  /** q84's core, parameterized by OUTPUT SHARD count: greedy sequential
+    * packing of docs into 2048-token context bins via a PER-SHARD running
+    * token cumsum — `Window.partitionBy(shard).orderBy(doc_id)`, never a
+    * corpus-wide single-partition window (the r7 `WindowExec: No
+    * Partition Defined` scale defect). Shard routing is q48's
+    * deterministic md5-bucket (`hash32("pack:" ++ doc_id) % nShards`):
+    * seed-free, re-run-stable, decorrelated from crawl order. Bin ids are
+    * per-shard ((cum−1) div 2048 within the shard), so every shard packs
+    * independently — at 100 TB nShards is the pipeline's output-shard
+    * count and the window runs as nShards parallel cumsums. The catalog
+    * gate runs the default nShards=1 (the fixture's single logical
+    * shard), where shard ≡ 0, the per-shard cumsum IS the global cumsum,
+    * and the result (minus the shard column) is bit-identical to the r7
+    * global-window formulation — PropertySpec pins that equivalence and
+    * exercises nShards=4. */
+  def sequencePacking(s: SparkSession, dir: String, nShards: Int = 1): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (hash32(concat(lit("pack:"), col("doc_id").cast("string"))) % nShards).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - 1) div 2048"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** q115's core: quality-quartile curriculum bucketing via PERCENTILE
+    * CUTOFFS, not a corpus-wide ntile window (the r7 scale defect). The
+    * quality score q lives on the 1e-4 grid in [0,1], so its histogram is
+    * BOUNDED (≤ 10 001 distinct values regardless of corpus size): one
+    * map-side-combined aggregate, a ≤10 001-row driver collect (the
+    * k-means-centroid class of bounded collect), a driver cumsum, and
+    * bucketing becomes a map-only comparison against three integer
+    * literals — exactly the "cutoffs from the histogram sketch" design
+    * q94 already uses for quantiles. Cutoff definition mirrors ntile(4)'s
+    * boundaries (r_k = k·(N div 4) + min(k, N mod 4); c_k = smallest
+    * grid value whose cumulative count reaches r_k; bucket = 1 + Σ [q >
+    * c_k]), so on tie-free scores the assignment is IDENTICAL to
+    * ntile(4) over (q, doc_id) — PropertySpec pins that equivalence. On
+    * scores tied at a boundary the whole tie group lands in the lower
+    * bucket (ntile would split it arbitrarily by doc_id); the DuckDB
+    * oracle implements the same cutoff rule, so the gate is exact. The
+    * within-bucket shuffle window stays PARTITIONED by bucket. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_alpha", length(array_join(col("ws"), "")).cast("long"))
+      .withColumn("alpha_ratio",
+        r4(col("n_alpha").cast("double") / greatest(length(col("text")).cast("long"), lit(1L))))
+      .withColumn("avg_w_len",
+        r4(col("n_alpha").cast("double") / greatest(col("n_tokens"), lit(1L))))
+      .withColumn("q",
+        r4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * col("alpha_ratio")
+          + lit(0.3) * least(col("avg_w_len") / 10.0, lit(1.0))))
+      .select(col("doc_id"), col("q"),
+        floor(col("q") * 1e4 + 0.5).cast("long").as("qi"))
+      .localCheckpoint() // narrow (doc_id, q, qi): feeds hist AND assignment
+    // bounded histogram → ntile-compatible quartile cutoffs on the driver
+    val hist = scored.groupBy(col("qi")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("qi")).collect()
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val rks = (1 to 3).map(k => k * (n / 4) + math.min(k.toLong, n % 4))
+    val cuts = Array.fill(3)(Long.MaxValue)
+    var cum = 0L
+    hist.foreach { r =>
+      cum += r.getLong(1)
+      var k = 0
+      while (k < 3) {
+        if (cuts(k) == Long.MaxValue && cum >= rks(k)) cuts(k) = r.getLong(0)
+        k += 1
+      }
+    }
+    // armed only NOW, after the hist collect, so the stale-event cutoff
+    // filters the collect's own listener event and the checkpoint
+    // survives until the caller's single gate action
+    Scoped.releaseAfterUse(scored)
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    scored
+      .withColumn("bucket",
+        (lit(1) + (col("qi") > cuts(0)).cast("int")
+          + (col("qi") > cuts(1)).cast("int")
+          + (col("qi") > cuts(2)).cast("int")).cast("long"))
+      .withColumn("h", hash32(concat(lit("curr:"), col("doc_id").cast("string"))))
+      .withColumn("pos", (row_number().over(wb) - 1).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("q").as("quality_score"), col("pos"))
+      .orderBy(col("bucket"), col("pos"))
+  }
+
   private def bpeTrain(s: SparkSession, dir: String, rounds: Int)
       : (List[DataFrame], DataFrame) = {
     val types = explodeLean(t(s, dir, "documents"), Seq(),

@@ -69,6 +69,31 @@ class ScopedSpec extends SparkSpec {
     assert(liveBlocks() === before - 1)
   }
 
+  test("free (default) completes block removal before returning — no in-flight window for the cleaner's duplicate RemoveRdd") {
+    drain()
+    import org.apache.spark.SparkEnv
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cp = spark.range(10000).toDF("id").repartition(4).localCheckpoint()
+    val ids = cp.queryExecution.analyzed.collectLeaves()
+      .collect { case l: LogicalRDD => l.rdd.id }.toSet
+    assert(ids.nonEmpty)
+    val master = SparkEnv.get.blockManager.master
+    def blocks() = master.getMatchingBlockIds(
+      b => b.asRDDId.exists(r => ids.contains(r.rddId)), askStorageEndpoints = true)
+    assert(blocks().nonEmpty, "checkpoint must own blocks before free")
+    // The r7 bench-tail race: free() used to issue a NON-blocking
+    // unpersist, return, and let the caller drop its last strong handle —
+    // the ContextCleaner then GC-fired a duplicate RemoveRdd that
+    // enumerated the same blocks concurrently with the still-in-flight
+    // removal and warned "Asked to remove block rdd_N_M, which does not
+    // exist". With the blocking default the removal is COMPLETE on
+    // return, so a later duplicate enumerates zero blocks and is silent.
+    Scoped.free(cp)
+    assert(blocks().isEmpty,
+      "blocks survived free() returning — an in-flight removal here is " +
+        "exactly the window the ContextCleaner's duplicate RemoveRdd races")
+  }
+
   test("releaseAfterUse frees the checkpoint after the first terminal action") {
     drain()
     val baseline = liveBlocks()
