@@ -90,7 +90,13 @@ object Bench {
     * (fresh) JVM/session, before its timed pass. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001")
+    Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001",
+      // q64 at the smallest sf: warms the REAL ImageIO encode+decode path
+      // on EXECUTOR task threads — the 8×8 driver-loop warm below still
+      // left 2 of 3 r7 child JVMs paying first-touch in the timed q64
+      // (per_run 3.29/3.71/1.59 s, VERDICT r7 #4); running the operator
+      // itself warms the exact closure + codec + Media encoder pipeline
+      "q64_image_roundtrip" -> "/root/testdata/sf0.001")
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q)
           .foreach(fn => try fn(spark, dir).count() catch { case NonFatal(_) => () })

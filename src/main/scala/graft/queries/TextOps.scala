@@ -1101,6 +1101,32 @@ object TextOps {
     * bucket (ntile would split it arbitrarily by doc_id); the DuckDB
     * oracle implements the same cutoff rule, so the gate is exact. The
     * within-bucket shuffle window stays PARTITIONED by bucket. */
+  /** ntile(4)-compatible quartile cutoffs from a VALUE-SORTED histogram
+    * `(value, count)`: c_k = smallest value whose cumulative count reaches
+    * ntile's k-th boundary r_k = k·(N div 4) + min(k, N mod 4). Bucket
+    * assignment is then 1 + Σ_k [v > c_k] — identical to ntile(4) over
+    * (v, id) whenever values are tie-free (PropertySpec pins this); a tie
+    * group straddling a boundary lands whole in the lower bucket. Pure
+    * driver arithmetic so the rule is unit-testable without a session;
+    * the DuckDB oracle implements the same rule in SQL. */
+  def quartileCutoffs(hist: Seq[(Long, Long)]): Array[Long] = {
+    require(hist.iterator.map(_._1).sliding(2).forall(
+      w => w.size < 2 || w.head < w.last), "hist must be value-sorted and deduped")
+    val n = hist.iterator.map(_._2).sum
+    val rks = (1 to 3).map(k => k * (n / 4) + math.min(k.toLong, n % 4))
+    val cuts = Array.fill(3)(Long.MaxValue)
+    var cum = 0L
+    hist.foreach { case (v, cnt) =>
+      cum += cnt
+      var k = 0
+      while (k < 3) {
+        if (cuts(k) == Long.MaxValue && cum >= rks(k)) cuts(k) = v
+        k += 1
+      }
+    }
+    cuts
+  }
+
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
     def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
     val scored = t(s, dir, "documents")
@@ -1122,18 +1148,8 @@ object TextOps {
     // bounded histogram → ntile-compatible quartile cutoffs on the driver
     val hist = scored.groupBy(col("qi")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("qi")).collect()
-    val n = hist.iterator.map(_.getLong(1)).sum
-    val rks = (1 to 3).map(k => k * (n / 4) + math.min(k.toLong, n % 4))
-    val cuts = Array.fill(3)(Long.MaxValue)
-    var cum = 0L
-    hist.foreach { r =>
-      cum += r.getLong(1)
-      var k = 0
-      while (k < 3) {
-        if (cuts(k) == Long.MaxValue && cum >= rks(k)) cuts(k) = r.getLong(0)
-        k += 1
-      }
-    }
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cuts = quartileCutoffs(hist)
     // armed only NOW, after the hist collect, so the stale-event cutoff
     // filters the collect's own listener event and the checkpoint
     // survives until the caller's single gate action

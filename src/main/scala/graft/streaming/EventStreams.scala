@@ -228,17 +228,26 @@ object EventStreams {
     * per-doc aggregation is windowed on the watermarked ingest time, so
     * agg state is horizon-bounded. A doc whose text yields no ≥16-char
     * chunk carries no dedup signal and reports n_chunks = 0 (explode_outer
-    * keeps its row). */
+    * keeps its row). The grouping key includes the event's `ts` as the
+    * per-EVENT discriminator: the same doc_id re-ingested within one
+    * window yields one verdict row per ingest instead of a silently
+    * summed n_dup across both (ADVICE r7); two events with identical
+    * (doc_id, ts) are byte-identical retransmissions, for which collapsing
+    * is the right answer. The discriminator is a CAST copy of ts (`event_us`)
+    * — grouping by the watermarked attribute itself would give the
+    * aggregate two event-time columns, which streaming rejects. */
   def cdcChunkStream(docs: DataFrame, corpusChunks: DataFrame,
       horizon: String = "1 hour"): DataFrame = {
     val ch = graft.queries.DedupSim.cdcChunkHashArray(docs)
       .withWatermark("ts", horizon)
-      .select(col("doc_id"), col("ts"), size(col("hs")).as("n_chunks"),
+      .select(col("doc_id"), col("ts"),
+        col("ts").cast("long").as("event_us"),
+        size(col("hs")).as("n_chunks"),
         explode_outer(col("hs")).as("h"))
     val idx = corpusChunks.select(col("h")).distinct().withColumn("dup", lit(1))
     ch.join(idx, Seq("h"), "left")
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
-        col("doc_id"), col("n_chunks"))
+        col("doc_id"), col("event_us"), col("n_chunks"))
       .agg(sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ratio",
         when(col("n_chunks") > 0,

@@ -195,6 +195,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no corpus-wide unpartitioned windows in the departitioned family (q84/q113/q115/q118/q121)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // sparkPlan (pre-AQE) exposes the physical Window nodes to collect;
+    // an empty partitionSpec is exactly the "WindowExec: No Partition
+    // Defined ... moving all data to a single partition" plan the r7
+    // verdict flagged as the corpus-scale defect
+    def unpartitioned(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+    Seq("q84_sequence_packing", "q113_hybrid_rrf", "q115_curriculum_order",
+      "q118_ann_ndcg", "q121_bitext_margin").foreach { q =>
+      assert(unpartitioned(q).isEmpty,
+        s"$q plans a single-partition window — the 100 TB scale-killer")
+    }
+  }
+
+  test("q113/q121: top-k candidate lists plan as distributed TakeOrdered, not global sort+rank") {
+    assert(plan("q113_hybrid_rrf").contains("TakeOrderedAndProject"),
+      "per-retriever top-K must be a TakeOrdered")
+    assert(plan("q121_bitext_margin").contains("TakeOrderedAndProject"),
+      "margin top-20 must be a TakeOrdered")
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a

@@ -344,5 +344,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- q115's cutoff-quartile rule (pure function): identical to
+  // ntile(4) over ascending (value, id) whenever values are tie-free,
+  // and tie groups never split across buckets
+  test("quartile cutoffs ≡ ntile(4) on tie-free scores; tie groups never split") {
+    import graft.queries.TextOps
+    val valsGen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 300L)))
+    forAll(valsGen, n = 60) { vs =>
+      val unique = vs.distinct.sorted
+      val cuts = TextOps.quartileCutoffs(unique.map(v => (v, 1L)))
+      def bucket(v: Long) = 1 + cuts.count(v > _)
+      // scala ntile(4) model: bucket k covers ranks (r_{k-1}, r_k]
+      val n = unique.size
+      val bounds = (1 to 4).map(k => k * (n / 4) + math.min(k, n % 4))
+      unique.zipWithIndex.foreach { case (v, i) =>
+        val want = bounds.indexWhere(i + 1 <= _) + 1
+        assert(bucket(v) === want, s"v=$v rank=${i + 1} n=$n cuts=${cuts.toSeq}")
+      }
+      // with ties (duplicate every value), assignment is still total and
+      // monotone, and equal values land in the same bucket by construction
+      val dupCuts = TextOps.quartileCutoffs(unique.map(v => (v, 2L)))
+      val dupBuckets = unique.map(v => 1 + dupCuts.count(v > _))
+      assert(dupBuckets === dupBuckets.sorted, "bucket must be monotone in value")
+      assert(dupBuckets.forall(b => b >= 1 && b <= 4))
+    }
+  }
+
+  // ---- q84's per-shard packing: nShards=1 reproduces the global-window
+  // formulation bit-for-bit; nShards=4 partitions the corpus with
+  // independent, well-formed per-shard bins
+  test("sequence packing: per-shard ≡ global at one shard; shards partition the corpus") {
+    import graft.queries.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val one = TextOps.sequencePacking(spark, dir, nShards = 1)
+      .drop("shard").collect().toSeq
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val global = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - 1) div 2048"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin")).collect().toSeq
+    assert(one === global, "nShards=1 must equal the global-window packing")
+
+    val four = TextOps.sequencePacking(spark, dir, nShards = 4).collect()
+    val totDocs = one.map(_.getLong(1)).sum
+    val totToks = one.map(_.getLong(2)).sum
+    assert(four.map(_.getLong(2)).sum === totDocs, "shards must partition docs")
+    assert(four.map(_.getLong(3)).sum === totToks, "shards must partition tokens")
+    // per shard: bins are contiguous from 0, and the bin ids match the
+    // shard's own token cumsum (last bin id = (shard tokens - 1) div 2048)
+    four.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins === (0L until bins.size).toSeq, s"shard $shard bins not contiguous")
+      val shardToks = rows.map(_.getLong(3)).sum
+      assert(bins.last === (shardToks - 1) / 2048, s"shard $shard bin range wrong")
+    }
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }

@@ -279,6 +279,32 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(13L) === ((0, 0L)), "chunkless doc still reports, with zero signal")
   }
 
+  test("cdcChunkStream: re-ingesting a doc_id within one window yields one verdict per event") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog and then some " * 20
+    val corpusIdx = graft.queries.DedupSim.cdcChunkHashArray(
+        Seq((1L, textA)).toDF("doc_id", "text"))
+      .select(explode(col("hs")).as("h"))
+    // same doc_id, same text (equal n_chunks — the r7 ADVICE collision
+    // case), two distinct ingest times inside one window
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData((10L, textA, ts(0)), (10L, textA, ts(5)))
+    val q = EventStreams.cdcChunkStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), corpusIdx)
+      .writeStream.format("memory").queryName("cdc_reingest")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val rows = spark.table("cdc_reingest")
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows.size === 2, s"each ingest event must keep its own verdict, got $rows")
+    // both verdicts are the full-duplicate verdict, NOT a doubled n_dup
+    rows.foreach { case (_, nChunks, nDup) =>
+      assert(nChunks > 0 && nDup === nChunks.toLong, s"per-event verdict wrong: $rows")
+    }
+  }
+
   test("dedupStream runs on the RocksDB state store (the production config)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
