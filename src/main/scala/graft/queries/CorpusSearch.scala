@@ -744,7 +744,7 @@ object CorpusSearch {
     * retrieval depth (hundreds). An RRF fused over top-K lists is the
     * textbook form — a doc outside BOTH lists cannot reach the fused
     * top-20 without rrf ≥ 1/(60+1) + 1/(60+K), which K ≫ 20 makes
-    * unreachable in practice (SearchSpec pins top-K invariants). */
+    * unreachable in practice (ApproxSpec pins the top-K invariants). */
   def hybridRrf(s: SparkSession, dir: String, topK: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._

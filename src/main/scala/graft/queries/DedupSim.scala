@@ -47,30 +47,46 @@ object DedupSim {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleDf(t(s, dir, "documents"))
 
-  /** (doc_id, band, sig) LSH banding of a shingle table: 16 minhash perms
-    * grouped into 4 bands of 4, band signature = the "-"-joined row
-    * values. Shared by self-dedup (q32) and incremental dedup (q76). */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  /** (doc_id, m0..m15): the 16-permutation minhash SIGNATURE table — one
+    * pass over the shingles. Every band LAYOUT derives from it map-only,
+    * so a banding sweep ([[sketchEval]]) re-reads the signature table,
+    * never the corpus. */
+  private def minhashTable(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), (hash32(col("shingle")) % P).as("x"))
     val minAggs = (0 until numPerms).map(i => min(minhashPerm(col("x"), i)).as(s"m$i"))
-    val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until numBands).map { b =>
+    h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** nb bands × rpb rows banding over a [[minhashTable]] (nb·rpb ≤ 16
+    * perms); band signature = the "-"-joined row values. Map-only. */
+  private def bandsOf(mh: DataFrame, nb: Int, rpb: Int): DataFrame = {
+    require(nb * rpb <= numPerms, s"banding $nb x $rpb needs ${nb * rpb} perms, have $numPerms")
+    val bandCols = (0 until nb).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("-", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
+        concat_ws("-", (0 until rpb).map(r => col(s"m${b * rpb + r}")): _*).as("sig"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** DuckDB CTE pair `mh_<pfx>, bands_<pfx>` mirroring [[minhashBands]]
-    * over the shingle CTE named `sh_<pfx>`. */
-  private def minhashBandsSql(pfx: String): String = {
+  /** (doc_id, band, sig) LSH banding of a shingle table: 16 minhash perms
+    * grouped into 4 bands of 4. Shared by self-dedup (q32) and
+    * incremental dedup (q76). */
+  private def minhashBands(sh: DataFrame): DataFrame =
+    bandsOf(minhashTable(sh), numBands, rowsPerBand)
+
+  /** DuckDB CTE pair `mh_<pfx>, bands_<pfx>` mirroring
+    * [[minhashTable]] + [[bandsOf]] over the shingle CTE named
+    * `sh_<pfx>`; `nb` × `rpb` is the band layout (defaults = the 4×4
+    * production config [[minhashBands]] uses). */
+  private def minhashBandsSql(pfx: String, nb: Int = numBands,
+      rpb: Int = rowsPerBand): String = {
     val minSql = (0 until numPerms).map { i =>
       val (a, b) = perm(i)
       s"MIN(((('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P) * $a + $b) % $P) AS m$i"
     }.mkString(", ")
-    val bandSql = (0 until numBands).map { b =>
-      val sig = (0 until rowsPerBand).map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+    val bandSql = (0 until nb).map { b =>
+      val sig = (0 until rpb).map(r => s"CAST(m${b * rpb + r} AS VARCHAR)")
         .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh_$pfx"
     }.mkString(" UNION ALL ")
@@ -342,7 +358,7 @@ object DedupSim {
     * literals, every dot the same ordered left-fold as the Scala side,
     * probe ranking (flip-cost, cell) in SQL. Exposes CTEs `q` (query
     * vector), `probe` (probed cells), `idx` (indexed vectors + cell). */
-  private def srpIvfOracleCtes: String = {
+  private def srpIvfOracleCtes(nprobe: Int = 32): String = {
     import graft.similarity.Ivf
     val nbits = Ivf.DefaultBits
     val dims = Ivf.DefaultDims
@@ -365,7 +381,7 @@ object DedupSim {
           c0 AS (SELECT $cell0 AS cell0, $margins FROM d),
           cand AS (SELECT r.c AS cell, ($cost) AS cost
                    FROM (SELECT unnest(range(0, ${1 << nbits})) AS c) r, c0),
-          probe AS (SELECT cell FROM cand ORDER BY cost, cell LIMIT 32),
+          probe AS (SELECT cell FROM cand ORDER BY cost, cell LIMIT $nprobe),
           idx AS (SELECT vec_id, label, embedding, ($dataCell) AS cell
                   FROM embeddings WHERE vec_id <> 0)"""
   }
@@ -453,12 +469,16 @@ object DedupSim {
     * identical to the unsampled eval, and prec = n_hit / n_pred — the
     * catalog gate runs there, so the DuckDB oracle needs no sampling
     * twin. */
-  def simhashQuality(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
+  def simhashQuality(s: SparkSession, dir: String, sampleFraction: Double = 1.0,
+      hamMax: Int = 3): DataFrame = {
+    // 4×8-bit block bucketing pigeonholes hamming ≤ 3, so any tighter
+    // threshold filters a superset candidate list and stays exact
+    require(hamMax >= 0 && hamMax <= 3, s"hamMax must be in [0, 3], got $hamMax")
     val sh = shingles(s, dir).localCheckpoint()
     Scoped.releaseAfterUse(sh)
     val exact = exactJaccardPairs(sampleDocs(sh, "shq:", sampleFraction))
     val cand = simhashCand(s, dir)
-    val pred = cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+    val pred = cand.filter(expr("bit_count(ha ^ hb)") <= hamMax)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // consumed twice below (semi join + counts)
     Scoped.free(cand) // releases the sig checkpoint behind the plan
@@ -485,7 +505,7 @@ object DedupSim {
     * cosine top-10 — the [[sketchEval]] row for the ANN sketch family.
     * Both sides are distributed TakeOrdered top-10s (no rank windows at
     * all); the probe id rides the probe relation. */
-  private def srpRecallAt10(s: SparkSession, dir: String): DataFrame = {
+  private def srpRecallAt10(s: SparkSession, dir: String, nprobe: Int = 32): DataFrame = {
     import graft.similarity.Ivf
     graft.functions.GraftFunctions.register(s)
     val nbits = Ivf.DefaultBits
@@ -500,7 +520,7 @@ object DedupSim {
         (floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("sim"))
       .orderBy(desc("sim"), asc("vec_id")).limit(10) // TakeOrdered
     val exactTop = top10(e.filter(col("vec_id") =!= 0))
-    val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = 32)
+    val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = nprobe)
     val annTop = top10(
       Ivf.buildIndex(e.filter(col("vec_id") =!= 0), "embedding", nbits, dims)
         .filter(col("cell").isin(cells: _*)))
@@ -514,8 +534,8 @@ object DedupSim {
   }
 
   /** DuckDB twin of [[srpRecallAt10]]. */
-  private def srpRecallSql: String =
-    s"""WITH $srpIvfOracleCtes,
+  private def srpRecallSql(nprobe: Int = 32): String =
+    s"""WITH ${srpIvfOracleCtes(nprobe)},
         exs AS (SELECT vec_id,
             floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
           FROM embeddings, q WHERE vec_id <> 0),
@@ -537,37 +557,80 @@ object DedupSim {
             / (SELECT COUNT(*) FROM ex10) AS recall"""
 
   /** Unified sketch-eval harness (VERDICT r7 #7): ONE family-tagged eval
-    * row per sketch configuration, all under the same
-    * measure-the-sketch shape — n_exact (ground-truth size), n_cand (the
-    * verification work the sketch induces), n_hit, recall. Families:
-    * MinHash-LSH 4×4 banding and SimHash hamming-≤3 against the exact
-    * jaccard-≥0.5 pair ground truth (both take `sampleFraction` for
-    * their exact sides — [[sampleDocs]]); SRP-IVF 32-probe against the
-    * exact cosine top-10. A configuration sweep is one more row per
-    * config — the round-9 extension point. The three evals are
-    * independent subplans fused into one action, so every armed
-    * checkpoint releases on the single gate action. */
+    * row per sketch CONFIGURATION, all under the same measure-the-sketch
+    * shape — n_exact (ground-truth size), n_cand (the verification work
+    * the sketch induces), n_hit, recall. Configs swept: MinHash-LSH 4×4
+    * vs 8×2 banding and SimHash hamming ≤ 3 vs ≤ 2 against the exact
+    * jaccard-≥0.5 pair ground truth; SRP-IVF 32- vs 8-probe against the
+    * exact cosine top-10.
+    *
+    * Sweep economics — the point of the harness: expensive intermediates
+    * are computed ONCE and every config derives map-only. The shingle
+    * table feeds both the ground truth and the 16-perm
+    * [[minhashTable]]; band layouts are projections of that table
+    * ([[bandsOf]]), never a second corpus pass. The simhash candidate
+    * list (with hamming distances) is checkpointed once; thresholds are
+    * filters over it. The exact jaccard side (the one quadratic shape)
+    * runs once, `sampleFraction`-bounded at corpus scale
+    * ([[sampleDocs]]), and is shared by all four pair-sketch rows. All
+    * rows fuse into one action, so every armed checkpoint releases on
+    * the single gate action. At 1.0 the 4×4 and ham≤3 rows equal
+    * q114/q122's gate numbers (ApproxSpec pins this). Adding a config is
+    * one more row — the round-9 sweep extension point. */
   def sketchEval(s: SparkSession, dir: String, sampleFraction: Double = 1.0): DataFrame = {
-    val lsh = lshRecall(s, dir, sampleFraction)
-      .select(lit("minhash_lsh_4x4").as("family"),
-        col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
-    val sh = simhashQuality(s, dir, sampleFraction)
-      .select(lit("simhash_ham3").as("family"),
-        col("n_exact"), col("n_pred").as("n_cand"), col("n_hit"), col("recall"))
-    val srp = srpRecallAt10(s, dir)
-      .select(lit("srp_ivf_p32").as("family"),
-        col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
-    lsh.unionByName(sh).unionByName(srp).orderBy(col("family"))
+    val sh = shingles(s, dir).localCheckpoint()
+    val exact = exactJaccardPairs(sampleDocs(sh, "lshs:", sampleFraction))
+      .localCheckpoint()
+    val mh = minhashTable(sh).localCheckpoint()
+    Scoped.free(sh) // both consumers materialized — release the shingles now
+    Scoped.releaseAfterUse(exact, mh)
+    val candAll = simhashCand(s, dir)
+    val predAll = candAll
+      .select(col("id_a"), col("id_b"), expr("bit_count(ha ^ hb)").as("ham"))
+      .filter(col("ham") <= 3)
+      .localCheckpoint()
+    Scoped.free(candAll) // releases the sig checkpoint behind the plan
+    Scoped.releaseAfterUse(predAll)
+    def row(name: String, cand: DataFrame): DataFrame = {
+      val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        .select(lit(name).as("family"),
+          col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+    }
+    def lshCand(nb: Int, rpb: Int): DataFrame = {
+      val bands = bandsOf(mh, nb, rpb)
+      bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+    }
+    def srpRow(name: String, nprobe: Int): DataFrame =
+      srpRecallAt10(s, dir, nprobe)
+        .select(lit(name).as("family"),
+          col("n_exact"), col("n_cand"), col("n_hit"), col("recall"))
+    row("minhash_lsh_4x4", lshCand(4, 4))
+      .unionByName(row("minhash_lsh_8x2", lshCand(8, 2)))
+      .unionByName(row("simhash_ham3",
+        predAll.filter(col("ham") <= 3).select(col("id_a"), col("id_b"))))
+      .unionByName(row("simhash_ham2",
+        predAll.filter(col("ham") <= 2).select(col("id_a"), col("id_b"))))
+      .unionByName(srpRow("srp_ivf_p32", 32))
+      .unionByName(srpRow("srp_ivf_p8", 8))
+      .orderBy(col("family"))
   }
 
   /** DuckDB twin of [[simhashQuality]] (unsampled — the gate runs there,
     * where prec = n_hit / n_pred). Complete WITH…SELECT, reused by q122
     * and (wrapped, family-tagged) by q124's unified sketch eval. */
-  private def simhashQualitySql: String =
+  private def simhashQualitySql(hamMax: Int = 3): String =
     s"""WITH $shinglesSql,
         ${simhashSql("occt").replaceFirst("WITH ", "")},
         $simhashCandSql,
-        pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= $hamMax),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         ex AS (SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -589,10 +652,10 @@ object DedupSim {
   /** DuckDB twin of [[lshRecall]] (unsampled — the gate runs there).
     * A complete WITH…SELECT, reused verbatim by q114 and (wrapped as a
     * subquery with a family tag) by q124's unified sketch eval. */
-  private def lshRecallSql: String =
+  private def lshRecallSql(nb: Int = numBands, rpb: Int = rowsPerBand): String =
     s"""WITH $shinglesSql,
         sh_s AS (SELECT doc_id, shingle FROM sh),
-        ${minhashBandsSql("s")},
+        ${minhashBandsSql("s", nb, rpb)},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         ex AS (SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -927,7 +990,7 @@ object DedupSim {
       }
     },
       Some(
-        s"""WITH $srpIvfOracleCtes
+        s"""WITH ${srpIvfOracleCtes()}
           SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS cell,
             floor(${cosDuck("embedding", "qv")} * 10000.0 + 0.5) / 10000.0 AS sim
           FROM idx, q WHERE cell IN (SELECT cell FROM probe)
@@ -1564,7 +1627,7 @@ object DedupSim {
     // integers.
     ("q114_lsh_recall",
       (s: SparkSession, dir: String) => lshRecall(s, dir),
-      Some(lshRecallSql)),
+      Some(lshRecallSql())),
 
     // ---- ANN ranking quality: nDCG@10 of q38's SRP-IVF multi-probe
     // ranking against the exact brute-force cosine ranking — q114's
@@ -1637,7 +1700,7 @@ object DedupSim {
       }
     },
       Some(
-        s"""WITH $srpIvfOracleCtes,
+        s"""WITH ${srpIvfOracleCtes()},
           exact AS (SELECT vec_id,
               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS exact_rank
             FROM (SELECT vec_id,
@@ -1729,7 +1792,7 @@ object DedupSim {
       }
     },
       Some(
-        s"""WITH $srpIvfOracleCtes,
+        s"""WITH ${srpIvfOracleCtes()},
           a AS (SELECT vec_id AS id_a, cell, embedding AS ea FROM idx WHERE label = 0),
           b AS (SELECT vec_id AS id_b, cell, embedding AS eb FROM idx WHERE label = 1),
           p AS (SELECT id_a, id_b,
@@ -1763,24 +1826,34 @@ object DedupSim {
     // eval exists to expose.
     ("q122_simhash_quality",
       (s: SparkSession, dir: String) => simhashQuality(s, dir),
-      Some(simhashQualitySql)),
+      Some(simhashQualitySql())),
 
     // ---- the unified sketch-eval matrix (see [[sketchEval]]): every
     // sketch family's quality measured under one shape, one row per
-    // config — the harness a round-9 configuration sweep extends with
-    // more rows. The oracle wraps each family's standalone WITH…SELECT
-    // as a UNION ALL subquery, so the three CTE namespaces never collide.
+    // CONFIG (two banding layouts, two hamming thresholds, two probe
+    // widths) — the config sweep that picks a sketch tuning before a
+    // 100 TB run. The oracle wraps each config's standalone WITH…SELECT
+    // as a UNION ALL subquery, so the CTE namespaces never collide.
     ("q124_sketch_eval",
       (s: SparkSession, dir: String) => sketchEval(s, dir),
       Some(s"""SELECT * FROM (
           SELECT 'minhash_lsh_4x4' AS family, n_exact, n_cand, n_hit, recall
-          FROM ($lshRecallSql)
+          FROM (${lshRecallSql()})
+        UNION ALL
+          SELECT 'minhash_lsh_8x2' AS family, n_exact, n_cand, n_hit, recall
+          FROM (${lshRecallSql(8, 2)})
         UNION ALL
           SELECT 'simhash_ham3' AS family, n_exact, n_pred AS n_cand, n_hit, recall
-          FROM ($simhashQualitySql)
+          FROM (${simhashQualitySql()})
+        UNION ALL
+          SELECT 'simhash_ham2' AS family, n_exact, n_pred AS n_cand, n_hit, recall
+          FROM (${simhashQualitySql(2)})
         UNION ALL
           SELECT 'srp_ivf_p32' AS family, n_exact, n_cand, n_hit, recall
-          FROM ($srpRecallSql)
+          FROM (${srpRecallSql()})
+        UNION ALL
+          SELECT 'srp_ivf_p8' AS family, n_exact, n_cand, n_hit, recall
+          FROM (${srpRecallSql(8)})
         ) ORDER BY family""")),
 
     // ---- the COMPOSED dedup pipeline: one materialized clustering feeds

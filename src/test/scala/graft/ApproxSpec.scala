@@ -126,6 +126,61 @@ class ApproxSpec extends SparkSpec {
     ()
   }
 
+  test("sketchEval: production-config rows equal the q114/q122 gates; sweep rows are coherent") {
+    import graft.queries.DedupSim
+    val dir = "/root/testdata/sf0.001"
+    val rows = DedupSim.sketchEval(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet === Set("minhash_lsh_4x4", "minhash_lsh_8x2",
+      "simhash_ham3", "simhash_ham2", "srp_ivf_p32", "srp_ivf_p8"))
+    // the default configs ARE the standalone gates (same helpers, 1.0 sample)
+    val lsh = DedupSim.lshRecall(spark, dir).collect().head
+    assert(rows("minhash_lsh_4x4") ===
+      ((lsh.getLong(0), lsh.getLong(1), lsh.getLong(2), lsh.getDouble(3))))
+    val shq = DedupSim.simhashQuality(spark, dir).collect().head
+    assert(rows("simhash_ham3") ===
+      ((shq.getLong(0), shq.getLong(1), shq.getLong(2), shq.getDouble(4))))
+    // sweep coherence: shorter band signatures can only ADD candidates
+    // (any 4-row band match implies both 2-row halves match);
+    // a tighter hamming threshold can only REMOVE them
+    assert(rows("minhash_lsh_8x2")._2 >= rows("minhash_lsh_4x4")._2)
+    assert(rows("minhash_lsh_8x2")._3 >= rows("minhash_lsh_4x4")._3)
+    assert(rows("simhash_ham2")._2 <= rows("simhash_ham3")._2)
+    assert(rows("simhash_ham2")._3 <= rows("simhash_ham3")._3)
+    // fewer probes can only lower ANN recall
+    assert(rows("srp_ivf_p8")._4 <= rows("srp_ivf_p32")._4)
+    // all exact sides within a ground-truth family agree
+    assert(rows("minhash_lsh_4x4")._1 === rows("simhash_ham3")._1)
+  }
+
+  test("hybridRrf topK: truncation preserves per-row global ranks; covering K is exact") {
+    import graft.queries.CorpusSearch
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = rows(CorpusSearch.hybridRrf(spark, dir))
+    assert(full.nonEmpty && full.size <= 20)
+    // K smaller than the vector corpus: the vec side genuinely truncates
+    val k = 25
+    val trunc = rows(CorpusSearch.hybridRrf(spark, dir, topK = k))
+    assert(trunc.size <= 20)
+    val fullByDoc = full.map(t => t._1 -> ((t._2, t._3))).toMap
+    trunc.foreach { case (doc, rl, rv) =>
+      // ranks within the K-row candidate list are bounded by K and equal
+      // the full-corpus ranks for every kept doc (the TakeOrdered top-K
+      // keeps global positions under the same total order)
+      assert(rl <= k && rv <= k, s"doc $doc rank outside K")
+      fullByDoc.get(doc).foreach { case (frl, frv) =>
+        assert(rl === frl && rv === frv, s"doc $doc rank drift under truncation")
+      }
+    }
+    // a K covering the corpus reproduces the default result exactly
+    assert(rows(CorpusSearch.hybridRrf(spark, dir, topK = 100000)) === full)
+    intercept[IllegalArgumentException](CorpusSearch.hybridRrf(spark, dir, topK = 10))
+    ()
+  }
+
   test("typed Dataset surface compiles the same plan") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("t", ".txt")
