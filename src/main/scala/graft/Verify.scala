@@ -23,8 +23,18 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // local-iteration filter (same contract as Bench): run only the named
-    // queries; the driver never sets this, so the gate always runs all
+    // queries; the driver never sets this, so the gate always runs all.
+    // Unknown names fail FAST — a typo'd filter would otherwise run zero
+    // queries and print a clean-looking "0/0 ok" pass
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty || names.isEmpty) {
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (or is empty)")
+        sys.exit(2)
+      }
+    }
     val futures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -49,9 +49,12 @@ object Scoped {
     * enumerate the same block set concurrently, and the loser logs
     * `Asked to remove block rdd_N_M, which does not exist` per block.
     * Waiting for removal to complete before returning means any later
-    * cleaner pass enumerates zero blocks and stays silent; the cost is
-    * one local RPC round-trip per release, off every timed window
-    * (ScopedSpec pins the blocks-gone-on-return contract). */
+    * cleaner pass enumerates zero blocks and stays silent. The cost is
+    * one local RPC round-trip per release — for iterative loops that
+    * free a predecessor per round (PageRank, CC, the BPE trainer) that
+    * wait IS inside the timed query, measured negligible (r8 bench walls
+    * unchanged vs r7's non-blocking releases; q47 slightly faster).
+    * ScopedSpec pins the blocks-gone-on-return contract. */
   def free(df: DataFrame, blocking: Boolean = true): Unit = {
     checkpointRdds(df)
       .filter(_.getStorageLevel != StorageLevel.NONE)
@@ -64,18 +67,23 @@ object Scoped {
     * and its listener event arrives asynchronously. */
   private val MaterializeOnly = Set("localCheckpoint", "checkpoint", "persist", "cache")
 
-  /** One armed release. The Dataset and its analyzed plan are held only
-    * WEAKLY — an armed DF whose caller walks away (crash before the
-    * action, abandoned plan in a long-lived session) must not be pinned
-    * alive by its own cleanup hook. The checkpoint RDD handles are held
-    * strongly: they are exactly what must be unpersisted if the plan is
-    * abandoned, and an RDD handle pins no row data beyond the blocks it
-    * names. */
+  /** One armed release. The Dataset, its analyzed plan, AND the
+    * checkpoint RDD handles are all held only WEAKLY — an armed DF whose
+    * caller walks away (crash before the action, abandoned plan in a
+    * long-lived session) must not be pinned alive by its own cleanup
+    * hook, and the RDD handles must not outlive every plan that could
+    * read them (see the abandoned-release note on [[releaseEntry]]:
+    * strong handles let the GC criterion free blocks a LIVE query still
+    * needed through cloned plan nodes — the r8 q124 flake). Truly
+    * abandoned storage is the ContextCleaner's job: once nothing
+    * references a persisted RDD object, Spark GC-fires its unpersist
+    * natively. The numeric ids ride along for [[releaseAllArmed]]'s
+    * skip-list even after the handles clear. */
   private final class Armed(
       val spark: SparkSession,
       val dfRef: WeakReference[DataFrame],
       val targetRef: WeakReference[LogicalPlan],
-      val rdds: Seq[RDD[_]],
+      val rdds: Seq[(Int, WeakReference[RDD[_]])],
       val armedAtMs: Long,
       // Any PERSISTED DF (CacheManager entry, checkpoint leaves or not)
       // can only be fully released through the Dataset — there is no
@@ -122,56 +130,84 @@ object Scoped {
     val ids = Set.newBuilder[Int]
     registry.forEach { e =>
       if (e.spark eq spark) {
-        ids ++= e.rdds.map(_.id)
+        ids ++= e.rdds.map(_._1)
         releaseEntry(e)
       }
     }
     ids.result()
   }
 
-  private def releaseEntry(e: Armed): Unit =
+  /** Release an armed entry. `unpersistStorage = false` is the ABANDONED
+    * path (armed plan garbage-collected before any consumer matched):
+    * it unregisters WITHOUT touching storage. Rationale (the r8 q124
+    * flake): "our weakly-held plan object is gone" does NOT mean "no
+    * live plan reads these blocks" — the analyzer's DeduplicateRelations
+    * re-instances a LogicalRDD that appears more than once in a
+    * self-referencing query (4 eval rows over one checkpoint), so the
+    * consumer's final plan can hold only CLONES of the armed plan; once
+    * the original object is collected, an eager abandoned-unpersist
+    * yanks CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND out of the still-running
+    * consumer. Truly abandoned storage needs no action from us at all:
+    * nothing strong holds the RDD object (this entry's handles are
+    * weak, `sc.persistentRdds` is weak-valued), so the ContextCleaner
+    * GC-fires its unpersist natively. */
+  private def releaseEntry(e: Armed, unpersistStorage: Boolean = true): Unit =
     if (e.done.compareAndSet(false, true)) {
-      try e.strongDf.orElse(Option(e.dfRef.get)) match {
-        case Some(df) => free(df)
-        case None =>
-          // Dataset already collected — free the checkpoint blocks via
-          // the strong RDD handles (blocking, same race rationale as
-          // [[free]]: the handles are dropped when this entry
-          // unregisters, so an in-flight removal would race the
-          // ContextCleaner's GC-triggered duplicate)
-          e.rdds.filter(_.getStorageLevel != StorageLevel.NONE)
-            .foreach(_.unpersist(blocking = true))
+      if (debug) System.err.println(
+        s"[scoped-debug] release rdds=${e.rdds.map(_._1).mkString(",")} " +
+          s"unpersist=$unpersistStorage targetNull=${e.targetRef.get == null} " +
+          s"thread=${Thread.currentThread().getName}")
+      try {
+        if (unpersistStorage) e.strongDf.orElse(Option(e.dfRef.get)) match {
+          case Some(df) => free(df)
+          case None =>
+            // Dataset collected but the release was EXPLICIT (consumer
+            // matched / releaseAllArmed): free via the weak handles that
+            // are still live (blocking, same race rationale as [[free]])
+            e.rdds.foreach { case (_, ref) =>
+              val r = ref.get
+              if (r != null && r.getStorageLevel != StorageLevel.NONE)
+                r.unpersist(blocking = true)
+            }
+        }
       } finally {
         e.spark.listenerManager.unregister(e.listener)
         registry.remove(e)
       }
     }
 
-  /** Release every armed-but-never-consumed entry whose ANALYZED PLAN has
-    * been garbage-collected, plus — when `ttlMs` is given — any
-    * INTACT-LINEAGE entry older than `ttlMs`. The abandoned test keys on
-    * the plan, not the Dataset wrapper: a caller routinely drops the
-    * wrapper while a derived DataFrame (`cp.select(...)`) still
-    * references the plan and will consume the blocks — the wrapper being
-    * collected is NOT abandonment, the plan being unreachable is (no
-    * future query can reference it).
+  private val debug = sys.env.contains("SCOPED_DEBUG")
+
+  /** UNREGISTER every armed-but-never-consumed entry whose ANALYZED PLAN
+    * has been garbage-collected, plus — when `ttlMs` is given — fully
+    * release any INTACT-LINEAGE entry older than `ttlMs`. The abandoned
+    * test keys on the plan, not the Dataset wrapper: a caller routinely
+    * drops the wrapper while a derived DataFrame (`cp.select(...)`)
+    * still references the plan and will consume the blocks.
+    *
+    * An abandoned entry's STORAGE is not touched here (r8): the plan
+    * object being collected does not prove no live plan reads the
+    * blocks — the analyzer clones self-referenced LogicalRDDs
+    * (DeduplicateRelations), so a running consumer can hold only clones
+    * of the armed plan. Since every handle to the RDD in this registry
+    * is weak and `sc.persistentRdds` is weak-valued, a truly abandoned
+    * checkpoint's RDD object becomes garbage with its plan, and the
+    * ContextCleaner GC-fires its unpersist natively — delegation, not
+    * leakage (ScopedSpec pins it).
     *
     * TTL fully releases ONLY entries with no checkpoint RDDs
     * (persist-backed or storage-free): their lineage is intact, so an
-    * early release can cost recomputation time, never correctness.
-    * Checkpoint-backed entries are freed on the GC criterion alone —
-    * truncated lineage cannot recompute, so TTL-freeing one under a live
-    * consumer would fail that query irrecoverably (ADVICE r5). The
-    * checkpoint+persist hybrid gets the split treatment: TTL releases
-    * its cache entry (lineage-safe) and drops the strong hold, after
-    * which the ordinary GC criterion can reap the checkpoint blocks —
-    * without this, such an entry would pin its own plan forever and be
-    * unreapable by either rule.
+    * early release can cost recomputation time, never correctness
+    * (ADVICE r5). The checkpoint+persist hybrid gets the split
+    * treatment: TTL releases its cache entry (lineage-safe) and drops
+    * the strong hold, after which the plan can be collected and the
+    * abandoned/ContextCleaner path takes over — without this, such an
+    * entry would pin its own plan forever and be unreapable.
     *
-    * Returns the number released. Runs automatically (GC criterion only)
-    * on every [[releaseAfterUse]] call, so a long-lived session that
-    * keeps arming new queries self-heals; call explicitly with a TTL for
-    * deterministic cleanup points. */
+    * Returns the number unregistered/released. Runs automatically (GC
+    * criterion only) on every [[releaseAfterUse]] call, so a long-lived
+    * session that keeps arming new queries self-heals; call explicitly
+    * with a TTL for deterministic cleanup points. */
   def sweep(ttlMs: Long = Long.MaxValue): Int = {
     val now = System.currentTimeMillis()
     var n = 0
@@ -180,7 +216,12 @@ object Scoped {
       else {
         val abandoned = e.targetRef.get == null
         val ttlOld = ttlMs != Long.MaxValue && now - e.armedAtMs > ttlMs
-        if (abandoned || (ttlOld && e.rdds.isEmpty)) { releaseEntry(e); n += 1 }
+        if (abandoned) {
+          // unregister ONLY — storage is the ContextCleaner's (see
+          // releaseEntry: cloned plans may still read the blocks)
+          releaseEntry(e, unpersistStorage = false); n += 1
+        }
+        else if (ttlOld && e.rdds.isEmpty) { releaseEntry(e); n += 1 }
         else if (ttlOld) e.strongDf.foreach { df =>
           // checkpoint+persist hybrid: release the recomputable cache
           // half now; unpinning the plan re-arms the GC criterion for
@@ -211,11 +252,13 @@ object Scoped {
     * consumer just recomputes.
     *
     * An armed checkpoint-backed DF that is never consumed does not pin
-    * its listener and blocks forever: the hook holds the Dataset/plan
-    * weakly, and once they are collected the next listener event or
-    * [[sweep]] frees the checkpoint blocks and unregisters. (A
-    * persist-backed DF is held strongly — its CacheManager entry has no
-    * Dataset-free release path — and is reaped by TTL [[sweep]] only.) */
+    * its listener forever: the hook holds the Dataset/plan/RDDs weakly,
+    * and once they are collected the next listener event or [[sweep]]
+    * unregisters the entry while the ContextCleaner reclaims the
+    * now-unreachable blocks (see [[sweep]] for why the entry must not
+    * unpersist them itself). (A persist-backed DF is held strongly — its
+    * CacheManager entry has no Dataset-free release path — and is reaped
+    * by TTL [[sweep]] only.) */
   def releaseAfterUse(dfs: DataFrame*): Unit = {
     dfs.foreach { df =>
       val rdds = checkpointRdds(df)
@@ -242,7 +285,8 @@ object Scoped {
       // structurally dead for an entry that owns no storage at all.
       val e = new Armed(df.sparkSession, new WeakReference(df),
         new WeakReference(df.queryExecution.analyzed),
-        rdds, System.currentTimeMillis(),
+        rdds.map(r => (r.id, new WeakReference[RDD[_]](r))),
+        System.currentTimeMillis(),
         strongDf = if (df.storageLevel != StorageLevel.NONE)
           Some(df) else None)
       val listener: QueryExecutionListener = new QueryExecutionListener {
@@ -254,12 +298,24 @@ object Scoped {
           }
           if (!MaterializeOnly.contains(funcName)) {
             e.targetRef.get match {
-              case null => releaseEntry(e) // abandoned — nothing can consume it now
+              case null =>
+                if (debug) System.err.println(
+                  s"[scoped-debug] abandoned-unregister rdds=${e.rdds.map(_._1).mkString(",")} " +
+                    s"on event func=$funcName qeId=${qe.id}")
+                // abandoned — unregister only; cloned plans may still
+                // read the blocks and the ContextCleaner owns truly
+                // unreachable storage (see releaseEntry)
+                releaseEntry(e, unpersistStorage = false)
               case target =>
                 val hit =
                   try qe.analyzed.exists(_.sameResult(target))
                   catch { case _: Throwable => false }
-                if (hit) releaseEntry(e)
+                if (hit) {
+                  if (debug) System.err.println(
+                    s"[scoped-debug] matched-release rdds=${e.rdds.map(_._1).mkString(",")} " +
+                      s"on event func=$funcName qeId=${qe.id}")
+                  releaseEntry(e)
+                }
             }
           }
         }

@@ -42,20 +42,29 @@ object Skew {
     * Replication cost is saltFactor× the small side's HOT rows only. */
   def saltedJoinHot(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, hotKeys: DataFrame): DataFrame = {
-    val hk = broadcast(hotKeys.select(col(key)).distinct()
-      .withColumn("__hot", lit(1)))
     val salt = pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor.toLong))
       .cast("int")
-    val salted = big.join(hk, Seq(key), "left")
+    val salted = big.join(hotMarker(hotKeys, key), Seq(key), "left")
       .withColumn("__salt", when(col("__hot").isNotNull, salt).otherwise(lit(0)))
       .drop("__hot")
-    val replicated = small.join(hk, Seq(key), "left")
+    salted.join(replicateHot(small, key, saltFactor, hotKeys), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  private def hotMarker(hotKeys: DataFrame, key: String): DataFrame =
+    broadcast(hotKeys.select(col(key)).distinct().withColumn("__hot", lit(1)))
+
+  /** The hot-replicated small side of [[saltedJoinHot]]: hot rows explode
+    * into saltFactor salted copies, cold rows keep the single salt-0 copy.
+    * Package-visible so SkewSpec can pin the replication bound directly
+    * (|small| + (saltFactor−1)·|hot rows|) instead of inferring it. */
+  private[graft] def replicateHot(small: DataFrame, key: String,
+      saltFactor: Int, hotKeys: DataFrame): DataFrame =
+    small.join(hotMarker(hotKeys, key), Seq(key), "left")
       .withColumn("__salt", explode(
         when(col("__hot").isNotNull, sequence(lit(0), lit(saltFactor - 1)))
           .otherwise(array(lit(0)))))
       .drop("__hot")
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
-  }
 
   /** Skew-safe exact collect_set: two-phase — collect within (key, salt)
     * buckets, then merge bucket sets per key. Catalyst's partial

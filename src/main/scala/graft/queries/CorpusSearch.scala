@@ -744,7 +744,18 @@ object CorpusSearch {
     * retrieval depth (hundreds). An RRF fused over top-K lists is the
     * textbook form — a doc outside BOTH lists cannot reach the fused
     * top-20 without rrf ≥ 1/(60+1) + 1/(60+K), which K ≫ 20 makes
-    * unreachable in practice (ApproxSpec pins the top-K invariants). */
+    * unreachable in practice (ApproxSpec pins the top-K invariants).
+    *
+    * SCOPE: this implementation is single-query (one probe term, one
+    * probe vector — the fixture's shape). The 1-row query/probe
+    * relations exist for the non-foldable partition key, not as a full
+    * batch API: a real multi-query batch would (a) replace each global
+    * `limit(K)` with `rank ≤ K` over the SAME partitioned window (Spark
+    * plans WindowGroupLimit — a distributed per-query top-K), and (b)
+    * fuse on (query_id, probe_id) pairs from a query table instead of
+    * this doc_id-only join. Both are mechanical once a query batch
+    * exists; the single-query TakeOrdered is the better plan for one
+    * query. */
   def hybridRrf(s: SparkSession, dir: String, topK: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._

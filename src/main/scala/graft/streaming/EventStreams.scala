@@ -233,15 +233,17 @@ object EventStreams {
     * window yields one verdict row per ingest instead of a silently
     * summed n_dup across both (ADVICE r7); two events with identical
     * (doc_id, ts) are byte-identical retransmissions, for which collapsing
-    * is the right answer. The discriminator is a CAST copy of ts (`event_us`)
-    * — grouping by the watermarked attribute itself would give the
-    * aggregate two event-time columns, which streaming rejects. */
+    * is the right answer. The discriminator is a MICROSECOND copy of ts
+    * (`unix_micros` — a plain long cast truncates to SECONDS and would
+    * re-collapse sub-second re-ingests); grouping by the watermarked
+    * attribute itself would give the aggregate two event-time columns,
+    * which streaming rejects. */
   def cdcChunkStream(docs: DataFrame, corpusChunks: DataFrame,
       horizon: String = "1 hour"): DataFrame = {
     val ch = graft.queries.DedupSim.cdcChunkHashArray(docs)
       .withWatermark("ts", horizon)
       .select(col("doc_id"), col("ts"),
-        col("ts").cast("long").as("event_us"),
+        unix_micros(col("ts")).as("event_us"),
         size(col("hs")).as("n_chunks"),
         explode_outer(col("hs")).as("h"))
     val idx = corpusChunks.select(col("h")).distinct().withColumn("dup", lit(1))

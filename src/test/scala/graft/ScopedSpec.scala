@@ -14,11 +14,21 @@ class ScopedSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values
       .count(_.getStorageLevel != StorageLevel.NONE)
 
-  /** The release listener fires asynchronously on the listener bus. */
+  /** The release listener fires asynchronously on the listener bus, and
+    * residual blocks may be CONTEXT-CLEANER-owned (an armed entry whose
+    * plan was collected mid-query delegates its storage to Spark's GC
+    * cleanup rather than risk unpersisting under a cloned-plan consumer —
+    * see Scoped.releaseEntry), so the poll applies real GC pressure to
+    * let those weak references clear. */
   private def awaitRelease(baseline: Int, timeoutMs: Long = 20000): Int = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    while (liveBlocks() > baseline && System.currentTimeMillis() < deadline)
-      Thread.sleep(50)
+    while (liveBlocks() > baseline && System.currentTimeMillis() < deadline) {
+      var garbage = new Array[Array[Long]](32)
+      var g = 0
+      while (g < 32) { garbage(g) = new Array[Long](1 << 16); g += 1 }
+      garbage = null
+      System.gc(); Thread.sleep(50)
+    }
     liveBlocks()
   }
 

@@ -61,13 +61,16 @@ class SkewSpec extends SparkSpec {
     val salts = skewed.withColumn("__salt",
         pmod(xxhash64(skewed.columns.map(col): _*), lit(8L)).cast("int"))
     assert(salts.filter(col("k") === 0).select("__salt").distinct().count() > 1)
-    // replication is confined to hot rows: the small side grows by
-    // (saltFactor - 1) × hot rows, not saltFactor × all rows
+    // replication bound, pinned on the ACTUAL replicated relation: the
+    // small side grows by (saltFactor - 1) × hot rows only — a cold row
+    // keeps its single salt-0 copy
     val hotRows = b2.filter(col("k") === 0).count()
-    val replicatedCount = b2.count() + (8 - 1) * hotRows
-    val joined = Skew.saltedJoinHot(skewed.limit(0), b2, "k", 8, hot)
-    assert(joined.count() === 0) // empty big side sanity
-    assert(replicatedCount < 8L * b2.count(), "cold keys must not replicate")
+    val rep = Skew.replicateHot(b2, "k", 8, hot)
+    assert(rep.count() === b2.count() + (8 - 1) * hotRows,
+      "hot rows must replicate saltFactor ways, cold rows exactly once")
+    val coldSalts = rep.filter(col("k") =!= 0)
+      .select("__salt").distinct().collect().map(_.getInt(0)).toSeq
+    assert(coldSalts === Seq(0), s"cold rows must stay in salt bucket 0, got $coldSalts")
   }
 
   test("saltedCollectSet == collect_set on hot-keyed data") {

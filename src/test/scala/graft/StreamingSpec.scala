@@ -287,9 +287,12 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, textA)).toDF("doc_id", "text"))
       .select(explode(col("hs")).as("h"))
     // same doc_id, same text (equal n_chunks — the r7 ADVICE collision
-    // case), two distinct ingest times inside one window
+    // case), two distinct ingest times inside one window and WITHIN ONE
+    // SECOND (a seconds-granularity discriminator would re-collapse them:
+    // cast(ts as long) truncates to seconds; the code must use micros)
+    val subSecond = new Timestamp(ts(0).getTime + 300L) // +300 ms
     val mem = MemoryStream[(Long, String, Timestamp)]
-    mem.addData((10L, textA, ts(0)), (10L, textA, ts(5)))
+    mem.addData((10L, textA, ts(0)), (10L, textA, subSecond))
     val q = EventStreams.cdcChunkStream(
       mem.toDF().toDF("doc_id", "text", "ts"), corpusIdx)
       .writeStream.format("memory").queryName("cdc_reingest")
