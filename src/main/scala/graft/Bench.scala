@@ -90,13 +90,25 @@ object Bench {
     * (fresh) JVM/session, before its timed pass. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Materialize the encoded-media fixtures for the timed scale point
+    // OUTSIDE any timed window (VERDICT r8 #1): first-touch generation
+    // (per-doc ImageIO encode) otherwise lands inside pass 1's q64/q106.
+    try graft.multimodal.MediaFixtures.ensureAll(spark, sfDir)
+    catch { case NonFatal(_) => () }
     Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001",
-      // q64 at the smallest sf: warms the REAL ImageIO encode+decode path
-      // on EXECUTOR task threads — the 8×8 driver-loop warm below still
-      // left 2 of 3 r7 child JVMs paying first-touch in the timed q64
-      // (per_run 3.29/3.71/1.59 s, VERDICT r7 #4); running the operator
-      // itself warms the exact closure + codec + Media encoder pipeline
-      "q64_image_roundtrip" -> "/root/testdata/sf0.001")
+      // q29 at sf0.01 (VERDICT r8 #4): the sf0.001 q25 warm left the
+      // first sf0.1 checkpoint-iteration query paying ~2x first-touch in
+      // pass 1 (r8 per_run 7.48/3.61/3.81 s) — shuffle + localCheckpoint
+      // at sf0.01 partition sizes warms the remaining cold path
+      "q29_pagerank_fixed10" -> "/root/testdata/sf0.01",
+      // the image family warms at the TIMED sf: one untimed run of each
+      // operator makes every pass uniformly warm. The r9 targeted bench
+      // showed the asymmetry concretely: the pass whose warmup GENERATED
+      // the fixtures (extra codec/JIT exercise) ran q64 in 1.56 s while
+      // the others ran 2.5 s — the sf0.001-only warm left the decode
+      // loop under-compiled for the 10x-larger timed input
+      "q64_image_roundtrip" -> sfDir,
+      "q106_image_ahash_dedup" -> sfDir)
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q)
           .foreach(fn => try fn(spark, dir).count() catch { case NonFatal(_) => () })
@@ -269,6 +281,29 @@ object Bench {
       (res, stats)
     }
 
+    // Warning-count gate (VERDICT r8 #2): the r8 wins — departitioned
+    // windows (121 → 32 `No Partition Defined` per pass; the residue is
+    // the two sanctioned bounded sites, see PlanSpec's whitelist) and the
+    // zeroed release race (`Asked to remove block`) — must not silently
+    // regress. Each child pass log is counted; a violation is reported in
+    // the output JSON AND fails the run (nonzero exit, after artifacts are
+    // written so the regression is diagnosable). Fallback in-process
+    // passes have no isolated log and skip the gate (pass_mode records it).
+    val SanctionedNpd = 32
+    val warnViolations = scala.collection.mutable.ArrayBuffer[String]()
+    def gateLog(tag: String, log: java.io.File): Unit = {
+      if (!log.isFile) return
+      val src = scala.io.Source.fromFile(log, "UTF-8")
+      val (npd, rb) =
+        try src.getLines().foldLeft((0, 0)) { case ((n, r), l) =>
+          (n + (if (l.contains("No Partition Defined")) 1 else 0),
+            r + (if (l.contains("Asked to remove block")) 1 else 0))
+        } finally src.close()
+      if (npd > SanctionedNpd)
+        warnViolations += s"$tag:unpartitioned-window $npd>$SanctionedNpd"
+      if (rb > 0) warnViolations += s"$tag:block-remove-race $rb>0"
+    }
+
     def runOnePass(dir: String, tag: String)
         : (Seq[(String, Double, Option[String])], Seq[(String, String)]) = {
       val out = java.io.File.createTempFile(s"bench_$tag", ".tsv")
@@ -276,6 +311,7 @@ object Bench {
       val ok = spawnPass(dir, out, log)
       val parsed = if (ok) readPass(out) else None
       out.delete()
+      if (parsed.isDefined) gateLog(tag, log)
       parsed.getOrElse {
         System.err.println(s"[bench] pass $tag: child JVM unusable (see ${log.getName}), " +
           "falling back to in-process fresh SparkSession")
@@ -361,6 +397,11 @@ object Bench {
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(t) => System.err.println(s"[bench] detail write failed: $t") }
 
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
+    val gate = warnViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
+    if (warnViolations.nonEmpty) {
+      System.err.println(s"[bench] WARNING GATE FAILED: ${warnViolations.mkString("; ")}")
+      sys.exit(3)
+    }
   }
 }

@@ -50,11 +50,16 @@ object Scoped {
     * `Asked to remove block rdd_N_M, which does not exist` per block.
     * Waiting for removal to complete before returning means any later
     * cleaner pass enumerates zero blocks and stays silent. The cost is
-    * one local RPC round-trip per release — for iterative loops that
-    * free a predecessor per round (PageRank, CC, the BPE trainer) that
-    * wait IS inside the timed query, measured negligible (r8 bench walls
-    * unchanged vs r7's non-blocking releases; q47 slightly faster).
-    * ScopedSpec pins the blocks-gone-on-return contract. */
+    * one local RPC round-trip per release — for the ITERATIVE-LOOP
+    * queries that free a predecessor per round (PageRank, CC, the BPE
+    * trainer) the r8 bench measured it negligible (walls unchanged vs
+    * r7's non-blocking releases; q47 slightly faster). That measurement
+    * does NOT extend to the r8 image family (q106 +140%, q64 +45% the
+    * same round — confounded with fixture synthesis in the timed region,
+    * bisected in r9 by moving generation into MediaFixtures): before
+    * defaulting a blocking release inside any new hot loop, verify the
+    * wait is actually negligible there. ScopedSpec pins the
+    * blocks-gone-on-return contract. */
   def free(df: DataFrame, blocking: Boolean = true): Unit = {
     checkpointRdds(df)
       .filter(_.getStorageLevel != StorageLevel.NONE)
@@ -151,8 +156,23 @@ object Scoped {
     * nothing strong holds the RDD object (this entry's handles are
     * weak, `sc.persistentRdds` is weak-valued), so the ContextCleaner
     * GC-fires its unpersist natively. */
+  /** The abandoned path DELEGATES storage reclamation to the
+    * ContextCleaner; if reference tracking is disabled
+    * (`spark.cleaner.referenceTracking=false`) there is no cleaner and
+    * abandoned checkpoint blocks would silently leak (ADVICE r8). Warned
+    * once per JVM so the delegation assumption is visible. */
+  private val cleanerWarned = new AtomicBoolean(false)
+  private def warnIfNoCleaner(e: Armed): Unit =
+    if (!e.spark.sparkContext.getConf.getBoolean(
+        "spark.cleaner.referenceTracking", defaultValue = true) &&
+        cleanerWarned.compareAndSet(false, true))
+      System.err.println("[scoped] spark.cleaner.referenceTracking is OFF: " +
+        "abandoned checkpoint storage has no release path (the abandoned " +
+        "unregister delegates to the ContextCleaner) — blocks may leak")
+
   private def releaseEntry(e: Armed, unpersistStorage: Boolean = true): Unit =
     if (e.done.compareAndSet(false, true)) {
+      if (!unpersistStorage) warnIfNoCleaner(e)
       if (debug) System.err.println(
         s"[scoped-debug] release rdds=${e.rdds.map(_._1).mkString(",")} " +
           s"unpersist=$unpersistStorage targetNull=${e.targetRef.get == null} " +

@@ -116,31 +116,17 @@ object MultimodalQ {
         true AS decoded
         FROM documents ORDER BY media_id""")),
 
-    // ---- REAL codec round-trip through the gate: executors ENCODE a
-    // deterministic PNG per document (JDK ImageIO), imageStats DECODES it
-    // back, and the oracle predicts the decoded dimensions/channels purely
-    // from the metadata formula — if the real decode path broke, the gate
-    // would catch it. (mean_luma is validated in MultimodalSpec instead:
-    // its repeated-addition accumulation is a rounding-tie hazard across
-    // engines.)
+    // ---- REAL codec round-trip through the gate: the fixture holds a
+    // deterministic PNG per document (JDK-ImageIO-encoded ONCE at fixture
+    // materialization — generation is ingest, not the operator; VERDICT r8
+    // #1), imageStats DECODES it back, and the oracle predicts the decoded
+    // dimensions/channels purely from the metadata formula — if the real
+    // decode path broke, the gate would catch it. (mean_luma is validated
+    // in MultimodalSpec instead: its repeated-addition accumulation is a
+    // rounding-tie hazard across engines.)
     ("q64_image_roundtrip",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
-          .map { id =>
-            val w = (id % 64 + 8).toInt
-            val h = (id % 48 + 8).toInt
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val rgb = ((id * 2654435L) % 0x1000000L).toInt
-            var y = 0
-            while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Multimodal.Media(id, "image",
-              Multimodal.MediaMeta(w, h, 3, 0, 0), bos.toByteArray)
-          }
+        val media = graft.multimodal.MediaFixtures.imagePng(s, dir)
         Multimodal.imageStats(s, media)
           .toDF()
           .select(col("media_id"), col("width"), col("height"),
@@ -157,48 +143,20 @@ object MultimodalQ {
     // image twin of q34's simhash text pairs — the dedup modality a 100 TB
     // multimodal corpus needs (re-encoded/resized copies of the same image
     // hash to nearby aHashes; exact byte-dedup misses them). The REAL path
-    // runs end-to-end on executors: encode a deterministic 8×8 grayscale
-    // PNG per doc (ImageIO), DECODE it back, box-downsample, mean-threshold
-    // to the 64-bit aHash (4×16-bit blocks). Pairing is blocked, never
-    // all-pairs: pigeonhole on the 4 blocks (distance ≤ 3 ⇒ one intact
-    // block), equi-join per block, verify bit_count on candidates — q34's
-    // scale shape exactly. Near-dup pairs are PLANTED (q30/q36 discipline):
-    // every doc_id % 37 == 0 gets an id-shifted copy with pixel (0,0)
-    // nudged +1, so the gate verifies non-empty output. The oracle predicts
-    // every pixel from the generation arithmetic (md5-derived gray values,
-    // pure integer), so a broken encode, decode, downsample, or threshold
-    // fails the hash gate.
+    // runs end-to-end on executors: DECODE the fixture's 8×8 grayscale PNG
+    // per doc (encoded once at fixture materialization — see MediaFixtures,
+    // VERDICT r8 #1), box-downsample, mean-threshold to the 64-bit aHash
+    // (4×16-bit blocks). Pairing is blocked, never all-pairs: pigeonhole on
+    // the 4 blocks (distance ≤ 3 ⇒ one intact block), equi-join per block,
+    // verify bit_count on candidates — q34's scale shape exactly. Near-dup
+    // pairs are PLANTED (q30/q36 discipline): every doc_id % 37 == 0 has an
+    // id-shifted copy with pixel (0,0) nudged +1, so the gate verifies
+    // non-empty output. The oracle predicts every pixel from the generation
+    // arithmetic (md5-derived gray values, pure integer), so a broken
+    // encode, decode, downsample, or threshold fails the hash gate.
     ("q106_image_ahash_dedup",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-        val ids = docs
-          .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
-            lit(0).as("perturb"))
-          .unionByName(docs.filter(col("doc_id") % 37 === 0)
-            .select((col("doc_id") + 10000000L).as("media_id"),
-              col("doc_id").as("src_id"), lit(1).as("perturb")))
-          .as[(Long, Long, Int)]
-        val media = ids.map { case (mid, sid, pert) =>
-          val h = Multimodal.md5Hash32(s"img:$sid".getBytes("UTF-8"))
-          val img = new java.awt.image.BufferedImage(8, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val base = (((h >> (8 * ((x + y) % 4))) + 13 * x + 31 * y) % 256).toInt
-              val g = if (pert == 1 && x == 0 && y == 0) (base + 1) % 256 else base
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Multimodal.Media(mid, "image", Multimodal.MediaMeta(8, 8, 3, 0, 0),
-            bos.toByteArray)
-        }
+        val media = graft.multimodal.MediaFixtures.ahashPng(s, dir)
         val ah = Multimodal.imageAHash(s, media).toDF().localCheckpoint()
         graft.core.Scoped.releaseAfterUse(ah)
         // decode failures hash to (0,0,0,0); without this filter they would

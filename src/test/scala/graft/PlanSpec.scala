@@ -213,11 +213,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sanctioned unpartitioned-window whitelist: exactly the two bounded sites") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // The bench gate (Bench.scala) asserts <= 32 `No Partition Defined`
+    // warnings per pass; this is its code-level anchor (VERDICT r8 #6).
+    // Exactly TWO sites are sanctioned, each with an in-code comment
+    // naming the bound that makes a single partition safe:
+    //   - q70 day-level cumsum (queries/Events.scala): input is the
+    //     per-DAY aggregate, bounded by calendar days;
+    //   - q67 vertex-rank (graph/Triangles.scala): input is the VERTEX
+    //     set, orders of magnitude smaller than the edge set that scales.
+    // Each must plan exactly ONE unpartitioned window — a second node
+    // appearing in either query, or a new site in any other query, is a
+    // regression (caught there by the departitioned-family test above
+    // and the bench-log gate).
+    def count(name: String): Int =
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+    assert(count("q70_cumulative_users") === 1,
+      "q70 must have exactly its one sanctioned day-level window")
+    assert(count("q67_triangle_count") === 1,
+      "q67 must have exactly its one sanctioned vertex-rank window")
+  }
+
   test("q113/q121: top-k candidate lists plan as distributed TakeOrdered, not global sort+rank") {
     assert(plan("q113_hybrid_rrf").contains("TakeOrderedAndProject"),
       "per-retriever top-K must be a TakeOrdered")
     assert(plan("q121_bitext_margin").contains("TakeOrderedAndProject"),
       "margin top-20 must be a TakeOrdered")
+  }
+
+  test("q124: sweep configs share their expensive intermediates (computed once)") {
+    // The six-config sketch sweep promises its quadratic/corpus-pass
+    // intermediates are computed ONCE and every config derives map-only
+    // (VERDICT r8 #5). In the plan that sharing is visible two ways:
+    // (1) every document-derived side is a CHECKPOINT leaf (LogicalRDD),
+    //     so the analyzed tree contains ZERO `documents` parquet scans —
+    //     a future edit that recomputes shingles/exact/simhash per row
+    //     would reintroduce one scan per recomputation;
+    // (2) the checkpoint leaves collapse to at most 5 DISTINCT rdds
+    //     (exact ground truth, minhash table, simhash candidates, exact
+    //     top-10, SRP index) while appearing many times across the six
+    //     union branches — same id referenced, not recomputed.
+    import org.apache.spark.sql.execution.LogicalRDD
+    val df = SparkEntry.queries("q124_sketch_eval")(spark, dir)
+    val analyzed = df.queryExecution.analyzed
+    val docScans = analyzed.collectLeaves().count(_.toString.contains("documents"))
+    assert(docScans === 0,
+      s"q124 re-reads documents $docScans time(s) — an intermediate is being recomputed")
+    val rddLeaves = analyzed.collectLeaves().collect { case l: LogicalRDD => l.rdd.id }
+    val distinct = rddLeaves.distinct.size
+    assert(distinct <= 5,
+      s"expected <= 5 shared checkpoint intermediates, got $distinct")
+    assert(rddLeaves.size > distinct,
+      "checkpoint leaves are not shared across branches — each appears once")
   }
 
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
