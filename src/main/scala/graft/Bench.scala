@@ -94,7 +94,15 @@ object Bench {
     // OUTSIDE any timed window (VERDICT r8 #1): first-touch generation
     // (per-doc ImageIO encode) otherwise lands inside pass 1's q64/q106.
     try graft.multimodal.MediaFixtures.ensureAll(spark, sfDir)
-    catch { case NonFatal(_) => () }
+    catch {
+      case NonFatal(e) =>
+        // ADVICE r9 #4: surface the failure in the pass log — a silent
+        // skip pushes fixture generation back inside timed q64/q106 (the
+        // exact r8 regression) with nothing to explain the skew
+        System.err.println(
+          s"[bench] WARMUP: MediaFixtures.ensureAll($sfDir) FAILED — " +
+            s"fixture generation will land inside timed q64/q106: $e")
+    }
     Seq("q01_pricing_summary" -> sfDir, "q25_pagerank" -> "/root/testdata/sf0.001",
       // q29 at sf0.01 (VERDICT r8 #4): the sf0.001 q25 warm left the
       // first sf0.1 checkpoint-iteration query paying ~2x first-touch in

@@ -34,8 +34,22 @@ object MediaFixtures {
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_MEDIA_CACHE", "fixture_cache/media")
 
-  private def keyOf(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Cache key: sanitized sfDir path PLUS a content fingerprint of the
+    * source `documents` table (row count + max doc_id) — if the testdata
+    * at the same path is ever regenerated with different ids/counts, the
+    * key changes and fixtures regenerate instead of silently serving a
+    * stale corpus (ADVICE r9 #2). The fingerprint agg is computed once
+    * per (JVM, sfDir) — the bench warmup's `ensureAll` absorbs it, so no
+    * timed region pays the probe scan. */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def keyOf(spark: SparkSession, sfDir: String): String = {
+    val fp = fpCache.computeIfAbsent(sfDir, { _ =>
+      val r = Tables.load(spark, sfDir, "documents")
+        .agg(count(lit(1)), max(col("doc_id"))).head
+      s"${r.getLong(0)}-${r.getLong(1)}"
+    })
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + fp
+  }
 
   private val lock = new Object
 
@@ -45,27 +59,42 @@ object MediaFixtures {
     * fixture is never observed. */
   private def ensure(spark: SparkSession, sfDir: String, name: String)(
       gen: => Dataset[Multimodal.Media]): String = lock.synchronized {
-    val dir = Paths.get(cacheRoot, keyOf(sfDir), name + ".parquet")
+    val dir = Paths.get(cacheRoot, keyOf(spark, sfDir), name + ".parquet")
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       val tmp = dir.resolveSibling(
         name + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       gen.write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.FileSystemException if Files.exists(dir) =>
-          // lost a cross-JVM race — the winner's copy is equivalent
-          // (deterministic generation); drop ours
-          deleteRecursively(tmp)
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.FileSystemException) =>
+          // Probe the MARKER, not the directory (ADVICE r9 #3): a dir
+          // without _SUCCESS is a partial/corrupt leftover, not a race
+          // winner — retrying against it would regenerate-and-discard
+          // forever while serving the unvalidated dir.
+          if (Files.exists(dir.resolve("_SUCCESS"))) {
+            // lost a cross-JVM race — the winner's copy is equivalent
+            // (deterministic generation); drop ours
+            deleteRecursively(tmp)
+          } else {
+            deleteRecursively(dir)
+            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Throwable => deleteRecursively(tmp); throw e }
+          }
       }
     }
     dir.toString
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close() // ADVICE r9 #5: unclosed walk leaks a dir handle
+      paths.foreach(Files.delete)
+    }
   }
 
   /** q64 fixture: one deterministic solid-color PNG per document
