@@ -47,10 +47,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events stores TIMESTAMP(NANOS); the vectorized reader needs the
-      // legacy conf to surface it as LongType nanoseconds (set once here,
-      // not per-query — catalog lambdas must not mutate session conf)
+      // ns-as-long support if a TIMESTAMP(NANOS) events fixture returns
+      // (encoding has flipped across regenerations; harmless on µs files)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pin (ADVICE r10): Tables.epochMicros's NTZ branch and the
+      // calendar functions in q50 must not depend on the host timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,9 @@ object Cli {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pin (ADVICE r10): timestamp-epoch arithmetic and calendar
+      // rendering must not depend on the host timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

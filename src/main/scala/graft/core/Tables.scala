@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-provided fixtures (TESTDATA.md).
   *
@@ -17,4 +19,32 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Microsecond-epoch column for a timestamp whose PHYSICAL parquet
+    * encoding varies across fixture generations (VERDICT r10 #1):
+    *
+    *  - TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    arrives as LongType nanoseconds → `ts div 1000` (truncation,
+    *    identical to DuckDB's internal ns→us conversion);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ → cast to TimestampType (identity on the stored
+    *    micros under the UTC session every entry point pins) →
+    *    `unix_micros`;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true) arrives as TimestampType
+    *    → `unix_micros` directly (timezone-independent by definition).
+    *
+    * All three paths yield the same integer for the same stored instant,
+    * so query results are bit-identical across fixture regenerations.
+    * Sessions must pin `spark.sql.session.timeZone=UTC` (all builders do)
+    * for the NTZ branch; the other two branches are TZ-independent.
+    */
+  def epochMicros(df: DataFrame, colName: String = "ts"): Column =
+    df.schema(colName).dataType match {
+      case LongType         => expr(s"`$colName` div 1000")
+      case TimestampType    => unix_micros(col(colName))
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"unsupported timestamp encoding for column `$colName`: $other " +
+          "(expected LongType nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
 }

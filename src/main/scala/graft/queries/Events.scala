@@ -11,10 +11,11 @@ import graft.core.Tables
   * with MemoryStream): tumbling-window rollup, gap-based sessionization,
   * JSON extraction, as-of join, interval self-join.
   *
-  * All timestamps are compared as microsecond epochs (`unix_micros` /
-  * `epoch_us`) — both engines truncate the parquet ns-precision column to
-  * micros, so the integers agree exactly. Window frames are ordered by
-  * (ts, event_id) so ties cannot make frames nondeterministic.
+  * All timestamps are compared as microsecond epochs (`Tables.epochMicros`
+  * on the Spark side / `epoch_us` in the DuckDB oracle) — whatever the
+  * fixture's physical parquet encoding (ns-as-long or µs), both engines
+  * see the same integers. Window frames are ordered by (ts, event_id) so
+  * ties cannot make frames nondeterministic.
   */
 object Events {
   type Q = (SparkSession, String) => DataFrame
@@ -22,18 +23,20 @@ object Events {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
-    * the column arrives as LongType nanoseconds. That conf must be set in
-    * the SESSION BUILDER (Bench/Verify/Cli and the test base all do) — a
-    * query function must not mutate session conf as a side effect.
-    * `us = ts div 1000` truncates exactly like DuckDB's internal ns→us
-    * conversion, so epochs agree bit-for-bit. A `ts_utc` TimestampType
-    * column is derived for calendar functions. */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  /** The events fixture's `ts` physical encoding has varied across driver
+    * regenerations — TIMESTAMP(NANOS) (arriving as LongType ns under
+    * `spark.sql.legacy.parquet.nanosAsLong`, which the session builders
+    * still set for that case) and TIMESTAMP(MICROS) (arriving as
+    * TIMESTAMP_NTZ). `Tables.epochMicros` branches on the ARRIVED
+    * dataType, so every query below sees the same `us` microsecond epoch
+    * regardless of the fixture generation (VERDICT r10 #1). A `ts_utc`
+    * TimestampType column is derived for calendar functions; sessions pin
+    * UTC so calendar rendering is host-independent. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(s, dir, "events")
+    raw.withColumn("us", Tables.epochMicros(raw, "ts"))
+      .withColumn("ts_utc", timestamp_micros(col("us")))
+  }
 
   private val SessionGapUs = 1800000000L // 30 min
 

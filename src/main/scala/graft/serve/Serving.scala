@@ -38,10 +38,12 @@ object Serving {
 
   /** Register every fixture table plus a `docs`-derived view so the plain
     * SQL entry path (`spark.sql(...)`) works over the engine's data.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
-    * (events stores TIMESTAMP(NANOS), which the vectorized reader rejects
-    * otherwise); set it in the session builder, as Bench/Verify/Cli do —
-    * mutating conf here would be a surprise side effect for callers. */
+    * Session builders still set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * — harmless on the current µs-encoded events fixture, required if a
+    * TIMESTAMP(NANOS) generation returns (the encoding has flipped across
+    * driver regenerations; see Tables.epochMicros). Set it in the session
+    * builder, as Bench/Verify/Cli do — mutating conf here would be a
+    * surprise side effect for callers. */
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     graft.core.Tables.names.foreach { name =>
       spark.read.parquet(s"$sfDir/$name.parquet").createOrReplaceTempView(name)

@@ -64,9 +64,11 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(dir.toString).schema
+    // encoding-adaptive, same as the batch loader (VERDICT r10 #1): the
+    // fixture has shipped as both ns-as-long and µs-timestamp
     def withTs(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+        .timestamp_micros(graft.core.Tables.epochMicros(df, "ts")))
     val stream = withTs(spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStreams.hourlyRollup(stream)
       .writeStream.format("memory").queryName("file_hourly")
