@@ -143,6 +143,28 @@ object Bench {
     clearStorage(spark)
   }
 
+  /** Fixed-cost host-noise sentinel (VERDICT r10 #2): a codegen'd,
+    * CPU-bound, memory-light aggregate whose wall time depends only on the
+    * CPU actually available to this JVM — external load (another tenant,
+    * the driver's own verify run) inflates it in direct proportion. Runs
+    * WARM (after warmup), 3 reps, median. The r10 bench averaged passes
+    * taken under a 2–10x contention window into garbage medians with
+    * nothing in-band to say so; the parent now compares each pass's
+    * sentinel against the best pass and NAMES noisy passes instead of
+    * silently averaging them. */
+  private def sentinel(spark: SparkSession): Double = {
+    // ~1 s warm on an idle 32-thread host: large enough that scheduler
+    // jitter is <10% of the reading (a 0.2 s probe swung 1.5x idle-to-idle
+    // and would false-positive the 2x threshold), small enough to cost
+    // ~3 s per multi-minute pass
+    val reps = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 30).selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    reps.sorted.apply(1)
+  }
+
   /** One timed pass over the whole catalog at `dir`: name → (seconds,
     * error). A crashed query must be visible, not disguised as a fast
     * success. Query failures catch Throwable deliberately: a single
@@ -195,6 +217,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = buildSession()
     warmup(spark, sfDir)
+    val sent = sentinel(spark)
     val t0 = System.nanoTime()
     val res = pass(spark, sfDir)
     val wall = (System.nanoTime() - t0) / 1e9
@@ -202,7 +225,8 @@ object Bench {
     res.foreach { case (name, sec, err) =>
       sb ++= s"Q\t$name\t${err.fold(sec3(sec))(e => "ERR:" + e)}\n"
     }
-    jvmStats(wall).foreach { case (k, v) => sb ++= s"J\t$k\t$v\n" }
+    (("sentinel_s" -> sec3(sent)) +: jvmStats(wall))
+      .foreach { case (k, v) => sb ++= s"J\t$k\t$v\n" }
     sb ++= "DONE\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -284,9 +308,11 @@ object Bench {
       fallbackUsed = true
       val spark = buildSession()
       warmup(spark, dir)
+      val sent = sentinel(spark)
       val t0 = System.nanoTime()
       val res = pass(spark, dir)
-      val stats = jvmStats((System.nanoTime() - t0) / 1e9)
+      val stats = ("sentinel_s" -> sec3(sent)) +:
+        jvmStats((System.nanoTime() - t0) / 1e9)
       spark.stop()
       (res, stats)
     }
@@ -340,10 +366,40 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+
+    // Host-noise adjudication (VERDICT r10 #2): a pass whose fixed-cost
+    // sentinel ran >2x slower than the best pass's was taken under external
+    // load — its query times measure the contention, not the code. Such
+    // passes are NAMED in the output and EXCLUDED from medians as long as
+    // at least one clean pass remains; if every pass is noisy there is
+    // nothing better to fall back to, so all are kept and all are named
+    // (a reader sees "noisy":["pass1","pass2","pass3"] and distrusts the
+    // round, which is exactly the in-band marker r10 lacked).
+    val sentinels = passesFull.map(_._2.collectFirst {
+      case ("sentinel_s", v) => v.toDouble
+    }.getOrElse(Double.NaN))
+    val noisyIdx: Set[Int] = sentinels.filterNot(_.isNaN).minOption match {
+      case Some(best) if best > 0 =>
+        sentinels.zipWithIndex.collect {
+          case (s, i) if !s.isNaN && s > 2 * best => i
+        }.toSet
+      case _ => Set.empty
+    }
+    val noisyTags = noisyIdx.toSeq.sorted.map(i => s"pass${i + 1}")
+    if (noisyTags.nonEmpty)
+      System.err.println(s"[bench] host-noise sentinel flagged: " +
+        noisyTags.mkString(",") + s" (sentinels=${sentinels.map(sec3).mkString(",")})")
+    val cleanPasses =
+      if (noisyIdx.nonEmpty && noisyIdx.size < passes.size)
+        passes.zipWithIndex.collect { case (p, i) if !noisyIdx(i) => p }
+      else passes
+
+    // medians over CLEAN passes only; errors surface from ANY pass (an
+    // AnalysisException is a code defect regardless of host load)
     val results = names.map { name =>
-      val times = passes.flatMap(_.collect { case (`name`, sec, None) => sec })
+      val times = cleanPasses.flatMap(_.collect { case (`name`, sec, None) => sec })
       val errs = passes.flatMap(_.collect { case (`name`, _, Some(e)) => e })
-      if (errs.nonEmpty) (name, None, errs.headOption)
+      if (errs.nonEmpty || times.isEmpty) (name, None, errs.headOption.orElse(Some("NoCleanPass")))
       else (name, Some(median(times)), None)
     }
 
@@ -400,7 +456,8 @@ object Bench {
       val jvm = passesFull.map { case (_, stats) => fmt(stats) }
         .mkString("[", ",", "]")
       val jvm2 = fmt(pass2Jvm)
-      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
+      val noisyJson = noisyTags.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","noisy_passes":$noisyJson,"median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -408,7 +465,8 @@ object Bench {
     catch { case NonFatal(t) => System.err.println(s"[bench] detail write failed: $t") }
 
     val gate = warnViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
+    val noisy = noisyTags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
     if (warnViolations.nonEmpty) {
       System.err.println(s"[bench] WARNING GATE FAILED: ${warnViolations.mkString("; ")}")
       sys.exit(3)
