@@ -152,17 +152,30 @@ object Bench {
     * nothing in-band to say so; the parent now compares each pass's
     * sentinel against the best pass and NAMES noisy passes instead of
     * silently averaging them. */
-  private def sentinel(spark: SparkSession): Double = {
+  private def sentinel(spark: SparkSession): (Double, Double) = {
     // ~1 s warm on an idle 32-thread host: large enough that scheduler
     // jitter is <10% of the reading (a 0.2 s probe swung 1.5x idle-to-idle
     // and would false-positive the 2x threshold), small enough to cost
     // ~3 s per multi-minute pass
-    val reps = (1 to 3).map { _ =>
+    val cpuReps = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(1L << 30).selectExpr("sum(id * (id % 7))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    reps.sorted.apply(1)
+    // The CPU probe alone missed the r11 contention window: iterative /
+    // shuffle-heavy queries ran 4-10x slow while `range().sum` stayed
+    // within 1.5x — the contended resource was shuffle/checkpoint I/O and
+    // task scheduling, not CPU. This probe forces a real hash exchange
+    // (~64 MB of shuffle files written + read back) so disk-side
+    // contention shows up in-band too.
+    val shReps = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(8L * 1000 * 1000)
+        .repartition(64, org.apache.spark.sql.functions.col("id"))
+        .selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (cpuReps.sorted.apply(1), shReps.sorted.apply(1))
   }
 
   /** One timed pass over the whole catalog at `dir`: name → (seconds,
@@ -217,7 +230,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = buildSession()
     warmup(spark, sfDir)
-    val sent = sentinel(spark)
+    val (sentCpu, sentSh) = sentinel(spark)
     val t0 = System.nanoTime()
     val res = pass(spark, sfDir)
     val wall = (System.nanoTime() - t0) / 1e9
@@ -225,7 +238,7 @@ object Bench {
     res.foreach { case (name, sec, err) =>
       sb ++= s"Q\t$name\t${err.fold(sec3(sec))(e => "ERR:" + e)}\n"
     }
-    (("sentinel_s" -> sec3(sent)) +: jvmStats(wall))
+    (Seq("sentinel_s" -> sec3(sentCpu), "sentinel_shuffle_s" -> sec3(sentSh)) ++ jvmStats(wall))
       .foreach { case (k, v) => sb ++= s"J\t$k\t$v\n" }
     sb ++= "DONE\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -308,10 +321,11 @@ object Bench {
       fallbackUsed = true
       val spark = buildSession()
       warmup(spark, dir)
-      val sent = sentinel(spark)
+      val (sentCpu, sentSh) = sentinel(spark)
       val t0 = System.nanoTime()
       val res = pass(spark, dir)
-      val stats = ("sentinel_s" -> sec3(sent)) +:
+      val stats = Seq("sentinel_s" -> sec3(sentCpu),
+        "sentinel_shuffle_s" -> sec3(sentSh)) ++
         jvmStats((System.nanoTime() - t0) / 1e9)
       spark.stop()
       (res, stats)
@@ -375,20 +389,29 @@ object Bench {
     // nothing better to fall back to, so all are kept and all are named
     // (a reader sees "noisy":["pass1","pass2","pass3"] and distrusts the
     // round, which is exactly the in-band marker r10 lacked).
-    val sentinels = passesFull.map(_._2.collectFirst {
-      case ("sentinel_s", v) => v.toDouble
+    def sentinelsOf(key: String): Seq[Double] = passesFull.map(_._2.collectFirst {
+      case (`key`, v) => v.toDouble
     }.getOrElse(Double.NaN))
-    val noisyIdx: Set[Int] = sentinels.filterNot(_.isNaN).minOption match {
-      case Some(best) if best > 0 =>
-        sentinels.zipWithIndex.collect {
-          case (s, i) if !s.isNaN && s > 2 * best => i
-        }.toSet
-      case _ => Set.empty
-    }
+    // Two independent probes (CPU-bound, shuffle-I/O-bound): a pass is
+    // noisy when EITHER ran >2x its best-pass value — contention on either
+    // resource invalidates the pass's query times.
+    def noisyBy(sents: Seq[Double]): Set[Int] =
+      sents.filterNot(_.isNaN).minOption match {
+        case Some(best) if best > 0 =>
+          sents.zipWithIndex.collect {
+            case (s, i) if !s.isNaN && s > 2 * best => i
+          }.toSet
+        case _ => Set.empty
+      }
+    val sentinels = sentinelsOf("sentinel_s")
+    val sentinelsSh = sentinelsOf("sentinel_shuffle_s")
+    val noisyIdx: Set[Int] = noisyBy(sentinels) ++ noisyBy(sentinelsSh)
     val noisyTags = noisyIdx.toSeq.sorted.map(i => s"pass${i + 1}")
     if (noisyTags.nonEmpty)
       System.err.println(s"[bench] host-noise sentinel flagged: " +
-        noisyTags.mkString(",") + s" (sentinels=${sentinels.map(sec3).mkString(",")})")
+        noisyTags.mkString(",") +
+        s" (cpu=${sentinels.map(sec3).mkString(",")}" +
+        s" shuffle=${sentinelsSh.map(sec3).mkString(",")})")
     val cleanPasses =
       if (noisyIdx.nonEmpty && noisyIdx.size < passes.size)
         passes.zipWithIndex.collect { case (p, i) if !noisyIdx(i) => p }
