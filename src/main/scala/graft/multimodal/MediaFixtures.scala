@@ -162,11 +162,35 @@ object MediaFixtures {
     spark.read.parquet(path).as[Multimodal.Media]
   }
 
+  /** q125 fixture: one MJPEG AVI per document — frames = id%5+2 real
+    * ImageIO-encoded JPEG frames of w = 16·(id%3+1) × h = 16·(id%2+1),
+    * each a solid color from `Multimodal.frameRgb(id, frame)` — encoded
+    * once at materialization time (encode is ingest, decode is the
+    * operator under test). */
+  def mjpegAvi(spark: SparkSession, sfDir: String): Dataset[Multimodal.Media] = {
+    import spark.implicits._
+    val path = ensure(spark, sfDir, "mjpeg_avi") {
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .map { id =>
+          val frames = (id % 5 + 2).toInt
+          val w = (16 * (id % 3 + 1)).toInt
+          val h = (16 * (id % 2 + 1)).toInt
+          Multimodal.Media(id, "video",
+            Multimodal.MediaMeta(w, h, 0, 0, frames),
+            Multimodal.synthMjpegAvi(frames, w, h, 40000, id))
+        }
+    }
+    spark.read.parquet(path).as[Multimodal.Media]
+  }
+
   /** Pre-materialize every fixture for `sfDir` — the bench warmup calls
     * this so generation cost can never land inside a timed query. */
   def ensureAll(spark: SparkSession, sfDir: String): Unit = {
     imagePng(spark, sfDir)
     ahashPng(spark, sfDir)
+    mjpegAvi(spark, sfDir)
     ()
   }
 }

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * [[imageStats]]; Spark's native `format("image")` source also works,
   * spark-mllib ships in the environment). AUDIO decode is REAL too
   * (javax.sound.sampled is JDK-builtin: WAV/AIFF/AU → true sample rate,
-  * channels, frame count — see [[audioStats]]). Only VIDEO decode is a
-  * STUB — the JDK ships no video codec — as a deterministic md5-seeded
-  * fake, clearly marked below; swapping in a real codec changes one
-  * function body and nothing about the plan.
+  * channels, frame count — see [[audioStats]]). VIDEO is real at the
+  * container level (RIFF/AVI walker, [[videoContainerStats]]) and at the
+  * PIXEL level for the MJPEG codec class ([[videoFrameStats]] — each
+  * frame chunk is a complete JPEG, which javax.imageio decodes); only
+  * inter-frame codecs (H.264 etc.) remain a deterministic md5-seeded
+  * STUB, clearly marked below — the JDK ships no decoder for them, and
+  * swapping one in changes one function body and nothing about the plan.
   *
   * Scale notes (100 TB of media): payload bytes dominate, so every operator
   * prunes to (media_id, bytes-needed-or-not) as early as possible; metadata
@@ -383,7 +386,8 @@ object Multimodal {
 
   // ======================================================================
   // REAL AVI CONTAINER (RIFF) — video container metadata without a codec.
-  // The JDK ships no video PIXEL decoder (that path stays stubbed above),
+  // The JDK ships no general video PIXEL decoder (the non-MJPEG path stays
+  // stubbed above; MJPEG pixel decode is real — see videoFrameStats below),
   // but the CONTAINER level — RIFF('AVI ' LIST('hdrl' avih) LIST('movi'
   // frame chunks)) — is plain byte structure, so the writer and the
   // chunk-walking parser below are real: a malformed header, a wrong
@@ -462,7 +466,8 @@ object Multimodal {
           val listEnd = math.min(off + 8L + len, end.toLong).toInt
           while (p + 8 <= listEnd) {
             val clen = readLe32(bytes, p + 4)
-            if (cc(bytes, p) == "00db") frames += 1
+            val fid = cc(bytes, p) // 00db uncompressed, 00dc compressed (MJPEG)
+            if (fid == "00db" || fid == "00dc") frames += 1
             p += 8 + clen + (clen % 2)
           }
         }
@@ -470,6 +475,121 @@ object Multimodal {
       off += 8 + len + (len % 2)
     }
     info.map { case (us, tf, w, h) => AviInfo(us, tf, w, h, frames) }
+  }
+
+  // ======================================================================
+  // REAL video PIXEL decode — for the MJPEG codec class. An MJPEG AVI is
+  // the RIFF container above with each movi chunk holding a complete JPEG
+  // image, and the JDK's ImageIO decodes JPEG — so for this codec family
+  // the frame-pixel path needs no stub: container walk → per-frame JPEG
+  // decode → true dimensions and pixel stats (q125). Codecs with
+  // inter-frame prediction (H.264 etc.) stay stubbed: the JDK ships no
+  // decoder for them, and faking motion compensation would be noise.
+  // ======================================================================
+
+  /** Write a well-formed MJPEG AVI: the [[synthAvi]] container shape with
+    * one real ImageIO-encoded JPEG per frame ('00dc' compressed chunks),
+    * each a solid color derived from (seed, frame index) so tests can
+    * predict decoded pixels to within JPEG quantization error. */
+  def synthMjpegAvi(frames: Int, width: Int, height: Int, usPerFrame: Int,
+      seed: Long): Array[Byte] = {
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, usPerFrame); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    le32(avih, frames); le32(avih, 0); le32(avih, 1); le32(avih, 0)
+    le32(avih, width); le32(avih, height)
+    (0 until 4).foreach(_ => le32(avih, 0))
+    val hdrl = new java.io.ByteArrayOutputStream()
+    fourCC(hdrl, "hdrl"); fourCC(hdrl, "avih"); le32(hdrl, avih.size())
+    hdrl.write(avih.toByteArray)
+    val movi = new java.io.ByteArrayOutputStream()
+    fourCC(movi, "movi")
+    for (i <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = frameRgb(seed, i)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val jpg = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", jpg)
+      val data = jpg.toByteArray
+      fourCC(movi, "00dc"); le32(movi, data.length); movi.write(data)
+      if (data.length % 2 == 1) movi.write(0)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    fourCC(body, "AVI ")
+    fourCC(body, "LIST"); le32(body, hdrl.size()); body.write(hdrl.toByteArray)
+    fourCC(body, "LIST"); le32(body, movi.size()); body.write(movi.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    fourCC(out, "RIFF"); le32(out, body.size()); out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic per-frame solid color (shared by the writer and the
+    * specs that predict decoded pixels). */
+  def frameRgb(seed: Long, frameIdx: Int): Int =
+    (((seed * 2654435L + frameIdx * 7919L) % 0x1000000L + 0x1000000L)
+      % 0x1000000L).toInt
+
+  /** Walk the movi list and return every frame chunk's payload ('00dc'
+    * compressed / '00db' uncompressed), in stream order. Empty when the
+    * container is malformed. */
+  def extractFrameChunks(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
+      return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    var off = 12
+    val end = math.min(8L + readLe32(bytes, 4), bytes.length.toLong).toInt
+    while (off + 8 <= end) {
+      val id = cc(bytes, off); val len = readLe32(bytes, off + 4)
+      if (id == "LIST" && off + 12 <= end && cc(bytes, off + 8) == "movi") {
+        var p = off + 12
+        val listEnd = math.min(off + 8L + len, end.toLong).toInt
+        while (p + 8 <= listEnd) {
+          val cid = cc(bytes, p); val clen = readLe32(bytes, p + 4)
+          if ((cid == "00dc" || cid == "00db") && clen >= 0 && p + 8 + clen <= listEnd)
+            out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + clen)
+          p += 8 + clen + (clen % 2)
+        }
+      }
+      off += 8 + len + (len % 2)
+    }
+    out.result()
+  }
+
+  final case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_luma: Double, decoded: Boolean)
+
+  /** Per-FRAME pixel decode over MJPEG video payloads: container walk →
+    * one real ImageIO JPEG decode per frame chunk → dimensions + BT.601
+    * mean luma. Same batch-bounded mapPartitions discipline as the other
+    * codec paths; an unparseable container or undecodable frame yields a
+    * decoded=false row (observable, not dropped), frame_idx -1 marking a
+    * container-level failure. */
+  def videoFrameStats(spark: SparkSession, media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        inBatches(it, batchSize) { batch =>
+          batch.flatMap { m =>
+            val frames = extractFrameChunks(m.payload)
+            if (frames.isEmpty)
+              Seq(DecodedFrame(m.media_id, -1, 0, 0, 0.0, decoded = false))
+            else frames.iterator.zipWithIndex.map { case (fb, i) =>
+              decodeImage(fb) match {
+                case Some(f) => DecodedFrame(m.media_id, i, f.width, f.height,
+                  f.mean_luma, decoded = true)
+                case None => DecodedFrame(m.media_id, i, 0, 0, 0.0, decoded = false)
+              }
+            }.toSeq
+          }
+        }
+      }
   }
 
   /** Batch-shaped container-metadata extraction over video payloads —

@@ -268,6 +268,34 @@ object MultimodalQ {
           (CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END) AS DOUBLE)
           / 1000.0 AS duration_ms,
         true AS parsed
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ---- REAL video PIXEL decode (MJPEG): the fixture holds one MJPEG
+    // AVI per document (real JPEG per frame, ImageIO-encoded ONCE at
+    // fixture materialization — encode is ingest, q64's discipline), the
+    // operator walks the container and ImageIO-DECODES every frame chunk
+    // back to pixels, and the oracle predicts the per-frame row set —
+    // frame count, exact JPEG dimensions, decode success — from the
+    // generation formula. Closing the last stub for the codec class the
+    // JDK can actually decode; mean_luma stays out of the oracle (JPEG is
+    // lossy; quantization error is engine-version-dependent) and is pinned
+    // in MultimodalSpec against the planted solid color instead, exactly
+    // like q64's luma.
+    ("q125_video_frame_decode",
+      (s: SparkSession, dir: String) => {
+        val media = graft.multimodal.MediaFixtures.mjpegAvi(s, dir)
+        Multimodal.videoFrameStats(s, media).toDF()
+          .select(col("media_id"), col("frame_idx"), col("width"),
+            col("height"), col("decoded"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""SELECT media_id, CAST(f AS INT) AS frame_idx,
+        CAST(16 * (media_id % 3 + 1) AS INT) AS width,
+        CAST(16 * (media_id % 2 + 1) AS INT) AS height,
+        true AS decoded
+        FROM (SELECT doc_id AS media_id,
+                unnest(range(doc_id % 5 + 2)) AS f
+              FROM documents)
+        ORDER BY media_id, frame_idx"""))
   )
 }

@@ -209,4 +209,49 @@ class MultimodalSpec extends SparkSpec {
     assert(p.isDefined && p.get.moviFrames <= 5,
       "truncation may lose trailing frames but must not crash or overcount")
   }
+
+  test("MJPEG: REAL per-frame pixel decode — dims exact, luma near planted color") {
+    for ((frames, w, h, seed) <- Seq((2, 16, 16, 0L), (5, 48, 32, 321L),
+        (3, 32, 16, -4L))) {
+      val bytes = Multimodal.synthMjpegAvi(frames, w, h, 40000, seed)
+      // container level agrees with the generic parser
+      val info = Multimodal.parseAvi(bytes).get
+      assert(info.moviFrames === frames && info.width === w && info.height === h)
+      val chunks = Multimodal.extractFrameChunks(bytes)
+      assert(chunks.size === frames)
+      chunks.zipWithIndex.foreach { case (fb, i) =>
+        // each chunk is a complete JPEG the JDK codec decodes
+        assert((fb(0) & 0xFF) === 0xFF && (fb(1) & 0xFF) === 0xD8, "JPEG SOI")
+        val dec = Multimodal.decodeImage(fb).get
+        assert(dec.width === w && dec.height === h, s"frame $i dims")
+        val rgb = Multimodal.frameRgb(seed, i)
+        val expected = 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        // JPEG is lossy: a solid color survives as a solid color but DC /
+        // chroma quantization shifts it — ±8 luma catches a broken
+        // encode/extract/decode while tolerating codec rounding
+        assert(math.abs(dec.mean_luma - expected) <= 8.0,
+          s"frame $i luma ${dec.mean_luma} vs planted $expected")
+      }
+    }
+  }
+
+  test("videoFrameStats: per-frame rows; malformed container observable") {
+    import spark.implicits._
+    val ok = Multimodal.Media(1L, "video", Multimodal.MediaMeta(16, 16, 0, 0, 3),
+      Multimodal.synthMjpegAvi(3, 16, 16, 40000, 1L))
+    val bad = Multimodal.Media(2L, "video", Multimodal.MediaMeta(0, 0, 0, 0, 0),
+      Array.fill[Byte](32)(0x55))
+    val notVideo = Multimodal.Media(3L, "image", Multimodal.MediaMeta(8, 8, 3, 0, 0),
+      Array.emptyByteArray)
+    val out = Multimodal.videoFrameStats(spark,
+        spark.createDataset(Seq(ok, bad, notVideo)))
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.count(_.media_id == 1L) === 3)
+    assert(out.filter(_.media_id == 1L).forall(f => f.decoded && f.width == 16))
+    val badRows = out.filter(_.media_id == 2L)
+    assert(badRows.length === 1 && !badRows.head.decoded &&
+      badRows.head.frame_idx === -1, "container failure is one observable row")
+    assert(!out.exists(_.media_id == 3L), "non-video rows filtered")
+  }
 }
