@@ -185,12 +185,37 @@ object MediaFixtures {
     spark.read.parquet(path).as[Multimodal.Media]
   }
 
+  /** q65 fixture: one deterministic 16-bit mono PCM WAV per document
+    * (rate = 8000 + id%4·4000, frames = id%400+50, sample i =
+    * (id·31 + i·17) % 65536 − 32768), encoded by javax.sound.sampled once
+    * at materialization time — encode is ingest, decode is the operator
+    * (the same r8 discipline the PNG fixtures follow). */
+  def audioWav(spark: SparkSession, sfDir: String): Dataset[Multimodal.Media] = {
+    import spark.implicits._
+    val path = ensure(spark, sfDir, "audio_wav") {
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .map { id =>
+          val rate = (8000 + (id % 4) * 4000).toFloat
+          val nframes = (id % 400 + 50).toInt
+          val samples = Array.tabulate(nframes)(i =>
+            ((id * 31 + i * 17) % 65536 - 32768).toShort)
+          Multimodal.Media(id, "audio",
+            Multimodal.MediaMeta(0, 0, 1, rate.toInt, 0),
+            Multimodal.synthWav(rate, samples))
+        }
+    }
+    spark.read.parquet(path).as[Multimodal.Media]
+  }
+
   /** Pre-materialize every fixture for `sfDir` — the bench warmup calls
     * this so generation cost can never land inside a timed query. */
   def ensureAll(spark: SparkSession, sfDir: String): Unit = {
     imagePng(spark, sfDir)
     ahashPng(spark, sfDir)
     mjpegAvi(spark, sfDir)
+    audioWav(spark, sfDir)
     ()
   }
 }

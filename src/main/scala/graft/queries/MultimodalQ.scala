@@ -81,26 +81,16 @@ object MultimodalQ {
         FROM h ORDER BY media_id""")),
 
     // ---- REAL audio codec round-trip through the gate (the audio twin of
-    // q64): executors synthesize a deterministic 16-bit mono PCM WAV per
-    // document (JDK javax.sound.sampled), audioStats DECODES it back, and
-    // the oracle predicts sample rate / frame count / duration purely from
-    // the generation formula — a broken decode path fails the hash gate.
-    // duration_ms = frames·1000/rate is a single IEEE double division in
-    // both engines, so it needs no rounding.
+    // q64): the fixture holds a deterministic 16-bit mono PCM WAV per
+    // document (JDK javax.sound.sampled, encoded ONCE at fixture
+    // materialization — encode is ingest, the r8/q64 discipline),
+    // audioStats DECODES it back, and the oracle predicts sample rate /
+    // frame count / duration purely from the generation formula — a broken
+    // decode path fails the hash gate. duration_ms = frames·1000/rate is a
+    // single IEEE double division in both engines, so it needs no rounding.
     ("q65_audio_roundtrip",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
-          .map { id =>
-            val rate = (8000 + (id % 4) * 4000).toFloat
-            val nframes = (id % 400 + 50).toInt
-            val samples = Array.tabulate(nframes)(i =>
-              ((id * 31 + i * 17) % 65536 - 32768).toShort)
-            Multimodal.Media(id, "audio",
-              Multimodal.MediaMeta(0, 0, 1, rate.toInt, 0),
-              Multimodal.synthWav(rate, samples))
-          }
+        val media = graft.multimodal.MediaFixtures.audioWav(s, dir)
         Multimodal.audioStats(s, media)
           .toDF()
           .select(col("media_id"), col("sample_rate"), col("channels"),
