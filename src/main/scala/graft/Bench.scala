@@ -202,6 +202,25 @@ object Bench {
   private def sec3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Per-query outlier gate (VERDICT r11 #1), pinned by BenchSpec: given a
+    * query's (passIdx, seconds) values from clean passes, drop any value
+    * exceeding BOTH 2x the cross-pass minimum AND min+0.2s (the absolute
+    * floor keeps sub-second scheduler jitter out of the exclusion record),
+    * and return (median over kept, cross-pass min, dropped values). The 2x
+    * bound is structural: a committed median can never exceed 2x the
+    * query's own best pass. `vals` must be non-empty. */
+  private[graft] def gateQuery(vals: Seq[(Int, Double)])
+      : (Double, Double, Seq[(Int, Double)]) = {
+    val mn = vals.map(_._2).min
+    val (kept, dropped) = vals.partition { case (_, v) => !(v > 2 * mn && v - mn > 0.2) }
+    (median(kept.map(_._2)), mn, dropped)
+  }
+
   /** JVM health snapshot (taken at end of a pass): cumulative GC time and
     * count, metaspace used, heap used, for BENCH_DETAIL's per-pass drift
     * record. */
@@ -230,15 +249,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = buildSession()
     warmup(spark, sfDir)
+    // Sentinel BRACKETS the timed pass (ADVICE r11): the r11 contention
+    // window opened mid-pass, after a clean start-of-pass probe, so a
+    // single pre-pass sentinel read 1.47x while queries inside the pass
+    // spiked 10-20x. A second probe after the pass makes any contention
+    // window that overlaps either edge visible; the parent adjudicates on
+    // the WORSE of the two readings per probe.
     val (sentCpu, sentSh) = sentinel(spark)
     val t0 = System.nanoTime()
     val res = pass(spark, sfDir)
     val wall = (System.nanoTime() - t0) / 1e9
+    val (sentCpuPost, sentShPost) = sentinel(spark)
     val sb = new StringBuilder
     res.foreach { case (name, sec, err) =>
       sb ++= s"Q\t$name\t${err.fold(sec3(sec))(e => "ERR:" + e)}\n"
     }
-    (Seq("sentinel_s" -> sec3(sentCpu), "sentinel_shuffle_s" -> sec3(sentSh)) ++ jvmStats(wall))
+    (Seq("sentinel_s" -> sec3(sentCpu), "sentinel_shuffle_s" -> sec3(sentSh),
+      "sentinel_post_s" -> sec3(sentCpuPost),
+      "sentinel_shuffle_post_s" -> sec3(sentShPost)) ++ jvmStats(wall))
       .foreach { case (k, v) => sb ++= s"J\t$k\t$v\n" }
     sb ++= "DONE\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -324,9 +352,13 @@ object Bench {
       val (sentCpu, sentSh) = sentinel(spark)
       val t0 = System.nanoTime()
       val res = pass(spark, dir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (sentCpuPost, sentShPost) = sentinel(spark)
       val stats = Seq("sentinel_s" -> sec3(sentCpu),
-        "sentinel_shuffle_s" -> sec3(sentSh)) ++
-        jvmStats((System.nanoTime() - t0) / 1e9)
+        "sentinel_shuffle_s" -> sec3(sentSh),
+        "sentinel_post_s" -> sec3(sentCpuPost),
+        "sentinel_shuffle_post_s" -> sec3(sentShPost)) ++
+        jvmStats(wall)
       spark.stop()
       (res, stats)
     }
@@ -362,15 +394,25 @@ object Bench {
       if (rb > 0) warnViolations += s"$tag:block-remove-race $rb>0"
     }
     def adjudicateNpd(): Unit = {
-      val over = npdCounts.filter(_._2 > SanctionedNpd)
-      if (over.nonEmpty && over.size == npdCounts.size)
-        warnViolations += npdCounts
-          .map { case (t, n) => s"$t:unpartitioned-window $n>$SanctionedNpd" }
-          .mkString(",")
-      else if (over.nonEmpty)
-        System.err.println("[bench] unpartitioned-window count over sanctioned in " +
-          over.map { case (t, n) => s"$t($n)" }.mkString(",") +
-          " but not in all passes - AQE re-execution jitter, not a new window site")
+      // Same-scale groups adjudicate SEPARATELY (ADVICE r11): the sf2 pass
+      // runs at a different data scale, where AQE can plan fewer window
+      // executions — a new unpartitioned-window site that exceeds the
+      // sanctioned count in every main-scale pass but stays at/below it in
+      // the sf2 pass is a real violation, which the old joint rule ("over
+      // in EVERY gated pass") downgraded to jitter. Within a group the
+      // every-pass rule stands (AQE re-execution jitter is same-scale).
+      npdCounts.groupBy { case (tag, _) => if (tag == "sf2") "sf2" else "main" }
+        .foreach { case (_, grp) =>
+          val over = grp.filter(_._2 > SanctionedNpd)
+          if (over.nonEmpty && over.size == grp.size)
+            warnViolations += grp
+              .map { case (t, n) => s"$t:unpartitioned-window $n>$SanctionedNpd" }
+              .mkString(",")
+          else if (over.nonEmpty)
+            System.err.println("[bench] unpartitioned-window count over sanctioned in " +
+              over.map { case (t, n) => s"$t($n)" }.mkString(",") +
+              " but not in all same-scale passes - AQE re-execution jitter, not a new window site")
+        }
     }
 
     def runOnePass(dir: String, tag: String)
@@ -395,10 +437,6 @@ object Bench {
     val passesFull = (1 to runs).map(i => runOnePass(sfDir, s"pass$i"))
     val passes = passesFull.map(_._1)
     val names = passes.head.map(_._1)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
 
     // Host-noise adjudication (VERDICT r10 #2): a pass whose fixed-cost
     // sentinel ran >2x slower than the best pass's was taken under external
@@ -411,38 +449,71 @@ object Bench {
     def sentinelsOf(key: String): Seq[Double] = passesFull.map(_._2.collectFirst {
       case (`key`, v) => v.toDouble
     }.getOrElse(Double.NaN))
-    // Two independent probes (CPU-bound, shuffle-I/O-bound): a pass is
-    // noisy when EITHER ran >2x its best-pass value — contention on either
-    // resource invalidates the pass's query times.
-    def noisyBy(sents: Seq[Double]): Set[Int] =
-      sents.filterNot(_.isNaN).minOption match {
+    // Two independent probes (CPU-bound, shuffle-I/O-bound), each read
+    // BEFORE and AFTER the timed pass (ADVICE r11): a pass is noisy when
+    // either probe's WORSE bracket reading ran >2x the best reading seen
+    // across all passes and both brackets — contention on either resource,
+    // at either edge of the pass, invalidates the pass's query times.
+    val sentinels = sentinelsOf("sentinel_s")
+    val sentinelsSh = sentinelsOf("sentinel_shuffle_s")
+    val sentinelsPost = sentinelsOf("sentinel_post_s")
+    val sentinelsShPost = sentinelsOf("sentinel_shuffle_post_s")
+    def noisyBracket(pre: Seq[Double], post: Seq[Double]): Set[Int] =
+      (pre ++ post).filterNot(_.isNaN).minOption match {
         case Some(best) if best > 0 =>
-          sents.zipWithIndex.collect {
-            case (s, i) if !s.isNaN && s > 2 * best => i
+          pre.indices.collect {
+            case i if Seq(pre(i), post(i)).filterNot(_.isNaN).exists(_ > 2 * best) => i
           }.toSet
         case _ => Set.empty
       }
-    val sentinels = sentinelsOf("sentinel_s")
-    val sentinelsSh = sentinelsOf("sentinel_shuffle_s")
-    val noisyIdx: Set[Int] = noisyBy(sentinels) ++ noisyBy(sentinelsSh)
+    val noisyIdx: Set[Int] =
+      noisyBracket(sentinels, sentinelsPost) ++ noisyBracket(sentinelsSh, sentinelsShPost)
     val noisyTags = noisyIdx.toSeq.sorted.map(i => s"pass${i + 1}")
     if (noisyTags.nonEmpty)
       System.err.println(s"[bench] host-noise sentinel flagged: " +
         noisyTags.mkString(",") +
         s" (cpu=${sentinels.map(sec3).mkString(",")}" +
-        s" shuffle=${sentinelsSh.map(sec3).mkString(",")})")
-    val cleanPasses =
+        s" cpu_post=${sentinelsPost.map(sec3).mkString(",")}" +
+        s" shuffle=${sentinelsSh.map(sec3).mkString(",")}" +
+        s" shuffle_post=${sentinelsShPost.map(sec3).mkString(",")})")
+    val cleanIdx: Seq[Int] =
       if (noisyIdx.nonEmpty && noisyIdx.size < passes.size)
-        passes.zipWithIndex.collect { case (p, i) if !noisyIdx(i) => p }
-      else passes
+        passes.indices.filterNot(noisyIdx).toSeq
+      else passes.indices.toSeq
 
-    // medians over CLEAN passes only; errors surface from ANY pass (an
-    // AnalysisException is a code defect regardless of host load)
+    // Per-query outlier rejection (VERDICT r11 #1): the sentinel pair only
+    // brackets a pass — a contention window that opens and closes INSIDE
+    // the pass (exactly what poisoned r11's q123/q124 medians while
+    // `noisy_passes` stayed empty) leaves both probes clean. The noise is
+    // per-query, so the gate is per-query: a pass's value for one query
+    // that exceeds 2x that query's cross-pass minimum (and by more than
+    // 0.2 s, so scheduler jitter on trivial sub-second queries isn't
+    // churned into exclusions) measures the contention, not the code. It
+    // is dropped from that query's median, the drop is recorded in
+    // BENCH_DETAIL `excluded` (pass + value + the min it was judged
+    // against), and the headline carries the exclusion count. The 2x
+    // bound — tighter than the suggested ~3x — makes the adjudication
+    // criterion structural: a committed median can never exceed 2x the
+    // query's own best pass, while r11's genuine clean spreads (<=1.2x)
+    // sit far under it. Errors still surface from ANY pass (an
+    // AnalysisException is a code defect regardless of host load).
+    val exclusions = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Double)]()
     val results = names.map { name =>
-      val times = cleanPasses.flatMap(_.collect { case (`name`, sec, None) => sec })
+      val vals = cleanIdx.flatMap { i =>
+        passes(i).collectFirst { case (`name`, sec, None) => (i, sec) }
+      }
       val errs = passes.flatMap(_.collect { case (`name`, _, Some(e)) => e })
-      if (errs.nonEmpty || times.isEmpty) (name, None, errs.headOption.orElse(Some("NoCleanPass")))
-      else (name, Some(median(times)), None)
+      if (errs.nonEmpty || vals.isEmpty)
+        (name, None, None, errs.headOption.orElse(Some("NoCleanPass")))
+      else {
+        val (med, mn, dropped) = gateQuery(vals)
+        dropped.foreach { case (i, v) => exclusions += ((name, i, v, mn)) }
+        (name, Some(med), Some(mn), None)
+      }
+    }
+    exclusions.foreach { case (name, i, v, mn) =>
+      System.err.println(s"[bench] per-query outlier excluded: $name pass${i + 1} " +
+        s"${sec3(v)}s > 2x cross-pass min ${sec3(mn)}s")
     }
 
     // second scale point (single pass — a slope indicator, not a
@@ -476,9 +547,9 @@ object Bench {
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = fmt(results.collect { case (k, Some(v), _) => shortKey(k) -> sec3(v) })
-    val errs = fmt(results.collect { case (k, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })
-    val total = results.collect { case (_, Some(v), _) => v }.sum
+    val qs = fmt(results.collect { case (k, Some(v), _, _) => shortKey(k) -> sec3(v) })
+    val errs = fmt(results.collect { case (k, _, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })
+    val total = results.collect { case (_, Some(v), _, _) => v }.sum
     val total2 = pass2.collect { case (_, v, None) => v }.sum
     val errs2n = pass2.count(_._3.isDefined)
     val passMode = if (fallbackUsed) "in-process-fresh-session" else "child-jvm-per-pass"
@@ -491,15 +562,24 @@ object Bench {
         }.getOrElse("null")).mkString("[", ",", "]")
         name -> runsJson
       }
-      val med = fmt(results.collect { case (k, Some(v), _) => k -> sec3(v) })
-      val medErrs = fmt(results.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
+      val med = fmt(results.collect { case (k, Some(v), _, _) => k -> sec3(v) })
+      // min-of-passes per query (VERDICT r11 #1): the median's own floor,
+      // published alongside it so a contaminated median is self-evident
+      val bests = fmt(results.collect { case (k, _, Some(b), _) => k -> sec3(b) })
+      val excluded = fmt(exclusions.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (name, xs) =>
+          name -> xs.map { case (_, i, v, mn) =>
+            s"""{"pass":"pass${i + 1}","sec":${sec3(v)},"min":${sec3(mn)}}"""
+          }.mkString("[", ",", "]")
+      })
+      val medErrs = fmt(results.collect { case (k, _, _, Some(e)) => k -> ("\"" + e + "\"") })
       val sf2Qs = fmt(pass2.collect { case (k, v, None) => k -> sec3(v) })
       val sf2Errs = fmt(pass2.collect { case (k, _, Some(e)) => k -> ("\"" + e + "\"") })
       val jvm = passesFull.map { case (_, stats) => fmt(stats) }
         .mkString("[", ",", "]")
       val jvm2 = fmt(pass2Jvm)
       val noisyJson = noisyTags.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","noisy_passes":$noisyJson,"median":$med,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
+      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","noisy_passes":$noisyJson,"median":$med,"best":$bests,"excluded":$excluded,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -516,7 +596,11 @@ object Bench {
     // itself, not only in the untracked-until-committed detail file
     def best(xs: Seq[Double]): String =
       xs.filterNot(_.isNaN).minOption.map(sec3).getOrElse("null")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"sent_cpu":${best(sentinels)},"sent_sh":${best(sentinelsSh)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
+    // "excl" = count of per-query outlier drops (full record with pass,
+    // value, and floor in BENCH_DETAIL "excluded"); kept to a count here
+    // because the headline line already sits ~130 chars under the
+    // driver's ~2000-char stdout capture window
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
     if (warnViolations.nonEmpty) {
       System.err.println(s"[bench] WARNING GATE FAILED: ${warnViolations.mkString("; ")}")
       sys.exit(3)

@@ -33,10 +33,20 @@ object Tables {
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=true) arrives as TimestampType
     *    → `unix_micros` directly (timezone-independent by definition).
     *
-    * All three paths yield the same integer for the same stored instant,
-    * so query results are bit-identical across fixture regenerations.
-    * Sessions must pin `spark.sql.session.timeZone=UTC` (all builders do)
-    * for the NTZ branch; the other two branches are TZ-independent.
+    * For POST-EPOCH instants (all fixture data) the three paths yield the
+    * same integer for the same stored instant, so query results are
+    * bit-identical across fixture regenerations. Pre-epoch instants with
+    * non-zero sub-microsecond bits diverge by 1µs on the ns branch only:
+    * `div` truncates toward zero where a µs-file read floors — pinned
+    * as-is because the historical ns fixtures carried post-epoch data
+    * only and this truncation is what the r1–r9 all-green record against
+    * the DuckDB oracle was built on; matching the oracle on the encoding
+    * actually in the file outranks cross-encoding agreement on data that
+    * doesn't exist. EpochMicrosSpec pins exactly this: branch
+    * agreement post-epoch, the one-off floor-division divergence
+    * pre-epoch. Sessions must pin `spark.sql.session.timeZone=UTC` (all
+    * builders do) for the NTZ branch; the other two branches are
+    * TZ-independent.
     */
   def epochMicros(df: DataFrame, colName: String = "ts"): Column =
     df.schema(colName).dataType match {

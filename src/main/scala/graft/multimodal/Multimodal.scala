@@ -93,8 +93,9 @@ object Multimodal {
     }
   }
 
-  /** STUB frame decode: (payload, frameIdx) → frame bytes. (Video is the
-    * one modality with no JDK codec; image and audio decode are real.) */
+  /** STUB frame decode: (payload, frameIdx) → frame bytes — the
+    * inter-frame-codec (H.264 etc.) boundary, the one decode the JDK
+    * cannot do. Image, audio, and MJPEG frame-pixel decode are real. */
   private[graft] def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
     val h = contentHash(payload) + idx
     Array.tabulate(8)(i => ((h >> (8 * (i % 8))) & 0xFF).toByte)
@@ -103,7 +104,9 @@ object Multimodal {
   // ======================================================================
   // REAL audio decode — javax.sound.sampled is JDK-builtin: WAV/AIFF/AU
   // payloads decode to true sample rate, channel count, frame length and
-  // duration. Only video remains stubbed (the JDK ships no video codec).
+  // duration. The only remaining stub is inter-frame video codecs (H.264
+  // etc. — the JDK ships no decoder); MJPEG frame pixels decode for real
+  // via the container walk + ImageIO JPEG path further down (q125).
   // ======================================================================
   final case class AudioInfo(sample_rate: Int, channels: Int, frames: Long,
       duration_ms: Double)
@@ -170,8 +173,10 @@ object Multimodal {
   // ======================================================================
   // REAL image decode — javax.imageio is JDK-builtin, so the image branch
   // needs no stub: PNG/JPEG/BMP/GIF payloads decode to true dimensions,
-  // channel count, and pixel statistics. Audio/video remain stubbed (no
-  // codecs ship with the JDK).
+  // channel count, and pixel statistics. Audio (javax.sound WAV/AIFF/AU,
+  // above) and MJPEG frame pixels (ImageIO JPEG per movi chunk, below)
+  // are real too; only inter-frame video codecs (H.264 etc.) stay
+  // stubbed — the JDK ships no decoder for them.
   // ======================================================================
   final case class ImageInfo(width: Int, height: Int, channels: Int,
       mean_luma: Double)
@@ -445,7 +450,19 @@ object Multimodal {
     new String(b, off, 4, "US-ASCII")
 
   /** Real RIFF chunk walker: validates magics, reads avih fields, counts
-    * the movi frame chunks (respecting the even-byte pad). */
+    * the movi frame chunks (respecting the even-byte pad).
+    *
+    * Hostile-container safety (ADVICE r11, shared with
+    * [[extractFrameChunks]]): chunk lengths arrive as UNVALIDATED signed
+    * LE32s, so a payload that passes the RIFF/'AVI ' magic can still carry
+    * a negative or near-Int.MaxValue length. Advancing by such a length
+    * raw either loops forever (advance <= 0) or overflows the cursor
+    * negative and throws AIOOBE out of the executor task. Both walkers
+    * therefore bail out of the enclosing list/file walk on a negative
+    * length and compute every advance in Long, clamped to the walk's end —
+    * a malformed container degrades to "whatever parsed so far" (here) or
+    * the documented decoded=false row (videoFrameStats), never a hung or
+    * killed task. */
   def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
     if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
       return None
@@ -453,26 +470,33 @@ object Multimodal {
     var frames = 0
     var off = 12
     val end = math.min(8L + readLe32(bytes, 4), bytes.length.toLong).toInt
-    while (off + 8 <= end) {
+    while (off >= 0 && off + 8 <= end) {
       val id = cc(bytes, off); val len = readLe32(bytes, off + 4)
-      if (id == "LIST" && off + 12 <= end) {
-        val listType = cc(bytes, off + 8)
-        if (listType == "hdrl" && cc(bytes, off + 12) == "avih") {
-          val a = off + 20 // past 'avih' + its size field
-          info = Some((readLe32(bytes, a), readLe32(bytes, a + 16),
-            readLe32(bytes, a + 32), readLe32(bytes, a + 36)))
-        } else if (listType == "movi") {
-          var p = off + 12
-          val listEnd = math.min(off + 8L + len, end.toLong).toInt
-          while (p + 8 <= listEnd) {
-            val clen = readLe32(bytes, p + 4)
-            val fid = cc(bytes, p) // 00db uncompressed, 00dc compressed (MJPEG)
-            if (fid == "00db" || fid == "00dc") frames += 1
-            p += 8 + clen + (clen % 2)
+      if (len < 0) { off = end } // hostile length: stop the walk
+      else {
+        if (id == "LIST" && off + 12 <= end) {
+          val listType = cc(bytes, off + 8)
+          if (listType == "hdrl" && off + 16 <= end && cc(bytes, off + 12) == "avih"
+              && off + 60 <= bytes.length) {
+            val a = off + 20 // past 'avih' + its size field
+            info = Some((readLe32(bytes, a), readLe32(bytes, a + 16),
+              readLe32(bytes, a + 32), readLe32(bytes, a + 36)))
+          } else if (listType == "movi") {
+            var p = off + 12
+            val listEnd = math.min(off + 8L + len, end.toLong).toInt
+            while (p >= 0 && p + 8 <= listEnd) {
+              val clen = readLe32(bytes, p + 4)
+              if (clen < 0) { p = listEnd } // hostile length: stop this list
+              else {
+                val fid = cc(bytes, p) // 00db uncompressed, 00dc compressed (MJPEG)
+                if (fid == "00db" || fid == "00dc") frames += 1
+                p = math.min(p + 8L + clen + (clen % 2), listEnd.toLong).toInt
+              }
+            }
           }
         }
+        off = math.min(off + 8L + len + (len % 2), end.toLong).toInt
       }
-      off += 8 + len + (len % 2)
     }
     info.map { case (us, tf, w, h) => AviInfo(us, tf, w, h, frames) }
   }
@@ -536,26 +560,36 @@ object Multimodal {
 
   /** Walk the movi list and return every frame chunk's payload ('00dc'
     * compressed / '00db' uncompressed), in stream order. Empty when the
-    * container is malformed. */
+    * container is malformed. Hostile chunk lengths (negative /
+    * near-Int.MaxValue) stop the walk instead of hanging or throwing —
+    * see the safety note on [[parseAvi]]; the length guard on the copy is
+    * computed in Long so a huge clen can't overflow the bound check
+    * either. */
   def extractFrameChunks(bytes: Array[Byte]): Vector[Array[Byte]] = {
     if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
       return Vector.empty
     val out = Vector.newBuilder[Array[Byte]]
     var off = 12
     val end = math.min(8L + readLe32(bytes, 4), bytes.length.toLong).toInt
-    while (off + 8 <= end) {
+    while (off >= 0 && off + 8 <= end) {
       val id = cc(bytes, off); val len = readLe32(bytes, off + 4)
-      if (id == "LIST" && off + 12 <= end && cc(bytes, off + 8) == "movi") {
-        var p = off + 12
-        val listEnd = math.min(off + 8L + len, end.toLong).toInt
-        while (p + 8 <= listEnd) {
-          val cid = cc(bytes, p); val clen = readLe32(bytes, p + 4)
-          if ((cid == "00dc" || cid == "00db") && clen >= 0 && p + 8 + clen <= listEnd)
-            out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + clen)
-          p += 8 + clen + (clen % 2)
+      if (len < 0) { off = end } // hostile length: stop the walk
+      else {
+        if (id == "LIST" && off + 12 <= end && cc(bytes, off + 8) == "movi") {
+          var p = off + 12
+          val listEnd = math.min(off + 8L + len, end.toLong).toInt
+          while (p >= 0 && p + 8 <= listEnd) {
+            val cid = cc(bytes, p); val clen = readLe32(bytes, p + 4)
+            if (clen < 0) { p = listEnd } // hostile length: stop this list
+            else {
+              if ((cid == "00dc" || cid == "00db") && p + 8L + clen <= listEnd)
+                out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + clen)
+              p = math.min(p + 8L + clen + (clen % 2), listEnd.toLong).toInt
+            }
+          }
         }
+        off = math.min(off + 8L + len + (len % 2), end.toLong).toInt
       }
-      off += 8 + len + (len % 2)
     }
     out.result()
   }

@@ -158,40 +158,73 @@ object DedupSim {
       sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
   }
 
-  /** sig(doc_id, simhash): 32-bit tf-weighted SimHash in ONE shuffle —
-    * since c_i = Σ_term tf·sign_i(term) = Σ_occurrence sign_i(term), the
-    * per-(doc,term) tf stage AND the 32-way bit explode both collapse into
-    * a single groupBy(doc) with 32 conditional sums. At 100 TB that's the
-    * difference between 1 shuffle of |occurrences| rows and 3 shuffles,
-    * one of them 32× |distinct terms|. Shared by q33 (sorted view) and
-    * q34 (pair search). */
-  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val occ = explodeLean(t(s, dir, "documents"), Seq(col("doc_id")),
+  /** sig(doc_id, simhash): tf-weighted SimHash in ONE shuffle — since
+    * c_i = Σ_term tf·sign_i(term) = Σ_occurrence sign_i(term), the
+    * per-(doc,term) tf stage AND the per-bit explode both collapse into
+    * a single groupBy(doc) with `bits` conditional sums. At 100 TB that's
+    * the difference between 1 shuffle of |occurrences| rows and 3
+    * shuffles, one of them bits× |distinct terms|. Shared by q33 (sorted
+    * view) and q34/q126 (pair search).
+    *
+    * `bits` (VERDICT r11 #2): 32 is the fixture-scale default the DuckDB
+    * oracle reproduces with 32-bit md5 arithmetic; 64 is the scale
+    * configuration (bit i<32 from md5 hex chars 1–8, bit i≥32 from chars
+    * 9–16 — both oracle-reproducible). Wider signatures exist for the
+    * BLOCKING space, which must grow with the corpus (see
+    * [[simhashCandFrom]]); the sig shuffle shape is identical. */
+  private[graft] def simhashSigFrom(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
+    val occ0 = explodeLean(docs, Seq(col("doc_id")),
       expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"), "term")
-      .withColumn("h", hash32(col("term")))
-    val bitSums = (0 until 32).map(i =>
-      sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i"))
+    val occ = if (bits == 32) occ0.withColumn("h", hash32(col("term")))
+      else occ0.withColumn("h", hash32(col("term")))
+        .withColumn("h2", conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map { i =>
+      val src = if (i < 32) "h" else "h2"
+      sum(when(expr(s"($src div ${1L << (i % 32)}) % 2") === 1, 1L).otherwise(-1L)).as(s"c$i")
+    }
     occ.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(i =>
+        // sum of distinct powers ≡ bitwise OR; at bits=64 the i=63 term is
+        // 1L<<63 = Long.MinValue, and positive-sum + MinValue cannot
+        // overflow, so the signed assembly is exact two's complement
+        (0 until bits).map(i =>
           when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup CANDIDATE pairs (id_a, id_b, ha, hb) via 4×8-bit
-    * block bucketing (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 exact block match) —
-    * shared by q34 (pair list) and q49 (cluster assignment). Materializes
-    * the signature table once (the block self-join would otherwise run the
-    * full tokenize+32-sum aggregation on both sides) and arms its release
-    * on the consumer's terminal action; a multi-action consumer (q49)
-    * frees the checkpoint explicitly instead. */
-  private def simhashCand(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(s, dir).localCheckpoint()
+  private def simhashSig(s: SparkSession, dir: String, bits: Int = 32): DataFrame =
+    simhashSigFrom(t(s, dir, "documents"), bits)
+
+  /** SimHash near-dup CANDIDATE pairs (id_a, id_b, ha, hb) via 4-block
+    * bucketing (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 exact block match) —
+    * shared by q34/q126 (pair list) and q49 (cluster assignment).
+    * Materializes the signature table once (the block self-join would
+    * otherwise run the full tokenize+sum aggregation on both sides) and
+    * arms its release on the consumer's terminal action; a multi-action
+    * consumer (q49) frees the checkpoint explicitly instead.
+    *
+    * The blocking space must GROW with the corpus (VERDICT r11 #2 — the
+    * measured 1.53× sf0.1→sf1 slope at 32 bits is the n²/1024 candidate
+    * term of a FIXED 4×8-bit pigeonhole space): at bits=64 the 4 blocks
+    * are 16-bit, giving 4×65536 = 262,144 (block, value) buckets — 256×
+    * today's space, with (blk, bval) simultaneously the join/shard key so
+    * per-bucket pair generation stays node-local on a cluster. 32-bit
+    * keeps the historical div/pow bucket expression bit-for-bit (the
+    * pinned q34 plan); 64-bit uses shiftright+mask, which is exact bit
+    * extraction for SIGNED signatures (truncating division is not: a
+    * negative sig differing only in a low block would perturb the high
+    * blocks' quotients and break the pigeonhole guarantee). */
+  private[graft] def simhashCandFrom(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val sig = simhashSigFrom(docs, bits).localCheckpoint()
     Scoped.releaseAfterUse(sig)
+    val bval =
+      if (bits == 32) expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256")
+      else expr(s"shiftright(simhash, blk * ${bits / 4}) & ${(1L << (bits / 4)) - 1}")
     val blocks = sig.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("blk"))
-      .withColumn("bval", expr("(simhash div cast(pow(2, blk * 8) as bigint)) % 256"))
+      .withColumn("bval", bval)
     blocks.select(col("doc_id").as("id_a"), col("simhash").as("ha"), col("blk"), col("bval"))
       .join(blocks.select(col("doc_id").as("id_b"), col("simhash").as("hb"), col("blk"), col("bval")),
         Seq("blk", "bval"))
@@ -199,10 +232,49 @@ object DedupSim {
       .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
   }
 
+  private def simhashCand(s: SparkSession, dir: String, bits: Int = 32): DataFrame =
+    simhashCandFrom(t(s, dir, "documents"), bits)
+
   /** DuckDB twin of [[simhashCand]] (appends to [[simhashSql]]'s CTEs). */
   private val simhashCandSql =
     """blocks AS (SELECT doc_id, simhash, blk,
             (simhash // CAST(POW(2, blk * 8) AS BIGINT)) % 256 AS bval
+          FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS ha, b.simhash AS hb
+          FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)"""
+
+  /** DuckDB twin of the WIDENED 64-bit configuration (q126): bit i<32
+    * from md5 hex chars 1–8, bit i≥32 from chars 9–16 — the same two
+    * 32-bit integer extractions both engines already agree on. The i=63
+    * power is spelled `(-9223372036854775807 - 1)` because the bare
+    * MinValue literal overflows a signed-int64 parser; partial sums peak
+    * at exactly 2^63−1 (bits 0–62) before the i=63 term lands, so the
+    * checked BIGINT addition never overflows. */
+  private def simhashSql64(tokCte: String = "toks"): String = {
+    def pow(i: Int) =
+      if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+    val sums = (0 until 64).map { i =>
+      val src = if (i < 32) "('0x' || substr(md5(term), 1, 8))::BIGINT"
+        else "('0x' || substr(md5(term), 9, 8))::BIGINT"
+      s"SUM(CASE WHEN (($src // ${1L << (i % 32)}) % 2) = 1 THEN 1 ELSE -1 END) AS c$i"
+    }.mkString(", ")
+    val assemble = (0 until 64).map(i =>
+      s"(CASE WHEN c$i > 0 THEN ${pow(i)} ELSE 0 END)").mkString(" + ")
+    s"""WITH $tokCte AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+      bits AS (SELECT doc_id, $sums FROM $tokCte GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  /** 4×16-bit blocks over the 64-bit sig: `>>` sign-extends in both
+    * engines (verified) and the mask makes arithmetic-vs-logical moot —
+    * exact bit extraction for signed signatures, where truncating
+    * division would not be. */
+  private val simhashCandSql64 =
+    """blocks AS (SELECT doc_id, simhash, blk,
+            (simhash >> CAST(blk * 16 AS INT)) & 65535 AS bval
           FROM sig, (SELECT unnest(range(0, 4)) AS blk) bb),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
             a.simhash AS ha, b.simhash AS hb
@@ -307,6 +379,19 @@ object DedupSim {
 
   private val kmeansK = 4
   private val kmeansIters = 2
+
+  /** q112's blocking-k scale rule (VERDICT r11 #3): a FIXED cluster count
+    * makes the in-cluster pair space Σ|c|² ≈ n²/k grow superlinearly
+    * (measured 1.22× linear at fixed k over 10× rows); k = n / target
+    * keeps expected |c| — and with it per-cluster cosine work — constant,
+    * so total pair work is ~n·target, linear. Floored at [[kmeansK]] so
+    * every fixture scale point the DuckDB oracle covers (aug ≤ 2,200
+    * rows at sf0.1) still computes k = 4, bit-identical to the unrolled
+    * k=4 oracle CTEs; the scaled path engages above ~2.5k vectors (sf1's
+    * 22,000 → k = 44, restoring the linear slope — SCALING.md). */
+  private val semdedupTargetCluster = 500L
+  private[graft] def semdedupK(n: Long): Int =
+    math.max(kmeansK, (n / semdedupTargetCluster).toInt)
 
   /** Unrolled-CTE DuckDB twin of q103: c0 = seeds, then per round i an
     * assignment (a_i/s_i: nearest centroid, ties to smallest cluster) and
@@ -801,6 +886,29 @@ object DedupSim {
       },
       Some(s"""${simhashSql()},
         $simhashCandSql
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- q34's WIDENED scale configuration (VERDICT r11 #2): 64-bit
+    // SimHash, 4×16-bit blocks = 262,144 (block, value) buckets, 256×
+    // q34's fixed 1024 — the candidate join's n²/|buckets| term, measured
+    // 1.53× linear at 32 bits over sf0.1→sf1, needs the bucket space to
+    // grow with the corpus. Same pigeonhole guarantee (hamming ≤ 3 over
+    // 4 blocks ⇒ ≥ 1 exact block match), same fused-hamming probe, fully
+    // oracle-gated (the 64-bit sig is two 32-bit md5 extractions both
+    // engines agree on). SimHashWidthSpec pins that both widths find the
+    // same planted near-dups.
+    ("q126_simhash_pairs_w64",
+      (s: SparkSession, dir: String) => {
+        simhashCand(s, dir, bits = 64)
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""${simhashSql64()},
+        $simhashCandSql64
         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         ORDER BY id_a, id_b""")),
@@ -1577,7 +1685,11 @@ object DedupSim {
         val eqCp = augOf()
           .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
           .localCheckpoint()
-        val cents = KMeans.fit(eqCp, k = kmeansK, iters = kmeansIters)
+        // k scales with the corpus (see semdedupK): counts the (already
+        // checkpointed) aug table — at fixture scales this resolves to
+        // the oracle's unrolled k = 4; above ~2.5k vectors the blocking
+        // space grows so Σ|c|² stays ~n·target (linear pair work)
+        val cents = KMeans.fit(eqCp, k = semdedupK(eqCp.count()), iters = kmeansIters)
         Scoped.free(eqCp)
         val aug = augOf()
         val eq = aug.select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's per-query outlier gate (VERDICT r11 #1): the r11 round
+  * shipped q123 with a committed median of 18.2 s against a 4.3 s best pass
+  * because mid-pass host contention was invisible to the pass-level
+  * sentinels. The gate these tests pin guarantees, structurally, that a
+  * committed median never exceeds 2x the query's own cross-pass minimum. */
+class BenchSpec extends AnyFunSuite {
+
+  test("median: odd and even counts") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+  }
+
+  test("the r11 q123 scenario: one contaminated pass is dropped") {
+    // driver r11 per_run for q123: 4.33 / 18.17 / 22.4 — the old median
+    // committed 18.17; the gate must drop both contaminated values
+    val (med, mn, dropped) = Bench.gateQuery(Seq((0, 4.33), (1, 18.17), (2, 22.4)))
+    assert(mn == 4.33)
+    assert(dropped.map(_._1) == Seq(1, 2))
+    assert(med == 4.33)
+  }
+
+  test("clean spread (<=1.2x) is never excluded") {
+    val (med, mn, dropped) = Bench.gateQuery(Seq((0, 5.0), (1, 5.5), (2, 6.0)))
+    assert(dropped.isEmpty)
+    assert(med == 5.5 && mn == 5.0)
+  }
+
+  test("sub-second jitter under the 0.2s absolute floor is kept") {
+    // 0.05 -> 0.14 is 2.8x but only +0.09s: trivial-query scheduler
+    // jitter, not contention worth an exclusion record
+    val (med, _, dropped) = Bench.gateQuery(Seq((0, 0.05), (1, 0.14), (2, 0.06)))
+    assert(dropped.isEmpty)
+    assert(med == 0.06)
+  }
+
+  test("sub-second value over both bounds IS excluded") {
+    // 0.3 -> 0.9 is 3x and +0.6s: a real stall even on a small query
+    val (_, _, dropped) = Bench.gateQuery(Seq((0, 0.3), (1, 0.9)))
+    assert(dropped == Seq((1, 0.9)))
+  }
+
+  test("structural invariant: median never exceeds 2x the query's best") {
+    // randomized-ish sweep over adversarial shapes, including all-noisy
+    // passes where only the min survives
+    val shapes = Seq(
+      Seq(1.0, 2.1, 2.1), Seq(1.0, 1.99, 30.0), Seq(1.0, 3.0, 3.0, 3.0),
+      Seq(2.0, 2.0, 100.0), Seq(0.5, 1.1, 1.3), Seq(7.0), Seq(4.33, 18.17, 22.4))
+    shapes.foreach { vs =>
+      val (med, mn, _) = Bench.gateQuery(vs.zipWithIndex.map { case (v, i) => (i, v) })
+      assert(med <= 2 * mn + 1e-9, s"median $med > 2x min $mn for $vs")
+    }
+  }
+
+  test("exactly-2x values are kept (bound is strict)") {
+    val (med, _, dropped) = Bench.gateQuery(Seq((0, 1.0), (1, 2.0)))
+    assert(dropped.isEmpty)
+    assert(med == 1.5)
+  }
+}

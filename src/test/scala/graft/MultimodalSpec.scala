@@ -210,6 +210,37 @@ class MultimodalSpec extends SparkSpec {
       "truncation may lose trailing frames but must not crash or overcount")
   }
 
+  test("AVI container: hostile chunk lengths terminate, never hang or throw") {
+    // ADVICE r11: lengths are unvalidated signed LE32s — a negative or
+    // near-Int.MaxValue length used to advance the walk cursor by <=0
+    // (infinite executor loop) or overflow it negative (AIOOBE killing
+    // the task). Both walkers must instead stop and return what parsed.
+    def patched(src: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val b = src.clone()
+      var i = 0
+      while (i < 4) { b(at + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 }
+      b
+    }
+    val base = Multimodal.synthMjpegAvi(3, 16, 16, 40000, 11L)
+    val s = new String(base, "ISO-8859-1") // byte-preserving charset
+    val frameLenAt = s.indexOf("00dc") + 4  // first frame chunk's clen
+    val moviLenAt = s.indexOf("movi") - 4   // the movi LIST's len field
+    assert(frameLenAt >= 4 && moviLenAt >= 0)
+    for (bad <- Seq(-1, Int.MinValue, Int.MaxValue, Int.MaxValue - 4)) {
+      val fb = patched(base, frameLenAt, bad)
+      val p1 = Multimodal.parseAvi(fb) // must return, not hang/throw
+      assert(p1.forall(_.moviFrames <= 3))
+      assert(Multimodal.extractFrameChunks(fb).size <= 3)
+      val lb = patched(base, moviLenAt, bad)
+      val p2 = Multimodal.parseAvi(lb)
+      assert(p2.forall(_.moviFrames <= 3))
+      assert(Multimodal.extractFrameChunks(lb).size <= 3)
+    }
+    // sanity: the uncorrupted container still yields all 3 frames
+    assert(Multimodal.extractFrameChunks(base).size === 3)
+    assert(Multimodal.parseAvi(base).get.moviFrames === 3)
+  }
+
   test("MJPEG: REAL per-frame pixel decode — dims exact, luma near planted color") {
     for ((frames, w, h, seed) <- Seq((2, 16, 16, 0L), (5, 48, 32, 321L),
         (3, 32, 16, -4L))) {
