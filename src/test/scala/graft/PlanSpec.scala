@@ -158,6 +158,23 @@ class PlanSpec extends SparkSpec {
     assert(plan("q108_cm_heavy_hitters").contains("BroadcastHashJoin"))
   }
 
+  test("q126: widened simhash pairing keeps q34's fused-hamming bucket join") {
+    val p = plan("q126_simhash_pairs_w64")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "64-bit pairing must pigeonhole on (blk, bval), not compare all pairs:\n" + p.take(1600))
+    // the consumer's hamming<=3 filter must fuse INTO the bucket join
+    // (probe-side kill, nothing non-near-dup reaches the distinct) —
+    // the same shape the 32-bit q34 plan pins via PLANS.md
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, "expected the block equi-join")
+    assert(p.contains("bit_count"),
+      "hamming predicate missing from the plan:\n" + p.take(1600))
+    val joinLineEnd = p.indexOf('\n', joinIdx)
+    val joinLine = p.substring(joinIdx, if (joinLineEnd < 0) p.length else joinLineEnd)
+    assert(joinLine.contains("bit_count"),
+      "hamming<=3 must be fused into the join condition, not a post-filter:\n" + joinLine)
+  }
+
   test("q111/q112/q121: pairing joins stay equi-joins, never cartesian") {
     Seq("q111_cdc_chunk_dedup", "q112_semantic_dedup", "q121_bitext_margin").foreach { q =>
       val p = plan(q)
