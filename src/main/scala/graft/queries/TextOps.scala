@@ -31,6 +31,44 @@ object TextOps {
     "ed ", " in", "ion", "on ", "is ", " is", "at ", " to", "to ", "er ",
     "es ", " co", "ent", "her", "as ", " be", " re", "in ", "re ", " ha")
 
+  /** Corpus-frequency boilerplate removal (q127): segment each document
+    * into fixed `unit`-token pieces, count each piece's DOCUMENT frequency
+    * across the corpus, strip pieces appearing in >= `thr` docs, and
+    * rebuild each document from its surviving pieces in position order.
+    * Input: (doc_id, text); output one row per input doc —
+    * (doc_id, n_segs, kept_segs, dropped_segs, clean_hash) where
+    * clean_hash is md5 of the rebuilt text (md5('') when everything was
+    * boilerplate). The drop side is at most |segments|/thr distinct
+    * values — bounded by construction — so it broadcasts and the strip
+    * is a map-side anti-join; see the q127 catalog comment for the full
+    * scale argument. */
+  private[graft] def boilerplateStrip(docs: DataFrame, unit: Int, thr: Long): DataFrame = {
+    val base = docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_segs", expr(s"cast(ceil(size(tk) / $unit.0d) as bigint)"))
+    val segs = explodeLean(base, Seq(col("doc_id")),
+      expr(s"""transform(sequence(0, cast(n_segs as int) - 1),
+               i -> named_struct('seg_idx', cast(i as bigint),
+                 'seg', concat_ws(' ', slice(tk, i * $unit + 1, $unit))))"""), "sg")
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
+    val dropSet = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= thr).select(col("seg"))
+    val kept = segs.join(broadcast(dropSet), Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segs"),
+        collect_list(struct(col("seg_idx"), col("seg"))).as("lst"))
+      .withColumn("clean_hash",
+        md5(concat_ws(" ", expr("transform(array_sort(lst), x -> x.seg)"))))
+    base.select(col("doc_id"), col("n_segs"))
+      .join(kept.select(col("doc_id"), col("kept_segs"), col("clean_hash")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        (col("n_segs") - coalesce(col("kept_segs"), lit(0L))).as("dropped_segs"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- language ID: English-stopword-ratio heuristic
@@ -865,7 +903,59 @@ object TextOps {
                  % 1000000) < floor(r.rate * 1000000.0 + 0.5))
         SELECT lang, rate, COUNT(*) AS n_docs_kept,
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
-        FROM k GROUP BY lang, rate ORDER BY lang"""))
+        FROM k GROUP BY lang, rate ORDER BY lang""")),
+
+    // ---- corpus-frequency boilerplate removal (CCNet-style "line" dedup):
+    // segment every document into fixed 8-token units, count each unit's
+    // DOCUMENT frequency across the whole corpus, and strip units that
+    // repeat in >= 10 documents — the standard web-corpus stage that kills
+    // cookie banners / nav bars / footers which doc-level dedup (q30-q34)
+    // cannot touch because the surrounding document is unique. The fixture
+    // has no natural boilerplate, so the query plants its own (both sides
+    // identically): an 8-token footer PREPENDED to every third document.
+    // Prepending a whole segment keeps the original content's segment
+    // boundaries intact (everything shifts by exactly one unit), so the
+    // gate proves surgical removal: planted docs lose exactly the footer,
+    // nothing else anywhere changes (clean_hash pins the rebuilt text).
+    //
+    // Scale: segmentation is map-side; the df count is ONE combinable
+    // shuffle of |segments| rows. The key asymmetry is the rewrite: a
+    // segment needs df >= t to be boilerplate, so the DROP set has at most
+    // |segments|/t distinct values — bounded, and tiny in practice — so it
+    // BROADCASTS and the strip is a map-side anti-join (no second shuffle
+    // of the corpus). Reassembly sorts each doc's surviving units by
+    // position inside one groupBy(doc) — the only other corpus shuffle.
+    // At 100 TB: segments-df is the same shape as a term count; the
+    // broadcast stays small because t caps it, independent of corpus size.
+    ("q127_boilerplate_strip",
+      (s: SparkSession, dir: String) => {
+        val footer = "cookie policy accept decline terms privacy subscribe newsletter"
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(footer + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        boilerplateStrip(planted, unit = 8, thr = 10L).orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN 'cookie policy accept decline terms privacy subscribe newsletter ' || text
+            ELSE text END AS text
+          FROM documents),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+        segs AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+            array_to_string(tk[(CAST(u.i AS BIGINT)*8+1):(CAST(u.i AS BIGINT)*8+8)], ' ') AS seg
+          FROM tk, UNNEST(range(CAST(ceil(len(tk)/8.0) AS BIGINT))) AS u(i)),
+        df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+        kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+          FROM segs s JOIN df ON df.seg = s.seg WHERE df.df < 10),
+        agg AS (SELECT doc_id, COUNT(*) AS kept_segs,
+            md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_hash
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_segs FROM tk)
+        SELECT t.doc_id, t.n_segs, COALESCE(a.kept_segs, 0) AS kept_segs,
+          t.n_segs - COALESCE(a.kept_segs, 0) AS dropped_segs,
+          COALESCE(a.clean_hash, md5('')) AS clean_hash
+        FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id ORDER BY t.doc_id"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1

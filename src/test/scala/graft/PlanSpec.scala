@@ -175,6 +175,16 @@ class PlanSpec extends SparkSpec {
       "hamming<=3 must be fused into the join condition, not a post-filter:\n" + joinLine)
   }
 
+  test("q127: the boilerplate drop-set broadcasts; the strip is a map-side anti-join") {
+    val p = plan("q127_boilerplate_strip")
+    // the drop side is bounded by |segments|/thr, so the corpus must NOT
+    // shuffle a second time for the strip: broadcast left-anti only
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "expected a broadcast left-anti strip join:\n" + p.take(1600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "strip must stay an equi-join:\n" + p.take(1600))
+  }
+
   test("q111/q112/q121: pairing joins stay equi-joins, never cartesian") {
     Seq("q111_cdc_chunk_dedup", "q112_semantic_dedup", "q121_bitext_margin").foreach { q =>
       val p = plan(q)
