@@ -2028,7 +2028,112 @@ object DedupSim {
           CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
           CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
-        FROM rk GROUP BY split ORDER BY split"""))
+        FROM rk GROUP BY split ORDER BY split""")),
+
+    // ---- exact duplicated-SUBSTRING spans (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better"
+    // operator): find, per document, the maximal token spans whose every
+    // L-gram (L = 8 tokens) occurs at least twice in the corpus —
+    // sub-document duplication that doc-level (q30) and near-dup (q32/
+    // q34) dedup cannot see, and segment-frequency stripping (q127) only
+    // catches when it repeats in MANY docs (this query's threshold is
+    // occurrences >= 2 ANYWHERE, including within one document). The
+    // distributed shape replaces the paper's suffix array with rolling
+    // L-gram fingerprints — exact for every duplicated substring of
+    // length >= L, the standard cluster-scale approximation. The fixture
+    // has no natural 8-gram dups, so the query plants both kinds
+    // (identically on both sides): a shared 10-token slogan appended to
+    // every 5th doc (cross-doc dup) and the doc's own first 12 tokens
+    // re-appended on every 7th (within-doc dup).
+    //
+    // Scale: gram extraction is map-side (one tokenize pass); the
+    // occurrence count is ONE combinable shuffle keyed on the md5 gram
+    // fingerprint (same shape as a term count — never the corpus
+    // cartesian); the dup-set join back is a fingerprint equi-join
+    // (q111's chunk-hash shape; the dup set is corpus-sized in the worst
+    // case, so no broadcast is assumed); the span merge is a per-doc
+    // window (partitioned, bounded by doc length). At 100 TB every stage
+    // is linear in total grams.
+    ("q129_substring_spans",
+      (s: SparkSession, dir: String) => {
+        val L = 8
+        val slogan = "all rights reserved contact us for licensing details effective today"
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk0"))
+        val planted = base.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + slogan)))
+            .when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" "), concat_ws(" ", expr("slice(tk0, 1, 12)"))))
+            .otherwise(col("text")).as("text"))
+        val toks = planted
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .withColumn("n_tokens", size(col("tk")).cast("long"))
+        val grams = explodeLean(toks, Seq(col("doc_id"), col("n_tokens")),
+          expr(s"""if(size(tk) < $L, array(),
+                    transform(sequence(1, size(tk) - ${L - 1}),
+                      i -> named_struct('i', cast(i as bigint),
+                        'g', md5(concat_ws(' ', slice(tk, i, $L))))))"""), "gr")
+          .select(col("doc_id"), col("n_tokens"),
+            col("gr.i").as("i"), col("gr.g").as("g"))
+        val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") >= 2).select(col("g"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("i"))
+        val spans = grams.join(dup, Seq("g"))
+          .select(col("doc_id"), col("n_tokens"), col("i"),
+            (col("i") + (L - 1)).as("e"))
+          .withColumn("pmax", max(col("e")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .withColumn("ns",
+            when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("n_tokens"), col("sid"))
+          .agg(min(col("i")).as("s"), max(col("e")).as("e2"))
+        val perDoc = spans.groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e2") - col("s") + 1).as("dup_tokens"))
+        toks.select(col("doc_id"), col("n_tokens"))
+          .join(perDoc, Seq("doc_id", "n_tokens"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            (floor(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+              / greatest(col("n_tokens"), lit(1L)).cast("double") * 1e4 + 0.5) / 1e4)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH baseq AS (SELECT doc_id, text, string_split(text, ' ') AS tk0 FROM documents),
+        pl AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+                 THEN text || ' all rights reserved contact us for licensing details effective today'
+                 WHEN doc_id % 7 = 0 THEN text || ' ' || array_to_string(tk0[1:12], ' ')
+                 ELSE text END AS text
+          FROM baseq),
+        tks AS (SELECT doc_id, string_split(text, ' ') AS tk,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM pl),
+        grams AS (SELECT doc_id, n_tokens, CAST(u.i AS BIGINT) AS i,
+            md5(array_to_string(tk[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 7)], ' ')) AS g
+          FROM tks, UNNEST(range(1, CAST(n_tokens AS BIGINT) - 6)) AS u(i)),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        hits AS (SELECT gr.doc_id, gr.n_tokens, gr.i, gr.i + 7 AS e
+          FROM grams gr JOIN dupg USING (g)),
+        mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hits),
+        mk2 AS (SELECT *, CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ns FROM mk),
+        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM mk2),
+        spans AS (SELECT doc_id, n_tokens, sid, MIN(i) AS s, MAX(e) AS e2
+          FROM mk3 GROUP BY 1, 2, 3),
+        pd AS (SELECT doc_id, n_tokens, COUNT(*) AS n_spans,
+            CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY 1, 2)
+        SELECT t.doc_id, t.n_tokens,
+          COALESCE(pd.n_spans, 0) AS n_spans,
+          COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+          floor(COALESCE(pd.dup_tokens, 0)
+            / CAST(greatest(t.n_tokens, 1) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_frac
+        FROM tks t LEFT JOIN pd ON pd.doc_id = t.doc_id ORDER BY t.doc_id"""))
   )
 
 }

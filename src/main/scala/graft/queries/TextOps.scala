@@ -955,7 +955,85 @@ object TextOps {
         SELECT t.doc_id, t.n_segs, COALESCE(a.kept_segs, 0) AS kept_segs,
           t.n_segs - COALESCE(a.kept_segs, 0) AS dropped_segs,
           COALESCE(a.clean_hash, md5('')) AS clean_hash
-        FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id ORDER BY t.doc_id"""))
+        FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id ORDER BY t.doc_id""")),
+
+    // ---- DSIR-shaped data selection (importance resampling on hashed
+    // n-gram features — the Xie et al. 2023 recipe): score every raw
+    // document by how target-like its hashed-bigram distribution is,
+    //   log w(d) = Σ_b c_d(b) · (log p_tgt(b) − log p_raw(b)),
+    // with add-one smoothing over a FIXED space of B = 1024 feature
+    // buckets, and keep the top-k. The "target" here is the corpus's own
+    // English subset (select raw documents that look like curated
+    // English) — the estimator only needs SOME target sample, and lang
+    // is the one the fixture carries. Log-ratios are quantized on the
+    // 1e4 grid (q89's floor(ln·1e4 + 0.5) idiom) so the per-doc weight
+    // is an exact BIGINT dot product both engines agree on.
+    //
+    // Scale: ONE tokenize pass builds the per-(doc, bucket) count table
+    // (a single combinable shuffle — the only corpus-wide shuffle in the
+    // query); both bag-of-hashed-ngrams models AGGREGATE that table, and
+    // because the bucket space is fixed at B, the models and the fused
+    // log-ratio table are ≤ B rows — broadcast — so scoring is a
+    // map-side join + one per-doc agg, and selection is a TakeOrdered.
+    // At 100 TB nothing here grows except the two combinable shuffles;
+    // the model stays 1024 rows no matter the corpus.
+    ("q128_dsir_select",
+      (s: SparkSession, dir: String) => {
+        val B = 1024
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        val bg = explodeLean(toks, Seq(col("doc_id"), col("lang")),
+          expr("""if(size(ws) < 2, array(),
+                   transform(sequence(1, size(ws) - 1),
+                     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
+          "f")
+        // one expensive pass materialized; everything downstream is small
+        val db = bg
+          .select(col("doc_id"), col("lang"), (hash32(col("f")) % B).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(db)
+        val raw = db.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+        val tgt = db.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+        val nr = raw.agg(sum(col("cr")).as("n_raw"))
+        val nt = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("n_tgt"))
+        val lr = raw.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+          .select(col("b"),
+            floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+                / (col("n_tgt") + B).cast("double"))
+              - log((col("cr") + 1).cast("double")
+                / (col("n_raw") + B).cast("double"))) * 1e4 + 0.5).as("lr4"))
+        db.join(broadcast(lr), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("c")).as("n_feats"),
+            sum(col("c") * col("lr4")).as("logw4"))
+          .orderBy(desc("logw4"), col("doc_id"))
+          .limit(30)
+      },
+      Some("""WITH toksr AS (SELECT doc_id, lang,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        bg AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f
+          FROM toksr),
+        db AS (SELECT doc_id, lang,
+            ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b, COUNT(*) AS c
+          FROM bg GROUP BY 1, 2, 3),
+        rawm AS (SELECT b, SUM(c) AS cr FROM db GROUP BY 1),
+        tgtm AS (SELECT b, SUM(c) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_raw FROM rawm),
+        nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS n_tgt FROM tgtm),
+        lr AS (SELECT rawm.b,
+            CAST(floor((ln((COALESCE(tgtm.ct, 0) + 1) / CAST(nt.n_tgt + 1024 AS DOUBLE))
+              - ln((rawm.cr + 1) / CAST(nr.n_raw + 1024 AS DOUBLE))) * 1e4 + 0.5) AS BIGINT) AS lr4
+          FROM rawm LEFT JOIN tgtm ON tgtm.b = rawm.b, nr, nt)
+        SELECT db.doc_id, db.lang, CAST(SUM(db.c) AS BIGINT) AS n_feats,
+          CAST(SUM(db.c * lr.lr4) AS BIGINT) AS logw4
+        FROM db JOIN lr ON lr.b = db.b
+        GROUP BY 1, 2 ORDER BY logw4 DESC, doc_id LIMIT 30"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1
