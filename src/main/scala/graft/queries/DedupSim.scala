@@ -407,36 +407,59 @@ object DedupSim {
 
   /** The Lloyd-rounds CTE body alone (no WITH, no final SELECT), with the
     * (vec_id, embedding) source table pluggable — q103 runs it on the raw
-    * `embeddings`, q112 on the planted-near-dup union. Exposes `e`
-    * (quantized dims), `c${iters}f` (final centroids) and
-    * `s${iters + 1}` (final assignment). */
-  private def kmeansCtes(src: String): String = {
+    * `embeddings`, q112 on the planted-near-dup union, q130/q131 on
+    * per-subspace slices (with a name prefix so several instances can
+    * share one WITH). Exposes `${p}e` (quantized dims), `${p}c${iters}f`
+    * (final centroids) and `${p}s${iters + 1}` (final assignment). */
+  private def kmeansCtes(src: String, p: String = ""): String = {
     val k = kmeansK
     def asg(i: Int, cprev: String) =
-      s"""a$i AS (SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS dist
-          FROM e JOIN $cprev c ON c.dim = e.dim GROUP BY e.vec_id, c.cluster),
-        s$i AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+      s"""${p}a$i AS (SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS dist
+          FROM ${p}e e JOIN $cprev c ON c.dim = e.dim GROUP BY e.vec_id, c.cluster),
+        ${p}s$i AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
             SELECT vec_id, cluster, dist,
               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-            FROM a$i) WHERE rk = 1)"""
+            FROM ${p}a$i) WHERE rk = 1)"""
     def upd(i: Int) =
-      s"""c$i AS (SELECT s.cluster, e.dim,
+      s"""${p}c$i AS (SELECT s.cluster, e.dim,
             CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-          FROM s$i s JOIN e ON e.vec_id = s.vec_id GROUP BY s.cluster, e.dim),
-        c${i}f AS (SELECT * FROM c$i UNION ALL
-          SELECT p.cluster, p.dim, p.c FROM c${i - 1}f p
-          WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM c$i))"""
+          FROM ${p}s$i s JOIN ${p}e e ON e.vec_id = s.vec_id GROUP BY s.cluster, e.dim),
+        ${p}c${i}f AS (SELECT * FROM ${p}c$i UNION ALL
+          SELECT pv.cluster, pv.dim, pv.c FROM ${p}c${i - 1}f pv
+          WHERE pv.cluster NOT IN (SELECT DISTINCT cluster FROM ${p}c$i))"""
     val rounds = (1 to kmeansIters)
-      .map(i => s"${asg(i, s"c${i - 1}f")},\n        ${upd(i)}").mkString(",\n        ")
+      .map(i => s"${asg(i, s"${p}c${i - 1}f")},\n        ${upd(i)}").mkString(",\n        ")
     val fin = kmeansIters + 1
-    s"""e AS (SELECT vec_id,
+    s"""${p}e AS (SELECT vec_id,
             generate_subscripts(embedding, 1) - 1 AS dim,
             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096.0 + 0.5) AS BIGINT) AS v
           FROM $src),
-        c0f AS (SELECT vec_id AS cluster, dim, v AS c FROM e WHERE vec_id < $k),
+        ${p}c0f AS (SELECT vec_id AS cluster, dim, v AS c FROM ${p}e WHERE vec_id < $k),
         $rounds,
-        ${asg(fin, s"c${kmeansIters}f")}"""
+        ${asg(fin, s"${p}c${kmeansIters}f")}"""
   }
+
+  // ---- product quantization (q130/q131): M fixed subspaces, one small
+  // codebook per subspace, codes = nearest centroid per slice.
+  private val pqM = 4
+  private val pqSub = 16 // 64 embedding dims / 4 subspaces
+
+  /** Fit per-subspace PQ codebooks with the shared integer-exact Lloyd
+    * loop ([[graft.similarity.KMeans.fit]]) — k = [[kmeansK]] codes per
+    * subspace at fixture scale (production PQ uses 256; the shape is
+    * identical, only the literal array widths grow). The collected
+    * codebooks are M·k·(dims/M) longs — bytes on the driver. */
+  private def pqFit(eqCp: DataFrame): Array[Array[Array[Long]]] =
+    Array.tabulate(pqM) { m =>
+      graft.similarity.KMeans.fit(
+        eqCp.select(col("vec_id"),
+          expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)").as("eq")),
+        k = kmeansK, iters = kmeansIters)
+    }
+
+  /** Sliced-embedding source for subspace `m` (DuckDB side of pqFit). */
+  private def pqSrcSql(m: Int) =
+    s"(SELECT vec_id, embedding[${m * pqSub + 1}:${(m + 1) * pqSub}] AS embedding FROM embeddings)"
 
   /** DuckDB twin of the SRP-IVF quantizer + multi-probe (q38's oracle,
     * shared with q118's nDCG eval): plane coefficients embedded as
@@ -2133,7 +2156,106 @@ object DedupSim {
           COALESCE(pd.dup_tokens, 0) AS dup_tokens,
           floor(COALESCE(pd.dup_tokens, 0)
             / CAST(greatest(t.n_tokens, 1) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_frac
-        FROM tks t LEFT JOIN pd ON pd.doc_id = t.doc_id ORDER BY t.doc_id"""))
+        FROM tks t LEFT JOIN pd ON pd.doc_id = t.doc_id ORDER BY t.doc_id""")),
+
+    // ---- product quantization TRAIN + ENCODE (the PQ half of FAISS-style
+    // IVF-PQ — the memory-side scale path for ANN that q37/q38's coarse
+    // quantizers don't cover): the 64-dim embedding splits into M = 4
+    // fixed subspaces; each subspace trains its own small codebook with
+    // the shared integer-exact Lloyd loop (q103's); a vector's PQ code is
+    // its per-subspace nearest centroid. Gate = the full codebook
+    // quality surface: per (subspace, code) population and total
+    // quantization error over ALL vectors — a broken fit, slice, or
+    // encode moves it. k = 4 codes/subspace at fixture scale so the
+    // oracle's recursive Lloyd stays tractable; production PQ uses 256
+    // and changes nothing but literal widths (64 dims × 4 bits of code
+    // here ≈ the 64→2-byte compression PQ exists for).
+    //
+    // Scale: training collects k·dims longs per round (bytes); encode is
+    // a MAP-ONLY pass — centroids enter the plan as literals, so the
+    // per-vector work is M codegen'd integer folds, no join, no shuffle;
+    // the only shuffle is the k·M-group stats agg. At 100 TB the encode
+    // is embarrassingly parallel and the stored artifact (vec_id, M
+    // small ints) is ~30× smaller than the float vectors.
+    ("q130_pq_encode",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.KMeans
+        def eqOf() = t(s, dir, "embeddings")
+          .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+        val eqCp = eqOf().localCheckpoint()
+        val cbs = pqFit(eqCp)
+        Scoped.free(eqCp)
+        (0 until pqM).map { m =>
+          KMeans.assign(
+            eqOf().select(col("vec_id"),
+              expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)").as("eq")), cbs(m))
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sq_err"))
+            .select(lit(m.toLong).as("subspace"), col("cluster").as("code"),
+              col("n_vecs"), col("sq_err"))
+        }.reduce(_.unionByName(_))
+          .orderBy(col("subspace"), col("code"))
+      },
+      Some {
+        val fin = kmeansIters + 1
+        s"""WITH ${(0 until pqM).map(m => kmeansCtes(pqSrcSql(m), s"p$m")).mkString(",\n        ")}
+          SELECT * FROM (
+            ${(0 until pqM).map(m =>
+              s"""SELECT CAST($m AS BIGINT) AS subspace, cluster AS code,
+                COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS sq_err
+              FROM p${m}s$fin GROUP BY cluster""").mkString("\n            UNION ALL ")}
+          ) ORDER BY subspace, code"""
+      }),
+
+    // ---- PQ asymmetric-distance search (ADC — the read path of q130's
+    // artifact): the query vector precomputes, per subspace, its exact
+    // L2² to each of the k centroids (an M×k table of longs, built on the
+    // driver from the codebooks — bytes); a database vector's approximate
+    // distance is then the SUM OF M TABLE LOOKUPS keyed by its PQ code.
+    // Here encode+lookup fuse into one map-only scan (the code column
+    // would be stored, pre-computed at ingest, in production); ranking is
+    // a TakeOrdered. Integer-exact end to end, so the oracle recomputes
+    // the same distances from its own Lloyd CTEs. Probe = vec_id 0
+    // (q35's convention).
+    ("q131_pq_adc",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.KMeans
+        def eqOf() = t(s, dir, "embeddings")
+          .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+        val eqCp = eqOf().localCheckpoint()
+        val cbs = pqFit(eqCp)
+        val probe = eqCp.filter(col("vec_id") === 0)
+          .select(col("eq")).collect()(0).getSeq[Long](0).toArray
+        Scoped.free(eqCp)
+        val dtabs = Array.tabulate(pqM) { m =>
+          val pm = probe.slice(m * pqSub, (m + 1) * pqSub)
+          cbs(m).map(cent =>
+            pm.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        eqOf().select(col("vec_id"),
+          (0 until pqM).map { m =>
+            element_at(array(dtabs(m).map(lit(_)): _*),
+              (KMeans.nearestCol(
+                expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)"), cbs(m)) + 1).cast("int"))
+          }.reduce(_ + _).as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val fin = kmeansIters + 1
+        val adcs = (0 until pqM).map(m =>
+          s"""adc$m AS (SELECT sx.vec_id, SUM((qe.v - cf.c) * (qe.v - cf.c)) AS d
+            FROM p${m}s$fin sx
+            JOIN p${m}c${kmeansIters}f cf ON cf.cluster = sx.cluster
+            JOIN (SELECT dim, v FROM p${m}e WHERE vec_id = 0) qe ON qe.dim = cf.dim
+            GROUP BY sx.vec_id)""").mkString(",\n        ")
+        s"""WITH ${(0 until pqM).map(m => kmeansCtes(pqSrcSql(m), s"p$m")).mkString(",\n        ")},
+          $adcs
+          SELECT a0.vec_id, CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+          FROM adc0 a0 JOIN adc1 a1 USING (vec_id) JOIN adc2 a2 USING (vec_id)
+            JOIN adc3 a3 USING (vec_id)
+          ORDER BY adc_dist, vec_id LIMIT 10"""
+      })
   )
 
 }

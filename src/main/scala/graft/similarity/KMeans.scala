@@ -44,6 +44,15 @@ object KMeans {
       zip_with(eq, array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Nearest-centroid id of a quantized (sub)vector column as a bare
+    * Column — the map-only encode primitive product quantization composes
+    * per subspace (q130/q131). Same exact-integer L2² and first-min
+    * tie-break as [[assign]]. */
+  def nearestCol(eqSub: Column, cents: Array[Array[Long]]): Column = {
+    val dists = array(cents.map(c => distTo(eqSub, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
   /** Adds (cluster, dist): nearest centroid by exact integer L2², ties to
     * the smallest cluster id (`array_position` returns the FIRST index of
     * the minimum). Map-only. */

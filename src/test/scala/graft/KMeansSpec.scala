@@ -53,6 +53,41 @@ class KMeansSpec extends SparkSpec {
     assert(asg(1L) === ((1L, 0L)))
   }
 
+  test("PQ: nearestCol matches assign; ADC table lookup matches the scalar model") {
+    val M = 4; val sub = 16
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+      .orderBy(col("vec_id"))
+    val vs = e.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def sl(m: Int) = e.select(col("vec_id"),
+      expr(s"slice(eq, ${m * sub + 1}, $sub)").as("eq"))
+    val cbs = Array.tabulate(M)(m => KMeans.fit(sl(m), k = 4, iters = 2))
+    for (m <- 0 until M) {
+      val a = KMeans.assign(sl(m), cbs(m)).select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = sl(m).select(col("vec_id"), KMeans.nearestCol(col("eq"), cbs(m)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === n, s"subspace $m")
+    }
+    def sq(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probe = vs.find(_._1 == 0L).get._2
+    val dtabs = Array.tabulate(M)(m =>
+      cbs(m).map(c => sq(probe.slice(m * sub, m * sub + sub), c)))
+    val exp = vs.map { case (id, v) =>
+      id -> (0 until M).map { m =>
+        val ds = cbs(m).map(c => sq(v.slice(m * sub, m * sub + sub), c))
+        dtabs(m)(ds.indexOf(ds.min))
+      }.sum
+    }.toMap
+    val got = e.select(col("vec_id"),
+      (0 until M).map(m => element_at(array(dtabs(m).map(lit(_)): _*),
+        (KMeans.nearestCol(expr(s"slice(eq, ${m * sub + 1}, $sub)"), cbs(m)) + 1)
+          .cast("int"))).reduce(_ + _).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+  }
+
   test("a cluster that loses all members keeps its previous centroid") {
     // identical seeds: round 1 ties every point into cluster 0, so
     // cluster 1 is EMPTY and must carry its seed centroid forward
