@@ -125,6 +125,69 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Throwable => None }
 
+  /** Decode the PCM SAMPLES of a 16-bit mono little-endian audio payload
+    * (the fixture's WAV shape) — None for any other format or an
+    * undecodable container. The real decode path: the container walk and
+    * sample extraction go through javax.sound, not a re-parse of our own
+    * writer's layout. */
+  def decodeAudioSamples(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian) None
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  final case class AudioFeatures(media_id: Long, frames: Long, sum_sq: Long,
+      peak: Long, zero_cross: Long, decoded: Boolean)
+
+  /** Sample-level audio features through the REAL decode path: energy
+    * (exact Σ s² in int64 — a 16-bit sample squares to ≤ 2^30, so 2^33
+    * samples fit without overflow), peak |amplitude|, and zero crossings
+    * ((s ≥ 0) flipping between neighbors). One O(frames) fold per
+    * payload, batch-bounded like every codec path; undecodable rows are
+    * observable (decoded=false, zeroed stats), not dropped. */
+  def audioFeatures(spark: SparkSession, media: Dataset[Media],
+      batchSize: Int = DefaultBatchSize): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .repartition(col("media_id"))
+      .mapPartitions { it =>
+        inBatches(it, batchSize) { batch =>
+          batch.map { m =>
+            decodeAudioSamples(m.payload) match {
+              case Some(ss) =>
+                var sumSq = 0L; var peak = 0L; var zc = 0L; var i = 0
+                while (i < ss.length) {
+                  val s = ss(i).toLong
+                  sumSq += s * s
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  if (i > 0 && ((s >= 0) != (ss(i - 1) >= 0))) zc += 1
+                  i += 1
+                }
+                AudioFeatures(m.media_id, ss.length.toLong, sumSq, peak, zc,
+                  decoded = true)
+              case None =>
+                AudioFeatures(m.media_id, 0L, 0L, 0L, 0L, decoded = false)
+            }
+          }
+        }
+      }
+  }
+
   final case class DecodedAudio(media_id: Long, sample_rate: Int,
       channels: Int, frames: Long, duration_ms: Double, decoded: Boolean)
 

@@ -106,6 +106,40 @@ object MultimodalQ {
         true AS decoded
         FROM documents ORDER BY media_id""")),
 
+    // ---- SAMPLE-level audio feature extraction through the real decode
+    // path (q65 stops at the header; this reads the PCM): per-clip energy
+    // (exact Σ s² in int64), peak |amplitude|, and zero-crossing count —
+    // the features an audio curation pipeline gates on (silence /
+    // clipping / activity) before paying for a model pass. The fixture's
+    // samples are a deterministic integer formula, so the oracle
+    // re-derives every feature in SQL from the generation rule while the
+    // Spark side must DECODE the WAV container to get them — a broken
+    // sample path (endianness, offset, truncation) fails the hash gate
+    // on all three counters. All-integer features: no cross-engine
+    // float hazard. Scale: one O(frames) fold per payload, map-side,
+    // batch-bounded; output is 5 ints per clip.
+    ("q132_audio_features",
+      (s: SparkSession, dir: String) => {
+        val media = graft.multimodal.MediaFixtures.audioWav(s, dir)
+        Multimodal.audioFeatures(s, media)
+          .toDF()
+          .select(col("media_id"), col("frames"), col("sum_sq"), col("peak"),
+            col("zero_cross"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS media_id,
+            CAST(doc_id % 400 + 50 AS BIGINT) AS n FROM documents),
+        sm AS (SELECT media_id, n, CAST(u.i AS BIGINT) AS i,
+            (media_id * 31 + CAST(u.i AS BIGINT) * 17) % 65536 - 32768 AS s
+          FROM f, UNNEST(range(n)) AS u(i)),
+        lg AS (SELECT *, lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM sm)
+        SELECT media_id, MIN(n) AS frames, CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+          CAST(MAX(abs(s)) AS BIGINT) AS peak,
+          CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+          true AS decoded
+        FROM lg GROUP BY media_id ORDER BY media_id""")),
+
     // ---- REAL codec round-trip through the gate: the fixture holds a
     // deterministic PNG per document (JDK-ImageIO-encoded ONCE at fixture
     // materialization — generation is ingest, not the operator; VERDICT r8

@@ -42,18 +42,38 @@ object TextOps {
     * values — bounded by construction — so it broadcasts and the strip
     * is a map-side anti-join; see the q127 catalog comment for the full
     * scale argument. */
+  /** The shared fixed-`unit`-token segmentation of q127's boilerplate
+    * strip — one row per (doc, segment) with the doc's total segment
+    * count; `carry` names extra columns to keep (the streaming twin
+    * carries `ts`). Map-side only. */
+  private[graft] def boilerplateSegments(docs: DataFrame, unit: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val base = docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_segs", expr(s"cast(ceil(size(tk) / $unit.0d) as bigint)"))
+    explodeLean(base, Seq(col("doc_id"), col("n_segs")) ++ carry.map(col),
+      expr(s"""transform(sequence(0, cast(n_segs as int) - 1),
+               i -> named_struct('seg_idx', cast(i as bigint),
+                 'seg', concat_ws(' ', slice(tk, i * $unit + 1, $unit))))"""), "sg")
+      .select((Seq(col("doc_id"), col("n_segs")) ++ carry.map(col)) ++
+        Seq(col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg")): _*)
+  }
+
+  /** The segments appearing in >= `thr` distinct documents — the
+    * boilerplate lexicon q127 strips and the streaming twin probes.
+    * Bounded at |segments|/thr distinct values by construction. */
+  private[graft] def boilerplateDropSet(docs: DataFrame, unit: Int, thr: Long): DataFrame =
+    boilerplateSegments(docs, unit).groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= thr).select(col("seg"))
+
   private[graft] def boilerplateStrip(docs: DataFrame, unit: Int, thr: Long): DataFrame = {
     val base = docs
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_segs", expr(s"cast(ceil(size(tk) / $unit.0d) as bigint)"))
-    val segs = explodeLean(base, Seq(col("doc_id")),
-      expr(s"""transform(sequence(0, cast(n_segs as int) - 1),
-               i -> named_struct('seg_idx', cast(i as bigint),
-                 'seg', concat_ws(' ', slice(tk, i * $unit + 1, $unit))))"""), "sg")
-      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
-    val dropSet = segs.groupBy(col("seg"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= thr).select(col("seg"))
+    val segs = boilerplateSegments(docs, unit)
+      .select(col("doc_id"), col("seg_idx"), col("seg"))
+    val dropSet = boilerplateDropSet(docs, unit, thr)
     val kept = segs.join(broadcast(dropSet), Seq("seg"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_segs"),

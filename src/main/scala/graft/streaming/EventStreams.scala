@@ -256,6 +256,38 @@ object EventStreams {
           col("n_dup").cast("double") / col("n_chunks")))
   }
 
+  /** Streaming boilerplate strip: q127 at INGEST — each arriving document
+    * is segmented map-side by the shared fold
+    * ([[graft.queries.TextOps.boilerplateSegments]], so stream and batch
+    * can never disagree on boundaries), probed against the STATIC
+    * boilerplate lexicon (the corpus-frequency drop set a batch pass
+    * maintains — bounded at |segments|/thr values, so the join's build
+    * side broadcasts), and rebuilt from its surviving segments inside a
+    * watermarked windowed aggregate. Output mirrors the batch gate:
+    * (doc_id, n_segs, kept_segs, dropped_segs, clean_hash), clean_hash =
+    * md5 of the position-ordered surviving text (md5('') when the whole
+    * doc was boilerplate). Engine state is the in-flight windows' per-doc
+    * segment lists — bounded by the watermark horizon, not the corpus. */
+  def boilerplateStripStream(docs: DataFrame, dropSet: DataFrame,
+      unit: Int = 8, horizon: String = "1 hour"): DataFrame = {
+    val segs = graft.queries.TextOps.boilerplateSegments(
+      docs.withWatermark("ts", horizon), unit, carry = Seq("ts"))
+    val drop = dropSet.select(col("seg")).distinct().withColumn("boiler", lit(1))
+    segs.join(drop, Seq("seg"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("doc_id"), col("n_segs"))
+      .agg(
+        sum(when(col("boiler").isNull, 1L).otherwise(0L)).as("kept_segs"),
+        expr("""md5(concat_ws(' ',
+            transform(array_sort(collect_list(
+              case when boiler is null
+                then named_struct('seg_idx', seg_idx, 'seg', seg) end)),
+              x -> x.seg)))""").as("clean_hash"))
+      .withColumn("dropped_segs", col("n_segs") - col("kept_segs"))
+      .select(col("window"), col("doc_id"), col("n_segs"), col("kept_segs"),
+        col("dropped_segs"), col("clean_hash"))
+  }
+
   /** Streaming count-min sketch: per event-time window, maintain the
     * depth-4 × width-256 counter table as a watermarked windowed
     * aggregate — the streaming twin of q108's batch sketch build. The

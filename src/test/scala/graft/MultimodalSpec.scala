@@ -168,6 +168,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded && out(3L).frames === 0L)
   }
 
+  test("decodeAudioSamples: exact PCM round-trip; audioFeatures scalar model") {
+    import spark.implicits._
+    // extremes + sign flips: endianness or offset bugs cannot survive
+    val samples = Array[Short](-32768, 32767, 0, -1, 1, 100, -100, 0)
+    val wav = synthWav(8000f, samples)
+    assert(Multimodal.decodeAudioSamples(wav).get.toSeq === samples.toSeq)
+    assert(Multimodal.decodeAudioSamples(Array[Byte](1, 2, 3)).isEmpty)
+    val ds = Seq(
+      Media(1L, "audio", MediaMeta(0, 0, 1, 8000, 0), wav),
+      Media(2L, "audio", MediaMeta(0, 0, 0, 0, 0), Array[Byte](9)) // corrupt
+    ).toDS()
+    val out = Multimodal.audioFeatures(spark, ds).collect()
+      .map(f => f.media_id -> f).toMap
+    val expSumSq = samples.map(s => s.toLong * s).sum
+    val expZc = (1 until samples.length)
+      .count(i => (samples(i) >= 0) != (samples(i - 1) >= 0))
+    assert(out(1L).decoded && out(1L).frames === samples.length.toLong &&
+      out(1L).sum_sq === expSumSq && out(1L).peak === 32768L &&
+      out(1L).zero_cross === expZc.toLong)
+    assert(!out(2L).decoded && out(2L).sum_sq === 0L)
+  }
+
   test("spark.read.format(image): Spark's native image source works") {
     val dir = java.nio.file.Files.createTempDirectory("imgs")
     val img = new java.awt.image.BufferedImage(5, 7,

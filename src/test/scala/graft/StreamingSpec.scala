@@ -281,6 +281,41 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(13L) === ((0, 0L)), "chunkless doc still reports, with zero signal")
   }
 
+  test("boilerplateStripStream: ingest-time strip matches the q127 segment rule") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // footer is EXACTLY one 8-token unit, so prepended it owns segment 0
+    val footer = "cookie policy accept decline terms privacy subscribe newsletter"
+    val corpus = (1L to 12L).map(i =>
+      (i, s"$footer unique body content with several extra tokens $i"))
+      .toDF("doc_id", "text")
+    val dropSet = graft.queries.TextOps.boilerplateDropSet(corpus, unit = 8, thr = 10L)
+    assert(dropSet.collect().map(_.getString(0)).toSet === Set(footer),
+      "the lexicon is exactly the planted footer segment")
+    val body101 = "fresh body one two three four five six seven" // 9 tokens
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (101L, s"$footer $body101", ts(0)), // footer seg dropped, body kept
+      (102L, "no boilerplate here at all just eight words", ts(1)), // untouched
+      (103L, footer, ts(2))) // all boilerplate -> md5("")
+    val q = EventStreams.boilerplateStripStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), dropSet)
+      .writeStream.format("memory").queryName("boiler_strip")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val got = spark.table("boiler_strip")
+      .select(col("doc_id"), col("n_segs"), col("kept_segs"),
+        col("dropped_segs"), col("clean_hash"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(101L) === ((3L, 2L, 1L, md5hex(body101))))
+    assert(got(102L) === ((1L, 1L, 0L,
+      md5hex("no boilerplate here at all just eight words"))))
+    assert(got(103L) === ((1L, 0L, 1L, md5hex(""))))
+  }
+
   test("cdcChunkStream: re-ingesting a doc_id within one window yields one verdict per event") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
