@@ -2232,12 +2232,17 @@ object DedupSim {
           cbs(m).map(cent =>
             pm.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
         }
-        eqOf().select(col("vec_id"),
-          (0 until pqM).map { m =>
-            element_at(array(dtabs(m).map(lit(_)): _*),
-              (KMeans.nearestCol(
-                expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)"), cbs(m)) + 1).cast("int"))
-          }.reduce(_ + _).as("adc_dist"))
+        // distance arrays land in NAMED columns so min+position evaluate
+        // each k-fold once (array_position is 1-based = code + 1, exactly
+        // element_at's index)
+        eqOf().select(Seq(col("vec_id")) ++ (0 until pqM).map(m =>
+            KMeans.distArray(
+              expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)"), cbs(m)).as(s"dm$m")): _*)
+          .select(col("vec_id"),
+            (0 until pqM).map { m =>
+              element_at(array(dtabs(m).map(lit(_)): _*),
+                array_position(col(s"dm$m"), array_min(col(s"dm$m"))).cast("int"))
+            }.reduce(_ + _).as("adc_dist"))
           .orderBy(col("adc_dist"), col("vec_id"))
           .limit(10)
       },

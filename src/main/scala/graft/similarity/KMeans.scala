@@ -44,12 +44,21 @@ object KMeans {
       zip_with(eq, array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Exact integer L2² distances of a quantized (sub)vector column to
+    * every centroid, as one array Column. PQ callers (q131) alias this to
+    * a NAMED column first, so array_min/array_position reference the
+    * attribute and the k folds evaluate once (HOF lambdas get no
+    * cross-expression CSE — fusing min+position inline would double the
+    * fold work). */
+  def distArray(eqSub: Column, cents: Array[Array[Long]]): Column =
+    array(cents.map(c => distTo(eqSub, c)): _*)
+
   /** Nearest-centroid id of a quantized (sub)vector column as a bare
     * Column — the map-only encode primitive product quantization composes
     * per subspace (q130/q131). Same exact-integer L2² and first-min
     * tie-break as [[assign]]. */
   def nearestCol(eqSub: Column, cents: Array[Array[Long]]): Column = {
-    val dists = array(cents.map(c => distTo(eqSub, c)): _*)
+    val dists = distArray(eqSub, cents)
     (array_position(dists, array_min(dists)) - 1).cast("long")
   }
 

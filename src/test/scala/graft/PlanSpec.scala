@@ -311,6 +311,33 @@ class PlanSpec extends SparkSpec {
       "checkpoint leaves are not shared across branches — each appears once")
   }
 
+  test("q128: the fixed-size log-ratio model broadcasts into the scoring join") {
+    val p = plan("q128_dsir_select")
+    // the model is <= 1024 rows by construction — scoring must be a
+    // map-side broadcast probe of the (doc, bucket) table, and the only
+    // nested-loop joins are the sanctioned 1-row total scalars
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the lr model broadcast:\n" + p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q129: duplicated-gram pairing stays a fingerprint equi-join") {
+    val p = plan("q129_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram dup-set join must be an equi-join:\n" + p.take(1600))
+  }
+
+  test("q130/q131: PQ encode and ADC are join-free map passes") {
+    // codebooks and ADC tables enter as literals — like q103's
+    // assignment, neither query may join
+    val p130 = plan("q130_pq_encode")
+    assert(!p130.contains("Join"), "PQ encode must not join:\n" + p130.take(1200))
+    val p131 = plan("q131_pq_adc")
+    assert(!p131.contains("Join"), "ADC must not join:\n" + p131.take(1200))
+    assert(p131.contains("TakeOrdered"),
+      "ADC top-k must plan as distributed TakeOrdered:\n" + p131.take(1200))
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a
