@@ -89,6 +89,24 @@ object TextOps {
         coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
   }
 
+  /** q128's hashed-bigram feature space size. */
+  private[graft] val DsirBuckets = 1024
+
+  /** One row per hashed-bigram FEATURE OCCURRENCE of `text` — q128's
+    * feature map as a shared map-side derivation (`carry` keeps extra
+    * columns; the streaming scorer carries `ts`), so the batch selector
+    * and ingest-time scoring can never disagree on features. */
+  private[graft] def dsirFeatureRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    explodeLean(
+      docs.withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)")),
+      Seq(col("doc_id")) ++ carry.map(col),
+      expr("""if(size(ws) < 2, array(),
+               transform(sequence(1, size(ws) - 1),
+                 i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
+      "f")
+      .withColumn("b", hash32(col("f")) % DsirBuckets)
+      .drop("f")
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- language ID: English-stopword-ratio heuristic
@@ -977,6 +995,8 @@ object TextOps {
           COALESCE(a.clean_hash, md5('')) AS clean_hash
         FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id ORDER BY t.doc_id""")),
 
+    // ---- (see dsirFeatureRows above the catalog for the shared q128 /
+    // streaming-scorer feature map)
     // ---- DSIR-shaped data selection (importance resampling on hashed
     // n-gram features — the Xie et al. 2023 recipe): score every raw
     // document by how target-like its hashed-bigram distribution is,
@@ -999,18 +1019,9 @@ object TextOps {
     // the model stays 1024 rows no matter the corpus.
     ("q128_dsir_select",
       (s: SparkSession, dir: String) => {
-        val B = 1024
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-        val bg = explodeLean(toks, Seq(col("doc_id"), col("lang")),
-          expr("""if(size(ws) < 2, array(),
-                   transform(sequence(1, size(ws) - 1),
-                     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
-          "f")
+        val B = DsirBuckets
         // one expensive pass materialized; everything downstream is small
-        val db = bg
-          .select(col("doc_id"), col("lang"), (hash32(col("f")) % B).as("b"))
+        val db = dsirFeatureRows(t(s, dir, "documents"), carry = Seq("lang"))
           .groupBy(col("doc_id"), col("lang"), col("b"))
           .agg(count(lit(1)).as("c"))
           .localCheckpoint()
@@ -1053,7 +1064,86 @@ object TextOps {
         SELECT db.doc_id, db.lang, CAST(SUM(db.c) AS BIGINT) AS n_feats,
           CAST(SUM(db.c * lr.lr4) AS BIGINT) AS logw4
         FROM db JOIN lr ON lr.b = db.b
-        GROUP BY 1, 2 ORDER BY logw4 DESC, doc_id LIMIT 30"""))
+        GROUP BY 1, 2 ORDER BY logw4 DESC, doc_id LIMIT 30""")),
+
+    // ---- interpolated bigram-LM perplexity (the CCNet/KenLM-style
+    // perplexity filter, one model order up from q89's unigram
+    // surprisal): every conditional the model needs derives from ONE
+    // bigram count table — p(w2|w1) ≈ 0.75·c(w1,w2)/c(w1,·) +
+    // 0.25·c(·,w2)/N, with the left-marginal, right-marginal and total
+    // all aggregations of the same counts — and each DISTINCT bigram
+    // type's log-prob is quantized once on the 1e4 grid (q89's
+    // floor(ln·1e4+0.5) idiom), so per-doc scoring is an exact BIGINT
+    // dot product. Gate = the 20 highest-perplexity docs (the ones a
+    // perplexity filter would drop first).
+    //
+    // Scale: ONE tokenize pass builds the per-(doc, bigram) partial agg
+    // (checkpointed — the corpus is not re-tokenized for the model);
+    // the model and both marginals aggregate that table (combinable);
+    // marginals are vocab-sized → broadcast into the model assembly;
+    // the scoring join is a bigram-keyed EQUI-join (the bigram table is
+    // vocab²-bounded, NOT assumed broadcastable — at 100 TB it
+    // partitions by bigram hash like any term table). Per-doc agg +
+    // TakeOrdered close it out.
+    ("q133_bigram_ppl",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        val bg = explodeLean(toks, Seq(col("doc_id"), col("lang")),
+          expr("""if(size(ws) < 2, array(),
+                   transform(sequence(1, size(ws) - 1),
+                     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
+          "bg")
+        val db = bg.groupBy(col("doc_id"), col("lang"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(db)
+        val model = db.groupBy(col("bg")).agg(sum(col("c")).as("cbi"))
+          .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+          .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+        val left = model.groupBy(col("w1")).agg(sum(col("cbi")).as("cl"))
+        val right = model.groupBy(col("w2")).agg(sum(col("cbi")).as("cr"))
+        val tot = model.agg(sum(col("cbi")).as("n_bi"))
+        val lp = model
+          .join(broadcast(left), Seq("w1"))
+          .join(broadcast(right), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("bg"),
+            floor(log(lit(0.75) * (col("cbi").cast("double") / col("cl").cast("double"))
+              + lit(0.25) * (col("cr").cast("double") / col("n_bi").cast("double")))
+              * 1e4 + 0.5).as("lp4"))
+        db.join(lp, Seq("bg"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("lp4")).as("slp"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            (floor(-col("slp").cast("double") / col("n_bigrams") + 0.5) / 1e4)
+              .as("avg_nll"))
+          .orderBy(desc("avg_nll"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toksb AS (SELECT doc_id, lang,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        bgr AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM toksb),
+        db AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bgr GROUP BY 1, 2, 3),
+        model AS (SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+            SUM(c) AS cbi FROM db GROUP BY 1),
+        lft AS (SELECT w1, SUM(cbi) AS cl FROM model GROUP BY 1),
+        rgt AS (SELECT w2, SUM(cbi) AS cr FROM model GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cbi) AS BIGINT) AS n_bi FROM model),
+        lp AS (SELECT m.bg,
+            CAST(floor(ln(0.75 * (CAST(m.cbi AS DOUBLE) / CAST(l.cl AS DOUBLE))
+              + 0.25 * (CAST(r.cr AS DOUBLE) / CAST(tot.n_bi AS DOUBLE)))
+              * 1e4 + 0.5) AS BIGINT) AS lp4
+          FROM model m JOIN lft l ON l.w1 = m.w1 JOIN rgt r ON r.w2 = m.w2, tot),
+        sc AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+            CAST(SUM(c * lp4) AS BIGINT) AS slp
+          FROM db JOIN lp USING (bg) GROUP BY 1, 2)
+        SELECT doc_id, lang, n_bigrams,
+          floor(-CAST(slp AS DOUBLE) / n_bigrams + 0.5) / 1e4 AS avg_nll
+        FROM sc ORDER BY avg_nll DESC, doc_id LIMIT 20"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1

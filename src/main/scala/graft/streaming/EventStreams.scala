@@ -288,6 +288,25 @@ object EventStreams {
         col("dropped_segs"), col("clean_hash"))
   }
 
+  /** Streaming DSIR scoring: q128's target-likeness model applied at
+    * INGEST — each arriving document explodes into its hashed-bigram
+    * feature occurrences by the shared map
+    * ([[graft.queries.TextOps.dsirFeatureRows]], so stream and batch
+    * features can never diverge), probes the STATIC log-ratio model
+    * (≤ 1024 rows by construction → stream-static broadcast join, no
+    * state), and sums into a per-doc (n_feats, logw4) verdict inside a
+    * watermarked windowed aggregate. Summing lr4 per occurrence equals
+    * the batch Σ c·lr4 exactly. This is the admit/route-at-ingest read
+    * path of the model q128 trains. */
+  def dsirScoreStream(docs: DataFrame, lrModel: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    graft.queries.TextOps.dsirFeatureRows(
+        docs.withWatermark("ts", horizon), carry = Seq("ts"))
+      .join(broadcast(lrModel.select(col("b"), col("lr4"))), Seq("b"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr4")).as("logw4"))
+
   /** Streaming count-min sketch: per event-time window, maintain the
     * depth-4 × width-256 counter table as a watermarked windowed
     * aggregate — the streaming twin of q108's batch sketch build. The

@@ -316,6 +316,38 @@ class StreamingSpec extends SparkSpec {
     assert(got(103L) === ((1L, 0L, 1L, md5hex(""))))
   }
 
+  test("dsirScoreStream: ingest-time scoring matches the batch feature dot product") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // an arbitrary deterministic model over the full bucket space —
+    // model PRODUCTION is q128's oracle-gated job; the twin's contract
+    // is scoring parity for a given model
+    val model = (0L until 1024L).map(b => (b, b % 7 - 3)).toDF("b", "lr4")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", ts(0)),
+      (2L, "one two three four five six seven eight nine ten", ts(1)),
+      (3L, "solo", ts(2))) // < 2 tokens: no features, no output row
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs: _*)
+    val q = EventStreams.dsirScoreStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), model)
+      .writeStream.format("memory").queryName("dsir_score")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val got = spark.table("dsir_score")
+      .select(col("doc_id"), col("n_feats"), col("logw4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.TextOps.dsirFeatureRows(docs.toDF("doc_id", "text", "ts"))
+      .join(model, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr4")).as("logw4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch, "stream scores must equal the batch dot product")
+    assert(got.map(_._1) === Set(1L, 2L), "featureless doc emits nothing")
+    val nf = got.map(t => t._1 -> t._2).toMap
+    assert(nf(1L) === 8L && nf(2L) === 9L, "n-token doc yields n-1 bigrams")
+  }
+
   test("cdcChunkStream: re-ingesting a doc_id within one window yields one verdict per event") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
