@@ -2260,6 +2260,77 @@ object DedupSim {
           FROM adc0 a0 JOIN adc1 a1 USING (vec_id) JOIN adc2 a2 USING (vec_id)
             JOIN adc3 a3 USING (vec_id)
           ORDER BY adc_dist, vec_id LIMIT 10"""
+      }),
+
+    // ---- COMPOSED IVF-PQ search (the FAISS IVFADC read path, assembled
+    // from the catalog's own parts): q38's SRP coarse quantizer picks the
+    // 32 lowest-flip-cost cells to probe; WITHIN the probed cells only,
+    // vectors rank by q131's asymmetric PQ distance (sum of M table
+    // lookups). This is the shape that serves billion-vector ANN: the
+    // cell is a partition column (probe = partition-pruned read, ~32/256
+    // of the corpus), the PQ codes are the 30×-smaller stored artifact,
+    // and the per-vector query cost is M lookups — no floats, no full
+    // vectors touched at query time. Both stages are already
+    // oracle-gated alone (q38, q131); the gate here pins their
+    // COMPOSITION (probe set ∩ ADC ranking, one lineage).
+    ("q134_ivfpq_search", {
+      import graft.similarity.Ivf
+      val nbits = Ivf.DefaultBits
+      val dims = Ivf.DefaultDims
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.KMeans
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        def eqOf() = e.select(col("vec_id"), KMeans.quantCol(col("embedding")).as("eq"))
+        val eqCp = eqOf().localCheckpoint()
+        val cbs = pqFit(eqCp)
+        val probe = eqCp.filter(col("vec_id") === 0)
+          .select(col("eq")).collect()(0).getSeq[Long](0).toArray
+        Scoped.free(eqCp)
+        val dtabs = Array.tabulate(pqM) { m =>
+          val pm = probe.slice(m * pqSub, (m + 1) * pqSub)
+          cbs(m).map(cent =>
+            pm.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        val qvec = e.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val cells = Ivf.probeCellsForQuery(qvec, nbits, nprobe = 32)
+        Ivf.buildIndex(e.filter(col("vec_id") =!= 0), "embedding", nbits, dims)
+          .filter(col("cell").isin(cells: _*))
+          .withColumn("eq", KMeans.quantCol(col("embedding")))
+          .select(Seq(col("vec_id"), col("cell").cast("long").as("cell")) ++
+            (0 until pqM).map(m =>
+              KMeans.distArray(
+                expr(s"slice(eq, ${m * pqSub + 1}, $pqSub)"), cbs(m)).as(s"dm$m")): _*)
+          .select(col("vec_id"), col("cell"),
+            (0 until pqM).map { m =>
+              element_at(array(dtabs(m).map(lit(_)): _*),
+                array_position(col(s"dm$m"), array_min(col(s"dm$m"))).cast("int"))
+            }.reduce(_ + _).as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(20)
+      }
+    },
+      Some {
+        val fin = kmeansIters + 1
+        val adcs = (0 until pqM).map(m =>
+          s"""adc$m AS (SELECT sx.vec_id, SUM((qe.v - cf.c) * (qe.v - cf.c)) AS d
+            FROM p${m}s$fin sx
+            JOIN p${m}c${kmeansIters}f cf ON cf.cluster = sx.cluster
+            JOIN (SELECT dim, v FROM p${m}e WHERE vec_id = 0) qe ON qe.dim = cf.dim
+            GROUP BY sx.vec_id)""").mkString(",\n        ")
+        s"""WITH ${srpIvfOracleCtes()},
+          ${(0 until pqM).map(m => kmeansCtes(pqSrcSql(m), s"p$m")).mkString(",\n        ")},
+          $adcs
+          SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell,
+            CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS adc_dist
+          FROM idx i
+            JOIN adc0 a0 ON a0.vec_id = i.vec_id
+            JOIN adc1 a1 ON a1.vec_id = i.vec_id
+            JOIN adc2 a2 ON a2.vec_id = i.vec_id
+            JOIN adc3 a3 ON a3.vec_id = i.vec_id
+          WHERE i.cell IN (SELECT cell FROM probe)
+          ORDER BY adc_dist, i.vec_id LIMIT 20"""
       })
   )
 

@@ -338,6 +338,13 @@ class PlanSpec extends SparkSpec {
       "ADC top-k must plan as distributed TakeOrdered:\n" + p131.take(1200))
   }
 
+  test("q134: composed IVF-PQ search stays a join-free probed scan") {
+    val p = plan("q134_ivfpq_search")
+    assert(!p.contains("Join"),
+      "probe filter + ADC must be one map pass:\n" + p.take(1200))
+    assert(p.contains("TakeOrdered"), p.take(1200))
+  }
+
   test("q103: k-means assignment is join-free with one aggregate shuffle") {
     val p = plan("q103_kmeans")
     // centroids enter as literal arrays — nearest-centroid must be a
