@@ -221,6 +221,30 @@ object Bench {
     (median(kept.map(_._2)), mn, dropped)
   }
 
+  /** Headline queries-map budgeter, pinned by BenchSpec: the driver
+    * captures only the LAST ~2000 chars of stdout and json-parses the one
+    * line it finds there, and the failure mode is REAL — r11's 125-query
+    * line plus sbt's "[info] " prefix and the trailing sbt epilogue
+    * overflowed the window and the round's BENCH_r11.json recorded
+    * parsed:null. As the catalog grows the full map cannot ride the
+    * headline forever, so: keep the SLOWEST queries (the ones perf
+    * adjudication reads first), elide from the fast end until the
+    * rendered map fits `budget` bytes, and report the elision count
+    * in-band (`q_omitted`). The COMPLETE per-query map is always in
+    * BENCH_DETAIL.json, which is committed with the round. Ties sort by
+    * name so the kept set is deterministic. */
+  private[graft] def budgetedQueries(items: Seq[(String, Double)],
+      budget: Int): (String, Int) = {
+    val sorted = items.sortBy { case (n, v) => (-v, n) }
+    def render(kept: Seq[(String, Double)]): String =
+      kept.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+        .mkString("{", ",", "}")
+    var n = sorted.length
+    var out = render(sorted.take(n))
+    while (n > 0 && out.length > budget) { n -= 1; out = render(sorted.take(n)) }
+    (out, sorted.length - n)
+  }
+
   /** JVM health snapshot (taken at end of a pass): cumulative GC time and
     * count, metaspace used, heap used, for BENCH_DETAIL's per-pass drift
     * record. */
@@ -547,7 +571,8 @@ object Bench {
     def fmt(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = fmt(results.collect { case (k, Some(v), _, _) => shortKey(k) -> sec3(v) })
+    val qItems: Seq[(String, Double)] =
+      results.collect { case (k, Some(v), _, _) => shortKey(k) -> v }
     val errs = fmt(results.collect { case (k, _, _, Some(e)) => shortKey(k) -> ("\"" + e + "\"") })
     val total = results.collect { case (_, Some(v), _, _) => v }.sum
     val total2 = pass2.collect { case (_, v, None) => v }.sum
@@ -597,10 +622,17 @@ object Bench {
     def best(xs: Seq[Double]): String =
       xs.filterNot(_.isNaN).minOption.map(sec3).getOrElse("null")
     // "excl" = count of per-query outlier drops (full record with pass,
-    // value, and floor in BENCH_DETAIL "excluded"); kept to a count here
-    // because the headline line already sits ~130 chars under the
-    // driver's ~2000-char stdout capture window
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}""")
+    // value, and floor in BENCH_DETAIL "excluded"). The queries map is
+    // BUDGETED (budgetedQueries above): the whole printed line must stay
+    // <= 1600 bytes so it survives the driver's last-2000-chars capture
+    // alongside sbt's prefix and epilogue — the slowest queries ride the
+    // headline, "q_omitted" counts the elided fast ones, and the full map
+    // is in the committed BENCH_DETAIL.json.
+    def lineWith(qsJson: String, omitted: Int): String =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qsJson,"q_omitted":$omitted,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}"""
+    val scaffold = lineWith("{}", qItems.size).length
+    val (qsBudgeted, qOmitted) = budgetedQueries(qItems, 1600 - scaffold)
+    println(lineWith(qsBudgeted, qOmitted))
     if (warnViolations.nonEmpty) {
       System.err.println(s"[bench] WARNING GATE FAILED: ${warnViolations.mkString("; ")}")
       sys.exit(3)

@@ -56,6 +56,28 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("headline budgeter: fits the budget, keeps the slowest, counts the elided") {
+    val items = (1 to 200).map(i => (f"q$i%03d", i / 10.0))
+    val (json, omitted) = Bench.budgetedQueries(items, 600)
+    assert(json.length <= 600)
+    assert(omitted > 0 && omitted == 200 - json.count(_ == ':'))
+    // slowest query always survives; the elided ones are the fastest
+    assert(json.contains("\"q200\":20.000"))
+    assert(!json.contains("\"q001\":"))
+  }
+
+  test("headline budgeter: everything fits when the budget allows") {
+    val (json, omitted) = Bench.budgetedQueries(Seq(("q1", 1.0), ("q2", 2.0)), 1000)
+    assert(omitted == 0)
+    assert(json == "{\"q2\":2.000,\"q1\":1.000}")
+  }
+
+  test("headline budgeter: deterministic tie order by name") {
+    val (json, _) = Bench.budgetedQueries(
+      Seq(("qb", 1.0), ("qa", 1.0), ("qc", 1.0)), 1000)
+    assert(json == "{\"qa\":1.000,\"qb\":1.000,\"qc\":1.000}")
+  }
+
   test("exactly-2x values are kept (bound is strict)") {
     val (med, _, dropped) = Bench.gateQuery(Seq((0, 1.0), (1, 2.0)))
     assert(dropped.isEmpty)
