@@ -723,7 +723,81 @@ object CorpusSearch {
           FROM lexr l JOIN vecr v ON v.doc_id = l.doc_id),
         r AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
         SELECT doc_id, rank_lex, rank_vec, rrf
-        FROM r WHERE rn <= 20 ORDER BY rrf DESC, doc_id"""))
+        FROM r WHERE rn <= 20 ORDER BY rrf DESC, doc_id""")),
+
+    // ---- posting-list compression accounting (delta + varbyte — the
+    // storage format every at-scale inverted index actually writes): per
+    // term, the sorted doc-id list delta-encodes to gaps (first id + 1 so
+    // every gap is >= 1) and each gap costs 1/2/3/4 bytes by pigeonholed
+    // magnitude (<2^7 / <2^14 / <2^21 / else) — an exact integer model of
+    // varbyte, no logs, no float hazard. Gate = per-df-band totals (term
+    // count, Σdf, raw 8-byte-per-posting bytes, varbyte bytes, ratio):
+    // the storage-planner's answer to "what does the index cost on disk,
+    // and where does the compression come from" (common terms have dense
+    // lists → small gaps → deep compression; rare terms don't).
+    //
+    // Scale: the postings build is q21's one combinable shuffle; the
+    // encode is a per-term O(df) codegen'd fold over the assembled list
+    // (map-side, after the agg — exactly where A7 assembles postings);
+    // the band report is a 3-row aggregate. At 100 TB this runs where
+    // the index writer runs, costing one fold per posting list.
+    //
+    // The fixture's doc ids are DENSE (0..n), which collapses every gap
+    // to 1 byte; real sharded corpora assign sparse global docnos, so
+    // ids are remapped (id·1000 + 7, both sides) — common terms then
+    // compress to ~2-byte gaps while rare terms pay 3, and the band
+    // ratios actually discriminate.
+    ("q135_postings_varbyte",
+      (s: SparkSession, dir: String) => {
+        val vbFold =
+          """aggregate(
+               concat(array(element_at(ds, 1) + 1),
+                 if(size(ds) < 2, array(),
+                   zip_with(slice(ds, 2, size(ds) - 1), slice(ds, 1, size(ds) - 1),
+                     (a, b) -> a - b))),
+               0L,
+               (acc, g) -> acc + (case when g < 128 then 1
+                 when g < 16384 then 2
+                 when g < 2097152 then 3 else 4 end))"""
+        explodeLean(t(s, dir, "documents"), Seq(col("doc_id")), expr(tokensExpr), "term")
+          .groupBy(col("term"))
+          .agg(sort_array(collect_set(col("doc_id") * 1000 + 7)).as("ds"),
+            countDistinct(col("doc_id")).as("df"))
+          .select(col("df"),
+            (col("df") * 8).as("raw_bytes"),
+            expr(vbFold).as("vb_bytes"),
+            when(col("df") < 10, "rare").when(col("df") < 100, "mid")
+              .otherwise("common").as("band"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("df")).as("sum_df"),
+            sum(col("raw_bytes")).as("raw_bytes"),
+            sum(col("vb_bytes")).as("vb_bytes"))
+          .withColumn("ratio",
+            floor(col("raw_bytes").cast("double") / col("vb_bytes").cast("double")
+              * 1e4 + 0.5) / 1e4)
+          .orderBy(col("band"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        pl AS (SELECT term, list_sort(list(DISTINCT doc_id * 1000 + 7)) AS ds,
+            COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        enc AS (SELECT df, CAST(8 * df AS BIGINT) AS raw_bytes,
+            CAST(list_sum(list_transform(
+              list_concat([ds[1] + 1],
+                list_transform(range(2, len(ds) + 1), i -> ds[i] - ds[i - 1])),
+              g -> CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                WHEN g < 2097152 THEN 3 ELSE 4 END)) AS BIGINT) AS vb_bytes,
+            CASE WHEN df < 10 THEN 'rare' WHEN df < 100 THEN 'mid'
+              ELSE 'common' END AS band
+          FROM pl),
+        agg AS (SELECT band, COUNT(*) AS n_terms, CAST(SUM(df) AS BIGINT) AS sum_df,
+            CAST(SUM(raw_bytes) AS BIGINT) AS raw_bytes,
+            CAST(SUM(vb_bytes) AS BIGINT) AS vb_bytes
+          FROM enc GROUP BY band)
+        SELECT band, n_terms, sum_df, raw_bytes, vb_bytes,
+          floor(CAST(raw_bytes AS DOUBLE) / CAST(vb_bytes AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ratio
+        FROM agg ORDER BY band"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side
