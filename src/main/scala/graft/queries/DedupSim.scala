@@ -146,14 +146,14 @@ object DedupSim {
     * occurrence CTE so a caller whose surrounding WITH already defines
     * `toks` (e.g. q122, which also includes [[shinglesSql]]) can pick a
     * non-colliding name instead of post-hoc string surgery (ADVICE r7). */
-  private def simhashSql(tokCte: String = "toks"): String = {
+  private def simhashSql(tokCte: String = "toks", src: String = "documents"): String = {
     val sums = (0 until 32).map(i =>
       s"SUM(CASE WHEN ((('0x' || substr(md5(term), 1, 8))::BIGINT // ${1L << i}) % 2) = 1 THEN 1 ELSE -1 END) AS c$i")
       .mkString(", ")
     val assemble = (0 until 32).map(i =>
       s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""WITH $tokCte AS (
-        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM $src),
       bits AS (SELECT doc_id, $sums FROM $tokCte GROUP BY doc_id),
       sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
   }
@@ -2331,7 +2331,91 @@ object DedupSim {
             JOIN adc3 a3 ON a3.vec_id = i.vec_id
           WHERE i.cell IN (SELECT cell FROM probe)
           ORDER BY adc_dist, i.vec_id LIMIT 20"""
-      })
+      }),
+
+    // ---- multi-signal dedup AGREEMENT MATRIX: the same pair universe
+    // scored by BOTH dedup signals the catalog maintains — text SimHash
+    // (hamming ≤ 3, q34's blocked pairing) and embedding cosine (≥ 0.95
+    // over (label, SRP-cell) blocks, q36's pairing) — bucketed into
+    // both / text_only / vector_only. This is the measurement that
+    // decides whether the signals are redundant or complementary before
+    // a pipeline pays for both at corpus scale (they usually ARE
+    // complementary: paraphrases miss SimHash; template boilerplate with
+    // swapped entities misses cosine). Planting populates every cell
+    // deterministically on the SHARED +10^12 id grid: an exact TEXT copy
+    // of every 6th doc and q36's halved-first-element VECTOR copy of
+    // every 10th — so (i, i+10^12) fires both signals iff i % 30 = 0,
+    // text-only iff i % 6 (natural q34 near-dups land here too), and
+    // vector-only iff i % 10.
+    //
+    // Scale: each signal keeps its own bounded blocking (never all-pairs);
+    // the matrix itself is a full-outer pair-key join of two SMALL pair
+    // sets (outputs of the blocked searches) plus one 3-row aggregate.
+    ("q136_dedup_signal_matrix",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.Ivf
+        graft.functions.GraftFunctions.register(s)
+        val grid = 1000000000000L
+        val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pd = d0.unionByName(d0.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + grid).as("doc_id"), col("text")))
+        val textPairs = simhashCandFrom(pd)
+          .filter(expr("bit_count(ha ^ hb)") <= 3)
+          .select(col("id_a"), col("id_b"))
+        val e0 = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val eplant = e0.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + grid).as("vec_id"),
+            concat(
+              array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
+              expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"),
+            col("label"))
+        val e = e0.unionByName(eplant)
+          .withColumn("cell", Ivf.cellCol("embedding", Ivf.DefaultBits, Ivf.DefaultDims))
+        val va = e.select(col("vec_id").as("id_a"), col("label"), col("cell"),
+          col("embedding").as("ea"))
+        val vb = e.select(col("vec_id").as("id_b"), col("label"), col("cell"),
+          col("embedding").as("eb"))
+        val vecPairs = va.join(vb, Seq("label", "cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(expr(cosSpark("ea", "eb")) >= 0.95)
+          .select(col("id_a"), col("id_b"))
+        textPairs.withColumn("t", lit(true))
+          .join(vecPairs.withColumn("v", lit(true)), Seq("id_a", "id_b"), "full_outer")
+          .select(
+            when(col("t").isNotNull && col("v").isNotNull, "both")
+              .when(col("t").isNotNull, "text_only")
+              .otherwise("vector_only").as("signal"))
+          .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("signal"))
+      },
+      Some(s"""${simhashSql(src = "pd").replaceFirst("WITH ",
+          """WITH pd AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000000000, text
+            FROM documents WHERE doc_id % 6 = 0), """)},
+        $simhashCandSql,
+        tp AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        aug AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000000000,
+            list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT), embedding[2:]),
+            label
+          FROM embeddings WHERE vec_id % 10 = 0),
+        cc AS (SELECT vec_id, label, embedding,
+            (${srpCellSql("embedding")}) AS cell FROM aug),
+        vp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cc a JOIN cc b
+            ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.95),
+        u AS (SELECT
+            tp.id_a IS NOT NULL AS t, vp.id_a IS NOT NULL AS v
+          FROM tp FULL OUTER JOIN vp
+            ON vp.id_a = tp.id_a AND vp.id_b = tp.id_b)
+        SELECT CASE WHEN t AND v THEN 'both'
+            WHEN t THEN 'text_only' ELSE 'vector_only' END AS signal,
+          COUNT(*) AS n_pairs
+        FROM u GROUP BY 1 ORDER BY 1"""))
   )
 
 }
