@@ -252,7 +252,7 @@ object DedupSim {
     * MinValue literal overflows a signed-int64 parser; partial sums peak
     * at exactly 2^63−1 (bits 0–62) before the i=63 term lands, so the
     * checked BIGINT addition never overflows. */
-  private def simhashSql64(tokCte: String = "toks"): String = {
+  private def simhashSql64(tokCte: String = "toks", src: String = "documents"): String = {
     def pow(i: Int) =
       if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
     val sums = (0 until 64).map { i =>
@@ -263,7 +263,7 @@ object DedupSim {
     val assemble = (0 until 64).map(i =>
       s"(CASE WHEN c$i > 0 THEN ${pow(i)} ELSE 0 END)").mkString(" + ")
     s"""WITH $tokCte AS (
-        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM documents),
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term FROM $src),
       bits AS (SELECT doc_id, $sums FROM $tokCte GROUP BY doc_id),
       sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
   }
@@ -2351,6 +2351,10 @@ object DedupSim {
     // Scale: each signal keeps its own bounded blocking (never all-pairs);
     // the matrix itself is a full-outer pair-key join of two SMALL pair
     // sets (outputs of the blocked searches) plus one 3-row aggregate.
+    // The text side runs the WIDENED 64-bit / 262,144-bucket config
+    // (q126): a first cut on the 32-bit space measured 1.16x linear over
+    // sf0.1->sf1 -- q34's known n^2/1024 candidate term resurfacing --
+    // and the wide blocking is exactly the built fix (SCALING.md).
     ("q136_dedup_signal_matrix",
       (s: SparkSession, dir: String) => {
         import graft.similarity.Ivf
@@ -2359,7 +2363,7 @@ object DedupSim {
         val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val pd = d0.unionByName(d0.filter(col("doc_id") % 6 === 0)
           .select((col("doc_id") + grid).as("doc_id"), col("text")))
-        val textPairs = simhashCandFrom(pd)
+        val textPairs = simhashCandFrom(pd, bits = 64)
           .filter(expr("bit_count(ha ^ hb)") <= 3)
           .select(col("id_a"), col("id_b"))
         val e0 = t(s, dir, "embeddings")
@@ -2389,11 +2393,11 @@ object DedupSim {
           .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("signal"))
       },
-      Some(s"""${simhashSql(src = "pd").replaceFirst("WITH ",
+      Some(s"""${simhashSql64(src = "pd").replaceFirst("WITH ",
           """WITH pd AS (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000000000, text
             FROM documents WHERE doc_id % 6 = 0), """)},
-        $simhashCandSql,
+        $simhashCandSql64,
         tp AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         aug AS (
           SELECT vec_id, embedding, label FROM embeddings
