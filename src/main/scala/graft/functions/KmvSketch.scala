@@ -65,4 +65,24 @@ object KmvSketch {
   /** `vs`: sorted, distinct, length ≤ k. */
   final case class Buf(vs: Array[Long])
   final case class Out(n_sketch: Long, kth_min: Long)
+  final case class Values(vs: Seq[Long])
+}
+
+/** Buffer-exposing twin of [[KmvSketch]]: `finish` returns the sorted
+  * k-minimum values themselves instead of the (count, kth-min) estimator
+  * inputs — the per-shard ARTIFACT a cluster materializes so sketches
+  * built on different shards/days can be merged downstream (q137's gate:
+  * merging per-shard value sets and re-taking the k smallest distinct is
+  * EXACTLY the whole-corpus sketch, because every global top-k minimum is
+  * in its own shard's top-k). Same reduce/merge as the estimator twin. */
+class KmvSketchValues(k: Int)
+    extends Aggregator[Long, KmvSketch.Buf, KmvSketch.Values] {
+  private val inner = new KmvSketch(k)
+  override def zero: KmvSketch.Buf = inner.zero
+  override def reduce(b: KmvSketch.Buf, h: Long): KmvSketch.Buf = inner.reduce(b, h)
+  override def merge(a: KmvSketch.Buf, b: KmvSketch.Buf): KmvSketch.Buf = inner.merge(a, b)
+  override def finish(b: KmvSketch.Buf): KmvSketch.Values =
+    KmvSketch.Values(b.vs.toSeq)
+  override def bufferEncoder: Encoder[KmvSketch.Buf] = Encoders.product[KmvSketch.Buf]
+  override def outputEncoder: Encoder[KmvSketch.Values] = Encoders.product[KmvSketch.Values]
 }

@@ -1143,7 +1143,84 @@ object TextOps {
           FROM db JOIN lp USING (bg) GROUP BY 1, 2)
         SELECT doc_id, lang, n_bigrams,
           floor(-CAST(slp AS DOUBLE) / n_bigrams + 0.5) / 1e4 AS avg_nll
-        FROM sc ORDER BY avg_nll DESC, doc_id LIMIT 20"""))
+        FROM sc ORDER BY avg_nll DESC, doc_id LIMIT 20""")),
+
+    // ---- KMV cross-shard MERGE gate: the scale claim every sketch in
+    // the catalog rides on — "per-shard sketches union into the global
+    // sketch" — computed BOTH ways and pinned equal. The corpus splits
+    // into 8 shards (doc_id % 8, the per-day/per-shard build a cluster
+    // actually runs); each shard materializes its k-minimum VALUES
+    // ([[graft.functions.KmvSketchValues]] — the artifact a shard would
+    // write); the merge re-takes the k smallest distinct of the union.
+    // KMV merge is mathematically EXACT (every global top-k minimum is
+    // inside its own shard's top-k), so merged (count, kth-min) must
+    // equal the direct whole-corpus sketch bit-for-bit — `merge_exact`
+    // rides the gate so a broken buffer merge or a lossy shard artifact
+    // fails the hash.
+    //
+    // Scale: per-shard state is ≤ k longs per (lang, shard) — map-side
+    // combined; the merge step touches 8·k rows per language, nothing
+    // corpus-sized; the only full scan is the one hash pass.
+    ("q137_kmv_shard_merge",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val toks = explodeLean(t(s, dir, "documents"),
+          Seq(col("doc_id"), col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val hs = toks.select(col("lang"), (col("doc_id") % 8).as("shard"),
+          hash32(col("tok")).as("h"))
+        val direct = hs.select(col("lang"), col("h")).as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.functions.KmvSketch(64).toColumn.name("sk"))
+          .toDF("lang", "sk")
+          .select(col("lang"), col("sk.n_sketch").as("n_sketch"),
+            col("sk.kth_min").as("kth_min"))
+        val shardVals = hs.as[(String, Long, Long)]
+          .groupByKey(t => (t._1, t._2)).mapValues(_._3)
+          .agg(new graft.functions.KmvSketchValues(64).toColumn.name("v"))
+          .toDF("key", "v")
+          .select(col("key._1").as("lang"), explode(col("v.vs")).as("h"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+        val merged = shardVals.distinct()
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 64)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sketch_merged"),
+            max(col("h")).as("kth_min_merged"))
+        direct.join(merged, Seq("lang"))
+          .withColumn("est_distinct",
+            when(col("n_sketch") < 64, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0 * 4294967296.0) / col("kth_min")))
+          .withColumn("merge_exact",
+            col("n_sketch") === col("n_sketch_merged")
+              && col("kth_min") === col("kth_min_merged"))
+          .select(col("lang"), col("n_sketch"), col("kth_min"),
+            col("n_sketch_merged"), col("kth_min_merged"),
+            col("est_distinct"), col("merge_exact"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents),
+        hv AS (SELECT DISTINCT lang,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        drk AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hv),
+        direct AS (SELECT lang, COUNT(*) AS n_sketch, MAX(h) AS kth_min
+          FROM drk WHERE rk <= 64 GROUP BY lang),
+        shv AS (SELECT DISTINCT lang, doc_id % 8 AS shard,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        srk AS (SELECT lang, shard, h,
+            row_number() OVER (PARTITION BY lang, shard ORDER BY h) AS rk FROM shv),
+        mg AS (SELECT DISTINCT lang, h FROM srk WHERE rk <= 64),
+        mrk AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM mg),
+        merged AS (SELECT lang, COUNT(*) AS n_sketch_merged,
+            MAX(h) AS kth_min_merged FROM mrk WHERE rk <= 64 GROUP BY lang)
+        SELECT d.lang, d.n_sketch, d.kth_min, m.n_sketch_merged, m.kth_min_merged,
+          CASE WHEN d.n_sketch < 64 THEN CAST(d.n_sketch AS DOUBLE)
+               ELSE 63.0 * 4294967296.0 / d.kth_min END AS est_distinct,
+          (d.n_sketch = m.n_sketch_merged AND d.kth_min = m.kth_min_merged) AS merge_exact
+        FROM direct d JOIN merged m ON m.lang = d.lang ORDER BY d.lang"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1
