@@ -429,6 +429,60 @@ object Events {
           FROM f)
         SELECT user_id, island, MIN(st) AS start_us, MAX(en) AS end_us,
           COUNT(*) AS n_events
-        FROM g GROUP BY 1, 2 ORDER BY user_id, island"""))
+        FROM g GROUP BY 1, 2 ORDER BY user_id, island""")),
+
+    // ---- per-USER feature assembly (the feature-store batch job that
+    // turns an event log into a training table): one row per entity with
+    // per-type counts (conditional aggregation — no pivot shuffle),
+    // distinct active days, recency in whole days against the corpus
+    // frontier (a broadcast 1-row scalar), and exact-decimal purchase
+    // value. Everything integer or decimal-exact except nothing —
+    // engine-exact throughout. This is the canonical "entity features"
+    // shape: ONE combinable shuffle keyed on the entity id, partial aggs
+    // map-side, the frontier as a broadcast scalar — at 100 TB it costs
+    // a single pass over the log regardless of user count.
+    ("q138_user_features",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir)
+        def cnt(t: String) =
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+        val frontier = e.agg(max(col("us")).as("gmax_us"))
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            cnt("click"), cnt("view"), cnt("purchase"),
+            cnt("signup"), cnt("error"),
+            countDistinct(expr("us div 86400000000")).as("n_active_days"),
+            max(col("us")).as("last_us"),
+            graft.core.Portable.dsum(
+              when(col("event_type") === "purchase", col("value"))
+                .otherwise(lit(0.0))).as("purchase_value"))
+          .crossJoin(broadcast(frontier))
+          .withColumn("recency_days",
+            expr("(gmax_us - last_us) div 86400000000"))
+          .select(col("user_id"), col("n_events"), col("n_click"),
+            col("n_view"), col("n_purchase"), col("n_signup"), col("n_error"),
+            col("n_active_days"), col("recency_days"), col("purchase_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, value,
+            epoch_us(ts) AS us FROM events),
+        fr AS (SELECT MAX(us) AS gmax_us FROM e),
+        agg AS (SELECT user_id,
+            COUNT(*) AS n_events,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+            COUNT(DISTINCT us // 86400000000) AS n_active_days,
+            MAX(us) AS last_us,
+            CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+              ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+          FROM e GROUP BY user_id)
+        SELECT user_id, n_events, n_click, n_view, n_purchase, n_signup,
+          n_error, n_active_days,
+          (fr.gmax_us - last_us) // 86400000000 AS recency_days,
+          purchase_value
+        FROM agg, fr ORDER BY user_id"""))
   )
 }
