@@ -883,6 +883,52 @@ object Relational {
         FROM lk JOIN h ON lk.o_orderkey = h.o_orderkey
         WHERE h.valid_from <= lk.at_version
           AND (h.valid_to IS NULL OR h.valid_to > lk.at_version)
-        ORDER BY lk.o_orderkey"""))
+        ORDER BY lk.o_orderkey""")),
+
+    // ---- data-quality TABLE PROFILE (the Deequ-style contract check a
+    // pipeline runs before trusting an input drop): per numeric column of
+    // lineitem — row count, null count, exact distinct count, min, max —
+    // assembled in ONE scan (a single multi-aggregate row unpivoted with
+    // `stack`, so adding a column adds expressions, not passes). Min/max
+    // stay numeric (DOUBLE) rather than strings, so there is no
+    // cross-engine decimal-formatting hazard. Exact distinct per column
+    // is the fixture-scale choice; the documented scale path is the KMV
+    // sketch (q107/q137) per column — same single-scan shape, bounded
+    // state. At 100 TB: one combinable pass; the expand for N exact
+    // count-distincts is the only cost that grows with column count,
+    // which is precisely what the sketch swap removes.
+    ("q139_table_profile",
+      (s: SparkSession, dir: String) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"))
+        }
+        val stackExpr = cols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+          .mkString(s"stack(${cols.size}, ", ", ",
+            ") as (column_name, n_null, n_distinct, min_v, max_v)")
+        val allAggs = count(lit(1)).as("n_rows") +: aggs
+        t(s, dir, "lineitem")
+          .agg(allAggs.head, allAggs.tail: _*)
+          .select(col("n_rows"), expr(stackExpr))
+          .select(col("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+          FROM lineitem""").mkString("", "\n          UNION ALL ",
+          "\n          ORDER BY column_name")
+      })
   )
 }
