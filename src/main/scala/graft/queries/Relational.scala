@@ -929,6 +929,68 @@ object Relational {
             CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
           FROM lineitem""").mkString("", "\n          UNION ALL ",
           "\n          ORDER BY column_name")
+      }),
+
+    // ---- the profile's SCALE PATH made real (not just documented):
+    // q139's exact per-column count-distincts expand the scan ×N columns;
+    // this variant swaps each for a per-column KMV sketch
+    // ([[graft.functions.KmvSketch]] through `functions.udaf`, so the
+    // typed Aggregator rides an ordinary untyped agg — bounded ≤ k-long
+    // state per column, map-side combined, NO expand). One scan, N
+    // sketches + N min/max in a single aggregate row; the estimator and
+    // the exact count ride together so the gate pins both the sketch
+    // values and the estimate. At 100 TB the cost is one combinable
+    // pass regardless of column count — the swap q139's doc promises.
+    // Measured at sf0.1 the two are at parity (q139 4.4 s / q140 5.0 s):
+    // the sketch's win is SHUFFLE-bound (8 bounded buffers vs 8× rows
+    // into dedup HashAggregates) and the fixture is CPU-bound on the
+    // portable md5 hash the oracle requires — production would swap in
+    // codegen'd xxhash64 and keep the identical shape.
+    ("q140_profile_sketched",
+      (s: SparkSession, dir: String) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val kmv = udaf(new graft.functions.KmvSketch(64),
+          org.apache.spark.sql.Encoders.scalaLong)
+        // hash key = the value CAST TO STRING. Both engines use
+        // shortest-roundtrip double rendering and agree on integers and
+        // decimal fractions below Java's 1e7 scientific-notation
+        // threshold (the whole fixture domain); a column with larger
+        // doubles would need a canonical quantization (q97's cent grid)
+        // before hashing — documented boundary, enforced by the gate.
+        val aggs = cols.flatMap { c =>
+          Seq(kmv(hash32(col(c).cast("string"))).as(s"${c}_sk"),
+            min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"))
+        }
+        val stackExpr = cols.map(c =>
+          s"'$c', ${c}_sk.n_sketch, ${c}_sk.kth_min, ${c}_min, ${c}_max")
+          .mkString(s"stack(${cols.size}, ", ", ",
+            ") as (column_name, n_sketch, kth_min, min_v, max_v)")
+        t(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(stackExpr))
+          .withColumn("est_distinct",
+            when(col("n_sketch") < 64, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0 * 4294967296.0) / col("kth_min")))
+          .select(col("column_name"), col("n_sketch"), col("kth_min"),
+            col("est_distinct"), col("min_v"), col("max_v"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name, n_sketch, kth_min,
+            CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                 ELSE 63.0 * 4294967296.0 / kth_min END AS est_distinct,
+            (SELECT CAST(MIN($c) AS DOUBLE) FROM lineitem) AS min_v,
+            (SELECT CAST(MAX($c) AS DOUBLE) FROM lineitem) AS max_v
+          FROM (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_min FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
+              SELECT DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT AS h
+              FROM lineitem WHERE $c IS NOT NULL)) WHERE rk <= 64)""")
+          .mkString("", "\n          UNION ALL ", "\n          ORDER BY column_name")
       })
   )
 }
