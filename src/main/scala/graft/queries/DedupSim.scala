@@ -216,7 +216,18 @@ object DedupSim {
     * extraction for SIGNED signatures (truncating division is not: a
     * negative sig differing only in a low block would perturb the high
     * blocks' quotients and break the pigeonhole guarantee). */
-  private[graft] def simhashCandFrom(docs: DataFrame, bits: Int = 32): DataFrame = {
+  /** The production blocking width (VERDICT r12 #1): every composed
+    * consumer of [[simhashCand]] — clustering (q49), survivors (q79),
+    * split (q104), quality (q122), pipeline (q123), sketch eval (q124) —
+    * runs at 64-bit/262,144-bucket blocking, the configuration whose
+    * sf0.1→sf1 slope measured 0.37× linear vs 1.76× at 32 bits (the
+    * q34→q126 A/B, SCALING.md). 32-bit survives ONLY as q34, retained
+    * deliberately as the oracle-parity A/B control; `bits` has no
+    * default so a new consumer must choose a width on purpose
+    * (SimHashWidthSpec pins that 32 appears nowhere else). */
+  private[graft] val ScaleBits = 64
+
+  private[graft] def simhashCandFrom(docs: DataFrame, bits: Int): DataFrame = {
     val sig = simhashSigFrom(docs, bits).localCheckpoint()
     Scoped.releaseAfterUse(sig)
     val bval =
@@ -232,7 +243,7 @@ object DedupSim {
       .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
   }
 
-  private def simhashCand(s: SparkSession, dir: String, bits: Int = 32): DataFrame =
+  private def simhashCand(s: SparkSession, dir: String, bits: Int): DataFrame =
     simhashCandFrom(t(s, dir, "documents"), bits)
 
   /** DuckDB twin of [[simhashCand]] (appends to [[simhashSql]]'s CTEs). */
@@ -340,7 +351,7 @@ object DedupSim {
     * [[splitAssignment]]'s self-contained path both consume (test hook for
     * the label-reuse contract). */
   private[graft] def simhashPairsForTest(s: SparkSession, dir: String): DataFrame =
-    simhashCand(s, dir)
+    simhashCand(s, dir, ScaleBits)
       .filter(expr("bit_count(ha ^ hb)") <= 3)
       .select(col("id_a"), col("id_b"))
 
@@ -360,7 +371,7 @@ object DedupSim {
   def splitAssignment(s: SparkSession, dir: String,
       labels: Option[DataFrame] = None): DataFrame = {
     val lbl = labels.getOrElse {
-      val cand = simhashCand(s, dir)
+      val cand = simhashCand(s, dir, ScaleBits)
       val l = graft.graph.ConnectedComponents.assign(
         cand.filter(expr("bit_count(ha ^ hb)") <= 3)
           .select(col("id_a"), col("id_b")))
@@ -561,7 +572,8 @@ object DedupSim {
   }
 
   /** q122's core, parameterized: precision/recall of the hamming-≤3
-    * simhash block-bucketed pairs (q34's config) against the exact
+    * simhash block-bucketed pairs ([[ScaleBits]] — q126's production
+    * config; the eval measures the width that actually ships) against the exact
     * jaccard-≥0.5 ground truth — [[lshRecall]]'s measure-the-sketch
     * discipline for the OTHER sketch family, with the SAME scale bound:
     * `sampleFraction` restricts the all-pairs-by-shingle exact side to a
@@ -579,13 +591,14 @@ object DedupSim {
     * twin. */
   def simhashQuality(s: SparkSession, dir: String, sampleFraction: Double = 1.0,
       hamMax: Int = 3): DataFrame = {
-    // 4×8-bit block bucketing pigeonholes hamming ≤ 3, so any tighter
-    // threshold filters a superset candidate list and stays exact
+    // 4-block bucketing (16-bit blocks at ScaleBits) pigeonholes
+    // hamming ≤ 3, so any tighter threshold filters a superset candidate
+    // list and stays exact
     require(hamMax >= 0 && hamMax <= 3, s"hamMax must be in [0, 3], got $hamMax")
     val sh = shingles(s, dir).localCheckpoint()
     Scoped.releaseAfterUse(sh)
     val exact = exactJaccardPairs(sampleDocs(sh, "shq:", sampleFraction))
-    val cand = simhashCand(s, dir)
+    val cand = simhashCand(s, dir, ScaleBits)
     val pred = cand.filter(expr("bit_count(ha ^ hb)") <= hamMax)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // consumed twice below (semi join + counts)
@@ -659,7 +672,7 @@ object DedupSim {
     val mh = minhashTable(sh).localCheckpoint()
     Scoped.free(sh) // both consumers materialized — release the shingles now
     Scoped.releaseAfterUse(exact, mh)
-    val candAll = simhashCand(s, dir)
+    val candAll = simhashCand(s, dir, ScaleBits)
     val predAll = candAll
       .select(col("id_a"), col("id_b"), expr("bit_count(ha ^ hb)").as("ham"))
       .filter(col("ham") <= 3)
@@ -730,8 +743,8 @@ object DedupSim {
     * and (wrapped, family-tagged) by q124's unified sketch eval. */
   private def simhashQualitySql(hamMax: Int = 3): String =
     s"""WITH $shinglesSql,
-        ${simhashSql("occt").replaceFirst("WITH ", "")},
-        $simhashCandSql,
+        ${simhashSql64("occt").replaceFirst("WITH ", "")},
+        $simhashCandSql64,
         pred AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= $hamMax),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         ex AS (SELECT id_a, id_b FROM (
@@ -898,10 +911,14 @@ object DedupSim {
 
     // ---- SimHash near-dup pairs via 4×8-bit block bucketing
     // (hamming ≤ 3 ⇒ at least one of the 4 blocks matches exactly —
-    // avoids the all-pairs cross join at scale)
+    // avoids the all-pairs cross join at scale). DELIBERATELY the last
+    // 32-bit call site (VERDICT r12 #1): q34 is the oracle-parity A/B
+    // control for the q126 scale config that every composed consumer
+    // now runs on ([[ScaleBits]]); its fixed 1024-bucket space is the
+    // measured 1.76×-linear slope the A/B demonstrates.
     ("q34_simhash_pairs",
       (s: SparkSession, dir: String) => {
-        simhashCand(s, dir)
+        simhashCand(s, dir, bits = 32)
           .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
           .filter(col("hamming") <= 3)
           .select(col("id_a"), col("id_b"), col("hamming"))
@@ -962,7 +979,8 @@ object DedupSim {
         ORDER BY doc_id""")),
 
     // ---- near-dup CLUSTERING: connected components over the SimHash pair
-    // graph — the step that turns pairwise matches (q34) into dedup groups
+    // graph (at [[ScaleBits]] — the q126 production blocking) — the step
+    // that turns pairwise matches into dedup groups
     // with a canonical representative (cluster id = MIN doc_id in the
     // component). Implemented as the standard massive-graph min-label
     // propagation: each round every vertex takes the min of its own and
@@ -979,7 +997,7 @@ object DedupSim {
     // the 100 TB path.
     ("q49_dedup_clusters",
       (s: SparkSession, dir: String) => {
-        val cand = simhashCand(s, dir)
+        val cand = simhashCand(s, dir, ScaleBits)
         val labels = graft.graph.ConnectedComponents.assign(
           cand.filter(expr("bit_count(ha ^ hb)") <= 3)
             .select(col("id_a"), col("id_b")))
@@ -992,8 +1010,8 @@ object DedupSim {
         labels.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
-        $simhashCandSql,
+      Some(s"""${simhashSql64().replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql64,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         e AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
@@ -1365,7 +1383,7 @@ object DedupSim {
     // blocking upstream, so no window partition can blow up.
     ("q79_dedup_survivors",
       (s: SparkSession, dir: String) => {
-        val cand = simhashCand(s, dir)
+        val cand = simhashCand(s, dir, ScaleBits)
         val labels = graft.graph.ConnectedComponents.assign(
           cand.filter(expr("bit_count(ha ^ hb)") <= 3)
             .select(col("id_a"), col("id_b")))
@@ -1384,8 +1402,8 @@ object DedupSim {
             col("total_chars").cast("long").as("total_chars"))
           .orderBy(col("cluster_id"))
       },
-      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
-        $simhashCandSql,
+      Some(s"""${simhashSql64().replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql64,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         e AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
@@ -1558,8 +1576,8 @@ object DedupSim {
             countDistinct(col("cluster_id")).as("n_clusters"))
           .orderBy(col("split"), col("lang"))
       },
-      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
-        $simhashCandSql,
+      Some(s"""${simhashSql64().replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql64,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         eg AS (SELECT id_a AS u, id_b AS v FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs),
@@ -2025,8 +2043,8 @@ object DedupSim {
               .cast("long").as("chars_dropped"))
           .orderBy(col("split"))
       },
-      Some(s"""${simhashSql().replaceFirst("WITH", "WITH RECURSIVE")},
-        $simhashCandSql,
+      Some(s"""${simhashSql64().replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql64,
         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
         eg AS (SELECT id_a AS u, id_b AS v FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs),

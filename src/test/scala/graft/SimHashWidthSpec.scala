@@ -83,6 +83,27 @@ class SimHashWidthSpec extends SparkSpec {
     }
   }
 
+  test("catalog: 32-bit blocking survives only as q34's A/B control") {
+    // VERDICT r12 #1 done-criterion: no simhashCand call site outside q34
+    // defaults to (or names) the 32-bit/1024-bucket space whose candidate
+    // term measured 1.76x linear. `bits` has no default, so every call
+    // site in the catalog names a width; this pin asserts exactly one of
+    // them is 32 (the A/B control) and the rest are the scale config.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/queries/DedupSim.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val widths = """simhashCand(?:From)?\((?:s, dir|pd|docs), ([^)]+)\)""".r
+      .findAllMatchIn(src).map(_.group(1).trim).toList
+    assert(widths.nonEmpty, "no simhashCand call sites found — regex drifted from the source")
+    val thirtyTwo = widths.filter(_ == "bits = 32")
+    assert(thirtyTwo.size === 1,
+      s"expected exactly one 32-bit call site (q34's control), got $widths")
+    val rest = widths.filterNot(_ == "bits = 32")
+    assert(rest.forall(w => w == "ScaleBits" || w == "bits = 64"),
+      s"non-scale width in catalog: $widths")
+    assert(DedupSim.ScaleBits === 64)
+  }
+
   test("q112 blocking-k scale rule: fixture scales stay at the oracle's k") {
     assert(DedupSim.semdedupK(22L) === 4)     // sf0.001
     assert(DedupSim.semdedupK(220L) === 4)    // sf0.01 (the oracle gate)
