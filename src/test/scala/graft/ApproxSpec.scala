@@ -42,6 +42,36 @@ class ApproxSpec extends SparkSpec {
     assert(agg.finish(agg.zero) === KmvSketch.Out(0L, 0L))
   }
 
+  test("KmvSketchNullSafe skips NULL keys; cent-grid key is canonical past 1e7") {
+    import spark.implicits._
+    import graft.functions.{KmvSketch, KmvSketchNullSafe}
+    // Null-skipping (ADVICE r12): a nullable key column with NULLs must
+    // sketch exactly the non-null values — the DuckDB twin's WHERE c IS
+    // NOT NULL semantics — not error or fabricate a value.
+    val kmv = udaf(new KmvSketchNullSafe(8), org.apache.spark.sql.Encoders.LONG)
+    val out = Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None),
+      (3L, Some(20L)), (4L, None), (5L, Some(10L)))
+      .toDF("id", "h").agg(kmv(col("h")).as("sk"))
+      .select(col("sk.n_sketch"), col("sk.kth_min")).head()
+    assert(out.getLong(0) === 2L) // 10 and 20; the two NULL rows skipped
+    assert(out.getLong(1) === 20L)
+    // q140's canonical double key: floor(x*100 + 0.5) cast to string is
+    // the SAME text both engines hash, even where raw double rendering
+    // diverges (Java prints 9.8765432105E7 at >= 1e7; DuckDB never
+    // switches to scientific). Pin the Spark expression to the integer
+    // grid on hostile values: the >= 1e7 range, negatives, and a
+    // half-cent boundary.
+    val hostile = Seq(98765432.105, 12345678.25, 10000000.005, -20000000.015,
+      1.0e7, 123456789012.34, -0.005, 0.0)
+    val got = hostile.toDF("x")
+      .select(expr("cast(floor(x * 100 + 0.5) as string)").as("key"))
+      .collect().map(_.getString(0))
+    val expect = hostile.map(x => math.floor(x * 100 + 0.5).toLong.toString)
+    assert(got.toSeq === expect, "Spark cent-grid key diverges from the scalar model")
+    got.foreach(k => assert(!k.contains("E") && !k.contains("."),
+      s"key $k is not on the integer grid — engines would hash different text"))
+  }
+
   test("KmvSketch over a grouped Dataset partial-aggregates (no global sort)") {
     import spark.implicits._
     val k = 4
