@@ -235,14 +235,19 @@ object Bench {
     * name so the kept set is deterministic. */
   private[graft] def budgetedQueries(items: Seq[(String, Double)],
       budget: Int): (String, Int) = {
+    // one pass (ADVICE r12): render each entry once, take the largest
+    // prefix whose cumulative length (+ comma separators + braces) fits —
+    // same deterministic kept set as the old shrink-by-one re-render loop
+    // without its O(n²) string building
     val sorted = items.sortBy { case (n, v) => (-v, n) }
-    def render(kept: Seq[(String, Double)]): String =
-      kept.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
-        .mkString("{", ",", "}")
-    var n = sorted.length
-    var out = render(sorted.take(n))
-    while (n > 0 && out.length > budget) { n -= 1; out = render(sorted.take(n)) }
-    (out, sorted.length - n)
+    val rendered = sorted.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+    var n = 0
+    var len = 2 // "{" + "}"
+    while (n < rendered.length && {
+      val next = len + rendered(n).length + (if (n > 0) 1 else 0)
+      next <= budget && { len = next; true }
+    }) n += 1
+    (rendered.take(n).mkString("{", ",", "}"), sorted.length - n)
   }
 
   /** JVM health snapshot (taken at end of a pass): cumulative GC time and

@@ -1080,11 +1080,15 @@ object TextOps {
     // Scale: ONE tokenize pass builds the per-(doc, bigram) partial agg
     // (checkpointed — the corpus is not re-tokenized for the model);
     // the model and both marginals aggregate that table (combinable);
-    // marginals are vocab-sized → broadcast into the model assembly;
-    // the scoring join is a bigram-keyed EQUI-join (the bigram table is
-    // vocab²-bounded, NOT assumed broadcastable — at 100 TB it
-    // partitions by bigram hash like any term table). Per-doc agg +
-    // TakeOrdered close it out.
+    // the marginal joins carry NO broadcast hint (ADVICE r12): marginals
+    // are vocab-sized, and a web-corpus vocabulary is not guaranteed to
+    // fit a broadcast any more than the bigram table is — they are plain
+    // w1/w2 equi-joins, AQE broadcasts them at fixture scale and
+    // shuffles them when the vocab outgrows the threshold. Only the
+    // 1-row corpus total keeps its broadcast. The scoring join is a
+    // bigram-keyed EQUI-join (the bigram table is vocab²-bounded, NOT
+    // assumed broadcastable — at 100 TB it partitions by bigram hash
+    // like any term table). Per-doc agg + TakeOrdered close it out.
     ("q133_bigram_ppl",
       (s: SparkSession, dir: String) => {
         val toks = t(s, dir, "documents")
@@ -1106,8 +1110,8 @@ object TextOps {
         val right = model.groupBy(col("w2")).agg(sum(col("cbi")).as("cr"))
         val tot = model.agg(sum(col("cbi")).as("n_bi"))
         val lp = model
-          .join(broadcast(left), Seq("w1"))
-          .join(broadcast(right), Seq("w2"))
+          .join(left, Seq("w1"))
+          .join(right, Seq("w2"))
           .crossJoin(broadcast(tot))
           .select(col("bg"),
             floor(log(lit(0.75) * (col("cbi").cast("double") / col("cl").cast("double"))
