@@ -92,20 +92,51 @@ object TextOps {
   /** q128's hashed-bigram feature space size. */
   private[graft] val DsirBuckets = 1024
 
-  /** One row per hashed-bigram FEATURE OCCURRENCE of `text` — q128's
-    * feature map as a shared map-side derivation (`carry` keeps extra
-    * columns; the streaming scorer carries `ts`), so the batch selector
-    * and ingest-time scoring can never disagree on features. */
-  private[graft] def dsirFeatureRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+  /** One row per word-BIGRAM occurrence of `text` (lowercased [a-z]+
+    * tokens, space-joined pairs) — the shared map-side derivation under
+    * BOTH corpus language models: q128's hashed DSIR features and q133's
+    * bigram LM (and their ingest twins), so batch and stream can never
+    * disagree on what a bigram is. `carry` keeps extra columns (the
+    * streaming scorers carry `ts`). */
+  private[graft] def bigramRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     explodeLean(
       docs.withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)")),
       Seq(col("doc_id")) ++ carry.map(col),
       expr("""if(size(ws) < 2, array(),
                transform(sequence(1, size(ws) - 1),
                  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
-      "f")
-      .withColumn("b", hash32(col("f")) % DsirBuckets)
-      .drop("f")
+      "bg")
+
+  /** One row per hashed-bigram FEATURE OCCURRENCE of `text` — q128's
+    * feature map ([[bigramRows]] folded onto the fixed bucket space). */
+  private[graft] def dsirFeatureRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    bigramRows(docs, carry)
+      .withColumn("b", hash32(col("bg")) % DsirBuckets)
+      .drop("bg")
+
+  /** q133's interpolated bigram LM assembled from an aggregable
+    * (bg, c) occurrence-count table: per-bigram log-probability
+    * lp4 = ⌊log(0.75·c/c(w1·) + 0.25·c(·w2)/N)·1e4 + 0.5⌋ — the model
+    * both the batch perplexity ranking and
+    * [[graft.streaming.EventStreams.pplScoreStream]] score against.
+    * Marginal joins carry no broadcast hint (ADVICE r12): vocab-sized
+    * sides are AQE's call, only the 1-row total is hinted. */
+  private[graft] def bigramLmModel(bgCounts: DataFrame): DataFrame = {
+    val model = bgCounts.groupBy(col("bg")).agg(sum(col("c")).as("cbi"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+    val left = model.groupBy(col("w1")).agg(sum(col("cbi")).as("cl"))
+    val right = model.groupBy(col("w2")).agg(sum(col("cbi")).as("cr"))
+    val tot = model.agg(sum(col("cbi")).as("n_bi"))
+    model
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        floor(log(lit(0.75) * (col("cbi").cast("double") / col("cl").cast("double"))
+          + lit(0.25) * (col("cr").cast("double") / col("n_bi").cast("double")))
+          * 1e4 + 0.5).as("lp4"))
+  }
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
@@ -1091,32 +1122,12 @@ object TextOps {
     // like any term table). Per-doc agg + TakeOrdered close it out.
     ("q133_bigram_ppl",
       (s: SparkSession, dir: String) => {
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-        val bg = explodeLean(toks, Seq(col("doc_id"), col("lang")),
-          expr("""if(size(ws) < 2, array(),
-                   transform(sequence(1, size(ws) - 1),
-                     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"""),
-          "bg")
-        val db = bg.groupBy(col("doc_id"), col("lang"), col("bg"))
+        val db = bigramRows(t(s, dir, "documents"), carry = Seq("lang"))
+          .groupBy(col("doc_id"), col("lang"), col("bg"))
           .agg(count(lit(1)).as("c"))
           .localCheckpoint()
         Scoped.releaseAfterUse(db)
-        val model = db.groupBy(col("bg")).agg(sum(col("c")).as("cbi"))
-          .withColumn("w1", expr("split_part(bg, ' ', 1)"))
-          .withColumn("w2", expr("split_part(bg, ' ', 2)"))
-        val left = model.groupBy(col("w1")).agg(sum(col("cbi")).as("cl"))
-        val right = model.groupBy(col("w2")).agg(sum(col("cbi")).as("cr"))
-        val tot = model.agg(sum(col("cbi")).as("n_bi"))
-        val lp = model
-          .join(left, Seq("w1"))
-          .join(right, Seq("w2"))
-          .crossJoin(broadcast(tot))
-          .select(col("bg"),
-            floor(log(lit(0.75) * (col("cbi").cast("double") / col("cl").cast("double"))
-              + lit(0.25) * (col("cr").cast("double") / col("n_bi").cast("double")))
-              * 1e4 + 0.5).as("lp4"))
+        val lp = bigramLmModel(db)
         db.join(lp, Seq("bg"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("lp4")).as("slp"))

@@ -307,6 +307,40 @@ object EventStreams {
         col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr4")).as("logw4"))
 
+  /** Streaming perplexity filter: q133's bigram language model applied at
+    * INGEST — the last member of the quality-at-ingest quartet (dedup,
+    * boilerplate strip, DSIR routing, perplexity). Each arriving document
+    * explodes into its bigram occurrences by the shared map
+    * ([[graft.queries.TextOps.bigramRows]], so stream and batch can never
+    * disagree on features), probes the STATIC per-bigram log-prob model
+    * (built once by a batch pass via
+    * [[graft.queries.TextOps.bigramLmModel]] — a bounded TABLE, not
+    * assumed broadcastable: the stream-static join is a plain bg
+    * equi-join and the planner picks broadcast vs shuffle from the
+    * model's size), and folds into a per-doc
+    * (n_bigrams, n_oov, avg_nll) verdict inside a watermarked windowed
+    * aggregate — no engine state beyond the in-flight windows. Summing
+    * lp4 per occurrence equals the batch Σ c·lp4 exactly, so in-vocab
+    * scores are bit-identical to q133's ranking (StreamingSpec pins it).
+    * Bigrams the model has never seen (impossible in batch, routine at
+    * ingest) score as OOV: counted in `n_oov`, excluded from `avg_nll`
+    * (NULL when nothing matched) — the router's high-ppl/high-OOV drop
+    * signals stay separable. */
+  def pplScoreStream(docs: DataFrame, lmModel: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    graft.queries.TextOps.bigramRows(
+        docs.withWatermark("ts", horizon), carry = Seq("ts"))
+      .join(lmModel.select(col("bg"), col("lp4")), Seq("bg"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("lp4").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp4")).as("slp"))
+      .withColumn("avg_nll",
+        floor(-col("slp").cast("double") / (col("n_bigrams") - col("n_oov")) + 0.5)
+          / 1e4)
+      .drop("slp")
+
   /** Streaming count-min sketch: per event-time window, maintain the
     * depth-4 × width-256 counter table as a watermarked windowed
     * aggregate — the streaming twin of q108's batch sketch build. The

@@ -348,6 +348,55 @@ class StreamingSpec extends SparkSpec {
     assert(nf(1L) === 8L && nf(2L) === 9L, "n-token doc yields n-1 bigrams")
   }
 
+  test("pplScoreStream: ingest scores equal the batch bigram LM; OOV is separable") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // model TRAINED by the batch path (bigramRows -> counts ->
+    // bigramLmModel) on a small corpus; the twin's contract is scoring
+    // parity for a given model
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "a dog sat on a rug")).toDF("doc_id", "text")
+    val model = graft.queries.TextOps.bigramLmModel(
+      graft.queries.TextOps.bigramRows(corpus)
+        .groupBy(col("bg")).agg(count(lit(1)).as("c")))
+      .localCheckpoint() // a static side must not be a lazy stream-side recompute
+    val docs = Seq(
+      (1L, "the cat sat on the mat", ts(0)),  // fully in-vocab
+      (2L, "the cat sat on the zyx", ts(1)),  // 'the zyx' is OOV
+      (3L, "zz yy xx", ts(2)),                // every bigram OOV
+      (4L, "solo", ts(3)))                    // < 2 tokens: no output row
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs: _*)
+    val q = EventStreams.pplScoreStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), model)
+      .writeStream.format("memory").queryName("ppl_score")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val got = spark.table("ppl_score")
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("avg_nll"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // batch twin over the matched bigrams only (q133's scoring shape)
+    val batch = graft.queries.TextOps.bigramRows(
+        docs.toDF("doc_id", "text", "ts"))
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("lp4")).as("slp"))
+      .select(col("doc_id"),
+        (floor(-col("slp").cast("double") / col("n") + 0.5) / 1e4).as("avg_nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "featureless doc emits nothing")
+    assert(got(1L)._1 === 5L && got(1L)._2 === 0L)
+    assert(got(1L)._3 === batch(1L), "in-vocab doc must score exactly the batch value")
+    assert(got(2L)._1 === 5L && got(2L)._2 === 1L)
+    assert(got(2L)._3 === batch(2L), "OOV bigrams must not perturb the in-vocab score")
+    assert(got(3L)._1 === 2L && got(3L)._2 === 2L, "all-OOV doc: OOV counted")
+    assert(got(3L)._3.isNaN, "all-OOV doc must have a NULL score")
+  }
+
   test("cdcChunkStream: re-ingesting a doc_id within one window yields one verdict per event") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
