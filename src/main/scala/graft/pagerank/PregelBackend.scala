@@ -61,13 +61,26 @@ object PregelBackend {
     // this vertex set (64-bit collisions are ~n²/2⁶⁵, but "unlikely" is
     // not "never"), and a collision falls back to the collision-free
     // zipWithIndex + double-join assignment.
-    val n = base.count()
-    val hashedDistinct = base.keys.map(PregelBackend.fnv1a64).distinct().count()
+    // ONE pass computes (n, NULL-sentinel present): the sentinel's id is
+    // then known analytically on the hash path (fnv of the literal), so
+    // no third full-RDD lookup job runs before the loop (it did, for
+    // three rounds — setup jobs are pure scheduling overhead on a small
+    // graph and an extra full scan on a big one).
+    val (n, hasNull) = base.keys.treeAggregate((0L, false))(
+      { case ((c, nl), t) => (c + 1, nl || t == NullVertex) },
+      { case ((c1, n1), (c2, n2)) => (c1 + c2, n1 || n2) })
+    val distinctParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (n / 20000L).toInt + 1))
+    val hashedDistinct = base.keys.map(PregelBackend.fnv1a64)
+      .distinct(distinctParts).count()
     val ids: RDD[(String, VertexId)] =
       (if (hashedDistinct == n) base.keys.map(t => (t, PregelBackend.fnv1a64(t)))
        else base.keys.zipWithIndex())
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val nullId = ids.filter(_._1 == NullVertex).values.collect().headOption
+    val nullId: Option[VertexId] =
+      if (!hasNull) None
+      else if (hashedDistinct == n) Some(PregelBackend.fnv1a64(NullVertex))
+      else ids.filter(_._1 == NullVertex).values.collect().headOption
 
     // Static out-edges with weight 1/outdeg. NULL's out-edges are NOT
     // materialized (its V-wide adjacency is the hot-key scale hazard the
@@ -118,8 +131,7 @@ object PregelBackend {
     // scheduling × 2 stages × maxIter iterations of fixed overhead — on
     // the sf0.1 bench graph (~1k vertices) that overhead, not compute,
     // was 4× the DataFrame loop's whole runtime.
-    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (n / 20000L).toInt + 1))
+    val parts = distinctParts
 
     var g: XGraph[Double, Double] =
       XGraph(ids.map { case (_, id) => (id, 1.0) }.coalesce(parts),
