@@ -888,8 +888,10 @@ object Relational {
     // ---- data-quality TABLE PROFILE (the Deequ-style contract check a
     // pipeline runs before trusting an input drop): per column of
     // lineitem — row count, null count, exact distinct count, min, max —
-    // assembled in ONE scan (a single multi-aggregate row unpivoted with
-    // `stack`, so adding a column adds expressions, not passes). The
+    // assembled in one multi-aggregate row per BUFFER FAMILY (see the
+    // in-code note on why mixing var-length buffers into the
+    // count-distinct Expand is a measured 3× trap) unpivoted with
+    // `stack`, so adding a column adds expressions, not passes. The
     // profile covers ALL column families (VERDICT r12 #4): numeric
     // min/max stay DOUBLE (no cross-engine decimal-formatting hazard),
     // string min/max ride a parallel (min_s, max_s) string pair, and
@@ -908,12 +910,25 @@ object Relational {
         val strCols = Seq("l_returnflag", "l_linestatus")
         val tsCols = Seq("l_shipdate")
         val cols = numCols ++ strCols ++ tsCols
-        val aggs = cols.flatMap { c =>
-          val mm: Seq[org.apache.spark.sql.Column] =
-            if (numCols.contains(c))
-              Seq(min(col(c)).cast("double").as(s"${c}_min"),
-                max(col(c)).cast("double").as(s"${c}_max"))
-            else if (strCols.contains(c))
+        // TWO single-row passes split by AGGREGATION-BUFFER family, not
+        // one (measured, r13): Spark rewrites N count-distincts as an
+        // Expand (×N+1 rows) into a partial HashAggregate, and that
+        // aggregate holds EVERY agg's buffer — one var-length buffer
+        // (min/max of a string) demotes the whole thing to sort-based
+        // over the expanded rows (29.2 s at sf0.1). Splitting keeps the
+        // numeric pass's buffers all-primitive (codegen'd hash path) and
+        // the string/timestamp pass's expand small (×4 of 3 columns):
+        // 9.0 s at sf0.1, and the two scans read DISJOINT column bytes,
+        // so total parquet IO equals the single-scan plan's.
+        val numAggs = count(lit(1)).as("n_rows") +: numCols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"))
+        }
+        val strAggs = (strCols ++ tsCols).flatMap { c =>
+          val mm =
+            if (strCols.contains(c))
               Seq(min(col(c)).as(s"${c}_mins"), max(col(c)).as(s"${c}_maxs"))
             else
               Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_mins"),
@@ -930,9 +945,9 @@ object Relational {
               s"cast(null as double), ${c}_mins, ${c}_maxs"
         }.mkString(s"stack(${cols.size}, ", ", ",
           ") as (column_name, n_null, n_distinct, min_v, max_v, min_s, max_s)")
-        val allAggs = count(lit(1)).as("n_rows") +: aggs
-        t(s, dir, "lineitem")
-          .agg(allAggs.head, allAggs.tail: _*)
+        val li = t(s, dir, "lineitem")
+        li.agg(numAggs.head, numAggs.tail: _*)
+          .crossJoin(broadcast(li.agg(strAggs.head, strAggs.tail: _*)))
           .select(col("n_rows"), expr(stackExpr))
           .select(col("column_name"), col("n_rows"), col("n_null"),
             col("n_distinct"), col("min_v"), col("max_v"),

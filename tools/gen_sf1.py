@@ -79,19 +79,84 @@ def gen_embeddings(rng):
     })
 
 
+N_EVENTS = 1_000_000   # sf0.1: 100,000
+N_USERS = 15_000       # sf0.1: 1,500 (events/user constant -- users scale,
+                       # per-user history does not: the right model for a
+                       # per-user-window workload like q138)
+N_LINES = 6_000_000    # sf0.1: 600,000
+
+
+def gen_events(rng):
+    """sf1-shaped events: same schema (event_id, ts us, user_id,
+    event_type, value, props) and same value distributions as the sf0.1
+    fixture -- uniform types, 30-day ascending timestamps, 2-decimal
+    values, tiny JSON props."""
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(rng.integers(0, span_us, N_EVENTS)) + base_us
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    vals = np.round(rng.uniform(0.0, 560.0, N_EVENTS), 2)
+    return pa.table({
+        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, N_EVENTS)], pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, N_EVENTS)],
+                          pa.string()),
+    })
+
+
+def gen_lineitem(rng):
+    """sf1-shaped lineitem: 10x rows, 10x order/part key domains (suppkey
+    domain 10x too), same column types (shipdate stays timestamp[us]) and
+    per-column value ranges as sf0.1."""
+    order = np.arange(N_LINES) // 4
+    linenum = (np.arange(N_LINES) % 4 + 1).astype("int32")
+    day_us = 24 * 3600 * 1_000_000
+    base_us = np.datetime64("1995-01-02T00:00:00", "us").astype("int64")
+    ship = rng.integers(0, 2500, N_LINES) * day_us + base_us
+    return pa.table({
+        "l_orderkey": pa.array(order, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, 200_000, N_LINES), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 10_000, N_LINES), pa.int64()),
+        "l_linenumber": pa.array(linenum, pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, N_LINES).astype("float64"),
+                               pa.float64()),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900.0, 105_000.0, N_LINES), 2),
+                                    pa.float64()),
+        "l_discount": pa.array(rng.integers(0, 11, N_LINES) / 100.0, pa.float64()),
+        "l_tax": pa.array(rng.integers(0, 9, N_LINES) / 100.0, pa.float64()),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, N_LINES)],
+                                 pa.string()),
+        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, N_LINES)],
+                                 pa.string()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    })
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(421)
+    # generation ORDER is part of the fixture contract: documents and
+    # embeddings consume the rng stream first, so adding events/lineitem
+    # afterwards leaves the r11-measured tables bit-identical
     pq.write_table(gen_documents(rng), os.path.join(OUT, "documents.parquet"),
                    row_group_size=8192)
     pq.write_table(gen_embeddings(rng), os.path.join(OUT, "embeddings.parquet"),
                    row_group_size=8192)
-    for name in ["region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"]:
+    for name, gen in [("events", gen_events), ("lineitem", gen_lineitem)]:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)  # r12 symlinked these to sf0.1; now generated
+        if not os.path.exists(dst):
+            pq.write_table(gen(rng), dst, row_group_size=65536)
+    for name in ["region", "nation", "customer", "supplier", "part", "orders"]:
         dst = os.path.join(OUT, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
-    print(f"wrote {OUT}: documents={N_DOCS}, embeddings={N_VECS}")
+    print(f"wrote {OUT}: documents={N_DOCS}, embeddings={N_VECS}, "
+          f"events={N_EVENTS}, lineitem={N_LINES}")
 
 
 if __name__ == "__main__":
