@@ -29,6 +29,82 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  private val profNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profStrCols = Seq("l_returnflag", "l_linestatus")
+  private val profTsCols = Seq("l_shipdate")
+  private[graft] val profCols = profNumCols ++ profStrCols ++ profTsCols
+
+  /** The q139 table profile over an arbitrary lineitem-shaped frame —
+    * shared by q139 (the contract check) and q143 (the drift report,
+    * which profiles BASE and CANDIDATE drops and diffs them).
+    *
+    * TWO single-row passes split by AGGREGATION-BUFFER family, not one
+    * (measured, r13): Spark rewrites N count-distincts as an Expand
+    * (×N+1 rows) into a partial HashAggregate, and that aggregate holds
+    * EVERY agg's buffer — one var-length buffer (min/max of a string)
+    * demotes the whole thing to sort-based over the expanded rows
+    * (29.2 s at sf0.1). Splitting keeps the numeric pass's buffers
+    * all-primitive (codegen'd hash path) and the string/timestamp pass's
+    * expand small (×4 of 3 columns): 5.0 s at sf0.1, and the two scans
+    * read DISJOINT column bytes, so total parquet IO equals the
+    * single-scan plan's. */
+  private def liProfile(df: DataFrame): DataFrame = {
+    val numAggs = count(lit(1)).as("n_rows") +: profNumCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val strAggs = (profStrCols ++ profTsCols).flatMap { c =>
+      val mm =
+        if (profStrCols.contains(c))
+          Seq(min(col(c)).as(s"${c}_mins"), max(col(c)).as(s"${c}_maxs"))
+        else
+          Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_mins"),
+            date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_maxs"))
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct")) ++ mm
+    }
+    val stackExpr = profCols.map { c =>
+      if (profNumCols.contains(c))
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, " +
+          "cast(null as string), cast(null as string)"
+      else
+        s"'$c', ${c}_nulls, ${c}_distinct, cast(null as double), " +
+          s"cast(null as double), ${c}_mins, ${c}_maxs"
+    }.mkString(s"stack(${profCols.size}, ", ", ",
+      ") as (column_name, n_null, n_distinct, min_v, max_v, min_s, max_s)")
+    df.agg(numAggs.head, numAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"),
+        col("min_s"), col("max_s"))
+  }
+
+  /** DuckDB twin of [[liProfile]] over CTE/table `src` — a bare UNION ALL
+    * chain (no ORDER BY) so callers can wrap it as a subquery. */
+  private def liProfileSql(src: String): String =
+    profCols.map { c =>
+      val mm =
+        if (profNumCols.contains(c))
+          s"""CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+            CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"""
+        else if (profStrCols.contains(c))
+          s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+            MIN($c) AS min_s, MAX($c) AS max_s"""
+        else
+          s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+            strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS min_s,
+            strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS max_s"""
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            $mm
+          FROM $src"""
+    }.mkString("", "\n          UNION ALL ", "")
+
   /** (name, spark query, oracle SQL) triples. */
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
@@ -904,81 +980,10 @@ object Relational {
     // exact count-distincts is the only cost that grows with column
     // count, which is precisely what the sketch swap (q140) removes.
     ("q139_table_profile",
-      (s: SparkSession, dir: String) => {
-        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val strCols = Seq("l_returnflag", "l_linestatus")
-        val tsCols = Seq("l_shipdate")
-        val cols = numCols ++ strCols ++ tsCols
-        // TWO single-row passes split by AGGREGATION-BUFFER family, not
-        // one (measured, r13): Spark rewrites N count-distincts as an
-        // Expand (×N+1 rows) into a partial HashAggregate, and that
-        // aggregate holds EVERY agg's buffer — one var-length buffer
-        // (min/max of a string) demotes the whole thing to sort-based
-        // over the expanded rows (29.2 s at sf0.1). Splitting keeps the
-        // numeric pass's buffers all-primitive (codegen'd hash path) and
-        // the string/timestamp pass's expand small (×4 of 3 columns):
-        // 9.0 s at sf0.1, and the two scans read DISJOINT column bytes,
-        // so total parquet IO equals the single-scan plan's.
-        val numAggs = count(lit(1)).as("n_rows") +: numCols.flatMap { c =>
-          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct"),
-            min(col(c)).cast("double").as(s"${c}_min"),
-            max(col(c)).cast("double").as(s"${c}_max"))
-        }
-        val strAggs = (strCols ++ tsCols).flatMap { c =>
-          val mm =
-            if (strCols.contains(c))
-              Seq(min(col(c)).as(s"${c}_mins"), max(col(c)).as(s"${c}_maxs"))
-            else
-              Seq(date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_mins"),
-                date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_maxs"))
-          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct")) ++ mm
-        }
-        val stackExpr = cols.map { c =>
-          if (numCols.contains(c))
-            s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, " +
-              "cast(null as string), cast(null as string)"
-          else
-            s"'$c', ${c}_nulls, ${c}_distinct, cast(null as double), " +
-              s"cast(null as double), ${c}_mins, ${c}_maxs"
-        }.mkString(s"stack(${cols.size}, ", ", ",
-          ") as (column_name, n_null, n_distinct, min_v, max_v, min_s, max_s)")
-        val li = t(s, dir, "lineitem")
-        li.agg(numAggs.head, numAggs.tail: _*)
-          .crossJoin(broadcast(li.agg(strAggs.head, strAggs.tail: _*)))
-          .select(col("n_rows"), expr(stackExpr))
-          .select(col("column_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_v"), col("max_v"),
-            col("min_s"), col("max_s"))
-          .orderBy(col("column_name"))
-      },
-      Some {
-        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val strCols = Seq("l_returnflag", "l_linestatus")
-        val cols = numCols ++ strCols ++ Seq("l_shipdate")
-        cols.map { c =>
-          val mm =
-            if (numCols.contains(c))
-              s"""CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
-            CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"""
-            else if (strCols.contains(c))
-              s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
-            MIN($c) AS min_s, MAX($c) AS max_s"""
-            else
-              s"""CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
-            strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS min_s,
-            strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS max_s"""
-          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
-            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-            COUNT(DISTINCT $c) AS n_distinct,
-            $mm
-          FROM lineitem"""
-        }.mkString("", "\n          UNION ALL ",
-          "\n          ORDER BY column_name")
-      }),
+      (s: SparkSession, dir: String) =>
+        liProfile(t(s, dir, "lineitem")).orderBy(col("column_name")),
+      Some(liProfileSql("lineitem") +
+        "\n          ORDER BY column_name")),
 
     // ---- the profile's SCALE PATH made real (not just documented):
     // q139's exact per-column count-distincts expand the scan ×N columns;
@@ -1078,6 +1083,87 @@ object Relational {
             CAST(10000000.005 AS DOUBLE), CAST(-20000000.015 AS DOUBLE),
             'Z', 'Z', TIMESTAMP '2099-12-31 00:00:00')
         $rows"""
-      })
+      }),
+
+    // ---- schema/distribution DRIFT report: profile the trusted BASE
+    // table and an incoming CANDIDATE drop ([[liProfile]] twice — the
+    // operator the q139 contract check exists to feed), diff per column,
+    // and flag actionable drift: a null-rate jump (>2× relative, or
+    // nulls appearing where there were none — integer cross-
+    // multiplication, no float ratios), a value-range escape (numeric
+    // min/max outside the base envelope; string/timestamp via the
+    // canonical min_s/max_s rendering), and the distinct-count delta.
+    // The fixture has no second drop, so the candidate is DERIVED with
+    // planted drift, identically on both sides: ~1% rows missing
+    // (truncated delivery), l_tax nulled on the %13 stripe, a +50,000
+    // price shift on the %7 stripe, and a new 'X' return-flag category
+    // on the %11 stripe. At 100 TB: two profile runs (each two
+    // combinable single-row passes) + an 11-row join — profile cost, not
+    // data cost, and the two drops can be profiled on different days
+    // (the base profile is a persistable artifact).
+    ("q143_profile_drift",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "lineitem")
+        val cand = base
+          .filter(col("l_orderkey") % 97 =!= 0)
+          .withColumn("l_extendedprice",
+            when(col("l_orderkey") % 7 === 0, col("l_extendedprice") + 50000.0)
+              .otherwise(col("l_extendedprice")))
+          .withColumn("l_tax",
+            when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+              .otherwise(col("l_tax")))
+          .withColumn("l_returnflag",
+            when(col("l_orderkey") % 11 === 0, lit("X"))
+              .otherwise(col("l_returnflag")))
+        val b = liProfile(base)
+        val n = liProfile(cand)
+        b.select(col("column_name"), col("n_rows").as("n_rows_base"),
+            col("n_null").as("n_null_base"), col("n_distinct").as("n_distinct_base"),
+            col("min_v").as("min_v_base"), col("max_v").as("max_v_base"),
+            col("min_s").as("min_s_base"), col("max_s").as("max_s_base"))
+          .join(n.select(col("column_name"), col("n_rows").as("n_rows_new"),
+            col("n_null").as("n_null_new"), col("n_distinct").as("n_distinct_new"),
+            col("min_v").as("min_v_new"), col("max_v").as("max_v_new"),
+            col("min_s").as("min_s_new"), col("max_s").as("max_s_new")),
+            Seq("column_name"))
+          .withColumn("null_flag",
+            (col("n_null_new") > 0 && col("n_null_base") === 0) ||
+              col("n_null_new") * col("n_rows_base") >
+                col("n_null_base") * col("n_rows_new") * 2)
+          .withColumn("range_flag",
+            coalesce(col("min_v_new") < col("min_v_base"), lit(false)) ||
+              coalesce(col("max_v_new") > col("max_v_base"), lit(false)) ||
+              coalesce(col("min_s_new") < col("min_s_base"), lit(false)) ||
+              coalesce(col("max_s_new") > col("max_s_base"), lit(false)))
+          .withColumn("distinct_delta",
+            col("n_distinct_new") - col("n_distinct_base"))
+          .select(col("column_name"), col("n_rows_base"), col("n_rows_new"),
+            col("n_null_base"), col("n_null_new"), col("null_flag"),
+            col("distinct_delta"), col("range_flag"))
+          .orderBy(col("column_name"))
+      },
+      Some(s"""WITH cand AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+            l_quantity,
+            CASE WHEN l_orderkey % 7 = 0 THEN l_extendedprice + 50000.0
+                 ELSE l_extendedprice END AS l_extendedprice,
+            l_discount,
+            CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_tax END AS l_tax,
+            CASE WHEN l_orderkey % 11 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+            l_linestatus, l_shipdate
+          FROM lineitem WHERE l_orderkey % 97 <> 0),
+        pb AS (${liProfileSql("lineitem")}),
+        pn AS (${liProfileSql("cand")})
+        SELECT pb.column_name,
+          pb.n_rows AS n_rows_base, pn.n_rows AS n_rows_new,
+          pb.n_null AS n_null_base, pn.n_null AS n_null_new,
+          ((pn.n_null > 0 AND pb.n_null = 0) OR
+           pn.n_null * pb.n_rows > pb.n_null * pn.n_rows * 2) AS null_flag,
+          pn.n_distinct - pb.n_distinct AS distinct_delta,
+          (COALESCE(pn.min_v < pb.min_v, FALSE) OR
+           COALESCE(pn.max_v > pb.max_v, FALSE) OR
+           COALESCE(pn.min_s < pb.min_s, FALSE) OR
+           COALESCE(pn.max_s > pb.max_s, FALSE)) AS range_flag
+        FROM pb JOIN pn ON pn.column_name = pb.column_name
+        ORDER BY pb.column_name"""))
   )
 }

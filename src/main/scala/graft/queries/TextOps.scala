@@ -1235,7 +1235,156 @@ object TextOps {
           CASE WHEN d.n_sketch < 64 THEN CAST(d.n_sketch AS DOUBLE)
                ELSE 63.0 * 4294967296.0 / d.kth_min END AS est_distinct,
           (d.n_sketch = m.n_sketch_merged AND d.kth_min = m.kth_min_merged) AS merge_exact
-        FROM direct d JOIN merged m ON m.lang = d.lang ORDER BY d.lang"""))
+        FROM direct d JOIN merged m ON m.lang = d.lang ORDER BY d.lang""")),
+
+    // ---- token-budget DATA RECIPE with epoch up-sampling (the
+    // Chinchilla/LLaMA-style mixture step q117 does NOT cover): each
+    // language gets a TOKEN target (weight ‰ of a 1.5×-corpus budget,
+    // integer arithmetic throughout); a language whose target exceeds its
+    // stock is REPEATED — n_full = target div stock whole epochs — and
+    // the remainder epoch is an EXACT deterministic prefix in content-
+    // free hash order (cum_before < target mod stock), not a sampling
+    // rate: the kept token count is exact to one document, re-run-stable,
+    // and decorrelated from crawl order. Output: per-doc copy counts
+    // (n_copies = 0 docs drop), the materialization plan a training-run
+    // data loader consumes.
+    //
+    // Scale: the prefix needs a per-lang cumulative sum in (shard, h,
+    // doc_id) order — computed TWO-PHASE: a window inside each (lang,
+    // hash-shard) partition plus a 32-row-per-lang offset window over
+    // shard subtotals, so no per-language global sort exists in the plan
+    // (the canonical order is DEFINED as (shard, h, doc_id), which the
+    // oracle's single window reproduces lexicographically — same result,
+    // shard-parallel computation). Per-lang totals are a 5-row broadcast.
+    ("q141_token_recipe",
+      (s: SparkSession, dir: String) => {
+        val wPm = "CASE lang WHEN 'en' THEN 225 WHEN 'de' THEN 375 " +
+          "WHEN 'zh' THEN 375 WHEN 'fr' THEN 300 ELSE 225 END"
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast("long").as("n_tok"))
+          .withColumn("h", hash32(concat(lit("rcp:"), col("doc_id").cast("string"))))
+          .withColumn("shard", col("h") % 32)
+          .localCheckpoint() // one tokenize pass feeds cumsum, totals, output
+        Scoped.releaseAfterUse(d)
+        val w1 = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shardTot = d.groupBy(col("lang"), col("shard"))
+          .agg(sum(col("n_tok")).as("st"))
+        val w2 = Window.partitionBy(col("lang")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = shardTot
+          .withColumn("off", coalesce(sum(col("st")).over(w2), lit(0L)))
+          .select(col("lang"), col("shard"), col("off"))
+        val langTot = d.groupBy(col("lang")).agg(sum(col("n_tok")).as("tot"))
+        val grand = d.agg(sum(col("n_tok")).as("gt"))
+        val targets = langTot.crossJoin(broadcast(grand))
+          .withColumn("target", expr(s"($wPm * gt) div 1000"))
+          .select(col("lang"), col("tot"), col("target"))
+        d.withColumn("cum_in_shard", sum(col("n_tok")).over(w1))
+          .join(broadcast(offsets), Seq("lang", "shard"))
+          .withColumn("cum_before", col("off") + col("cum_in_shard") - col("n_tok"))
+          .join(broadcast(targets), Seq("lang"))
+          .withColumn("n_copies", // integer div — `/` on longs is double division
+            expr("target div tot") +
+              when(col("cum_before") < col("target") % col("tot"), 1L).otherwise(0L))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("n_copies"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+            ('0x' || substr(md5('rcp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents),
+        d2 AS (SELECT *, h % 32 AS shard FROM d),
+        lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tot FROM d2 GROUP BY 1),
+        g AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS gt FROM d2),
+        tg AS (SELECT lt.lang, lt.tot,
+            ((CASE lt.lang WHEN 'en' THEN 225 WHEN 'de' THEN 375
+              WHEN 'zh' THEN 375 WHEN 'fr' THEN 300 ELSE 225 END) * g.gt) // 1000
+              AS target
+          FROM lt, g),
+        cum AS (SELECT d2.*,
+            SUM(n_tok) OVER (PARTITION BY lang ORDER BY shard, h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+          FROM d2)
+        SELECT c.doc_id, c.lang, c.n_tok,
+          (tg.target // tg.tot) +
+            (CASE WHEN c.cum_before < (tg.target % tg.tot) THEN 1 ELSE 0 END) AS n_copies
+        FROM cum c JOIN tg ON tg.lang = c.lang
+        WHERE (tg.target // tg.tot) +
+            (CASE WHEN c.cum_before < (tg.target % tg.tot) THEN 1 ELSE 0 END) > 0
+        ORDER BY c.doc_id""")),
+
+    // ---- vocabulary COVERAGE CURVE: the smallest vocabulary that covers
+    // 50% / 90% / 99% of corpus token mass — the sizing analysis run
+    // before committing a tokenizer vocab (complements the BPE trainer:
+    // q109/q116 LEARN merges, this says how many entries are worth
+    // learning). Computed with NO global vocab sort: terms of equal
+    // frequency are interchangeable for coverage, so the curve needs only
+    // the FREQUENCY-CLASS histogram ((count, n_terms) — O(distinct
+    // frequencies) ≈ O(√tokens) rows) and a triangular self-join for the
+    // suffix sums; the boundary class contributes ⌈deficit / c⌉ terms.
+    // All integer arithmetic (targets in percent, cross-multiplied), so
+    // both engines agree exactly. At 100 TB: one combinable term-count
+    // shuffle + one tiny class aggregation; nothing vocab-ordered ever
+    // shuffles, no window at all.
+    ("q142_vocab_coverage",
+      (s: SparkSession, dir: String) => {
+        val terms = explodeLean(
+          t(s, dir, "documents")
+            .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws")),
+          Seq(), col("ws"), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val classes = terms.groupBy(col("c")).agg(count(lit(1)).as("n_terms"))
+          .withColumn("toks", col("c") * col("n_terms"))
+          .localCheckpoint() // tiny; consumed by both sides of the suffix join
+        Scoped.releaseAfterUse(classes)
+        val suffix = classes.as("a")
+          .join(classes.as("b"), col("b.c") >= col("a.c"))
+          .groupBy(col("a.c").as("c"), col("a.n_terms").as("n_terms"),
+            col("a.toks").as("toks"))
+          .agg(sum(col("b.toks")).as("cumtok"),
+            sum(col("b.n_terms")).as("cumvocab"))
+        val total = classes.agg(sum(col("toks")).as("tt"))
+        val tgt = s.range(1).select(
+          explode(expr("array(50, 90, 99)")).as("pct"))
+        suffix.crossJoin(broadcast(total)).crossJoin(broadcast(tgt))
+          // the smallest frequency class c where taking ALL terms of
+          // frequency >= c reaches the target; the boundary class only
+          // needs ceil(deficit / c) of its terms
+          .filter(col("cumtok") * 100 >= col("pct") * col("tt") &&
+            (col("cumtok") - col("toks")) * 100 < col("pct") * col("tt"))
+          .withColumn("vocab_size", // integer ceil-div, exact in both engines
+            expr("""cumvocab - n_terms + (pct * tt - (cumtok - toks) * 100
+                + c * 100 - 1) div (c * 100)"""))
+          .select(col("pct"), col("vocab_size"),
+            col("tt").as("total_tokens"), col("c").as("boundary_freq"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        terms AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        cls AS (SELECT c, COUNT(*) AS n_terms, c * COUNT(*) AS toks
+          FROM terms GROUP BY c),
+        sfx AS (SELECT a.c, a.n_terms, a.toks,
+            CAST(SUM(b.toks) AS BIGINT) AS cumtok,
+            CAST(SUM(b.n_terms) AS BIGINT) AS cumvocab
+          FROM cls a JOIN cls b ON b.c >= a.c
+          GROUP BY a.c, a.n_terms, a.toks),
+        tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt FROM cls),
+        tgt AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT CAST(tgt.pct AS INT) AS pct,
+          (sfx.cumvocab - sfx.n_terms +
+            (tgt.pct * tt.tt - (sfx.cumtok - sfx.toks) * 100
+              + sfx.c * 100 - 1) // (sfx.c * 100)) AS vocab_size,
+          tt.tt AS total_tokens, sfx.c AS boundary_freq
+        FROM sfx, tt, tgt
+        WHERE sfx.cumtok * 100 >= tgt.pct * tt.tt
+          AND (sfx.cumtok - sfx.toks) * 100 < tgt.pct * tt.tt
+        ORDER BY pct"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1
