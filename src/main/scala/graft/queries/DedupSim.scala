@@ -2437,7 +2437,102 @@ object DedupSim {
         SELECT CASE WHEN t AND v THEN 'both'
             WHEN t THEN 'text_only' ELSE 'vector_only' END AS signal,
           COUNT(*) AS n_pairs
-        FROM u GROUP BY 1 ORDER BY 1"""))
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // ---- MMR (maximal marginal relevance) DIVERSIFIED top-k: the
+    // result-diversification step between retrieval and consumption —
+    // rerank a candidate pool so each pick maximizes relevance MINUS its
+    // worst redundancy against what's already picked (λ = 0.5, where
+    // argmax(λ·rel − (1−λ)·maxsim) ≡ argmax(rel − maxsim) on the shared
+    // 1e-4 integer grid — tie-free and engine-exact; first pick is pure
+    // relevance, the standard convention). The DISTRIBUTED work is the
+    // retrieval: one full-scan cosine top-20 (TakeOrdered — at corpus
+    // scale this is the ANN probe, q35/q38's shape) plus the pool's
+    // pairwise similarity matrix (20×19, computed as a broadcast
+    // self-join of the checkpointed pool). The greedy selection itself
+    // is O(k·|pool|) over a BOUNDED collect (≤ 20 + 380 rows — same
+    // driver-artifact discipline as q131's ADC lookup table); the picks
+    // rejoin the pool so the gate output closes through one lineage.
+    // The oracle unrolls the 5 greedy rounds as CTEs (the kmeansCtes
+    // precedent for driver-bounded iteration).
+    ("q144_mmr_rerank",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val pool = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("embedding"),
+            floor(expr(cosSpark("embedding", "qv")) * 1e4 + 0.5)
+              .cast("long").as("rel4"))
+          .orderBy(desc("rel4"), asc("vec_id")).limit(20)
+          .localCheckpoint()
+        val pairs = pool.select(col("vec_id").as("a"), col("embedding").as("ea"))
+          .join(broadcast(pool.select(col("vec_id").as("b"), col("embedding").as("eb"))),
+            col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            floor(expr(cosSpark("ea", "eb")) * 1e4 + 0.5).cast("long").as("p4"))
+        val rel = pool.select(col("vec_id"), col("rel4")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val pmap = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // the bounded collects above are actions too — arm the pool's
+        // release only NOW, so it fires on the consumer's terminal action
+        // (the gate write through the final join), not on the first collect
+        Scoped.releaseAfterUse(pool)
+        var picked = Vector.empty[(Long, Long)] // (vec_id, score4)
+        (1 to 5).foreach { _ =>
+          val chosen = picked.map(_._1).toSet
+          val best = rel.keysIterator.filterNot(chosen)
+            .map { d =>
+              val sc = if (picked.isEmpty) rel(d)
+                else rel(d) - picked.iterator.map(p => pmap((d, p._1))).max
+              (d, sc)
+            }
+            .minBy { case (d, sc) => (-sc, d) }
+          picked :+= best
+        }
+        val selDf = picked.zipWithIndex
+          .map { case ((v, sc), i) => (i + 1L, v, sc) }
+          .toDF("rank", "vec_id", "score4")
+        pool.select(col("vec_id"), col("rel4"))
+          .join(broadcast(selDf), Seq("vec_id"))
+          .select(col("rank"), col("vec_id"), col("rel4"), col("score4"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        def round(r: Int): String =
+          s"""r$r AS (SELECT p.vec_id, p.rel4, p.rel4 - MAX(pr.p4) AS score4
+            FROM pool p JOIN pr ON pr.a = p.vec_id
+              AND pr.b IN (SELECT vec_id FROM sel${r - 1})
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+            GROUP BY p.vec_id, p.rel4),
+          s$r AS (SELECT vec_id, rel4, score4 FROM r$r
+            ORDER BY score4 DESC, vec_id LIMIT 1),
+          sel$r AS (SELECT vec_id FROM sel${r - 1}
+            UNION ALL SELECT vec_id FROM s$r)"""
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          pool AS (SELECT vec_id, embedding,
+              CAST(floor(${cosDuck("embedding", "qv")} * 10000 + 0.5) AS BIGINT) AS rel4
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY rel4 DESC, vec_id LIMIT 20),
+          pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              CAST(floor(${cosDuck("a.embedding", "b.embedding")} * 10000 + 0.5)
+                AS BIGINT) AS p4
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+          s1 AS (SELECT vec_id, rel4, rel4 AS score4 FROM pool
+            ORDER BY rel4 DESC, vec_id LIMIT 1),
+          sel1 AS (SELECT vec_id FROM s1),
+          ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}
+          SELECT CAST(rnk AS BIGINT) AS rank, vec_id, rel4, score4 FROM (
+            SELECT 1 AS rnk, * FROM s1
+            UNION ALL SELECT 2, * FROM s2
+            UNION ALL SELECT 3, * FROM s3
+            UNION ALL SELECT 4, * FROM s4
+            UNION ALL SELECT 5, * FROM s5)
+          ORDER BY rank"""
+      })
   )
 
 }

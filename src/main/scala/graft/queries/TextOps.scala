@@ -92,6 +92,27 @@ object TextOps {
   /** q128's hashed-bigram feature space size. */
   private[graft] val DsirBuckets = 1024
 
+  /** q98's sliding-window chunker (128-token windows, stride 96) as a
+    * shared MAP-ONLY derivation: one row per chunk with its token count
+    * and content hash. `carry` keeps extra columns (the streaming RAG
+    * ingest twin carries `ts`), so batch rebuilds and ingest-time
+    * chunking can never disagree on boundaries. */
+  private[graft] def chunkRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"): _*)
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("nc",
+        lit(1L) + expr("(greatest(n - 128L, 0L) + 95L) div 96L"))
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(col("ws"), col("n"),
+        explode(expr("sequence(0L, nc - 1)")).as("i")): _*)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
+        col("i").as("chunk_idx"),
+        least(lit(128L), col("n") - col("i") * 96).as("n_chunk_tokens"),
+        md5(expr("concat_ws(' ', slice(ws, cast(i * 96 + 1 as int), 128))"))
+          .as("chunk_md5")): _*)
+
   /** One row per word-BIGRAM occurrence of `text` (lowercased [a-z]+
     * tokens, space-joined pairs) — the shared map-side derivation under
     * BOTH corpus language models: q128's hashed DSIR features and q133's
@@ -627,22 +648,9 @@ object TextOps {
     // sequence(0, nc-1) is safe: nc >= 1 is enforced by the n >= 1
     // filter (sequence(a, b) with b < a would generate DESCENDING).
     ("q98_chunking",
-      (s: SparkSession, dir: String) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-          .withColumn("n", size(col("ws")).cast("long"))
-          .filter(col("n") >= 1)
-          .withColumn("nc",
-            lit(1L) + expr("(greatest(n - 128L, 0L) + 95L) div 96L"))
-          .select(col("doc_id"), col("ws"), col("n"),
-            explode(expr("sequence(0L, nc - 1)")).as("i"))
-          .select(col("doc_id"), col("i").as("chunk_idx"),
-            least(lit(128L), col("n") - col("i") * 96).as("n_chunk_tokens"),
-            md5(expr("concat_ws(' ', slice(ws, cast(i * 96 + 1 as int), 128))"))
-              .as("chunk_md5"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
-      },
+      (s: SparkSession, dir: String) =>
+        chunkRows(t(s, dir, "documents"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
       Some("""WITH d AS (SELECT doc_id,
             regexp_extract_all(lower(text), '[a-z]+') AS ws
           FROM documents),

@@ -307,6 +307,19 @@ object EventStreams {
         col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr4")).as("logw4"))
 
+  /** Streaming RAG chunker: q98's sliding-window chunking applied at
+    * INGEST — each arriving document maps to its 128-token / stride-96
+    * chunk rows through the shared derivation
+    * ([[graft.queries.TextOps.chunkRows]], so an ingest-time chunk store
+    * and a batch corpus rebuild can never disagree on boundaries or
+    * hashes). Entirely STATELESS (a per-row generate — no watermark, no
+    * aggregation, Append output): the engine holds nothing, so the
+    * operator runs at any ingest rate; downstream embedding/indexing
+    * stages consume (doc_id, chunk_idx, chunk_md5) exactly as they would
+    * from the batch table. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.chunkRows(docs, carry = Seq("ts"))
+
   /** Streaming perplexity filter: q133's bigram language model applied at
     * INGEST — the last member of the quality-at-ingest quartet (dedup,
     * boilerplate strip, DSIR routing, perplexity). Each arriving document

@@ -348,6 +348,33 @@ class StreamingSpec extends SparkSpec {
     assert(nf(1L) === 8L && nf(2L) === 9L, "n-token doc yields n-1 bigrams")
   }
 
+  test("chunkStream: ingest-time chunks equal the batch chunker exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val long = (1 to 300).map(i => s"w$i").mkString(" ") // 3 chunks (128/96)
+    val docs = Seq(
+      (1L, long, ts(0)),
+      (2L, "just a few tokens here", ts(1)), // single short chunk
+      (3L, "", ts(2)))                       // tokenless: no rows
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs: _*)
+    val q = EventStreams.chunkStream(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val got = spark.table("chunk_stream")
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_md5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val batch = graft.queries.TextOps.chunkRows(docs.toDF("doc_id", "text", "ts"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_md5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === batch, "stream chunks must equal the batch chunker's")
+    assert(got.count(_._1 == 1L) === 3, "300 tokens -> 3 stride-96 chunks")
+    assert(!got.exists(_._1 == 3L), "tokenless doc emits no chunks")
+  }
+
   test("pplScoreStream: ingest scores equal the batch bigram LM; OOV is separable") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
