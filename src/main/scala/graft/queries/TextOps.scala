@@ -1245,6 +1245,169 @@ object TextOps {
           (d.n_sketch = m.n_sketch_merged AND d.kth_min = m.kth_min_merged) AS merge_exact
         FROM direct d JOIN merged m ON m.lang = d.lang ORDER BY d.lang""")),
 
+    // ---- training-data ATTRIBUTION by n-gram overlap: given a generated
+    // text, which corpus documents most plausibly contributed? The
+    // provenance/memorization audit every serving stack wants: rank docs
+    // by how many of the probe's distinct 8-gram fingerprints they
+    // contain (plus the probe-coverage fraction on the 1e-4 integer
+    // grid). The probe is DERIVED from the corpus — the first 30 tokens
+    // of docs 3 and 7 spliced together, a stand-in for a generation that
+    // quotes two sources — so both engines build it identically and the
+    // expected attribution (docs 3 and 7 on top, their planted near-dups
+    // trailing) is non-vacuous at every sf. Seam grams across the splice
+    // are deliberately not formed (per-source gram sets union).
+    //
+    // Scale: corpus grams are q129's map-side rolling-fingerprint shape
+    // (one tokenize pass, no all-pairs anything); the probe's ≤ 46
+    // distinct grams BROADCAST by construction, so attribution is a
+    // map-side semi-probe + ONE combinable doc-keyed count + TakeOrdered.
+    // A serving deployment would persist the corpus gram index once and
+    // amortize it across probes.
+    ("q145_ngram_attribution",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val gramsExpr = expr(
+          """if(size(ws) < 8, array(),
+               transform(sequence(1, size(ws) - 7),
+                 i -> md5(concat_ws(' ', slice(ws, i, 8)))))""")
+        val probeGrams = docs.filter(col("doc_id").isin(3L, 7L))
+          .select(expr(
+            "slice(regexp_extract_all(lower(text), '[a-z]+', 0), 1, 30)").as("ws"))
+          .select(explode(gramsExpr).as("g")).distinct()
+        val corpusGrams = explodeLean(
+          docs.select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws")),
+          Seq(col("doc_id")), gramsExpr, "g").distinct()
+        val nProbe = probeGrams.agg(count(lit(1)).as("n_probe"))
+        corpusGrams.join(broadcast(probeGrams), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .crossJoin(broadcast(nProbe))
+          .withColumn("frac4", expr("(n_overlap * 10000) div n_probe"))
+          .select(col("doc_id"), col("n_overlap"), col("n_probe"), col("frac4"))
+          .orderBy(desc("n_overlap"), col("doc_id")).limit(10)
+      },
+      Some("""WITH pw AS (SELECT
+            list_slice(regexp_extract_all(lower(text), '[a-z]+'), 1, 30) AS ws
+          FROM documents WHERE doc_id IN (3, 7)),
+        pg AS (SELECT DISTINCT
+            unnest(list_transform(range(1, greatest(len(ws) - 6, 1)),
+              i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g
+          FROM pw),
+        cw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents),
+        cg AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, greatest(len(ws) - 6, 1)),
+              i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g
+          FROM cw),
+        np AS (SELECT COUNT(*) AS n_probe FROM pg),
+        ov AS (SELECT cg.doc_id, COUNT(*) AS n_overlap
+          FROM cg JOIN pg ON pg.g = cg.g GROUP BY 1)
+        SELECT ov.doc_id, ov.n_overlap, np.n_probe,
+          (ov.n_overlap * 10000) // np.n_probe AS frac4
+        FROM ov, np
+        ORDER BY ov.n_overlap DESC, ov.doc_id LIMIT 10""")),
+
+    // ---- SEGMENT-level quality strip (paragraph-grade CCNet): score
+    // every 8-token segment with the corpus unigram LM (q89's model) and
+    // drop segments whose 1e-4-grid surprisal exceeds the corpus-mean
+    // segment surprisal — the quality sibling of q127's FREQUENCY-based
+    // strip (that one removes what repeats everywhere; this removes what
+    // the LM finds incoherent, e.g. keyword stuffing and token salad,
+    // even when unique). Same segmentation ([[boilerplateSegments]]) and
+    // the same rebuild contract (kept segs in order → clean_hash), so
+    // the two strips compose into one hygiene pass. Unscorable segments
+    // (no [a-z] token) are KEPT — absence of evidence. The threshold is
+    // integer-exact: mean = ⌊Σ nll4 / count + 0.5⌋ over BIGINTs.
+    //
+    // Scale: one tokenize pass for the model (combinable), one for the
+    // segment scoring (combinable, keyed (doc, seg)); the model join is
+    // a plain term equi-join (vocab-sized side — AQE's call, never a
+    // hard-coded broadcast, ADVICE r12 discipline); threshold is a 1-row
+    // broadcast; rebuild is one doc-keyed agg.
+    ("q146_segment_quality_strip",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val toks = explodeLean(docs, Seq(col("doc_id")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "term")
+        val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(model)
+        val total = model.agg(sum(col("cnt")).as("n_total"))
+        val lp = model.crossJoin(broadcast(total))
+          .select(col("term"),
+            floor(log(col("cnt").cast("double") / col("n_total").cast("double"))
+              * 1e4 + 0.5).cast("long").as("lp4"))
+        val segs = boilerplateSegments(docs, unit = 8).localCheckpoint()
+        val st = explodeLean(segs, Seq(col("doc_id"), col("seg_idx")),
+          expr("regexp_extract_all(lower(seg), '[a-z]+', 0)"), "term")
+        val nll = st.join(lp, Seq("term"))
+          .groupBy(col("doc_id"), col("seg_idx"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("lp4")).as("slp"))
+          .select(col("doc_id"), col("seg_idx"),
+            floor(-col("slp").cast("double") / col("n_tok") + 0.5)
+              .cast("long").as("nll4"))
+          .localCheckpoint() // feeds the threshold AND the verdict join
+        // the two checkpoints above serve multiple actions in one gate
+        // run; arm their release now so the terminal write frees them
+        Scoped.releaseAfterUse(segs, nll)
+        val thr = nll.agg(
+          floor(sum(col("nll4")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("thr4"))
+        segs.join(nll, Seq("doc_id", "seg_idx"), "left")
+          .crossJoin(broadcast(thr))
+          .withColumn("keep", coalesce(col("nll4") <= col("thr4"), lit(true)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept_segs"),
+            min(col("thr4")).as("mean_nll4"),
+            expr("""md5(concat_ws(' ',
+                transform(array_sort(collect_list(
+                  case when keep
+                    then named_struct('seg_idx', seg_idx, 'seg', seg) end)),
+                  x -> x.seg)))""").as("clean_hash"))
+          .withColumn("dropped_segs", col("n_segs") - col("kept_segs"))
+          .select(col("doc_id"), col("n_segs"), col("kept_segs"),
+            col("dropped_segs"), col("mean_nll4"), col("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        segs AS (SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+            array_to_string(tk[(CAST(u.i AS BIGINT)*8+1):(CAST(u.i AS BIGINT)*8+8)], ' ') AS seg
+          FROM tk, UNNEST(range(CAST(ceil(len(tk)/8.0) AS BIGINT))) AS u(i)),
+        toksq AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        model AS (SELECT term, COUNT(*) AS cnt FROM toksq GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_total FROM toksq),
+        lp AS (SELECT term,
+            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * 10000.0 + 0.5) AS BIGINT) AS lp4
+          FROM model, tot),
+        st AS (SELECT s.doc_id, s.seg_idx,
+            unnest(regexp_extract_all(lower(s.seg), '[a-z]+')) AS term
+          FROM segs s),
+        sc AS (SELECT st.doc_id, st.seg_idx, COUNT(*) AS n_tok,
+            CAST(SUM(lp.lp4) AS BIGINT) AS slp
+          FROM st JOIN lp USING (term) GROUP BY 1, 2),
+        nll AS (SELECT doc_id, seg_idx,
+            CAST(floor(-CAST(slp AS DOUBLE) / n_tok + 0.5) AS BIGINT) AS nll4
+          FROM sc),
+        thr AS (SELECT CAST(floor(CAST(SUM(nll4) AS DOUBLE) / COUNT(*) + 0.5)
+            AS BIGINT) AS thr4 FROM nll),
+        verd AS (SELECT s.doc_id, s.seg_idx, s.seg,
+            COALESCE(n.nll4 <= t.thr4, TRUE) AS keep
+          FROM segs s LEFT JOIN nll n
+            ON n.doc_id = s.doc_id AND n.seg_idx = s.seg_idx, thr t),
+        agg AS (SELECT doc_id, COUNT(*) AS n_segs,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+            md5(COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+              ORDER BY seg_idx), '')) AS clean_hash
+          FROM verd GROUP BY doc_id)
+        SELECT a.doc_id, a.n_segs, a.kept_segs,
+          a.n_segs - a.kept_segs AS dropped_segs, t.thr4 AS mean_nll4,
+          a.clean_hash
+        FROM agg a, thr t ORDER BY a.doc_id""")),
+
     // ---- token-budget DATA RECIPE with epoch up-sampling (the
     // Chinchilla/LLaMA-style mixture step q117 does NOT cover): each
     // language gets a TOKEN target (weight ‰ of a 1.5×-corpus budget,
