@@ -1164,6 +1164,88 @@ object Relational {
            COALESCE(pn.min_s < pb.min_s, FALSE) OR
            COALESCE(pn.max_s > pb.max_s, FALSE)) AS range_flag
         FROM pb JOIN pn ON pn.column_name = pb.column_name
-        ORDER BY pb.column_name"""))
+        ORDER BY pb.column_name""")),
+
+    // ---- JOIN-KEY OVERLAP estimation from KMV sketches (Beyer et al.'s
+    // set-operation estimator — the planner aide that answers "how many
+    // customer keys actually appear in orders?" WITHOUT running the
+    // join): per side, the k smallest distinct key hashes
+    // ([[graft.functions.KmvSketchValues]], k = 256, bounded mergeable
+    // state); the union sketch is the k smallest of the merged sets
+    // (exactly how KMV composes, q137's proven merge), and the
+    // intersection estimate is the classic ρ·Û — the fraction of union-
+    // sketch members present in BOTH side sketches, scaled by the union
+    // estimate. When the union sketch is UNDERFULL (|M| < k) it IS the
+    // exact distinct union and ρ·Û degrades gracefully to the exact
+    // intersection — the sf0.001 fixture exercises that branch, sf0.01+
+    // the estimator branch. Exact counts ride along so the gate pins
+    // estimator AND truth. At 100 TB: two single-scan bounded-state
+    // aggregates + O(k) driver-free array math on a 1-row frame — vs the
+    // full distinct-join the estimate replaces.
+    ("q147_join_key_overlap",
+      (s: SparkSession, dir: String) => {
+        val kmv = udaf(new graft.functions.KmvSketchValues(256),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val sa = t(s, dir, "customer")
+          .agg(kmv(hash32(col("c_custkey").cast("string"))).as("ska"),
+            countDistinct(col("c_custkey")).as("n_a_exact"))
+        // the B side is one shard of a customer-split fact table ("how
+        // many dimension keys does THIS shard's join touch") — a
+        // per-order predicate keeps ~every customer (each has ~10
+        // orders), so the shard cut is what makes the overlap a genuine
+        // partial subset (rho ~ 2/3) instead of the trivial rho = 1
+        val sb = t(s, dir, "orders").filter(col("o_custkey") % 3 =!= 0)
+          .agg(kmv(hash32(col("o_custkey").cast("string"))).as("skb"),
+            countDistinct(col("o_custkey")).as("n_b_exact"))
+        val exactInter = t(s, dir, "customer").select(col("c_custkey").as("key")).distinct()
+          .join(t(s, dir, "orders").filter(col("o_custkey") % 3 =!= 0)
+            .select(col("o_custkey").as("key")).distinct(),
+            Seq("key"), "left_semi")
+          .agg(count(lit(1)).as("inter_exact"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exactInter))
+          .withColumn("va", col("ska.vs")).withColumn("vb", col("skb.vs"))
+          .withColumn("m", expr("slice(array_sort(array_distinct(concat(va, vb))), 1, 256)"))
+          .withColumn("m_n", size(col("m")).cast("long"))
+          .withColumn("m_kth", expr("element_at(m, cast(m_n as int))"))
+          .withColumn("inter_m", expr(
+            "cast(size(filter(m, v -> array_contains(va, v) and array_contains(vb, v))) as long)"))
+          .withColumn("est_union",
+            when(col("m_n") < 256, col("m_n"))
+              .otherwise(floor(lit(255.0 * 4294967296.0) / col("m_kth") + 0.5)
+                .cast("long")))
+          .withColumn("est_inter",
+            floor(col("inter_m") * col("est_union") / col("m_n").cast("double") + 0.5)
+              .cast("long"))
+          .select(col("n_a_exact"), col("n_b_exact"), col("inter_exact"),
+            col("m_n"), col("inter_m"), col("est_union"), col("est_inter"))
+      },
+      Some("""WITH sa AS (SELECT h FROM (SELECT DISTINCT
+            ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM customer) ORDER BY h LIMIT 256),
+        sb AS (SELECT h FROM (SELECT DISTINCT
+            ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM orders WHERE o_custkey % 3 <> 0) ORDER BY h LIMIT 256),
+        m AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT 256),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_n, MAX(h) AS m_kth,
+            CAST(SUM(CASE WHEN h IN (SELECT h FROM sa)
+              AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS BIGINT) AS inter_m
+          FROM m),
+        ex AS (SELECT
+            (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_a_exact,
+            (SELECT COUNT(DISTINCT o_custkey) FROM orders
+              WHERE o_custkey % 3 <> 0) AS n_b_exact,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) c
+              WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+                WHERE o_custkey % 3 <> 0)) AS inter_exact)
+        SELECT ex.n_a_exact, ex.n_b_exact, ex.inter_exact,
+          mm.m_n, mm.inter_m,
+          CASE WHEN mm.m_n < 256 THEN mm.m_n
+               ELSE CAST(floor(255.0 * 4294967296.0 / mm.m_kth + 0.5) AS BIGINT)
+          END AS est_union,
+          CAST(floor(mm.inter_m * (CASE WHEN mm.m_n < 256 THEN mm.m_n
+               ELSE CAST(floor(255.0 * 4294967296.0 / mm.m_kth + 0.5) AS BIGINT) END)
+            / CAST(mm.m_n AS DOUBLE) + 0.5) AS BIGINT) AS est_inter
+        FROM ex, mm"""))
   )
 }
