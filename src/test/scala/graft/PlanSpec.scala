@@ -356,4 +356,43 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n" + p.take(1600))
   }
+
+  test("q141: recipe cumsum is two-phase — no single-partition window anywhere") {
+    val p = plan("q141_token_recipe")
+    // every window must carry a real partition spec — the doc-level
+    // cumsum on (lang, shard), the 32-row offset window on (lang); an
+    // empty windowspecdefinition would be the per-language global sort
+    // the two-phase design exists to avoid. (The 1-row grand-total agg
+    // legitimately exchanges to a single partition — windows are the
+    // hazard, not aggregates.)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1).trim).toList
+    assert(specs.nonEmpty, "expected the per-shard cumsum window")
+    specs.foreach(s => assert(s.startsWith("lang"),
+      s"window not partitioned by lang(, shard): spec head '$s'\n" + p.take(1200)))
+  }
+
+  test("q142: coverage curve plans with no window and no corpus-sized sort") {
+    val p = plan("q142_vocab_coverage")
+    assert(!p.contains("Window"), "the curve must not use a window:\n" + p.take(1200))
+    // the only sort is the 3-row presentation orderBy
+    assert(!p.contains("CartesianProduct"),
+      "class suffix join must be a real join, not a cartesian")
+  }
+
+  test("q145: attribution probes with a broadcast — the corpus never shuffles for the join") {
+    val p = plan("q145_ngram_attribution")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe gram set must broadcast:\n" + p.take(1600))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus grams must not shuffle-join the tiny probe:\n" + p.take(1600))
+  }
+
+  test("q147: overlap estimate runs on bounded sketch state — no key-distinct shuffle on the estimator path") {
+    val p = plan("q147_join_key_overlap")
+    // the ObjectHashAggregate carrying the KMV buffers must be partial
+    // before the single-row final (map-side combine of bounded buffers)
+    assert(p.contains("partial_kmvsketchvalues") ||
+      p.contains("partial_kmv"), "sketch must partial-aggregate:\n" + p.take(1600))
+  }
 }
