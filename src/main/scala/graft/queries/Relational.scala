@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Portable._
-import graft.core.Tables
+import graft.core.{Scoped, Tables}
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.8): scans, filters,
   * projections, every join shape, aggregation, window functions, set ops,
@@ -747,7 +747,7 @@ object Relational {
             min(col("y")).as("min_y"), max(col("y")).as("max_y"))
           .orderBy(col("zbucket"))
       },
-      Some(s"""WITH c AS (SELECT (l_partkey % 65536) AS x, (l_suppkey % 65536) AS y
+      Some(s"""WITH c AS (SELECT (l_partkey % 128) AS x, (l_suppkey % 16) AS y
             FROM lineitem),
           z AS (SELECT x, y, ${graft.core.ZOrder.sqlZvalue16("x", "y")} AS z FROM c)
           SELECT (z >> 16) AS zbucket, COUNT(*) AS n,
@@ -1246,6 +1246,180 @@ object Relational {
           CAST(floor(mm.inter_m * (CASE WHEN mm.m_n < 256 THEN mm.m_n
                ELSE CAST(floor(255.0 * 4294967296.0 / mm.m_kth + 0.5) AS BIGINT) END)
             / CAST(mm.m_n AS DOUBLE) + 0.5) AS BIGINT) AS est_inter
-        FROM ex, mm"""))
+        FROM ex, mm""")),
+
+    // ---- ROBUST outlier fences (the Tukey/IQR report Deequ-style
+    // contract checks add beside q139's min/max): per double column,
+    // exact quartiles and 1.5·IQR fences, plus how many rows fall
+    // outside each fence. Cross-engine exactness is engineered, not
+    // hoped for: values move to the CENT-INTEGER grid first, and the
+    // quantile probes are DYADIC (k/4), so the linear interpolation
+    // lower + (upper−lower)·frac is exact binary arithmetic — both
+    // engines' formulas produce bit-identical doubles (fences stay in
+    // cent units for the same reason). Two passes: one
+    // ObjectHashAggregate computing all four columns' exact quartiles
+    // (object buffers only — never mixed with the count-distinct Expand,
+    // the q139 r13 lesson), then the fences broadcast into a map-side
+    // conditional count. Exact percentile is the oracle-parity baseline;
+    // the 100 TB path swaps in q94's mergeable histogram sketch for the
+    // quartiles and keeps the identical fence pass.
+    ("q148_robust_outliers",
+      (s: SparkSession, dir: String) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        // uniform TPC-H columns have NO Tukey outliers (fences at 1.5 IQR
+        // clear the whole range), so the gate would pass vacuously on
+        // 0 = 0 — plant a sparse corrupted stripe (~1/10000 rows, values
+        // scaled far outside the fences, both engines identically) so the
+        // fence counts are load-bearing
+        val base = t(s, dir, "lineitem")
+        val aug = base.select(cols.map(col): _*).unionByName(
+          base.filter(col("l_orderkey") % 9973 === 0)
+            .select((col("l_quantity") * 1000).as("l_quantity"),
+              (col("l_extendedprice") * 100).as("l_extendedprice"),
+              (col("l_discount") - 5.0).as("l_discount"),
+              (col("l_tax") + 5.0).as("l_tax")))
+        val d = aug.select(cols.map(c =>
+          expr(s"cast(floor($c * 100 + 0.5) as bigint)").as(s"${c}_c")): _*)
+          .localCheckpoint() // feeds the quartile AND the fence pass
+        Scoped.releaseAfterUse(d)
+        val qs = d.agg(
+          expr(s"percentile(${cols.head}_c, array(0.25D, 0.5D, 0.75D))")
+            .as(s"${cols.head}_q"),
+          cols.tail.map(c =>
+            expr(s"percentile(${c}_c, array(0.25D, 0.5D, 0.75D))").as(s"${c}_q")): _*)
+        val fenced = d.crossJoin(broadcast(qs))
+        val cnts = fenced.agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap { c =>
+            val q1 = s"element_at(${c}_q, 1)"
+            val q3 = s"element_at(${c}_q, 3)"
+            Seq(
+              sum(when(expr(s"${c}_c < $q1 - 1.5D * ($q3 - $q1)"), 1L)
+                .otherwise(0L)).as(s"${c}_low"),
+              sum(when(expr(s"${c}_c > $q3 + 1.5D * ($q3 - $q1)"), 1L)
+                .otherwise(0L)).as(s"${c}_high"),
+              first(expr(q1)).as(s"${c}_q1"),
+              first(expr(s"element_at(${c}_q, 2)")).as(s"${c}_med"),
+              first(expr(q3)).as(s"${c}_q3"))
+          }: _*)
+        val stackExpr = cols.map(c =>
+          s"'$c', ${c}_q1, ${c}_med, ${c}_q3, " +
+            s"${c}_q3 - ${c}_q1, ${c}_low, ${c}_high")
+          .mkString(s"stack(${cols.size}, ", ", ",
+            ") as (column_name, q1_cents, median_cents, q3_cents, iqr_cents, n_below, n_above)")
+        cnts.select(col("n_rows"), expr(stackExpr))
+          .select(col("column_name"), col("n_rows"), col("q1_cents"),
+            col("median_cents"), col("q3_cents"), col("iqr_cents"),
+            col("n_below"), col("n_above"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val dcols = cols.map(c =>
+          s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS ${c}_c").mkString(", ")
+        val qcols = cols.map(c =>
+          s"quantile_cont(${c}_c, [0.25, 0.5, 0.75]) AS ${c}_q").mkString(", ")
+        val rows = cols.map { c =>
+          s"""SELECT '$c' AS column_name, cn.n_rows,
+            q.${c}_q[1] AS q1_cents, q.${c}_q[2] AS median_cents,
+            q.${c}_q[3] AS q3_cents, q.${c}_q[3] - q.${c}_q[1] AS iqr_cents,
+            cn.${c}_low AS n_below, cn.${c}_high AS n_above
+          FROM q, cn"""
+        }.mkString("", "\n          UNION ALL ", "\n          ORDER BY column_name")
+        val sums = cols.map { c =>
+          s"""CAST(SUM(CASE WHEN d.${c}_c < q.${c}_q[1] - 1.5 * (q.${c}_q[3] - q.${c}_q[1])
+              THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_low,
+            CAST(SUM(CASE WHEN d.${c}_c > q.${c}_q[3] + 1.5 * (q.${c}_q[3] - q.${c}_q[1])
+              THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_high"""
+        }.mkString(", ")
+        s"""WITH aug AS (
+            SELECT ${cols.mkString(", ")} FROM lineitem
+            UNION ALL
+            SELECT l_quantity * 1000, l_extendedprice * 100,
+              l_discount - 5.0, l_tax + 5.0
+            FROM lineitem WHERE l_orderkey % 9973 = 0),
+          d AS (SELECT $dcols FROM aug),
+          q AS (SELECT $qcols FROM d),
+          cn AS (SELECT COUNT(*) AS n_rows, $sums FROM d, q)
+          $rows"""
+      }),
+
+    // ---- zone-map DATA-SKIPPING effectiveness report: quantifies what
+    // q87's z-order layout actually buys a rectangle predicate
+    // (x ∈ [1000, 3000] × y ∈ [100, 300]) against a naive x-sorted
+    // layout of the SAME bucket count. Per layout: bucket zone maps
+    // (min/max of both columns — what a lakehouse stores per file),
+    // buckets whose box intersects the predicate, rows those buckets
+    // force the scan to read, and the true match count — scan_frac4 is
+    // the number a layout decision is made on. The z-order side prunes
+    // on BOTH dimensions; the linear side only on x, so y-selectivity
+    // is wasted — the measured gap is the module's reason to exist.
+    // One materialized (x, y, z) projection feeds both layouts; each
+    // layout is one combinable bucket agg + a literal box test.
+    ("q149_skipping_report",
+      (s: SparkSession, dir: String) => {
+        import graft.core.ZOrder
+        // dims folded to domains that are FULL at every fixture sf
+        // (x: 7 bits, y: 4 bits), so the predicate box selects ~6% of
+        // rows everywhere and neither layout's report is vacuous
+        val d = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 128).as("x"),
+            (col("l_suppkey") % 16).as("y"))
+          .withColumn("z", ZOrder.zvalue16(col("x"), col("y")))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(d)
+        val matched = d.filter(col("x").between(32, 63) &&
+          col("y").between(4, 7)).agg(count(lit(1)).as("rows_matched"))
+        def layout(name: String, bucket: org.apache.spark.sql.Column) =
+          d.groupBy(bucket.as("b"))
+            .agg(count(lit(1)).as("n"),
+              min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+              min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+            .withColumn("touched",
+              col("min_x") <= 63 && col("max_x") >= 32 &&
+                col("min_y") <= 7 && col("max_y") >= 4)
+            .agg(count(lit(1)).as("n_buckets"),
+              sum(when(col("touched"), 1L).otherwise(0L)).as("buckets_touched"),
+              sum(col("n")).as("n_rows"),
+              sum(when(col("touched"), col("n")).otherwise(0L)).as("rows_scanned"))
+            .select(lit(name).as("layout"), col("n_buckets"),
+              col("buckets_touched"), col("n_rows"), col("rows_scanned"))
+        layout("zorder", shiftright(col("z"), 7))
+          .unionByName(layout("linear", shiftright(col("x"), 1)))
+          .crossJoin(broadcast(matched))
+          .withColumn("scan_frac4", expr("(rows_scanned * 10000) div n_rows"))
+          .select(col("layout"), col("n_buckets"), col("buckets_touched"),
+            col("rows_scanned"), col("rows_matched"), col("scan_frac4"))
+          .orderBy(col("layout"))
+      },
+      Some(s"""WITH c AS (SELECT (l_partkey % 128) AS x, (l_suppkey % 16) AS y
+            FROM lineitem),
+          zz AS (SELECT x, y, ${graft.core.ZOrder.sqlZvalue16("x", "y")} AS z FROM c),
+          mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched FROM zz
+            WHERE x BETWEEN 32 AND 63 AND y BETWEEN 4 AND 7),
+          zb AS (SELECT (z >> 7) AS b, COUNT(*) AS n,
+              MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+            FROM zz GROUP BY 1),
+          lb AS (SELECT (x >> 1) AS b, COUNT(*) AS n,
+              MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+            FROM zz GROUP BY 1),
+          za AS (SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              CAST(SUM(CASE WHEN min_x <= 63 AND max_x >= 32
+                AND min_y <= 7 AND max_y >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+              CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN min_x <= 63 AND max_x >= 32
+                AND min_y <= 7 AND max_y >= 4 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+            FROM zb),
+          la AS (SELECT 'linear', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN min_x <= 63 AND max_x >= 32
+                AND min_y <= 7 AND max_y >= 4 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(n) AS BIGINT),
+              CAST(SUM(CASE WHEN min_x <= 63 AND max_x >= 32
+                AND min_y <= 7 AND max_y >= 4 THEN n ELSE 0 END) AS BIGINT)
+            FROM lb),
+          u AS (SELECT * FROM za UNION ALL SELECT * FROM la)
+          SELECT u.layout, u.n_buckets, u.buckets_touched, u.rows_scanned,
+            mt.rows_matched, (u.rows_scanned * 10000) // u.n_rows AS scan_frac4
+          FROM u, mt ORDER BY u.layout"""))
   )
 }
