@@ -83,6 +83,35 @@ object Relational {
         col("min_s"), col("max_s"))
   }
 
+  /** The planted "incoming candidate drop" q143/q150 diff against the
+    * trusted base: ~1% rows missing (truncated delivery), l_tax nulled on
+    * the %13 stripe, a +50,000 price shift on the %3 stripe, a new 'X'
+    * return-flag category on the %11 stripe — identically derived on the
+    * oracle side ([[driftCandidateSql]]). */
+  private def driftCandidate(base: DataFrame): DataFrame = base
+    .filter(col("l_orderkey") % 97 =!= 0)
+    .withColumn("l_extendedprice",
+      when(col("l_orderkey") % 3 === 0, col("l_extendedprice") + 50000.0)
+        .otherwise(col("l_extendedprice")))
+    .withColumn("l_tax",
+      when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("l_tax")))
+    .withColumn("l_returnflag",
+      when(col("l_orderkey") % 11 === 0, lit("X"))
+        .otherwise(col("l_returnflag")))
+
+  /** [[driftCandidate]]'s CTE body (`cand AS (...)`). */
+  private val driftCandidateSql: String =
+    """cand AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+            l_quantity,
+            CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice + 50000.0
+                 ELSE l_extendedprice END AS l_extendedprice,
+            l_discount,
+            CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_tax END AS l_tax,
+            CASE WHEN l_orderkey % 11 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+            l_linestatus, l_shipdate
+          FROM lineitem WHERE l_orderkey % 97 <> 0)"""
+
   /** DuckDB twin of [[liProfile]] over CTE/table `src` — a bare UNION ALL
     * chain (no ORDER BY) so callers can wrap it as a subquery. */
   private def liProfileSql(src: String): String =
@@ -1104,17 +1133,7 @@ object Relational {
     ("q143_profile_drift",
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "lineitem")
-        val cand = base
-          .filter(col("l_orderkey") % 97 =!= 0)
-          .withColumn("l_extendedprice",
-            when(col("l_orderkey") % 7 === 0, col("l_extendedprice") + 50000.0)
-              .otherwise(col("l_extendedprice")))
-          .withColumn("l_tax",
-            when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
-              .otherwise(col("l_tax")))
-          .withColumn("l_returnflag",
-            when(col("l_orderkey") % 11 === 0, lit("X"))
-              .otherwise(col("l_returnflag")))
+        val cand = driftCandidate(base)
         val b = liProfile(base)
         val n = liProfile(cand)
         b.select(col("column_name"), col("n_rows").as("n_rows_base"),
@@ -1142,15 +1161,7 @@ object Relational {
             col("distinct_delta"), col("range_flag"))
           .orderBy(col("column_name"))
       },
-      Some(s"""WITH cand AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-            l_quantity,
-            CASE WHEN l_orderkey % 7 = 0 THEN l_extendedprice + 50000.0
-                 ELSE l_extendedprice END AS l_extendedprice,
-            l_discount,
-            CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_tax END AS l_tax,
-            CASE WHEN l_orderkey % 11 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
-            l_linestatus, l_shipdate
-          FROM lineitem WHERE l_orderkey % 97 <> 0),
+      Some(s"""WITH $driftCandidateSql,
         pb AS (${liProfileSql("lineitem")}),
         pn AS (${liProfileSql("cand")})
         SELECT pb.column_name,
@@ -1420,6 +1431,111 @@ object Relational {
           u AS (SELECT * FROM za UNION ALL SELECT * FROM la)
           SELECT u.layout, u.n_buckets, u.buckets_touched, u.rows_scanned,
             mt.rows_matched, (u.rows_scanned * 10000) // u.n_rows AS scan_frac4
-          FROM u, mt ORDER BY u.layout"""))
+          FROM u, mt ORDER BY u.layout""")),
+
+    // ---- PSI distribution drift (population stability index — the
+    // standard ML-ops shift metric, the DISTRIBUTION-level companion to
+    // q143's per-column envelope diff): per double column, 10 equal-width
+    // bins derived from the BASE drop's cent-grid min/max, add-one
+    // smoothed bin shares on both drops, PSI = Σ (p−q)·ln(p/q) on a 1e-6
+    // grid. Exactness is engineered: bin ids are integer division on
+    // cent integers (the candidate's out-of-range clamp also neutralizes
+    // the truncate-vs-floor division divergence between engines for
+    // negative offsets), p−q is carried as an exact BIGINT cross-product
+    // numerator over a common denominator, ln runs on one ratio of exact
+    // integers quantized at 1e4 (the q89 idiom), and the only float ops
+    // are the final identical-shaped divisions. The q143 planted
+    // candidate makes the verdicts load-bearing: the +50,000 price
+    // stripe shifts l_extendedprice's PSI, the untouched columns sit at
+    // ~0. Scale: three combinable passes (base min/max, two binned
+    // counts), a 40-row grid join, a 4-row report — profile cost, not
+    // data cost, and the base histogram is a persistable artifact.
+    ("q150_psi_drift",
+      (s: SparkSession, dir: String) => {
+        val dcols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val stackE = dcols.map(c =>
+          s"'$c', cast(floor($c * 100 + 0.5) as bigint)")
+          .mkString(s"stack(${dcols.size}, ", ", ", ") as (cn, v)")
+        def vals(df: DataFrame) = df.select(dcols.map(col): _*)
+          .select(expr(stackE)).filter(col("v").isNotNull)
+        val base = t(s, dir, "lineitem")
+        val bv = vals(base).localCheckpoint() // feeds min/max, counts, totals
+        Scoped.releaseAfterUse(bv)
+        val cv = vals(driftCandidate(base))
+        val mm = bv.groupBy(col("cn")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .localCheckpoint() // 4 rows; joined three times below
+        Scoped.releaseAfterUse(mm)
+        val bb = bv.join(broadcast(mm), Seq("cn"))
+          .withColumn("bin", expr("(v - mn) * 10 div (mx - mn + 1)"))
+          .groupBy(col("cn"), col("bin")).agg(count(lit(1)).as("cb"))
+        val cc = cv.join(broadcast(mm), Seq("cn"))
+          .withColumn("bin", expr("least(9L, greatest(0L, (v - mn) * 10 div (mx - mn + 1)))"))
+          .groupBy(col("cn"), col("bin")).agg(count(lit(1)).as("cc"))
+        val nb = bv.groupBy(col("cn")).agg(count(lit(1)).as("nbv"))
+        val nc = cv.groupBy(col("cn")).agg(count(lit(1)).as("ncv"))
+        val grid = mm.select(col("cn"), explode(expr("sequence(0L, 9L)")).as("bin"))
+        grid
+          .join(bb, Seq("cn", "bin"), "left")
+          .join(cc, Seq("cn", "bin"), "left")
+          .join(broadcast(nb), Seq("cn"))
+          .join(broadcast(nc), Seq("cn"))
+          .withColumn("cb", coalesce(col("cb"), lit(0L)))
+          .withColumn("cc", coalesce(col("cc"), lit(0L)))
+          .withColumn("num",
+            expr("(cb + 1) * (ncv + 10) - (cc + 1) * (nbv + 10)"))
+          .withColumn("lr4",
+            floor(log(expr("cast((cb + 1) * (ncv + 10) as double)") /
+              expr("cast((cc + 1) * (nbv + 10) as double)")) * 1e4 + 0.5)
+              .cast("long"))
+          .withColumn("d", expr("(nbv + 10) * (ncv + 10)"))
+          .groupBy(col("cn"))
+          .agg(min(col("nbv")).as("n_base"), min(col("ncv")).as("n_cand"),
+            floor(sum(col("num") * col("lr4")).cast("double") * 100.0 /
+              min(col("d")).cast("double") + 0.5).cast("long").as("psi6"))
+          .withColumn("shifted", col("psi6") >= 100000L)
+          .select(col("cn").as("column_name"), col("n_base"), col("n_cand"),
+            col("psi6"), col("shifted"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val dcols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def unpivot(src: String) = dcols.map(c =>
+          s"""SELECT '$c' AS cn, CAST(floor($c * 100 + 0.5) AS BIGINT) AS v
+            FROM $src WHERE $c IS NOT NULL""").mkString("\n          UNION ALL ")
+        s"""WITH $driftCandidateSql,
+          bvals AS (${unpivot("lineitem")}),
+          cvals AS (${unpivot("cand")}),
+          mm AS (SELECT cn, MIN(v) AS mn, MAX(v) AS mx FROM bvals GROUP BY 1),
+          bb AS (SELECT b.cn, (v - mn) * 10 // (mx - mn + 1) AS bin, COUNT(*) AS cb
+            FROM bvals b JOIN mm USING (cn) GROUP BY 1, 2),
+          cc AS (SELECT c.cn,
+              least(9, greatest(0, (v - mn) * 10 // (mx - mn + 1))) AS bin,
+              COUNT(*) AS cc
+            FROM cvals c JOIN mm USING (cn) GROUP BY 1, 2),
+          nb AS (SELECT cn, CAST(COUNT(*) AS BIGINT) AS nbv FROM bvals GROUP BY 1),
+          nc AS (SELECT cn, CAST(COUNT(*) AS BIGINT) AS ncv FROM cvals GROUP BY 1),
+          grid AS (SELECT mm.cn, CAST(u.b AS BIGINT) AS bin
+            FROM mm, UNNEST(range(0, 10)) AS u(b)),
+          t AS (SELECT g.cn, g.bin,
+              COALESCE(bb.cb, 0) AS cb, COALESCE(cc.cc, 0) AS cc,
+              nb.nbv, nc.ncv
+            FROM grid g
+            LEFT JOIN bb ON bb.cn = g.cn AND bb.bin = g.bin
+            LEFT JOIN cc ON cc.cn = g.cn AND cc.bin = g.bin
+            JOIN nb ON nb.cn = g.cn JOIN nc ON nc.cn = g.cn),
+          term AS (SELECT cn, nbv, ncv,
+              ((cb + 1) * (ncv + 10) - (cc + 1) * (nbv + 10)) AS num,
+              CAST(floor(ln(CAST((cb + 1) * (ncv + 10) AS DOUBLE)
+                / CAST((cc + 1) * (nbv + 10) AS DOUBLE)) * 10000.0 + 0.5)
+                AS BIGINT) AS lr4,
+              (nbv + 10) * (ncv + 10) AS d
+            FROM t)
+          SELECT cn AS column_name, MIN(nbv) AS n_base, MIN(ncv) AS n_cand,
+            CAST(floor(CAST(SUM(num * lr4) AS DOUBLE) * 100.0
+              / CAST(MIN(d) AS DOUBLE) + 0.5) AS BIGINT) AS psi6,
+            CAST(floor(CAST(SUM(num * lr4) AS DOUBLE) * 100.0
+              / CAST(MIN(d) AS DOUBLE) + 0.5) AS BIGINT) >= 100000 AS shifted
+          FROM term GROUP BY cn ORDER BY column_name"""
+      })
   )
 }
