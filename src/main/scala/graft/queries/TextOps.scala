@@ -113,6 +113,34 @@ object TextOps {
         md5(expr("concat_ws(' ', slice(ws, cast(i * 96 + 1 as int), 128))"))
           .as("chunk_md5")): _*)
 
+  /** 8-gram md5 fingerprints of a token array column `ws` — the rolling
+    * fingerprint q145's attribution and q129's span dedup rank with,
+    * shared so batch audits and the serving-time memorization guard
+    * ([[graft.streaming.EventStreams.attributionStream]]) can never
+    * disagree on what a gram is. */
+  private[graft] val gram8Expr = expr(
+    """if(size(ws) < 8, array(),
+         transform(sequence(1, size(ws) - 7),
+           i -> md5(concat_ws(' ', slice(ws, i, 8)))))""")
+
+  /** The corpus-side gram index (doc_id, g) DISTINCT — the persistable
+    * artifact attribution probes join against. */
+  private[graft] def corpusGramIndex(docs: DataFrame): DataFrame =
+    explodeLean(
+      docs.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws")),
+      Seq(col("doc_id")), gram8Expr, "g").distinct()
+
+  /** Per-probe DISTINCT gram rows, MAP-ONLY (`array_distinct` before the
+    * explode, so no per-probe shuffle or state — the shape the streaming
+    * guard needs). `carry` keeps extra columns (`ts` on a stream). */
+  private[graft] def probeGramRows(probes: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    explodeLean(
+      probes.select(Seq(col("probe_id")) ++ carry.map(col) :+
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"): _*),
+      Seq(col("probe_id")) ++ carry.map(col), array_distinct(gram8Expr), "g")
+
   /** One row per word-BIGRAM occurrence of `text` (lowercased [a-z]+
     * tokens, space-joined pairs) — the shared map-side derivation under
     * BOTH corpus language models: q128's hashed DSIR features and q133's
@@ -1266,18 +1294,11 @@ object TextOps {
     ("q145_ngram_attribution",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
-        val gramsExpr = expr(
-          """if(size(ws) < 8, array(),
-               transform(sequence(1, size(ws) - 7),
-                 i -> md5(concat_ws(' ', slice(ws, i, 8)))))""")
         val probeGrams = docs.filter(col("doc_id").isin(3L, 7L))
           .select(expr(
             "slice(regexp_extract_all(lower(text), '[a-z]+', 0), 1, 30)").as("ws"))
-          .select(explode(gramsExpr).as("g")).distinct()
-        val corpusGrams = explodeLean(
-          docs.select(col("doc_id"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws")),
-          Seq(col("doc_id")), gramsExpr, "g").distinct()
+          .select(explode(gram8Expr).as("g")).distinct()
+        val corpusGrams = corpusGramIndex(docs)
         val nProbe = probeGrams.agg(count(lit(1)).as("n_probe"))
         corpusGrams.join(broadcast(probeGrams), Seq("g"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))

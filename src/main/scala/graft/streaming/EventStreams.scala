@@ -307,6 +307,30 @@ object EventStreams {
         col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr4")).as("logw4"))
 
+  /** Streaming memorization guard: q145's n-gram attribution at SERVING
+    * time — each arriving candidate generation (probe_id, text, ts)
+    * explodes map-side into its DISTINCT 8-gram fingerprints (the shared
+    * [[graft.queries.TextOps.gram8Expr]] derivation, deduped per probe
+    * with `array_distinct` BEFORE the explode so the stream side holds no
+    * per-probe state), probes the STATIC corpus gram index (a gram
+    * equi-join — the index is corpus-sized and never assumed
+    * broadcastable; at scale it is the persisted artifact
+    * [[graft.queries.TextOps.corpusGramIndex]] builds once), and folds
+    * into per-(window, probe, source-doc) overlap counts in a
+    * watermarked windowed aggregate. The count equals q145's distinct-
+    * gram overlap exactly (corpus grams are distinct per doc, probe
+    * grams deduped map-side), so a serving-time verdict and a batch
+    * audit can never disagree; ranking/thresholding is the consumer's
+    * one cheap step over the per-probe rows. */
+  def attributionStream(probes: DataFrame, corpusGrams: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    graft.queries.TextOps.probeGramRows(
+        probes.withWatermark("ts", horizon), carry = Seq("ts"))
+      .join(corpusGrams, Seq("g"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+
   /** Streaming RAG chunker: q98's sliding-window chunking applied at
     * INGEST — each arriving document maps to its 128-token / stride-96
     * chunk rows through the shared derivation

@@ -348,6 +348,44 @@ class StreamingSpec extends SparkSpec {
     assert(nf(1L) === 8L && nf(2L) === 9L, "n-token doc yields n-1 bigrams")
   }
 
+  test("attributionStream: serving-time overlap counts equal the batch audit") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val run = ('a' to 'l').map(c => s"run$c").mkString(" ") // a 12-token source run
+    val corpus = Seq(
+      (10L, s"alpha beta $run gamma delta"),
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, s"prefix tokens here then $run")) // docs 10 and 30 share the run
+    val idx = graft.queries.TextOps.corpusGramIndex(
+      corpus.toDF("doc_id", "text")).localCheckpoint()
+    val probes = Seq(
+      (1L, run, ts(0)),                          // quotes the shared run
+      (2L, "totally novel words nobody wrote before now ever again", ts(1)),
+      (3L, s"$run $run", ts(2)))                 // repeats: dedup must hold
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(probes: _*)
+    val q = EventStreams.attributionStream(
+      mem.toDF().toDF("probe_id", "text", "ts"), idx)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val got = spark.table("attr_stream")
+      .select(col("probe_id"), col("doc_id"), col("n_overlap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch audit: same probe grams (distinct) joined to the same index
+    val batch = graft.queries.TextOps.probeGramRows(
+        probes.toDF("probe_id", "text", "ts"))
+      .join(idx, Seq("g"))
+      .groupBy(col("probe_id"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === batch, "stream overlap counts must equal the batch audit")
+    assert(got.keySet.map(_._1) === Set(1L, 3L), "novel probe matches nothing")
+    assert(got((1L, 10L)) === 5L && got((1L, 30L)) === 5L,
+      "12-token quote -> 5 grams against both sharing docs")
+    assert(got((3L, 10L)) === got((1L, 10L)),
+      "repeated quote must not inflate the distinct-gram count for shared grams")
+  }
+
   test("chunkStream: ingest-time chunks equal the batch chunker exactly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
