@@ -1536,6 +1536,80 @@ object Relational {
             CAST(floor(CAST(SUM(num * lr4) AS DOUBLE) * 100.0
               / CAST(MIN(d) AS DOUBLE) + 0.5) AS BIGINT) >= 100000 AS shifted
           FROM term GROUP BY cn ORDER BY column_name"""
+      }),
+
+    // ---- referential-integrity contract check: per foreign-key
+    // relationship, orphan fact keys (anti join), distinct-key coverage
+    // of the parent (semi side), and row counts — the FK sweep a
+    // pipeline runs beside q139's per-column profile before trusting a
+    // drop. The fixture's TPC-H keys are clean by construction, so every
+    // relationship ALSO runs against the q143 planted candidate (whose
+    // ~1% truncated orders make lineitem→cand-orders orphans real) —
+    // one clean row and one violated row per gate, both load-bearing.
+    // Scale: each relationship is one DISTINCT child-key aggregate
+    // (combinable — distinct keys, not rows, cross the wire) + one
+    // broadcast-or-shuffle semi/anti pair on the key; relationships are
+    // independent and union at the end.
+    ("q151_fk_integrity",
+      (s: SparkSession, dir: String) => {
+        def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+          val keys = child.select(col(ck).as("k")).filter(col("k").isNotNull)
+            .distinct().localCheckpoint()
+          Scoped.releaseAfterUse(keys)
+          val pkeys = parent.select(col(pk).as("k")).distinct()
+          val orphans = keys.join(pkeys, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphan_keys"))
+          val covered = pkeys.join(keys, Seq("k"), "left_semi")
+            .agg(count(lit(1)).as("n_parents_referenced"))
+          keys.agg(count(lit(1)).as("n_child_keys"))
+            .crossJoin(broadcast(pkeys.agg(count(lit(1)).as("n_parent_keys"))))
+            .crossJoin(broadcast(orphans))
+            .crossJoin(broadcast(covered))
+            .select(lit(name).as("relationship"), col("n_child_keys"),
+              col("n_parent_keys"), col("n_orphan_keys"),
+              col("n_parents_referenced"),
+              (col("n_orphan_keys") === 0).as("intact"))
+        }
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        rel("lineitem.l_orderkey -> orders", li, "l_orderkey",
+            ord, "o_orderkey")
+          .unionByName(rel("orders.o_custkey -> customer", ord, "o_custkey",
+            t(s, dir, "customer"), "c_custkey"))
+          .unionByName(rel("lineitem.l_partkey -> part", li, "l_partkey",
+            t(s, dir, "part"), "p_partkey"))
+          .unionByName(rel("lineitem.l_orderkey -> cand_orders (truncated drop)",
+            li, "l_orderkey",
+            ord.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey"))
+          .orderBy(col("relationship"))
+      },
+      Some {
+        def rel(name: String, child: String, ck: String,
+            parent: String, pk: String) =
+          s"""SELECT '$name' AS relationship,
+            (SELECT COUNT(DISTINCT $ck) FROM $child WHERE $ck IS NOT NULL)
+              AS n_child_keys,
+            (SELECT COUNT(DISTINCT $pk) FROM $parent) AS n_parent_keys,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT $ck AS k FROM $child
+                WHERE $ck IS NOT NULL) c
+              WHERE c.k NOT IN (SELECT $pk FROM $parent)) AS n_orphan_keys,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT $pk AS k FROM $parent) p
+              WHERE p.k IN (SELECT $ck FROM $child WHERE $ck IS NOT NULL))
+              AS n_parents_referenced,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT $ck AS k FROM $child
+                WHERE $ck IS NOT NULL) c
+              WHERE c.k NOT IN (SELECT $pk FROM $parent)) = 0 AS intact"""
+        s"""WITH cand_orders AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0)
+          ${rel("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey")}
+          UNION ALL ${rel("orders.o_custkey -> customer", "orders", "o_custkey",
+            "customer", "c_custkey")}
+          UNION ALL ${rel("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+            "part", "p_partkey")}
+          UNION ALL ${rel("lineitem.l_orderkey -> cand_orders (truncated drop)",
+            "lineitem", "l_orderkey", "cand_orders", "o_orderkey")}
+          ORDER BY relationship"""
       })
   )
 }
