@@ -776,7 +776,7 @@ object Relational {
             min(col("y")).as("min_y"), max(col("y")).as("max_y"))
           .orderBy(col("zbucket"))
       },
-      Some(s"""WITH c AS (SELECT (l_partkey % 128) AS x, (l_suppkey % 16) AS y
+      Some(s"""WITH c AS (SELECT (l_partkey % 65536) AS x, (l_suppkey % 65536) AS y
             FROM lineitem),
           z AS (SELECT x, y, ${graft.core.ZOrder.sqlZvalue16("x", "y")} AS z FROM c)
           SELECT (z >> 16) AS zbucket, COUNT(*) AS n,
