@@ -1429,6 +1429,113 @@ object TextOps {
           a.clean_hash
         FROM agg a, thr t ORDER BY a.doc_id""")),
 
+    // ---- benchmark decontamination SURGERY: q77 finds contaminated
+    // documents; this query FIXES them — every maximal token span whose
+    // 13-grams appear in the benchmark set (q77's exact derivation and
+    // probe) is EXCISED and the document rebuilt, the span-level
+    // alternative to dropping whole documents that a 100 TB pipeline
+    // prefers when contamination is a quoted snippet inside an otherwise
+    // good page. Span merge is q129's start/end + running-max window
+    // (per-doc partition, bounded); the rebuild keeps tokens outside
+    // every span by INDEX (the token array is an attribute behind a join
+    // boundary, so the index lambda reads a materialized column — not
+    // the O(L²) expression re-evaluation trap). Gate = per contaminated
+    // doc: token counts, spans, removed tokens, and the md5 of the
+    // rebuilt text (pins the surgery is surgical). The planted benchmark
+    // is each 53rd doc's own 20-token prefix, so every bench doc
+    // contaminates at least its source — non-vacuous at every sf.
+    //
+    // Scale: bench grams are benchmark-sized → broadcast probe (q77's
+    // shape); hits are one map-side join; the span window partitions by
+    // doc; the rebuild is map-only over contaminated docs ONLY (a
+    // left-semi-restricted minority).
+    ("q152_decontaminate_spans",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 53 === 0)
+          .select(expr(
+            "concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))")
+            .as("text"))
+        val bg = explodeLean(
+          bench.select(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+            .filter(size(col("ws")) >= 13),
+          Seq(),
+          expr("""array_distinct(transform(sequence(0, size(ws)-13),
+                   i -> concat_ws(' ', slice(ws, i+1, 13))))"""),
+          "gram").distinct()
+        val toks = docs
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+        val grams = explodeLean(
+          toks.filter(col("n_tokens") >= 13),
+          Seq(col("doc_id")),
+          expr("""transform(sequence(1, size(ws) - 12),
+                   i -> named_struct('i', cast(i as bigint),
+                     'g', concat_ws(' ', slice(ws, i, 13))))"""), "gr")
+          .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("gram"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        val spans = grams.join(broadcast(bg), Seq("gram"))
+          .select(col("doc_id"), col("i"), (col("i") + 12).as("e"))
+          .withColumn("pmax", max(col("e")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ns",
+            when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("sid"))
+          .agg(min(col("i")).as("sp_s"), max(col("e")).as("sp_e"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("sp_e") - col("sp_s") + 1).as("tokens_removed"),
+            collect_list(struct(col("sp_s"), col("sp_e"))).as("sps"))
+        toks.join(spans, Seq("doc_id")) // contaminated docs only
+          .withColumn("cleaned", expr(
+            """concat_ws(' ', transform(
+                 filter(sequence(1L, n_tokens),
+                   ix -> NOT exists(sps, sp -> ix >= sp.sp_s AND ix <= sp.sp_e)),
+                 ix -> element_at(ws, cast(ix as int))))"""))
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("tokens_removed"), md5(col("cleaned")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bench AS (SELECT
+            array_to_string(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 20), ' ') AS text
+          FROM documents WHERE doc_id % 53 = 0),
+        bw AS (SELECT regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
+        bg AS (SELECT DISTINCT
+            unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
+              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
+          FROM bw WHERE len(ws) >= 13),
+        tks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        grams AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+            array_to_string(ws[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 12)], ' ') AS gram
+          FROM tks, UNNEST(range(1, CAST(n_tokens AS BIGINT) - 11)) AS u(i)
+          WHERE n_tokens >= 13),
+        hits AS (SELECT g.doc_id, g.i, g.i + 12 AS e
+          FROM grams g JOIN bg USING (gram)),
+        mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hits),
+        mk2 AS (SELECT *, CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ns FROM mk),
+        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM mk2),
+        spans AS (SELECT doc_id, sid, MIN(i) AS sp_s, MAX(e) AS sp_e
+          FROM mk3 GROUP BY 1, 2),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS tokens_removed,
+            list({'sp_s': sp_s, 'sp_e': sp_e}) AS sps
+          FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, t.n_tokens, pd.n_spans, pd.tokens_removed,
+          md5(COALESCE(array_to_string(list_transform(
+            list_filter(range(1, CAST(t.n_tokens AS BIGINT) + 1),
+              ix -> len(list_filter(pd.sps,
+                sp -> ix >= sp.sp_s AND ix <= sp.sp_e)) = 0),
+            ix -> t.ws[ix]), ' '), '')) AS clean_hash
+        FROM tks t JOIN pd ON pd.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // ---- token-budget DATA RECIPE with epoch up-sampling (the
     // Chinchilla/LLaMA-style mixture step q117 does NOT cover): each
     // language gets a TOKEN target (weight ‰ of a 1.5×-corpus budget,
