@@ -2532,7 +2532,92 @@ object DedupSim {
             UNION ALL SELECT 4, * FROM s4
             UNION ALL SELECT 5, * FROM s5)
           ORDER BY rank"""
-      })
+      }),
+
+    // ---- entity resolution (record linkage): match a dirty vendor feed
+    // against the part catalog — the cross-SOURCE sibling of the
+    // within-corpus dedup family. The feed is derived with three planted
+    // candidate classes so every verdict is load-bearing: exact
+    // duplicates (every 13th part, distance 0), case-folded truncations
+    // (every 7th: UPPER(name) minus its last char — survives case-fold at
+    // distance 1), and reversed-name decoys (every 11th — must come back
+    // UNMATCHED). MULTI-PASS blocking — every candidate/catalog pair that
+    // shares a first word OR a last word is scored (the standard ER
+    // answer to "any single key misses edits that touch it": the
+    // truncation mutates the last word, so a last-word-only key would
+    // miss it; union the passes, dedup the pair set) — then levenshtein
+    // ≤ 2 after case-fold, best match per candidate by (distance, key)
+    // window pick.
+    //
+    // Scale: blocking bounds the pair space (no all-pairs), and the
+    // block key's cardinality must grow with the catalog (the q34→q126
+    // width lesson applied to ER — a color-vocabulary first word alone
+    // leaves an n²/|vocab| in-block term; production widens keys and
+    // adds phonetic/LSH passes, same union-dedup-verify shape). Joins
+    // are equi on the block keys; the window partitions by candidate.
+    ("q154_entity_resolution",
+      (s: SparkSession, dir: String) => {
+        val part = t(s, dir, "part")
+        val cands = part.filter(col("p_partkey") % 7 === 0 ||
+            col("p_partkey") % 11 === 0 || col("p_partkey") % 13 === 0)
+          .select((col("p_partkey") + lit(2000000000L)).as("cand_id"),
+            when(col("p_partkey") % 7 === 0,
+                expr("substring(upper(p_name), 1, length(p_name) - 1)"))
+              .when(col("p_partkey") % 11 === 0, reverse(col("p_name")))
+              .otherwise(col("p_name")).as("cand_name"))
+        val cat = part.select(col("p_partkey"), col("p_name"))
+        def pass(key: String => org.apache.spark.sql.Column): DataFrame =
+          cands.withColumn("bk", key("cand_name"))
+            .join(cat.withColumn("bk", key("p_name")), Seq("bk"))
+            .select(col("cand_id"), col("cand_name"),
+              col("p_partkey"), col("p_name"))
+        val pairs = pass(c => expr(s"split(lower($c), ' ')[0]"))
+          .unionByName(pass(c => expr(s"element_at(split(lower($c), ' '), -1)")))
+          .distinct()
+          .withColumn("dist",
+            levenshtein(lower(col("cand_name")), lower(col("p_name")))
+              .cast("long"))
+          .filter(col("dist") <= 2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cand_id")).orderBy(col("dist"), col("p_partkey"))
+        val best = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cand_id"), col("p_partkey").as("best_partkey"),
+            col("dist").as("best_distance"))
+        cands.join(best, Seq("cand_id"), "left")
+          .select(col("cand_id"), col("best_partkey").isNotNull.as("matched"),
+            col("best_partkey"), col("best_distance"))
+          .orderBy(col("cand_id"))
+      },
+      Some("""WITH cands AS (SELECT p_partkey + 2000000000 AS cand_id,
+            CASE WHEN p_partkey % 7 = 0
+                   THEN substring(upper(p_name), 1, length(p_name) - 1)
+                 WHEN p_partkey % 11 = 0 THEN reverse(p_name)
+                 ELSE p_name END AS cand_name
+          FROM part
+          WHERE p_partkey % 7 = 0 OR p_partkey % 11 = 0 OR p_partkey % 13 = 0),
+        rawpairs AS (
+          SELECT DISTINCT c.cand_id, c.cand_name, p.p_partkey, p.p_name
+          FROM cands c JOIN part p
+            ON (string_split(lower(c.cand_name), ' '))[1] =
+               (string_split(lower(p.p_name), ' '))[1]
+            OR (string_split(lower(c.cand_name), ' '))[-1] =
+               (string_split(lower(p.p_name), ' '))[-1]),
+        pairs AS (SELECT cand_id, p_partkey,
+            CAST(levenshtein(lower(cand_name), lower(p_name)) AS BIGINT)
+              AS dist
+          FROM rawpairs
+          WHERE levenshtein(lower(cand_name), lower(p_name)) <= 2),
+        best AS (SELECT cand_id, p_partkey AS best_partkey,
+            dist AS best_distance,
+            row_number() OVER (PARTITION BY cand_id
+              ORDER BY dist, p_partkey) AS rn
+          FROM pairs)
+        SELECT c.cand_id, b.best_partkey IS NOT NULL AS matched,
+          b.best_partkey, b.best_distance
+        FROM cands c
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (cand_id)
+        ORDER BY c.cand_id"""))
   )
 
 }

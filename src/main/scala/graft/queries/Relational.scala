@@ -1610,6 +1610,91 @@ object Relational {
           UNION ALL ${rel("lineitem.l_orderkey -> cand_orders (truncated drop)",
             "lineitem", "l_orderkey", "cand_orders", "o_orderkey")}
           ORDER BY relationship"""
-      })
+      }),
+
+    // ---- GDPR-style erasure propagation: the right-to-be-forgotten batch
+    // job. Tombstoned customers (every 97th key = the erasure request
+    // queue) cascade through orders to lineitem; per entity the audit
+    // reports rows / deleted / kept, RESIDUAL references surviving the
+    // scrub (the absence check a compliance job must recompute from the
+    // scrubbed lineage, not assume by construction), and for the cascaded
+    // fact a cascade-vs-direct consistency count: rows whose
+    // delete-via-dead-order-keys verdict disagrees with the direct
+    // lineitem→orders→tombstone 2-hop. Both checks ride ONE pass per
+    // table: left-join flags + a single combinable conditional aggregate
+    // (no per-check rescans). `erased` is the go/no-go verdict.
+    //
+    // Scale: the tombstone queue is request-sized → broadcast; dead order
+    // keys are tombstone-proportional → one equi semi-side; the lineitem
+    // pass pays exactly the joins a direct scrub pays (orderkey equi +
+    // broadcast tombstones) and aggregates map-side. No collect, no
+    // all-pairs, nothing grows with table count beyond one pass each.
+    ("q153_gdpr_erasure",
+      (s: SparkSession, dir: String) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val tomb = cust.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        def entityRow(name: String, flagged: DataFrame): DataFrame =
+          flagged.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("fc"), 1L).otherwise(0L)).as("n_deleted"),
+            sum(when(!col("fc"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("fc") && col("fd"), 1L).otherwise(0L))
+              .as("n_residual_refs"),
+            sum(when(col("fc") =!= col("fd"), 1L).otherwise(0L))
+              .as("n_cascade_mismatch"))
+          .select(lit(name).as("entity"), col("n_rows"), col("n_deleted"),
+            col("n_kept"), col("n_residual_refs"), col("n_cascade_mismatch"),
+            (col("n_residual_refs") === 0 && col("n_cascade_mismatch") === 0)
+              .as("erased"))
+        val custF = cust.join(broadcast(tomb),
+            col("c_custkey") === col("k"), "left")
+          .select(col("k").isNotNull.as("fc"), col("k").isNotNull.as("fd"))
+        val ordF = ord.join(broadcast(tomb),
+            col("o_custkey") === col("k"), "left")
+          .select(col("o_orderkey"), col("k").isNotNull.as("fc"),
+            col("k").isNotNull.as("fd"))
+        val deadOrders = ordF.filter(col("fc"))
+          .select(col("o_orderkey").as("ok"))
+        val liF = li.select(col("l_orderkey"))
+          .join(deadOrders, col("l_orderkey") === col("ok"), "left")
+          .join(ord.join(broadcast(tomb), col("o_custkey") === col("k"), "left")
+              .select(col("o_orderkey"), col("k").isNotNull.as("dref")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(col("ok").isNotNull.as("fc"),
+            coalesce(col("dref"), lit(false)).as("fd"))
+        entityRow("customer", custF)
+          .unionByName(entityRow("orders", ordF.select(col("fc"), col("fd"))))
+          .unionByName(entityRow("lineitem", liF))
+          .orderBy(col("entity"))
+      },
+      Some("""WITH tomb AS (SELECT c_custkey AS k FROM customer
+            WHERE c_custkey % 97 = 0),
+          dead_orders AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT k FROM tomb)),
+          cf AS (SELECT (c_custkey IN (SELECT k FROM tomb)) AS fc,
+              (c_custkey IN (SELECT k FROM tomb)) AS fd FROM customer),
+          of_ AS (SELECT (o_custkey IN (SELECT k FROM tomb)) AS fc,
+              (o_custkey IN (SELECT k FROM tomb)) AS fd FROM orders),
+          lf AS (SELECT
+              (l.l_orderkey IN (SELECT o_orderkey FROM dead_orders)) AS fc,
+              COALESCE(o.o_custkey IN (SELECT k FROM tomb), FALSE) AS fd
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          rows_ AS (
+            SELECT 'customer' AS entity, * FROM cf
+            UNION ALL SELECT 'orders', * FROM of_
+            UNION ALL SELECT 'lineitem', * FROM lf)
+        SELECT entity, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+          CAST(SUM(CASE WHEN NOT fc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN (NOT fc) AND fd THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_residual_refs,
+          CAST(SUM(CASE WHEN fc <> fd THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cascade_mismatch,
+          (SUM(CASE WHEN (NOT fc) AND fd THEN 1 ELSE 0 END) = 0 AND
+           SUM(CASE WHEN fc <> fd THEN 1 ELSE 0 END) = 0) AS erased
+        FROM rows_ GROUP BY entity ORDER BY entity"""))
   )
 }
