@@ -798,6 +798,71 @@ object CorpusSearch {
         SELECT band, n_terms, sum_df, raw_bytes, vb_bytes,
           floor(CAST(raw_bytes AS DOUBLE) / CAST(vb_bytes AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ratio
         FROM agg ORDER BY band"""))
+  ,
+
+    // ---- positional PHRASE search: the query class a bag-of-words
+    // postings list (A7/q21) cannot answer — "these tokens, adjacent, in
+    // this order". The index side is a POSITIONAL inverted index
+    // (doc, term, pos); each probe phrase (tokens 6..9 of docs
+    // 1/45/267 — the self-hit keeps every probe non-vacuous; 45 and 267
+    // sit in planted near-dup families whose shared spans cover the
+    // probe, so both also retrieve cross-doc) joins the index
+    // on term, aligns on start = pos − off + 1, and a (probe, doc,
+    // start) count equal to the phrase length is one occurrence — the
+    // classic positional-intersection plan, no per-doc rescan of text.
+    //
+    // Scale: probes are query-sized → broadcast into the term join; the
+    // index side is the one corpus-sized structure, partitioned by term
+    // exactly like the production postings build; the alignment
+    // aggregate is combinable on (probe, doc, start). Occurrence counts
+    // never materialize text.
+    ("q155_phrase_search",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        val index = explodeLean(toks, Seq(col("doc_id")),
+          expr("""transform(sequence(1, size(ws)),
+                   i -> named_struct('pos', cast(i as bigint),
+                     'term', element_at(ws, i)))"""), "tp")
+          .select(col("doc_id"), col("tp.pos").as("pos"),
+            col("tp.term").as("term"))
+        val probes = toks
+          .filter(col("doc_id").isin(1L, 45L, 267L) && size(col("ws")) >= 9)
+          .select(col("doc_id").as("probe_id"),
+            expr("slice(ws, 6, 4)").as("ph"))
+        val ptoks = explodeLean(probes, Seq(col("probe_id")),
+          expr("""transform(sequence(1, size(ph)),
+                   i -> named_struct('off', cast(i as bigint),
+                     'pterm', element_at(ph, i)))"""), "pt")
+          .select(col("probe_id"), col("pt.off").as("off"),
+            col("pt.pterm").as("term"))
+        index.join(broadcast(ptoks), Seq("term"))
+          .select(col("probe_id"), col("doc_id"),
+            (col("pos") - col("off") + 1).as("start"))
+          .groupBy(col("probe_id"), col("doc_id"), col("start"))
+          .agg(count(lit(1)).as("nm"))
+          .filter(col("nm") === 4L)
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("probe_id"), col("doc_id"))
+      },
+      Some("""WITH tks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        idx AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+            ws[CAST(u.i AS BIGINT)] AS term
+          FROM tks, UNNEST(range(1, CAST(len(ws) AS BIGINT) + 1)) u(i)),
+        probes AS (SELECT doc_id AS probe_id, list_slice(ws, 6, 9) AS ph
+          FROM tks WHERE doc_id IN (1, 45, 267) AND len(ws) >= 9),
+        ptoks AS (SELECT probe_id, CAST(o.i AS BIGINT) AS off,
+            ph[CAST(o.i AS BIGINT)] AS term
+          FROM probes, UNNEST(range(1, 5)) o(i)),
+        starts AS (SELECT p.probe_id, i.doc_id, i.pos - p.off + 1 AS start,
+            COUNT(*) AS nm
+          FROM idx i JOIN ptoks p USING (term) GROUP BY 1, 2, 3)
+        SELECT probe_id, doc_id, COUNT(*) AS n_occurrences
+        FROM starts WHERE nm = 4
+        GROUP BY 1, 2 ORDER BY probe_id, doc_id"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side
