@@ -84,6 +84,21 @@ object EventStreams {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming GDPR scrub — the INGEST side of the q153 erasure batch
+    * job: once a user is on the tombstone list, no new event of theirs
+    * may enter the serving tables, so arriving events are LEFT-ANTI
+    * joined against the static tombstone keys. Stream-static anti joins
+    * keep NO join state and re-plan the static side every micro-batch,
+    * so the tombstone table may exceed broadcast size AND picks up
+    * newly-filed erasure requests without a restart (request-sized lists
+    * still broadcast via AQE). The batch q153 pass stays responsible for
+    * history; this guard closes the gap between a request landing and
+    * the next batch sweep. StreamingSpec pins stream == batch anti-join
+    * on a shared fixture. */
+  def erasureScrubStream(events: DataFrame, tombstones: DataFrame): DataFrame =
+    events.join(tombstones.select(col("k")).distinct(),
+      events("user_id") === col("k"), "left_anti")
+
   /** Custom keyed state: per-user session assembly with
     * flatMapGroupsWithState + event-time timeout — the fully-general state
     * path for semantics session_window can't express (e.g. value-dependent

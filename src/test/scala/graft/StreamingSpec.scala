@@ -187,6 +187,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0)._2.isPosInfinity)
   }
 
+  test("erasureScrubStream: tombstoned users' events never pass, equal to the batch anti-join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 2, "view", 2.0, ts(1)), // user 2 is tombstoned → dropped
+      Event(3, 3, "purchase", 5.0, ts(2)),
+      Event(4, 2, "purchase", 9.0, ts(3))) // dropped
+    val tomb = Seq(2L, 7L).toDF("k") // 7 never appears — no effect
+    val mem = MemoryStream[Event]
+    mem.addData(events.take(2): _*)
+    mem.addData(events.drop(2): _*)
+    val q = EventStreams.erasureScrubStream(mem.toDF(), tomb)
+      .writeStream.format("memory").queryName("erasure_scrub")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val streamed = spark.table("erasure_scrub")
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    val batch = events.toDF()
+      .join(tomb, col("user_id") === col("k"), "left_anti")
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(streamed === Seq(1L, 3L), "only non-tombstoned users' events pass")
+    assert(streamed === batch, "stream == batch anti-join on the shared fixture")
+  }
+
   test("dedupStream: duplicate payloads within the watermark are dropped once") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
