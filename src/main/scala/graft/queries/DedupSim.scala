@@ -2536,46 +2536,53 @@ object DedupSim {
 
     // ---- entity resolution (record linkage): match a dirty vendor feed
     // against the part catalog — the cross-SOURCE sibling of the
-    // within-corpus dedup family. The feed is derived with three planted
-    // candidate classes so every verdict is load-bearing: exact
-    // duplicates (every 13th part, distance 0), case-folded truncations
-    // (every 7th: UPPER(name) minus its last char — survives case-fold at
-    // distance 1), and reversed-name decoys (every 11th — must come back
-    // UNMATCHED). MULTI-PASS blocking — every candidate/catalog pair that
-    // shares a first word OR a last word is scored (the standard ER
-    // answer to "any single key misses edits that touch it": the
-    // truncation mutates the last word, so a last-word-only key would
-    // miss it; union the passes, dedup the pair set) — then levenshtein
-    // ≤ 2 after case-fold, best match per candidate by (distance, key)
-    // window pick.
+    // within-corpus dedup family. The catalog entity string is
+    // name+brand+type (the fixture's p_name alone has a 64-combo
+    // vocabulary — blocking on it leaves an n²/64 in-block term, the
+    // first cut MEASURED 14.7 s at sf0.1 on 28 M pairs; the composite
+    // string has ~8 k distinct values and the same pipeline drops to
+    // ~160 k pairs). The feed plants three candidate classes so every
+    // verdict is load-bearing: exact duplicates (every 13th part,
+    // distance 0), case-folded truncations (every 7th: UPPER(desc) minus
+    // its last char — survives case-fold at distance 1), and
+    // reversed-string decoys (every 11th — must come back UNMATCHED).
+    // COMPLEMENTARY-KEY blocking: pass 1 keys on words 1..3 (drops the
+    // last word, so edits there — the truncation — still block); pass 2
+    // keys on words 2..4 (drops the first). Union the passes, dedup,
+    // pre-prune with |length diff| ≤ 2 (necessary for levenshtein ≤ 2),
+    // score case-folded levenshtein ≤ 2, best match per candidate by
+    // (distance, key) window pick.
     //
     // Scale: blocking bounds the pair space (no all-pairs), and the
     // block key's cardinality must grow with the catalog (the q34→q126
-    // width lesson applied to ER — a color-vocabulary first word alone
-    // leaves an n²/|vocab| in-block term; production widens keys and
-    // adds phonetic/LSH passes, same union-dedup-verify shape). Joins
-    // are equi on the block keys; the window partitions by candidate.
+    // width lesson applied to ER; production adds phonetic/LSH passes,
+    // same union-dedup-verify shape). Joins are equi on the block keys;
+    // the window partitions by candidate.
     ("q154_entity_resolution",
       (s: SparkSession, dir: String) => {
-        val part = t(s, dir, "part")
-        val cands = part.filter(col("p_partkey") % 7 === 0 ||
+        val cat = t(s, dir, "part").select(col("p_partkey"),
+          concat_ws(" ", col("p_name"), lower(col("p_brand")),
+            lower(col("p_type"))).as("p_desc"))
+        val cands = cat.filter(col("p_partkey") % 7 === 0 ||
             col("p_partkey") % 11 === 0 || col("p_partkey") % 13 === 0)
           .select((col("p_partkey") + lit(2000000000L)).as("cand_id"),
             when(col("p_partkey") % 7 === 0,
-                expr("substring(upper(p_name), 1, length(p_name) - 1)"))
-              .when(col("p_partkey") % 11 === 0, reverse(col("p_name")))
-              .otherwise(col("p_name")).as("cand_name"))
-        val cat = part.select(col("p_partkey"), col("p_name"))
+                expr("substring(upper(p_desc), 1, length(p_desc) - 1)"))
+              .when(col("p_partkey") % 11 === 0, reverse(col("p_desc")))
+              .otherwise(col("p_desc")).as("cand_name"))
         def pass(key: String => org.apache.spark.sql.Column): DataFrame =
           cands.withColumn("bk", key("cand_name"))
-            .join(cat.withColumn("bk", key("p_name")), Seq("bk"))
+            .join(cat.withColumn("bk", key("p_desc")), Seq("bk"))
+            .filter(abs(length(col("cand_name")) - length(col("p_desc"))) <= 2)
             .select(col("cand_id"), col("cand_name"),
-              col("p_partkey"), col("p_name"))
-        val pairs = pass(c => expr(s"split(lower($c), ' ')[0]"))
-          .unionByName(pass(c => expr(s"element_at(split(lower($c), ' '), -1)")))
+              col("p_partkey"), col("p_desc"))
+        val pairs = pass(c =>
+            expr(s"concat_ws(' ', slice(split(lower($c), ' '), 1, 3))"))
+          .unionByName(pass(c =>
+            expr(s"concat_ws(' ', slice(split(lower($c), ' '), 2, 3))")))
           .distinct()
           .withColumn("dist",
-            levenshtein(lower(col("cand_name")), lower(col("p_name")))
+            levenshtein(lower(col("cand_name")), lower(col("p_desc")))
               .cast("long"))
           .filter(col("dist") <= 2)
         val w = org.apache.spark.sql.expressions.Window
@@ -2589,25 +2596,33 @@ object DedupSim {
             col("best_partkey"), col("best_distance"))
           .orderBy(col("cand_id"))
       },
-      Some("""WITH cands AS (SELECT p_partkey + 2000000000 AS cand_id,
+      Some("""WITH cat AS (SELECT p_partkey,
+            p_name || ' ' || lower(p_brand) || ' ' || lower(p_type) AS p_desc
+          FROM part),
+        cands AS (SELECT p_partkey + 2000000000 AS cand_id,
             CASE WHEN p_partkey % 7 = 0
-                   THEN substring(upper(p_name), 1, length(p_name) - 1)
-                 WHEN p_partkey % 11 = 0 THEN reverse(p_name)
-                 ELSE p_name END AS cand_name
-          FROM part
+                   THEN substring(upper(p_desc), 1, length(p_desc) - 1)
+                 WHEN p_partkey % 11 = 0 THEN reverse(p_desc)
+                 ELSE p_desc END AS cand_name
+          FROM cat
           WHERE p_partkey % 7 = 0 OR p_partkey % 11 = 0 OR p_partkey % 13 = 0),
         rawpairs AS (
-          SELECT DISTINCT c.cand_id, c.cand_name, p.p_partkey, p.p_name
-          FROM cands c JOIN part p
-            ON (string_split(lower(c.cand_name), ' '))[1] =
-               (string_split(lower(p.p_name), ' '))[1]
-            OR (string_split(lower(c.cand_name), ' '))[-1] =
-               (string_split(lower(p.p_name), ' '))[-1]),
+          SELECT DISTINCT c.cand_id, c.cand_name, p.p_partkey, p.p_desc
+          FROM cands c JOIN cat p
+            ON array_to_string(list_slice(
+                 string_split(lower(c.cand_name), ' '), 1, 3), ' ') =
+               array_to_string(list_slice(
+                 string_split(lower(p.p_desc), ' '), 1, 3), ' ')
+            OR array_to_string(list_slice(
+                 string_split(lower(c.cand_name), ' '), 2, 4), ' ') =
+               array_to_string(list_slice(
+                 string_split(lower(p.p_desc), ' '), 2, 4), ' ')
+          WHERE abs(length(c.cand_name) - length(p.p_desc)) <= 2),
         pairs AS (SELECT cand_id, p_partkey,
-            CAST(levenshtein(lower(cand_name), lower(p_name)) AS BIGINT)
+            CAST(levenshtein(lower(cand_name), lower(p_desc)) AS BIGINT)
               AS dist
           FROM rawpairs
-          WHERE levenshtein(lower(cand_name), lower(p_name)) <= 2),
+          WHERE levenshtein(lower(cand_name), lower(p_desc)) <= 2),
         best AS (SELECT cand_id, p_partkey AS best_partkey,
             dist AS best_distance,
             row_number() OVER (PARTITION BY cand_id
