@@ -1536,6 +1536,49 @@ object TextOps {
         FROM tks t JOIN pd ON pd.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // ---- WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // A-ES): the sampling primitive the mixture family (q48 stratified,
+    // q88 minwise, q117/q141 recipes) lacks — draw k docs per language
+    // with inclusion probability ∝ weight (n_chars: long docs
+    // proportionally more likely), WITHOUT replacement, in one
+    // distributed pass. Each doc gets an exponential race key
+    // e = −ln(u)/w with u ∈ (0,1] derived from the portable md5 hash
+    // (so both engines draw the SAME "randomness"); the k smallest keys
+    // per stratum are the sample — provably equivalent to sequential
+    // weighted draws. e is quantized to the 1e-9 grid (BIGINT) with a
+    // doc_id tie-break, so cross-engine libm ulp drift cannot reorder.
+    //
+    // Scale: one map pass computes keys; the rank ≤ k filter compiles to
+    // WindowGroupLimit, so each input partition forwards only its local
+    // top-k per stratum before the shuffle — per-stratum work is
+    // k-bounded, never corpus-sized, and a skewed giant language costs
+    // its partition count × k rows on the wire, not its row count.
+    ("q156_weighted_sample",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val keyed = docs.select(col("lang"), col("doc_id"),
+          col("n_chars").as("weight"),
+          floor((-log((hash32(col("doc_id").cast("string")) + 1) /
+              lit(4294967296.0)) / col("n_chars")) * 1e9 + 0.5)
+            .cast("long").as("ekey"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("ekey"), col("doc_id"))
+        keyed.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+          .select(col("lang"), col("doc_id"), col("weight"), col("ekey"),
+            col("rank"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH keyed AS (SELECT lang, doc_id, n_chars AS weight,
+            CAST(floor((-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                1, 8))::BIGINT + 1) / 4294967296.0) / n_chars)
+              * 1000000000.0 + 0.5) AS BIGINT) AS ekey
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY ekey, doc_id) AS rank FROM keyed)
+        SELECT lang, doc_id, weight, ekey, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 8 ORDER BY lang, rank""")),
+
     // ---- token-budget DATA RECIPE with epoch up-sampling (the
     // Chinchilla/LLaMA-style mixture step q117 does NOT cover): each
     // language gets a TOKEN target (weight ‰ of a 1.5×-corpus budget,
