@@ -2633,6 +2633,99 @@ object DedupSim {
         FROM cands c
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (cand_id)
         ORDER BY c.cand_id"""))
+  ,
+
+    // ---- embedding-space covariance DIAGNOSTICS (whitening /
+    // anisotropy prep): per-dimension variance and the most-coupled
+    // off-diagonal covariance pairs — the statistics a whitening or
+    // dimension-drop decision reads before PQ/IVF config. All sums ride
+    // EXACT BIGINT numerators (per-row x_i·x_j quantized to the 1e-8
+    // grid, the q150 discipline), so partition order cannot move a bit;
+    // the final cov lands on a 1e-6 grid from integer inputs via
+    // identical */÷ shapes in both engines. d is read from the data
+    // (size(embedding)), never hard-coded.
+    //
+    // Scale: per-row work is the inherent d(d+1)/2 product terms,
+    // map-side; ONE combinable (i,j)-keyed aggregate ⇒ wire cost is
+    // partitions × d², independent of row count. Means join back as
+    // broadcast d-row sides. element_at here reads a STORED column
+    // (cheap attribute access — the HOF-no-CSE trap applies to computed
+    // arrays only). Top-10 off-diag is TakeOrdered, no global sort.
+    ("q157_embedding_covariance",
+      (s: SparkSession, dir: String) => {
+        // spread the vectors BEFORE the d²-per-row fan-out: the term
+        // stream is ~2080× the input bytes, so a narrow round-robin
+        // shuffle of the raw vectors (n × ~0.5 KB) buys full-cluster
+        // parallelism on the product map even when the table arrives as
+        // one splittable-but-small file (measured 18.6 → 4.8 s at the
+        // 20 k-row sf1 fixture, where the scan is otherwise ONE task)
+        val emb = t(s, dir, "embeddings")
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        val pairTerms = explodeLean(emb, Seq(),
+          expr("""flatten(transform(sequence(1, size(embedding)), i ->
+                   transform(sequence(i, size(embedding)), j ->
+                     named_struct('i', cast(i as bigint),
+                       'j', cast(j as bigint),
+                       'q', cast(floor(
+                         cast(element_at(embedding, i) as double) *
+                         cast(element_at(embedding, j) as double) * 1e8
+                         + 0.5) as bigint)))))"""), "pq")
+          .select(col("pq.i").as("i"), col("pq.j").as("j"),
+            col("pq.q").as("q"))
+        val sxy = pairTerms.groupBy(col("i"), col("j"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        val sx = explodeLean(emb, Seq(),
+          expr("""transform(sequence(1, size(embedding)), i ->
+                   named_struct('i', cast(i as bigint),
+                     'q', cast(floor(
+                       cast(element_at(embedding, i) as double) * 1e8
+                       + 0.5) as bigint)))"""), "mq")
+          .select(col("mq.i").as("i"), col("mq.q").as("q"))
+          .groupBy(col("i")).agg(sum(col("q")).as("sx"))
+        val cov = sxy
+          .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+          .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))),
+            Seq("j"))
+          .select(col("i"), col("j"),
+            floor((col("sq").cast("double") / col("n") / lit(1e8) -
+              (col("sxi").cast("double") / col("n") / lit(1e8)) *
+              (col("sxj").cast("double") / col("n") / lit(1e8))) * lit(1e6)
+              + lit(0.5)).cast("long").as("cov6"))
+        val diag = cov.filter(col("i") === col("j"))
+          .select(lit("diag").as("kind"), col("i"), col("j"), col("cov6"))
+        val offTop = cov.filter(col("i") =!= col("j"))
+          .orderBy(abs(col("cov6")).desc, col("i"), col("j")).limit(10)
+          .select(lit("offdiag_top").as("kind"), col("i"), col("j"),
+            col("cov6"))
+        diag.unionByName(offTop).orderBy(col("kind"), col("i"), col("j"))
+      },
+      Some("""WITH pt AS (SELECT CAST(u.i AS BIGINT) AS i,
+            CAST(v.j AS BIGINT) AS j,
+            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) *
+              CAST(embedding[CAST(v.j AS BIGINT)] AS DOUBLE) * 1e8 + 0.5)
+              AS BIGINT) AS q
+          FROM embeddings,
+            UNNEST(range(1, len(embedding) + 1)) u(i),
+            UNNEST(range(1, len(embedding) + 1)) v(j)
+          WHERE v.j >= u.i),
+        sxy AS (SELECT i, j, SUM(q) AS sq, COUNT(*) AS n
+          FROM pt GROUP BY i, j),
+        mt AS (SELECT CAST(u.i AS BIGINT) AS i,
+            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) * 1e8
+              + 0.5) AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+        sx AS (SELECT i, SUM(q) AS sx FROM mt GROUP BY i),
+        cov AS (SELECT s.i, s.j,
+            CAST(floor((CAST(s.sq AS DOUBLE) / s.n / 1e8 -
+              (CAST(xi.sx AS DOUBLE) / s.n / 1e8) *
+              (CAST(xj.sx AS DOUBLE) / s.n / 1e8)) * 1e6 + 0.5) AS BIGINT)
+              AS cov6
+          FROM sxy s JOIN sx xi ON s.i = xi.i JOIN sx xj ON s.j = xj.i),
+        diag AS (SELECT 'diag' AS kind, i, j, cov6 FROM cov WHERE i = j),
+        offtop AS (SELECT 'offdiag_top' AS kind, i, j, cov6 FROM cov
+          WHERE i <> j ORDER BY abs(cov6) DESC, i, j LIMIT 10)
+        SELECT * FROM (SELECT * FROM diag UNION ALL SELECT * FROM offtop)
+        ORDER BY kind, i, j"""))
   )
 
 }
