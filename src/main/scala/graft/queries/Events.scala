@@ -484,5 +484,53 @@ object Events {
           (fr.gmax_us - last_us) // 86400000000 AS recency_days,
           purchase_value
         FROM agg, fr ORDER BY user_id"""))
+  ,
+
+    // ---- join-SKEW advisor (planner aide, q147's sibling): before
+    // running a big join, profile its key — per-key row counts on both
+    // sides, the per-key pair product (the actual per-task work a
+    // shuffle join assigns), each key's share of total pair work, and an
+    // integer-exact salt recommendation ceil(share × P) for P = 32
+    // partitions — the number q19's salted-join pattern needs as input.
+    // The fixture plants a hot key (every 10th user's events collapse
+    // onto key 0 — a tracking-pixel/anonymous-user shape), so the
+    // advisor's top row and its salt > 1 verdict are load-bearing.
+    // All arithmetic is BIGINT floor division — no float grid needed.
+    //
+    // Scale: the advisor never materializes the join — two combinable
+    // per-key counts, a keys-sized equi join, one 1-row total, TakeOrdered
+    // top-10. Cost is distinct keys, not rows.
+    ("q158_join_skew_advisor",
+      (s: SparkSession, dir: String) => {
+        val lc = t(s, dir, "events")
+          .select(when(col("user_id") % 10 === 0, lit(0L))
+            .otherwise(col("user_id")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_left"))
+        val rc = t(s, dir, "customer").select(col("c_custkey").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_right"))
+        val pk = lc.join(rc, Seq("k"))
+          .withColumn("pairs", col("n_left") * col("n_right"))
+        val tot = pk.agg(sum(col("pairs")).as("total"))
+        pk.crossJoin(broadcast(tot))
+          .select(col("k"), col("n_left"), col("n_right"), col("pairs"),
+            expr("pairs * 10000 div total").as("share4"),
+            greatest(lit(1L), expr("(pairs * 32 + total - 1) div total"))
+              .as("salt"))
+          .orderBy(desc("pairs"), col("k")).limit(10)
+          .orderBy(desc("pairs"), col("k"))
+      },
+      Some("""WITH l AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0
+              ELSE user_id END AS k FROM events),
+          lc AS (SELECT k, COUNT(*) AS n_left FROM l GROUP BY k),
+          rc AS (SELECT c_custkey AS k, COUNT(*) AS n_right
+            FROM customer GROUP BY k),
+          pk AS (SELECT lc.k, n_left, n_right,
+              n_left * n_right AS pairs FROM lc JOIN rc USING (k)),
+          tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total FROM pk)
+        SELECT k, n_left, n_right, pairs,
+          CAST(pairs * 10000 // total AS BIGINT) AS share4,
+          CAST(GREATEST(1, (pairs * 32 + total - 1) // total) AS BIGINT)
+            AS salt
+        FROM pk, tot ORDER BY pairs DESC, k LIMIT 10"""))
   )
 }
