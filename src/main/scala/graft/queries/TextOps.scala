@@ -1579,6 +1579,56 @@ object TextOps {
         SELECT lang, doc_id, weight, ekey, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 8 ORDER BY lang, rank""")),
 
+    // ---- small-files COMPACTION planner (lakehouse table maintenance —
+    // the write-side sibling of q149's read-side layout report): ingest
+    // leaves many small files per partition (here a "file" is the
+    // per-(lang, source) slice of a 256-doc ingest batch, so file count
+    // GROWS with the corpus like real crawl dumps), and the planner
+    // assigns them to merge bins of ~target bytes by next-fit-DECREASING:
+    // files ordered (bytes desc, key) within each lang partition, bin =
+    // running-sum-before div target — the plan a compaction writer
+    // executes, with per-bin fill ratios to judge it. All BIGINT floor
+    // division.
+    //
+    // Scale: one combinable file-stats aggregate (corpus-sized input,
+    // file-count output), then a files-sized window PARTITIONED BY the
+    // table partition (lang) — planning cost tracks file counts, never
+    // rows; the fill ratio exposes the one pathological case (a file >
+    // target gets its own bin, fill4 > 10000) instead of hiding it.
+    ("q159_compaction_plan",
+      (s: SparkSession, dir: String) => {
+        val target = 8192L
+        val files = t(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("doc_id div 256").as("batch"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(desc("bytes"), col("source"), col("batch"))
+        files
+          .withColumn("cum_before", coalesce(sum(col("bytes")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $target"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+            sum(col("bytes")).as("bytes"))
+          .withColumn("fill4", expr(s"bytes * 10000 div $target"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH files AS (SELECT lang, source, doc_id // 256 AS batch,
+            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1, 2, 3),
+        planned AS (SELECT lang, n_docs, bytes,
+            CAST(COALESCE(SUM(bytes) OVER (PARTITION BY lang
+              ORDER BY bytes DESC, source, batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) // 8192 AS bin
+          FROM files)
+        SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          CAST(SUM(bytes) AS BIGINT) AS bytes,
+          CAST(CAST(SUM(bytes) AS BIGINT) * 10000 // 8192 AS BIGINT) AS fill4
+        FROM planned GROUP BY 1, 2 ORDER BY lang, bin""")),
+
     // ---- token-budget DATA RECIPE with epoch up-sampling (the
     // Chinchilla/LLaMA-style mixture step q117 does NOT cover): each
     // language gets a TOKEN target (weight ‰ of a 1.5×-corpus budget,
