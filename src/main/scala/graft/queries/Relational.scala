@@ -1696,5 +1696,92 @@ object Relational {
           (SUM(CASE WHEN (NOT fc) AND fd THEN 1 ELSE 0 END) = 0 AND
            SUM(CASE WHEN fc <> fd THEN 1 ELSE 0 END) = 0) AS erased
         FROM rows_ GROUP BY entity ORDER BY entity"""))
+  ,
+
+    // ---- snapshot DIFF → CDC changeset generation (the INVERSE of q86,
+    // which APPLIES a changeset): when the upstream hands you two table
+    // snapshots instead of a change log, the change log must be derived —
+    // one full-outer equi join on the key, column-compared. The candidate
+    // snapshot is planted with all three op classes (every 97th order
+    // deleted, every 89th survivor's price bumped by exactly 1.00 — an
+    // integer add, bit-exact on doubles — and every 101st re-inserted
+    // under key + 1e9), so every op row and per-column change count is
+    // load-bearing. Output: per-op row counts + per-column changed
+    // counts among updates.
+    //
+    // Scale: ONE key-partitioned full-outer join (the minimum any
+    // snapshot diff pays) + a combinable 4-row aggregate; no collect, no
+    // row materialization beyond the join. This is the batch job that
+    // feeds q86's MERGE when logs don't exist.
+    ("q160_snapshot_diff",
+      (s: SparkSession, dir: String) => {
+        val ord = t(s, dir, "orders")
+        val base = ord.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("b_cust"), col("o_orderstatus").as("b_stat"),
+          col("o_totalprice").as("b_price"))
+        val surv = ord.filter(col("o_orderkey") % 97 =!= 0)
+        val cand = surv.select(col("o_orderkey").as("k"),
+            col("o_custkey").as("c_cust"), col("o_orderstatus").as("c_stat"),
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("c_price"))
+          .unionByName(ord.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 1000000000L).as("k"),
+              col("o_custkey").as("c_cust"), col("o_orderstatus").as("c_stat"),
+              col("o_totalprice").as("c_price")))
+        base.join(cand, Seq("k"), "full_outer")
+          .select(
+            when(col("b_cust").isNull && col("b_stat").isNull
+                && col("b_price").isNull, lit("insert"))
+              .when(col("c_cust").isNull && col("c_stat").isNull
+                && col("c_price").isNull, lit("delete"))
+              .when(col("b_cust") =!= col("c_cust") ||
+                col("b_stat") =!= col("c_stat") ||
+                col("b_price") =!= col("c_price"), lit("update"))
+              .otherwise(lit("unchanged")).as("op"),
+            when(col("b_cust").isNotNull && col("c_cust").isNotNull
+              && col("b_cust") =!= col("c_cust"), 1L).otherwise(0L)
+              .as("cust_chg"),
+            when(col("b_stat").isNotNull && col("c_stat").isNotNull
+              && col("b_stat") =!= col("c_stat"), 1L).otherwise(0L)
+              .as("stat_chg"),
+            when(col("b_price").isNotNull && col("c_price").isNotNull
+              && col("b_price") =!= col("c_price"), 1L).otherwise(0L)
+              .as("price_chg"))
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n"), sum(col("cust_chg")).as("n_cust_chg"),
+            sum(col("stat_chg")).as("n_stat_chg"),
+            sum(col("price_chg")).as("n_price_chg"))
+          .orderBy(col("op"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_custkey AS b_cust,
+            o_orderstatus AS b_stat, o_totalprice AS b_price FROM orders),
+        cand AS (
+          SELECT o_orderkey AS k, o_custkey AS c_cust,
+            o_orderstatus AS c_stat,
+            CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                 ELSE o_totalprice END AS c_price
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000 AS k, o_custkey, o_orderstatus,
+            o_totalprice
+          FROM orders WHERE o_orderkey % 101 = 0),
+        d AS (SELECT
+            CASE WHEN b.k IS NULL THEN 'insert'
+                 WHEN c.k IS NULL THEN 'delete'
+                 WHEN b.b_cust <> c.c_cust OR b.b_stat <> c.c_stat
+                   OR b.b_price <> c.c_price THEN 'update'
+                 ELSE 'unchanged' END AS op,
+            CASE WHEN b.b_cust IS NOT NULL AND c.c_cust IS NOT NULL
+              AND b.b_cust <> c.c_cust THEN 1 ELSE 0 END AS cust_chg,
+            CASE WHEN b.b_stat IS NOT NULL AND c.c_stat IS NOT NULL
+              AND b.b_stat <> c.c_stat THEN 1 ELSE 0 END AS stat_chg,
+            CASE WHEN b.b_price IS NOT NULL AND c.c_price IS NOT NULL
+              AND b.b_price <> c.c_price THEN 1 ELSE 0 END AS price_chg
+          FROM base b FULL OUTER JOIN cand c ON b.k = c.k)
+        SELECT op, COUNT(*) AS n,
+          CAST(SUM(cust_chg) AS BIGINT) AS n_cust_chg,
+          CAST(SUM(stat_chg) AS BIGINT) AS n_stat_chg,
+          CAST(SUM(price_chg) AS BIGINT) AS n_price_chg
+        FROM d GROUP BY op ORDER BY op"""))
   )
 }
