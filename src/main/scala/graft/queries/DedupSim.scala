@@ -124,9 +124,10 @@ object DedupSim {
   /** DuckDB twin of [[graft.similarity.Ivf.cellCol]]: the SRP cell id of a
     * vector expression, with the same plane literals and the same ordered
     * left-fold dot product as the Spark side (and as q38's oracle). */
-  private def srpCellSql(vec: String): String = {
+  private def srpCellSql(vec: String,
+      bits: Int = graft.similarity.Ivf.DefaultBits): String = {
     import graft.similarity.Ivf
-    (0 until Ivf.DefaultBits).map { j =>
+    (0 until bits).map { j =>
       val p = Ivf.plane(j, Ivf.DefaultDims)
       val dot = (0 until Ivf.DefaultDims)
         .map(d => s"(${p(d)}.0 * CAST($vec[${d + 1}] AS DOUBLE))")
@@ -2726,6 +2727,105 @@ object DedupSim {
           WHERE i <> j ORDER BY abs(cov6) DESC, i, j LIMIT 10)
         SELECT * FROM (SELECT * FROM diag UNION ALL SELECT * FROM offtop)
         ORDER BY kind, i, j"""))
+  ,
+
+    // ---- kNN LABEL PROPAGATION eval (semi-supervised labeling over the
+    // ANN machinery): new unlabeled points — planted as perturbed copies
+    // of every 5th vector (first coordinate halved, id + 1e12), so the
+    // correct label is KNOWN — are classified by similarity-WEIGHTED
+    // 5-NN vote against the labeled base within a shared SRP cell whose
+    // width is BANDED on corpus size (4/6/10 bits at ≥0/2k/10k vectors —
+    // cells hold ~32 vectors at every scale; a fixed width re-creates
+    // the q34 n²/cells term, measured 0.90×-linear before this banding).
+    // The perturbed copy sits at cosine ≥ 0.98 of its
+    // source while unrelated fixture pairs stay ≤ 0.51, so the weighted
+    // vote recovers the source label WHENEVER the cell blocking finds
+    // the source — the confusion matrix's diagonal measures blocking
+    // recall for near-dup probes (q114's question, asked of the vector
+    // side), off-diagonal + pred −1 rows are the measured misses, not
+    // hidden ones. Weights are sim4 × 1e4 integers; vote ties break
+    // toward the smaller label.
+    //
+    // Scale: probes join the base on the cell key only (q36's bounded-
+    // candidate shape; cells grow with the corpus per the q126 width
+    // lesson); the rank and vote windows are k-bounded per probe; the
+    // confusion rollup is one combinable |labels|²-row aggregate.
+    ("q161_knn_label_eval",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.Ivf
+        graft.functions.GraftFunctions.register(s)
+        val e0 = t(s, dir, "embeddings")
+        // the cell count must GROW with the corpus (the q34→q126 width
+        // lesson — a fixed 16-cell space measured 0.90×-linear at sf1 on
+        // its n²/cells candidate term): banded bits keep cells at ~32
+        // vectors at every fixture scale; the bands are mirrored by a
+        // CASE on COUNT(*) in the oracle, so both engines pick the same
+        // width from the data
+        val nBase = e0.count()
+        val bits = if (nBase >= 10000L) 10 else if (nBase >= 2000L) 6 else 4
+        val base = e0
+          .withColumn("cell", Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
+          .select(col("vec_id").as("id_b"), col("label").as("nb_l"),
+            col("cell"), col("embedding").as("eb"))
+        val probes = e0.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 1000000000000L).as("id_a"),
+            col("label").as("true_l"),
+            concat(
+              array(expr(
+                "cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
+              expr("slice(embedding, 2, size(embedding) - 1)")).as("ea"))
+          .withColumn("cell", Ivf.cellCol("ea", bits, Ivf.DefaultDims))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_a")).orderBy(desc("sim4"), asc("id_b"))
+        val wVote = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_a")).orderBy(desc("w"), asc("nb_l"))
+        val pred = probes.join(base, Seq("cell"))
+          .withColumn("sim4", round(expr(cosSpark("ea", "eb")), 4))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 5)
+          .groupBy(col("id_a"), col("nb_l"))
+          .agg(sum((col("sim4") * 10000).cast("long")).as("w"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("id_a"), col("nb_l").as("pred_l"))
+        probes.select(col("id_a"), col("true_l"))
+          .join(pred, Seq("id_a"), "left")
+          .groupBy(col("true_l").cast("long").as("true_label"),
+            coalesce(col("pred_l"), lit(-1)).cast("long").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("pred_label"))
+      },
+      Some({
+        def cellCase(v: String) =
+          s"""CASE WHEN (SELECT n FROM cnt) >= 10000 THEN (${srpCellSql(v, 10)})
+              WHEN (SELECT n FROM cnt) >= 2000 THEN (${srpCellSql(v, 6)})
+              ELSE (${srpCellSql(v, 4)}) END"""
+        s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+        base AS (SELECT vec_id AS id_b, label AS nb_l, embedding AS eb,
+            (${cellCase("embedding")}) AS cell FROM embeddings),
+        pr0 AS (SELECT vec_id + 1000000000000 AS id_a, label AS true_l,
+            list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT),
+              embedding[2:]) AS ea
+          FROM embeddings WHERE vec_id % 5 = 0),
+        probes AS (SELECT id_a, true_l, ea,
+            (${cellCase("ea")}) AS cell FROM pr0),
+        pairs AS (SELECT p.id_a, b.id_b, b.nb_l,
+            ROUND(${cosDuck("p.ea", "b.eb")}, 4) AS sim4
+          FROM probes p JOIN base b ON p.cell = b.cell),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY id_a
+            ORDER BY sim4 DESC, id_b) AS rk FROM pairs),
+        votes AS (SELECT id_a, nb_l,
+            CAST(SUM(CAST(sim4 * 10000 AS BIGINT)) AS BIGINT) AS w
+          FROM rk WHERE rk <= 5 GROUP BY 1, 2),
+        pick AS (SELECT id_a, nb_l AS pred_l, row_number() OVER (
+            PARTITION BY id_a ORDER BY w DESC, nb_l) AS vr FROM votes)
+        SELECT CAST(p.true_l AS BIGINT) AS true_label,
+          CAST(COALESCE(k.pred_l, -1) AS BIGINT) AS pred_label,
+          COUNT(*) AS n
+        FROM probes p LEFT JOIN (SELECT id_a, pred_l FROM pick WHERE vr = 1) k
+          ON p.id_a = k.id_a
+        GROUP BY 1, 2 ORDER BY true_label, pred_label"""
+      }))
   )
 
 }
