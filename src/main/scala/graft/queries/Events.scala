@@ -532,5 +532,49 @@ object Events {
           CAST(GREATEST(1, (pairs * 32 + total - 1) // total) AS BIGINT)
             AS salt
         FROM pk, tot ORDER BY pairs DESC, k LIMIT 10"""))
+  ,
+
+    // ---- event-type TRANSITION matrix (first-order Markov model of
+    // user behavior): for every consecutive event pair within a user's
+    // (ts, event_id)-ordered stream, count a→b transitions and their
+    // per-source-type share — the model behind next-action prediction,
+    // funnel-shortcut detection, and bot signatures (a bot's matrix is
+    // near-deterministic; a human's is diffuse). 'END' marks stream
+    // tails, so every event emits exactly one transition and rows sum
+    // to corpus event count. Shares are integer ‱ (BIGINT floor
+    // division) — no float drift.
+    //
+    // Scale: one user-partitioned lead() window (the q51 sessionize
+    // shuffle, reusable across every per-user pass) + one combinable
+    // |types|²-row aggregate. Nothing grows beyond the per-user sort.
+    ("q163_event_transitions",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        ev(s, dir)
+          .withColumn("next_type",
+            coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("from_total", sum(col("n")).over(
+            Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 10000 div from_total").as("share4"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_us(ts) AS us FROM events),
+        nx AS (SELECT event_type AS from_type,
+            COALESCE(lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id), 'END') AS to_type
+          FROM e),
+        m AS (SELECT from_type, to_type, COUNT(*) AS n
+          FROM nx GROUP BY 1, 2),
+        t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+            AS from_total FROM m)
+        SELECT from_type, to_type, n,
+          CAST(n * 10000 // from_total AS BIGINT) AS share4
+        FROM t ORDER BY from_type, to_type"""))
   )
 }

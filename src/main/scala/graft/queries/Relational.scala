@@ -1783,5 +1783,42 @@ object Relational {
           CAST(SUM(stat_chg) AS BIGINT) AS n_stat_chg,
           CAST(SUM(price_chg) AS BIGINT) AS n_price_chg
         FROM d GROUP BY op ORDER BY op"""))
+  ,
+
+    // ---- frequent-pair mining (association rules' support stage):
+    // which parts co-occur in the same order — the top co-occurring
+    // pairs with support ≥ 2, the market-basket primitive behind
+    // "bought together". Within-basket pair generation is the standard
+    // item-pair self-join on the basket key with p1 < p2 (duplicates
+    // collapsed first, so a twice-ordered part can't inflate support),
+    // then ONE combinable pair count.
+    //
+    // Scale: the fan-out is basket-size² per basket and TPC-H baskets
+    // are ≤ 7 lines, so pair volume is a small constant × orders — the
+    // shape stays linear in baskets at any corpus size (deeper itemsets
+    // want FP-growth-style conditional trees; the PAIR support table
+    // here is also exactly the input that algorithm prunes with).
+    // Top-20 is TakeOrdered with full key tie-break.
+    ("q162_basket_pairs",
+      (s: SparkSession, dir: String) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val a = items.select(col("ok"), col("p").as("p1"))
+        val b = items.select(col("ok"), col("p").as("p2"))
+        a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(desc("support"), col("p1"), col("p2")).limit(20)
+          .orderBy(desc("support"), col("p1"), col("p2"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+            l_partkey AS p FROM lineitem),
+        pairs AS (SELECT a.p AS p1, b.p AS p2
+          FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p)
+        SELECT p1, p2, COUNT(*) AS support FROM pairs
+        GROUP BY p1, p2 HAVING COUNT(*) >= 2
+        ORDER BY support DESC, p1, p2 LIMIT 20"""))
   )
 }
