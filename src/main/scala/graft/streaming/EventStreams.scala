@@ -146,6 +146,50 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** Per-user last-event state for [[transitionStream]]. */
+  final case class LastEv(us: Long, event_id: Long, event_type: String)
+
+  /** Streaming event-type TRANSITIONS — the ingest twin of batch q163's
+    * Markov matrix, and the genuinely STATEFUL streaming shape (not
+    * stream-static): each user's last event is kept as keyed state, so a
+    * transition is emitted the moment its successor arrives — including
+    * across micro-batch boundaries, which a per-batch window cannot see.
+    * Downstream, a windowed count over (from_type, to_type) maintains
+    * the live matrix. Batch parity: the emitted pair multiset equals
+    * q163's non-END rows on the same fixture (streams have no 'END' —
+    * a stream tail is just a transition not yet emitted); StreamingSpec
+    * pins it. State is ONE (us, event_id, type) triple per active user;
+    * eviction by the same event-time timeout discipline as
+    * [[sessionizeWithState]] belongs in production — the test keeps
+    * NoTimeout so parity is exact. */
+  def transitionStream(spark: SparkSession,
+      events: Dataset[Event]): Dataset[Transition] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[LastEv]): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[Transition]
+      var last = state.getOption
+      sorted.foreach { e =>
+        last.foreach { l =>
+          out += Transition(userId, l.event_type, e.event_type)
+        }
+        last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   final case class AnomalyOut(event_id: Long, user_id: Long, value: Double,
       z: Double)
 

@@ -187,6 +187,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0)._2.isPosInfinity)
   }
 
+  test("transitionStream: cross-batch transitions equal the batch matrix's non-END rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 1, "click", 1.0, ts(1)),
+      Event(3, 2, "view", 1.0, ts(2)),
+      Event(4, 1, "purchase", 5.0, ts(10)), // crosses the batch boundary
+      Event(5, 2, "click", 1.0, ts(11)))
+    val mem = MemoryStream[Event]
+    mem.addData(events.take(3): _*)
+    mem.addData(events.drop(3): _*)
+    val q = EventStreams.transitionStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val streamed = spark.table("transitions")
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = events.toDF()
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull) // stream tails: no 'END' rows
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch, "stream == batch transitions incl. the cross-batch pair")
+    assert(streamed.contains(("click", "purchase", 1L)), "the boundary-crossing transition was emitted")
+  }
+
   test("erasureScrubStream: tombstoned users' events never pass, equal to the batch anti-join") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
