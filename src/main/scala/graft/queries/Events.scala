@@ -576,5 +576,68 @@ object Events {
         SELECT from_type, to_type, n,
           CAST(n * 10000 // from_total AS BIGINT) AS share4
         FROM t ORDER BY from_type, to_type"""))
+  ,
+
+    // ---- LOCF series repair (last-observation-carried-forward): the
+    // data-repair sibling of q83 — q83 fills missing buckets with ZEROS
+    // (correct for counts), but a level-like metric (a price, a balance,
+    // a sensor reading) must carry the last seen value forward, with a
+    // STALENESS column so downstream consumers can bound how old each
+    // carried value is (the feature-store freshness contract). Per-user
+    // hourly purchase-value series over users 1–5: spine = each user's
+    // observed [min, max] hour range, missing hours take
+    // last(value IGNORE NULLS) over the running frame; staleness = hours
+    // since the carrying observation; `observed` separates real from
+    // carried rows.
+    //
+    // Scale: the spine is per-entity bounded (hours in range, not
+    // corpus-sized); ONE user-partitioned running window computes both
+    // the carry and its age — the same single shuffle every per-user
+    // pass in this file rides.
+    ("q164_locf_repair",
+      (s: SparkSession, dir: String) => {
+        val obs = ev(s, dir)
+          .filter(col("user_id").between(1L, 5L) &&
+            col("event_type") === "purchase")
+          .groupBy(col("user_id"), expr("us div 3600000000").as("hour"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        val spine = obs.groupBy(col("user_id"))
+          .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(col("user_id"), explode(expr("sequence(lo, hi)")).as("hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(obs, Seq("user_id", "hour"), "left_outer")
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .withColumn("last_obs_hour",
+            last(when(col("v").isNotNull, col("hour")), ignoreNulls = true)
+              .over(w))
+          .select(col("user_id"), col("hour"),
+            coalesce(col("n"), lit(0L)).as("n"), col("v_filled"),
+            (col("hour") - col("last_obs_hour")).as("staleness_h"),
+            col("v").isNotNull.as("observed"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      Some("""WITH obs AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events
+          WHERE user_id BETWEEN 1 AND 5 AND event_type = 'purchase'
+          GROUP BY 1, 2),
+        b AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+          FROM obs GROUP BY 1),
+        spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour
+          FROM b),
+        j AS (SELECT s.user_id, s.hour, o.n, o.v FROM spine s
+          LEFT JOIN obs o ON s.user_id = o.user_id AND s.hour = o.hour)
+        SELECT user_id, hour, COALESCE(n, 0) AS n,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS v_filled,
+          hour - last_value(CASE WHEN v IS NOT NULL THEN hour END
+              IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS staleness_h,
+          v IS NOT NULL AS observed
+        FROM j ORDER BY user_id, hour"""))
   )
 }
