@@ -863,6 +863,78 @@ object CorpusSearch {
         SELECT probe_id, doc_id, COUNT(*) AS n_occurrences
         FROM starts WHERE nm = 4
         GROUP BY 1, 2 ORDER BY probe_id, doc_id"""))
+  ,
+
+    // ---- PMI term co-occurrence (distributional semantics / the
+    // query-EXPANSION statistic): the strongest term associations by
+    // pointwise mutual information over ±4-token windows — the table
+    // pseudo-relevance feedback expands queries from, and the
+    // word2vec-era association primitive. Window pairs are generated
+    // MAP-SIDE per document (each position pairs with its next ≤ 4
+    // neighbors — O(4L) per doc, never a positional self-join's O(L²));
+    // pairs are unordered via (least, greatest). PMI = ln(n_ab·N /
+    // (n_a·n_b)) over exact integer counts, quantized to the 1e-6 grid
+    // (the q150/q133 ln discipline) with full-key tie-break; support
+    // n_ab ≥ 5 prunes BEFORE the unigram joins.
+    //
+    // Scale: pair generation is linear map work; ONE combinable pair
+    // count + two vocab-keyed equi joins (the unigram table is never
+    // assumed broadcastable — the q133 lesson); N is a 1-row broadcast;
+    // top-20 is TakeOrdered.
+    ("q165_term_pmi",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        val pairs = explodeLean(toks, Seq(),
+          expr("""CASE WHEN size(ws) >= 2 THEN
+                   flatten(transform(sequence(1, size(ws) - 1), i ->
+                     transform(sequence(i + 1, least(i + 4, size(ws))), j ->
+                       named_struct(
+                         'a', least(element_at(ws, i), element_at(ws, j)),
+                         'b', greatest(element_at(ws, i), element_at(ws, j))))))
+                 ELSE array() END"""), "pr")
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        val uni = explodeLean(toks, Seq(), col("ws"), "term")
+          .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+        val tot = uni.agg(sum(col("n_t")).as("n_total"))
+        pairs
+          .join(uni.select(col("term").as("a"), col("n_t").as("n_a")),
+            Seq("a"))
+          .join(uni.select(col("term").as("b"), col("n_t").as("n_b")),
+            Seq("b"))
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("n_ab"),
+            floor(log(col("n_ab").cast("double") * col("n_total") /
+              col("n_a") / col("n_b")) * 1e6 + 0.5).cast("long").as("pmi6"))
+          .orderBy(desc("pmi6"), col("a"), col("b")).limit(20)
+          .orderBy(desc("pmi6"), col("a"), col("b"))
+      },
+      Some("""WITH tks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        pr AS (SELECT least(ws[CAST(u.i AS BIGINT)],
+              ws[CAST(v.j AS BIGINT)]) AS a,
+            greatest(ws[CAST(u.i AS BIGINT)], ws[CAST(v.j AS BIGINT)]) AS b
+          FROM tks,
+            UNNEST(range(1, CAST(len(ws) AS BIGINT))) u(i),
+            UNNEST(range(CAST(u.i AS BIGINT) + 1,
+              least(CAST(u.i AS BIGINT) + 4, CAST(len(ws) AS BIGINT)) + 1))
+              v(j)
+          WHERE len(ws) >= 2),
+        pairs AS (SELECT a, b, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2
+          HAVING COUNT(*) >= 5),
+        uni AS (SELECT unnest(ws) AS term FROM tks),
+        un AS (SELECT term, COUNT(*) AS n_t FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM un)
+        SELECT p.a, p.b, p.n_ab,
+          CAST(floor(ln(CAST(p.n_ab AS DOUBLE) * n_total / ua.n_t / ub.n_t)
+            * 1000000.0 + 0.5) AS BIGINT) AS pmi6
+        FROM pairs p
+        JOIN un ua ON p.a = ua.term
+        JOIN un ub ON p.b = ub.term
+        CROSS JOIN tot
+        ORDER BY pmi6 DESC, a, b LIMIT 20"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side
