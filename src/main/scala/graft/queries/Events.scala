@@ -639,5 +639,57 @@ object Events {
             AS staleness_h,
           v IS NOT NULL AS observed
         FROM j ORDER BY user_id, hour"""))
+  ,
+
+    // ---- FIRST-TOUCH revenue attribution (marketing's classic): every
+    // purchase's value is credited to the event type that OPENED its
+    // session — the q51 gap-sessionization reused verbatim (same 30-min
+    // gap, same (us, event_id) order), then first_value over the session
+    // partition, then one combinable per-channel rollup with decimal-
+    // exact revenue. Distinct from q53's as-of
+    // (latest view before each purchase) and q55's fixed funnel: the
+    // credited channel here is whatever event actually STARTED the
+    // session, so every channel row is data-driven.
+    //
+    // Scale: ONE user-keyed shuffle (shared with every per-user pass),
+    // two windows over the same order, a |channels|-row aggregate.
+    ("q167_touch_attribution",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("us"), col("event_id"))
+        ev(s, dir)
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("first_touch", first(col("event_type")).over(ws))
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("first_touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("attributed_value"))
+          .orderBy(col("first_touch"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+            epoch_us(ts) AS us FROM events),
+        f AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS prev_us FROM e),
+        g AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+          FROM f),
+        h AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS session_seq FROM g),
+        i AS (SELECT *, first_value(event_type) OVER (
+            PARTITION BY user_id, session_seq ORDER BY us, event_id)
+            AS first_touch FROM h)
+        SELECT first_touch, COUNT(*) AS n_purchases,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            AS attributed_value
+        FROM i WHERE event_type = 'purchase'
+        GROUP BY first_touch ORDER BY first_touch"""))
   )
 }

@@ -1820,5 +1820,63 @@ object Relational {
         SELECT p1, p2, COUNT(*) AS support FROM pairs
         GROUP BY p1, p2 HAVING COUNT(*) >= 2
         ORDER BY support DESC, p1, p2 LIMIT 20"""))
+  ,
+
+    // ---- incremental VIEW maintenance (the warehouse MV refresh move):
+    // a per-status revenue summary is maintained as a STORED base
+    // partial (orders before 1997) merged with the delta batch (1997+)
+    // — count and decimal-exact sum are algebraically mergeable, so the
+    // refresh touches summary-sized state, never the base fact table.
+    // The gate computes the merged view AND the full recompute in one
+    // result and pins them equal per group (`merge_exact`, the q137
+    // merge-gate pattern) — the refresh is proven, not assumed.
+    //
+    // Scale: at 100 TB the base partial IS a stored summary table
+    // (groups × 2 longs); the nightly refresh pays one combinable pass
+    // over the DELTA plus a groups-sized merge. The full recompute here
+    // exists only to prove equality at fixture scale.
+    ("q166_mv_incremental",
+      (s: SparkSession, dir: String) => {
+        val ord = t(s, dir, "orders")
+        val cutoff = "1997-01-01"
+        def part(df: DataFrame): DataFrame =
+          df.groupBy(col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val merged = part(ord.filter(col("o_orderdate") < lit(cutoff)))
+          .unionByName(part(ord.filter(col("o_orderdate") >= lit(cutoff))))
+          .groupBy(col("status"))
+          .agg(sum(col("n")).as("n_merged"),
+            sum(col("rev")).as("rev_merged"))
+        val full = part(ord)
+          .select(col("status"), col("n").as("n_full"),
+            col("rev").as("rev_full"))
+        merged.join(full, Seq("status"))
+          .select(col("status"), col("n_merged"),
+            col("rev_merged").cast("double").as("rev_merged"),
+            col("n_full"), col("rev_full").cast("double").as("rev_full"),
+            (col("n_merged") === col("n_full") &&
+              col("rev_merged") === col("rev_full")).as("merge_exact"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH base AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders WHERE o_orderdate < '1997-01-01' GROUP BY 1),
+        delta AS (SELECT o_orderstatus AS status, COUNT(*) AS n,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY 1),
+        merged AS (SELECT status, CAST(SUM(n) AS BIGINT) AS n_merged,
+            SUM(rev) AS rev_merged
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          GROUP BY status),
+        fullv AS (SELECT o_orderstatus AS status, COUNT(*) AS n_full,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_full
+          FROM orders GROUP BY 1)
+        SELECT m.status, m.n_merged, CAST(m.rev_merged AS DOUBLE) AS rev_merged,
+          f.n_full, CAST(f.rev_full AS DOUBLE) AS rev_full,
+          (m.n_merged = f.n_full AND m.rev_merged = f.rev_full)
+            AS merge_exact
+        FROM merged m JOIN fullv f USING (status)
+        ORDER BY status"""))
   )
 }
