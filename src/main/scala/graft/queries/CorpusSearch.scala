@@ -935,6 +935,73 @@ object CorpusSearch {
         JOIN un ub ON p.b = ub.term
         CROSS JOIN tot
         ORDER BY pmi6 DESC, a, b LIMIT 20"""))
+  ,
+
+    // ---- BFS k-hop reachability with DISTANCE labels (the frontier-
+    // expansion iteration PageRank's fixpoint and CC's label-propagation
+    // don't surface directly): min-hop level from seed v0 over the
+    // dead-link-dropped key graph, depth-capped at 3 (the unbounded
+    // variant iterates to an empty frontier with the same per-round
+    // checkpoint discipline as the PageRank loop). Each round is ONE
+    // frontier-keyed equi join + an anti-join against the visited set —
+    // never a path enumeration; the oracle DOES enumerate paths (depth-
+    // bounded) and takes MIN(level), pinning the min-hop semantics from
+    // a different formulation.
+    //
+    // Scale: frontier and visited are vertex-bounded; each round's join
+    // is edges ⋈ frontier (equi on src); localCheckpoint truncates the
+    // growing lineage each round exactly like PageRank.run; on this
+    // near-complete fixture graph BFS saturates by level 2 — the depth
+    // cap, not the graph, bounds the loop.
+    ("q168_bfs_levels",
+      (s: SparkSession, dir: String) => {
+        val docs = keyGraphDocs(s, dir)
+        val titles = docs.select(col("title")).distinct()
+        val edges = docs
+          .select(col("title").as("src"), explode(col("links")).as("dst"))
+          .join(titles.select(col("title").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).distinct().localCheckpoint()
+        var visited = titles.filter(col("title") === "v0")
+          .select(col("title"), lit(0L).as("level")).localCheckpoint()
+        var frontier = visited
+        // eager localCheckpoints: by the time each round's `next` and the
+        // new `visited` exist, the PREVIOUS round's frames are fully
+        // consumed and freeable — the PageRank loop's release cadence
+        for (i <- 1 to 3) {
+          val next = edges
+            .join(frontier.select(col("title").as("src")), Seq("src"))
+            .select(col("dst").as("title")).distinct()
+            .join(visited, Seq("title"), "left_anti")
+            .select(col("title"), lit(i.toLong).as("level"))
+            .localCheckpoint()
+          val prevVisited = visited
+          visited = prevVisited.unionByName(next).localCheckpoint()
+          if (frontier ne prevVisited) graft.core.Scoped.free(frontier)
+          graft.core.Scoped.free(prevVisited)
+          frontier = next
+        }
+        graft.core.Scoped.free(frontier)
+        graft.core.Scoped.free(edges)
+        graft.core.Scoped.releaseAfterUse(visited)
+        visited.orderBy(col("level"), col("title"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR))
+                   AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        edges AS (SELECT DISTINCT src, dst FROM rawedges
+                  WHERE dst IN (SELECT title FROM titles)),
+        walk AS (
+          SELECT 'v0' AS title, 0 AS level
+          UNION ALL
+          SELECT e.dst AS title, w.level + 1 AS level
+          FROM walk w JOIN edges e ON w.title = e.src
+          WHERE w.level < 3)
+        SELECT title, CAST(MIN(level) AS BIGINT) AS level
+        FROM walk GROUP BY title ORDER BY level, title"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side
