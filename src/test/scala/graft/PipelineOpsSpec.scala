@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts of the 165-seal operator additions (q152–q168) beyond the
+  * DuckDB hash gate: structural invariants that must hold at ANY scale
+  * factor (the gate pins exact values at sf0.01; these pin the algebra
+  * the values are supposed to obey). All run on sf0.001 so the suite
+  * stays fast.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q153: the clean fixture erases completely, and the cascade is internally consistent") {
+    val rows = SparkEntry.queries("q153_gdpr_erasure")(spark, dir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_deleted") + r.getAs[Long]("n_kept")
+        === r.getAs[Long]("n_rows"), s"partition of ${r.getAs[String]("entity")}")
+      assert(r.getAs[Long]("n_residual_refs") === 0L)
+      assert(r.getAs[Long]("n_cascade_mismatch") === 0L)
+      assert(r.getAs[Boolean]("erased"))
+    }
+  }
+
+  test("q156: every stratum yields min(k, stratum size) rows with contiguous ranks") {
+    val sample = SparkEntry.queries("q156_weighted_sample")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank")))
+    val strata = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = sample.groupBy(_._1)
+    assert(byLang.keySet === strata.keySet.filter(strata(_) > 0))
+    byLang.foreach { case (lang, rows) =>
+      val expected = math.min(8L, strata(lang))
+      assert(rows.length.toLong === expected, s"stratum $lang")
+      assert(rows.map(_._2).sorted.toSeq === (1L to expected), s"ranks $lang")
+    }
+  }
+
+  test("q159: the plan covers every document exactly once and bins are contiguous per lang") {
+    val plan = SparkEntry.queries("q159_compaction_plan")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bytes")))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(plan.map(_._3).sum === total, "every doc is assigned to exactly one bin")
+    plan.foreach { case (_, _, _, bytes) => assert(bytes > 0L) }
+    plan.groupBy(_._1).foreach { case (lang, rows) =>
+      val bins = rows.map(_._2).sorted.toSeq
+      assert(bins === (0L until bins.length), s"contiguous bins for $lang")
+    }
+  }
+
+  test("q160: ops partition the key universe of both snapshots") {
+    val rows = SparkEntry.queries("q160_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n")).toMap
+    assert(rows.keySet.subsetOf(Set("insert", "delete", "update", "unchanged")))
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val inserts = rows.getOrElse("insert", 0L)
+    // base keys = all orders; cand adds `insert` new keys; the diff rows
+    // must cover base ∪ cand keys exactly once
+    assert(rows.values.sum === nOrders + inserts)
+    assert(rows.getOrElse("delete", 0L) > 0L)
+    assert(rows.getOrElse("update", 0L) > 0L)
+  }
+
+  test("q161: confusion rows cover every probe once; planted recall is high") {
+    val rows = SparkEntry.queries("q161_knn_label_eval")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+        r.getAs[Long]("n")))
+    val nProbes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(rows.map(_._3).sum === nProbes, "each probe classified exactly once")
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(correct.toDouble / nProbes >= 0.8,
+      s"planted-label recall $correct/$nProbes — blocking recall collapsed")
+  }
+
+  test("q162: pairs are canonical and support honors the floor") {
+    val rows = SparkEntry.queries("q162_basket_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("support")))
+    rows.foreach { case (p1, p2, sup) =>
+      assert(p1 < p2, "canonical order")
+      assert(sup >= 2L, "support floor")
+    }
+  }
+
+  test("q166: the merged view is bit-equal to the full recompute on every group") {
+    val rows = SparkEntry.queries("q166_mv_incremental")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_exact"),
+        s"merge drift on status ${r.getAs[String]("status")}")
+      assert(r.getAs[Long]("n_merged") === r.getAs[Long]("n_full"))
+    }
+  }
+
+  test("q167: attribution conserves purchases") {
+    val rows = SparkEntry.queries("q167_touch_attribution")(spark, dir).collect()
+    val attributed = rows.map(_.getAs[Long]("n_purchases")).sum
+    val purchases = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed === purchases, "every purchase credited exactly once")
+  }
+
+  test("q168: BFS levels are min-hop — level 1 is exactly v0's live out-neighborhood") {
+    val rows = SparkEntry.queries("q168_bfs_levels")(spark, dir).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Long]("level")))
+    assert(rows.count(_._2 == 0L) === 1)
+    assert(rows.forall(_._2 <= 3L))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val titles = li.select(concat(lit("v"), col("l_orderkey") % 997).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val hop1 = li.filter(col("l_orderkey") % 997 === 0)
+      .select(concat(lit("v"), col("l_partkey") % 1200).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+      .filter(titles.contains).filter(_ != "v0")
+    assert(rows.filter(_._2 == 1L).map(_._1).toSet === hop1,
+      "level 1 == live out-neighbors of v0 (minus the seed)")
+  }
+}
