@@ -2826,6 +2826,76 @@ object DedupSim {
           ON p.id_a = k.id_a
         GROUP BY 1, 2 ORDER BY true_label, pred_label"""
       }))
+  ,
+
+    // ---- dimension-TRUNCATION retrieval eval (the Matryoshka/MRL
+    // question): how much of the exact top-5 neighborhood survives when
+    // cosine runs on only the first 32 / 16 embedding dimensions? For
+    // each probe (vec_id < 5, q74's batch), the top-5 at each width is
+    // compared to the full-width top-5 — overlap@5 per (width, probe) is
+    // the number a dimension-drop decision (cheaper ANN index, smaller
+    // PQ codes) is made on. Widths share ONE scan: the corpus side is
+    // crossed with a 3-row width table and a broadcast probe batch, the
+    // sliced cosine ranks on the 1e-4 grid with vec_id tie-break, and
+    // the overlap join is between 5-row-per-key sets.
+    //
+    // Scale: corpus × probes × widths stays probe-bounded map work over
+    // one corpus pass (q74's broadcast-probe shape); per-key top-5 via
+    // rank ≤ 5 windows (WindowGroupLimit); overlap joins touch 5·|probes|
+    // rows per width. At production scale the widths ride the same SRP/
+    // IVF candidate generation as q38 — the eval shape is unchanged.
+    ("q169_dim_truncation_eval",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val widths = s.range(1).select(
+          explode(expr("array(64, 32, 16)")).as("dims"))
+        val ranked = e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(probes))
+          .crossJoin(broadcast(widths))
+          .withColumn("sim4", round(expr(cosSpark(
+            "slice(embedding, 1, dims)", "slice(qv, 1, dims)")), 4))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("dims"), col("qid"))
+              .orderBy(desc("sim4"), asc("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("dims"), col("qid"), col("vec_id"))
+        val full = ranked.filter(col("dims") === 64)
+          .select(col("qid"), col("vec_id"))
+        val overlaps = ranked.join(full, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("dims"), col("qid"))
+          .agg(count(lit(1)).as("n_ov"))
+        // a width whose top-5 shares NOTHING with full-dim must report 0,
+        // not vanish — left join from the (width, probe) universe
+        widths.crossJoin(probes.select(col("qid")))
+          .join(overlaps, Seq("dims", "qid"), "left_outer")
+          .select(col("dims").cast("long").as("dims"), col("qid"),
+            coalesce(col("n_ov"), lit(0L)).as("n_overlap5"))
+          .orderBy(col("dims"), col("qid"))
+      },
+      Some(s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 5),
+        widths AS (SELECT unnest([64, 32, 16]) AS dims),
+        ranked0 AS (SELECT w.dims, p.qid, e.vec_id,
+            ROUND(${cosDuck("list_slice(e.embedding, 1, w.dims)",
+              "list_slice(p.qv, 1, w.dims)")}, 4) AS sim4
+          FROM embeddings e, probes p, widths w WHERE e.vec_id >= 5),
+        ranked AS (SELECT dims, qid, vec_id, row_number() OVER (
+            PARTITION BY dims, qid ORDER BY sim4 DESC, vec_id) AS rk
+          FROM ranked0),
+        top AS (SELECT dims, qid, vec_id FROM ranked WHERE rk <= 5),
+        fullw AS (SELECT qid, vec_id FROM top WHERE dims = 64),
+        ov AS (SELECT t.dims AS dims, t.qid AS qid, COUNT(*) AS n_ov
+          FROM top t JOIN fullw f ON t.qid = f.qid AND t.vec_id = f.vec_id
+          GROUP BY 1, 2)
+        SELECT CAST(w.dims AS BIGINT) AS dims, p.qid,
+          COALESCE(ov.n_ov, 0) AS n_overlap5
+        FROM widths w CROSS JOIN probes p
+        LEFT JOIN ov ON ov.dims = w.dims AND ov.qid = p.qid
+        ORDER BY w.dims, p.qid"""))
   )
 
 }
