@@ -1878,5 +1878,99 @@ object Relational {
             AS merge_exact
         FROM merged m JOIN fullv f USING (status)
         ORDER BY status"""))
+  ,
+
+    // ---- storage ENCODING advisor (the tabular write-side sibling of
+    // q135's postings model): per column, the exact integer byte cost of
+    // plain vs dictionary vs run-length encoding, from n / n_distinct /
+    // block-local run counts — the numbers a writer picks encodings
+    // with. Runs are counted within 64-orderkey BLOCKS in (orderkey,
+    // linenumber) order — page-local RLE, like a real columnar writer,
+    // and crucially a PARTITIONED window (a file-global run count would
+    // be a single-partition window — the r7 scale defect class). Four
+    // columns ride one unpivoted pass; dict index width is the exact
+    // pigeonhole (1/2/4 bytes at ≤2^8/2^16/beyond distincts).
+    //
+    // Scale: one stack + one block-partitioned window + two combinable
+    // aggregates; nothing is file-global, blocks bound every ordered
+    // region.
+    ("q170_encoding_advisor",
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val stacked = li.select(col("l_orderkey"), col("l_linenumber"),
+            expr("l_orderkey div 64").as("blk"),
+            expr("""stack(4,
+              'l_returnflag', l_returnflag, 1L,
+              'l_linestatus', l_linestatus, 1L,
+              'l_quantity', cast(l_quantity as string), 4L,
+              'l_extendedprice', cast(l_extendedprice as string), 8L)
+              AS (colname, val, width)"""))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // `val` is the canonical tie-breaker (equal-val ties cannot
+        // change a run count, unequal-val ties order identically in
+        // both engines). A per-block collect_list + array_sort + fold
+        // variant (bounded hash-agg state, no stream-wide sort) was
+        // tried and MEASURED SLOWER at both scales (10.4 vs 4.8 s at
+        // sf0.1, 34.5 vs 19.2 at sf1): the HOF fold is CodegenFallback
+        // with a per-element struct accumulator allocation, while this
+        // window rides a codegen'd sort — kept on evidence.
+        val w = Window.partitionBy(col("colname"), col("blk"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("val"))
+        val runs = stacked
+          .withColumn("chg",
+            when(lag(col("val"), 1).over(w).isNull ||
+              lag(col("val"), 1).over(w) =!= col("val"), 1L).otherwise(0L))
+          .groupBy(col("colname"), col("width"))
+          .agg(count(lit(1)).as("n"), sum(col("chg")).as("runs"))
+        val nd = stacked.select(col("colname"), col("val")).distinct()
+          .groupBy(col("colname")).agg(count(lit(1)).as("n_distinct"))
+        runs.join(nd, Seq("colname"))
+          .withColumn("idx_w", when(col("n_distinct") <= 256, 1L)
+            .when(col("n_distinct") <= 65536, 2L).otherwise(4L))
+          .select(col("colname"), col("n"), col("n_distinct"), col("runs"),
+            (col("n") * col("width")).as("plain_bytes"),
+            (col("n") * col("idx_w") + col("n_distinct") * col("width"))
+              .as("dict_bytes"),
+            (col("runs") * (col("width") + 2)).as("rle_bytes"))
+          .withColumn("best",
+            when(col("rle_bytes") <= col("dict_bytes") &&
+              col("rle_bytes") <= col("plain_bytes"), lit("rle"))
+            .when(col("dict_bytes") <= col("plain_bytes"), lit("dict"))
+            .otherwise(lit("plain")))
+          .orderBy(col("colname"))
+      },
+      Some("""WITH stacked AS (
+          SELECT l_orderkey, l_linenumber, l_orderkey // 64 AS blk,
+            u.colname, u.val, u.width
+          FROM lineitem, LATERAL (VALUES
+            ('l_returnflag', l_returnflag, CAST(1 AS BIGINT)),
+            ('l_linestatus', l_linestatus, CAST(1 AS BIGINT)),
+            ('l_quantity', CAST(l_quantity AS VARCHAR), CAST(4 AS BIGINT)),
+            ('l_extendedprice', CAST(l_extendedprice AS VARCHAR),
+              CAST(8 AS BIGINT))) u(colname, val, width)),
+        r AS (SELECT colname, width, val,
+            CASE WHEN lag(val) OVER (PARTITION BY colname, blk
+                ORDER BY l_orderkey, l_linenumber, val) IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS chg
+          FROM stacked),
+        runs AS (SELECT colname, width, COUNT(*) AS n,
+            CAST(SUM(chg) AS BIGINT) AS runs
+          FROM r GROUP BY 1, 2),
+        nd AS (SELECT colname, COUNT(DISTINCT val) AS n_distinct
+          FROM stacked GROUP BY 1),
+        j AS (SELECT runs.colname, n, n_distinct, runs,
+            CASE WHEN n_distinct <= 256 THEN 1
+                 WHEN n_distinct <= 65536 THEN 2 ELSE 4 END AS idx_w,
+            width
+          FROM runs JOIN nd ON runs.colname = nd.colname)
+        SELECT colname, n, n_distinct, runs,
+          n * width AS plain_bytes,
+          n * idx_w + n_distinct * width AS dict_bytes,
+          runs * (width + 2) AS rle_bytes,
+          CASE WHEN runs * (width + 2) <= n * idx_w + n_distinct * width
+                 AND runs * (width + 2) <= n * width THEN 'rle'
+               WHEN n * idx_w + n_distinct * width <= n * width THEN 'dict'
+               ELSE 'plain' END AS best
+        FROM j ORDER BY colname"""))
   )
 }
