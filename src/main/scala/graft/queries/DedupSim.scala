@@ -2896,6 +2896,94 @@ object DedupSim {
         FROM widths w CROSS JOIN probes p
         LEFT JOIN ov ON ov.dims = w.dims AND ov.qid = p.qid
         ORDER BY w.dims, p.qid"""))
+  ,
+
+    // ---- cross-SOURCE duplication flow (dedup provenance): q32's
+    // LSH-verified near-dup pairs aggregated into a source×source
+    // matrix — which crawls/feeds duplicate which, the number that
+    // decides whether a source is worth re-ingesting and where the
+    // dedup budget goes. Pairs come from the identical shingle→minhash→
+    // band→verify chain as q32 (same helpers, same SQL generator — one
+    // place mirrors the permutation constants); sources join on doc id,
+    // the pair key is unordered via (least, greatest), and the mean
+    // verified Jaccard rides exact BIGINT j4 numerators (sum of the
+    // 4-dp-rounded values ×1e4, floor-divided — no float accumulation).
+    //
+    // Scale: the pair set is LSH-bounded (never all-pairs); the source
+    // join is doc-keyed equi; the matrix is |sources|²-bounded. The
+    // fixture's planted near-dup families cross sources, so off-diagonal
+    // cells are load-bearing.
+    ("q171_source_dup_flow",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
+        val bands = minhashBands(sh)
+        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val verified = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            Seq("id_b"))
+          .filter(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")) >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            (round(col("common").cast("double") /
+              (col("na") + col("nb") - col("common")), 4) * 10000)
+              .cast("long").as("j4"))
+        val srcs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        verified
+          .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            Seq("id_a"))
+          .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")),
+            Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"), col("j4"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sum_j4"))
+          .select(col("src_a"), col("src_b"), col("n_pairs"),
+            expr("sum_j4 div n_pairs").as("avg_j4"),
+            (col("src_a") =!= col("src_b")).as("cross_source"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        s"""WITH $shinglesSql,
+          sh_s AS (SELECT doc_id, shingle FROM sh),
+          ${minhashBandsSql("s")},
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands_s a JOIN bands_s b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+                     FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                     JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                     GROUP BY c.id_a, c.id_b),
+          verified AS (SELECT id_a, id_b,
+              CAST(ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4)
+                * 10000 AS BIGINT) AS j4
+            FROM common JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
+          flow AS (SELECT least(da.source, db.source) AS src_a,
+              greatest(da.source, db.source) AS src_b, v.j4
+            FROM verified v
+            JOIN documents da ON da.doc_id = v.id_a
+            JOIN documents db ON db.doc_id = v.id_b)
+          SELECT src_a, src_b, COUNT(*) AS n_pairs,
+            CAST(SUM(j4) AS BIGINT) // COUNT(*) AS avg_j4,
+            src_a <> src_b AS cross_source
+          FROM flow GROUP BY 1, 2 ORDER BY src_a, src_b"""
+      })
   )
 
 }
