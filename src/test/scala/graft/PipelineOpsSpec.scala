@@ -105,6 +105,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(attributed === purchases, "every purchase credited exactly once")
   }
 
+  test("q169: the full-width row of the truncation eval is a perfect self-overlap") {
+    val rows = SparkEntry.queries("q169_dim_truncation_eval")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("qid"),
+        r.getAs[Long]("n_overlap5")))
+    val probes = rows.map(_._2).distinct.length
+    assert(rows.length === 3 * probes, "every (width, probe) cell present")
+    rows.filter(_._1 == 64L).foreach { case (_, qid, ov) =>
+      assert(ov === 5L, s"full width must overlap itself 5/5 (probe $qid)")
+    }
+    rows.foreach { case (_, _, ov) => assert(ov >= 0L && ov <= 5L) }
+  }
+
+  test("q170: the advisor's verdict is the argmin of its own byte models") {
+    val rows = SparkEntry.queries("q170_encoding_advisor")(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val sizes = Map("plain" -> r.getAs[Long]("plain_bytes"),
+        "dict" -> r.getAs[Long]("dict_bytes"),
+        "rle" -> r.getAs[Long]("rle_bytes"))
+      val best = r.getAs[String]("best")
+      assert(sizes(best) === sizes.values.min,
+        s"${r.getAs[String]("colname")}: $best is not the cheapest of $sizes")
+      assert(r.getAs[Long]("runs") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("runs"),
+        "each distinct value starts at least one run")
+    }
+  }
+
+  test("q171: the flow matrix is canonical and its means are valid Jaccards") {
+    val rows = SparkEntry.queries("q171_source_dup_flow")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"),
+        "unordered pair key is canonical")
+      val avg = r.getAs[Long]("avg_j4")
+      assert(avg >= 5000L && avg <= 10000L,
+        s"mean verified Jaccard $avg outside [threshold, 1]")
+      assert(r.getAs[Boolean]("cross_source") ===
+        (r.getAs[String]("src_a") != r.getAs[String]("src_b")))
+    }
+  }
+
   test("q168: BFS levels are min-hop — level 1 is exactly v0's live out-neighborhood") {
     val rows = SparkEntry.queries("q168_bfs_levels")(spark, dir).collect()
       .map(r => (r.getAs[String]("title"), r.getAs[Long]("level")))
