@@ -2784,7 +2784,10 @@ object DedupSim {
           .withColumn("rk", row_number().over(wRank))
           .filter(col("rk") <= 5)
           .groupBy(col("id_a"), col("nb_l"))
-          .agg(sum((col("sim4") * 10000).cast("long")).as("w"))
+          // floor(x*1e4 + 0.5): sim4*10000 sits just below the integer for
+          // 573 of the 4-dp grid points (and cosine can be negative, where
+          // Spark's cast truncates toward zero but DuckDB's rounds)
+          .agg(sum(floor(col("sim4") * 10000 + 0.5).cast("long")).as("w"))
           .withColumn("vr", row_number().over(wVote))
           .filter(col("vr") === 1)
           .select(col("id_a"), col("nb_l").as("pred_l"))
@@ -2815,7 +2818,7 @@ object DedupSim {
         rk AS (SELECT *, row_number() OVER (PARTITION BY id_a
             ORDER BY sim4 DESC, id_b) AS rk FROM pairs),
         votes AS (SELECT id_a, nb_l,
-            CAST(SUM(CAST(sim4 * 10000 AS BIGINT)) AS BIGINT) AS w
+            CAST(SUM(CAST(floor(sim4 * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS w
           FROM rk WHERE rk <= 5 GROUP BY 1, 2),
         pick AS (SELECT id_a, nb_l AS pred_l, row_number() OVER (
             PARTITION BY id_a ORDER BY w DESC, nb_l) AS vr FROM votes)
@@ -2937,8 +2940,11 @@ object DedupSim {
           .filter(col("common").cast("double") /
             (col("na") + col("nb") - col("common")) >= 0.5)
           .select(col("id_a"), col("id_b"),
-            (round(col("common").cast("double") /
-              (col("na") + col("nb") - col("common")), 4) * 10000)
+            // floor(x*1e4 + 0.5) grid (the q144/q157 idiom): round(x,4)*1e4
+            // then cast truncates in Spark but rounds in DuckDB's CAST —
+            // 573 of the 10000 4-dp grid points land just below the integer
+            floor(col("common").cast("double") /
+              (col("na") + col("nb") - col("common")) * 10000 + 0.5)
               .cast("long").as("j4"))
         val srcs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"))
@@ -2969,8 +2975,8 @@ object DedupSim {
                      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
                      GROUP BY c.id_a, c.id_b),
           verified AS (SELECT id_a, id_b,
-              CAST(ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4)
-                * 10000 AS BIGINT) AS j4
+              CAST(floor(CAST(common AS DOUBLE) / (na.n + nb.n - common)
+                * 10000 + 0.5) AS BIGINT) AS j4
             FROM common JOIN sizes na ON na.doc_id = id_a
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),

@@ -1125,7 +1125,7 @@ object Relational {
     // The fixture has no second drop, so the candidate is DERIVED with
     // planted drift, identically on both sides: ~1% rows missing
     // (truncated delivery), l_tax nulled on the %13 stripe, a +50,000
-    // price shift on the %7 stripe, and a new 'X' return-flag category
+    // price shift on the %3 stripe, and a new 'X' return-flag category
     // on the %11 stripe. At 100 TB: two profile runs (each two
     // combinable single-row passes) + an 11-row join — profile cost, not
     // data cost, and the two drops can be profiled on different days
@@ -1482,12 +1482,18 @@ object Relational {
           .withColumn("cb", coalesce(col("cb"), lit(0L)))
           .withColumn("cc", coalesce(col("cc"), lit(0L)))
           .withColumn("num",
-            expr("(cb + 1) * (ncv + 10) - (cc + 1) * (nbv + 10)"))
+            // exact-integer claim must survive scale: a single bin's
+            // (cb+1)*(ncv+10) cross-product approaches 2^63 at 100 TB row
+            // counts; DuckDB promotes to HUGEINT while int64 would wrap
+            // silently, so carry the numerator (and denominator) as
+            // decimal(38,0) — same width discipline as q97's moments
+            expr("cast(cb + 1 as decimal(38,0)) * (ncv + 10) - " +
+              "cast(cc + 1 as decimal(38,0)) * (nbv + 10)"))
           .withColumn("lr4",
             floor(log(expr("cast((cb + 1) * (ncv + 10) as double)") /
               expr("cast((cc + 1) * (nbv + 10) as double)")) * 1e4 + 0.5)
               .cast("long"))
-          .withColumn("d", expr("(nbv + 10) * (ncv + 10)"))
+          .withColumn("d", expr("cast(nbv + 10 as decimal(38,0)) * (ncv + 10)"))
           .groupBy(col("cn"))
           .agg(min(col("nbv")).as("n_base"), min(col("ncv")).as("n_cand"),
             floor(sum(col("num") * col("lr4")).cast("double") * 100.0 /

@@ -164,7 +164,19 @@ object EventStreams {
     * pins it. State is ONE (us, event_id, type) triple per active user;
     * eviction by the same event-time timeout discipline as
     * [[sessionizeWithState]] belongs in production — the test keeps
-    * NoTimeout so parity is exact. */
+    * NoTimeout so parity is exact.
+    *
+    * DISORDER contract: events are ordered by (ts, event_id) within a
+    * micro-batch, and an event NOT strictly newer than the stored state
+    * (a cross-batch straggler, or a replayed duplicate) is DROPPED — it
+    * can no longer be sequenced truthfully once its successor's
+    * transition has been emitted, and emitting it in arrival order would
+    * break the q163 multiset parity. So parity holds exactly when
+    * per-user cross-batch arrival is in order; under disorder the stream
+    * under-reports (drops) rather than mis-reports. A full repair needs
+    * watermark-bounded event buffering (park until watermark, then sort)
+    * — the sessionizeWithState timeout pattern — at O(disorder window)
+    * state per user instead of O(1). */
   def transitionStream(spark: SparkSession,
       events: Dataset[Event]): Dataset[Transition] = {
     import spark.implicits._
@@ -175,10 +187,15 @@ object EventStreams {
       val out = Seq.newBuilder[Transition]
       var last = state.getOption
       sorted.foreach { e =>
-        last.foreach { l =>
-          out += Transition(userId, l.event_type, e.event_type)
-        }
-        last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+        val newer = last.forall(l =>
+          e.ts.getTime > l.us ||
+            (e.ts.getTime == l.us && e.event_id > l.event_id))
+        if (newer) {
+          last.foreach { l =>
+            out += Transition(userId, l.event_type, e.event_type)
+          }
+          last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+        } // else: older than emitted state — drop (see disorder contract)
       }
       last.foreach(state.update)
       out.result().iterator

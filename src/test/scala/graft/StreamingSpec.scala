@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("click", "purchase", 1L)), "the boundary-crossing transition was emitted")
   }
 
+  test("transitionStream: cross-batch stragglers and replays are dropped, not sequenced by arrival") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitionStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("transitions_disorder")
+      .outputMode(OutputMode.Append()).start()
+    // two processAllAvailable fences force a REAL micro-batch boundary —
+    // a single drain would coalesce both adds into one batch, where the
+    // intra-batch sort (correctly) sequences the straggler
+    mem.addData(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 1, "click", 1.0, ts(2)))
+    q.processAllAvailable()
+    mem.addData(
+      Event(9, 1, "add", 1.0, ts(1)),      // straggler: older than stored state → dropped
+      Event(2, 1, "click", 1.0, ts(2)),    // exact replay of the stored state → dropped
+      Event(3, 1, "purchase", 5.0, ts(3))) // in order: emits click→purchase
+    runToCompletion(q)
+    val streamed = spark.table("transitions_disorder")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(streamed === Set(("view", "click"), ("click", "purchase")),
+      s"straggler 'add' and the replayed 'click' must not appear: $streamed")
+  }
+
   test("erasureScrubStream: tombstoned users' events never pass, equal to the batch anti-join") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
