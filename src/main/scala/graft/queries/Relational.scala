@@ -1273,7 +1273,9 @@ object Relational {
     // the q139 r13 lesson), then the fences broadcast into a map-side
     // conditional count. Exact percentile is the oracle-parity baseline;
     // the 100 TB path swaps in q94's mergeable histogram sketch for the
-    // quartiles and keeps the identical fence pass.
+    // quartiles and keeps the identical fence pass — WIRED as
+    // q172_outlier_fences_hist (this query stays the exact A/B control;
+    // OutlierFenceSpec pins the two within one bin on this fixture).
     ("q148_robust_outliers",
       (s: SparkSession, dir: String) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1353,6 +1355,134 @@ object Relational {
           q AS (SELECT $qcols FROM d),
           cn AS (SELECT COUNT(*) AS n_rows, $sums FROM d, q)
           $rows"""
+      }),
+
+    // ---- BOUNDED-STATE outlier fences: q148's promised 100 TB path,
+    // wired (the q34→q126 precedent — a documented scale config must
+    // exist as a gated catalog twin, not a comment). q148's exact
+    // percentile() is an ObjectHashAggregate whose buffer holds every
+    // distinct cent value — l_extendedprice is ~all-distinct, so the
+    // ONLY aggregation state in the catalog that grew with the input.
+    // Here the quartiles read off q94's mergeable fixed-bin histogram:
+    // state per column = occupied bins, bounded by value-DOMAIN
+    // granularity (cents ÷ bin width), never by row count — an ordinary
+    // combinable (cn, bin)-count whose partial aggregates merge across
+    // any partitioning. The fence pass is IDENTICAL in shape to q148's
+    // (broadcast 4-row fence table into a map-side conditional count).
+    // Exactness is engineered: bins are floor(v/W) on cent integers via
+    // double division (exact for |v| < 2^53; floor — not integer div —
+    // because Spark's `div` truncates toward zero while DuckDB's `//`
+    // floors, and the planted l_discount stripe is negative); the
+    // quartile is the smallest bin with 4·cum > k·(n−1) — the bin
+    // holding the LOWER order statistic of q148's type-7 interpolation
+    // index k(n−1)/4 + 1, so the two paths read the same neighborhood
+    // (q94's multiply-through, no float thresholds) — valued at its
+    // lower edge bin·W; fences compare in multiply-through form
+    // 2v < 2q1 − 3·IQR so 1.5·IQR never leaves the integers. Bin widths
+    // (cents): quantity 100, extendedprice 100000, discount/tax 1 — a
+    // width must keep bins DENSE (≫1 row/bin at the smallest deployment,
+    // ~100 bins over the known domain), or the one-bin error bound
+    // dissolves in empty-bin gaps between adjacent order statistics;
+    // bin_w is in the output schema so the grain is visible.
+    // OutlierFenceSpec pins quartiles within one bin of q148's exact
+    // ones and the planted-outlier counts EQUAL (the ×1000/×100 plants
+    // sit far outside any one-bin fence wobble).
+    ("q172_outlier_fences_hist",
+      (s: SparkSession, dir: String) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val widths = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,
+          "l_discount" -> 1L, "l_tax" -> 1L)
+        // same planted-outlier cent grid as q148 (the exact A/B control)
+        val base = t(s, dir, "lineitem")
+        val aug = base.select(cols.map(col): _*).unionByName(
+          base.filter(col("l_orderkey") % 9973 === 0)
+            .select((col("l_quantity") * 1000).as("l_quantity"),
+              (col("l_extendedprice") * 100).as("l_extendedprice"),
+              (col("l_discount") - 5.0).as("l_discount"),
+              (col("l_tax") + 5.0).as("l_tax")))
+        val stackE = cols.map(c =>
+          s"'$c', cast(floor($c * 100 + 0.5) as bigint)")
+          .mkString(s"stack(${cols.size}, ", ", ", ") as (cn, v)")
+        val widthCase = cols.map(c => s"WHEN '$c' THEN ${widths(c)}L")
+          .mkString("CASE cn ", " ", " END")
+        val m = aug.select(expr(stackE))
+          .withColumn("w", expr(widthCase))
+          .withColumn("bin", floor(col("v").cast("double") / col("w")))
+          .localCheckpoint() // feeds the histogram AND the fence pass
+        Scoped.releaseAfterUse(m)
+        val wc = Window.partitionBy(col("cn")).orderBy(col("bin"))
+        val qs = m.groupBy(col("cn"), col("w"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("total", sum(col("cnt")).over(
+            Window.partitionBy(col("cn"))))
+          .groupBy(col("cn"), col("w"))
+          .agg(
+            min(when(col("cum") * 4 > col("total") - 1, col("bin"))).as("b1"),
+            min(when(col("cum") * 4 > (col("total") - 1) * 2, col("bin"))).as("b2"),
+            min(when(col("cum") * 4 > (col("total") - 1) * 3, col("bin"))).as("b3"),
+            max(col("total")).as("n_rows"))
+          .select(col("cn"), col("n_rows"),
+            (col("b1") * col("w")).as("q1_cents"),
+            (col("b2") * col("w")).as("median_cents"),
+            (col("b3") * col("w")).as("q3_cents"),
+            col("w").as("bin_w"))
+        val f = m.join(broadcast(qs), Seq("cn"))
+          .groupBy(col("cn"))
+          .agg(
+            sum(when(col("v") * 2 <
+              col("q1_cents") * 2 - (col("q3_cents") - col("q1_cents")) * 3,
+              1L).otherwise(0L)).as("n_below"),
+            sum(when(col("v") * 2 >
+              col("q3_cents") * 2 + (col("q3_cents") - col("q1_cents")) * 3,
+              1L).otherwise(0L)).as("n_above"))
+        qs.join(f, Seq("cn"))
+          .select(col("cn").as("column_name"), col("n_rows"),
+            col("q1_cents"), col("median_cents"), col("q3_cents"),
+            (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+            col("bin_w"), col("n_below"), col("n_above"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val widths = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,
+          "l_discount" -> 1L, "l_tax" -> 1L)
+        val melt = cols.map(c =>
+          s"""SELECT '$c' AS cn, CAST(floor($c * 100 + 0.5) AS BIGINT) AS v,
+            CAST(${widths(c)} AS BIGINT) AS w FROM aug""")
+          .mkString("\n          UNION ALL ")
+        s"""WITH aug AS (
+            SELECT ${cols.mkString(", ")} FROM lineitem
+            UNION ALL
+            SELECT l_quantity * 1000, l_extendedprice * 100,
+              l_discount - 5.0, l_tax + 5.0
+            FROM lineitem WHERE l_orderkey % 9973 = 0),
+          m AS ($melt),
+          mb AS (SELECT cn, w, v,
+              CAST(floor(CAST(v AS DOUBLE) / w) AS BIGINT) AS bin FROM m),
+          hist AS (SELECT cn, w, bin, COUNT(*) AS cnt FROM mb GROUP BY 1, 2, 3),
+          c AS (SELECT cn, w, bin, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY cn ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY cn) AS BIGINT) AS total
+            FROM hist),
+          q AS (SELECT cn, w, MAX(total) AS n_rows,
+              MIN(CASE WHEN cum * 4 > total - 1 THEN bin END) * w AS q1_cents,
+              MIN(CASE WHEN cum * 4 > (total - 1) * 2 THEN bin END) * w AS median_cents,
+              MIN(CASE WHEN cum * 4 > (total - 1) * 3 THEN bin END) * w AS q3_cents
+            FROM c GROUP BY 1, 2),
+          f AS (SELECT mb.cn,
+              CAST(SUM(CASE WHEN mb.v * 2 <
+                q.q1_cents * 2 - (q.q3_cents - q.q1_cents) * 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+              CAST(SUM(CASE WHEN mb.v * 2 >
+                q.q3_cents * 2 + (q.q3_cents - q.q1_cents) * 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM mb JOIN q ON q.cn = mb.cn GROUP BY 1)
+          SELECT q.cn AS column_name, q.n_rows, q.q1_cents, q.median_cents,
+            q.q3_cents, q.q3_cents - q.q1_cents AS iqr_cents, q.w AS bin_w,
+            f.n_below, f.n_above
+          FROM q JOIN f ON f.cn = q.cn ORDER BY column_name"""
       }),
 
     // ---- zone-map DATA-SKIPPING effectiveness report: quantifies what

@@ -1,0 +1,39 @@
+package graft
+
+/** Pins q172 (bounded-state histogram quartiles) against q148 (exact
+  * percentile, the oracle-parity A/B control) on the planted-outlier
+  * fixture: the sketch's quartiles must sit within ONE BIN of the exact
+  * ones, and the planted outlier counts must be IDENTICAL — the ×1000 /
+  * ×100 / ±5.00 plants sit so far outside the fences that a one-bin
+  * fence wobble cannot reclassify them. This is the r13 verdict's done
+  * criterion for wiring the catalog's last unbounded-state aggregate to
+  * a mergeable fixed-bin path (the q34→q126 precedent).
+  */
+class OutlierFenceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q172 quartiles sit within one bin of q148's exact ones; planted outlier counts identical") {
+    val exact = SparkEntry.queries("q148_robust_outliers")(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val hist = SparkEntry.queries("q172_outlier_fences_hist")(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(exact.keySet === hist.keySet)
+    val expectedW = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,
+      "l_discount" -> 1L, "l_tax" -> 1L)
+    hist.foreach { case (cn, h) =>
+      val e = exact(cn)
+      val w = h.getAs[Long]("bin_w")
+      assert(w === expectedW(cn), s"$cn bin width")
+      Seq("q1_cents", "median_cents", "q3_cents").foreach { q =>
+        val hq = h.getAs[Long](q).toDouble
+        val eq = e.getAs[Double](q)
+        assert(math.abs(hq - eq) <= w.toDouble,
+          s"$cn $q: hist=$hq exact=$eq bin_w=$w")
+      }
+      assert(h.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"), s"$cn n_rows")
+      assert(h.getAs[Long]("n_below") === e.getAs[Long]("n_below"), s"$cn n_below")
+      assert(h.getAs[Long]("n_above") === e.getAs[Long]("n_above"), s"$cn n_above")
+    }
+  }
+}
