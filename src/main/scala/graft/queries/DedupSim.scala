@@ -136,6 +136,16 @@ object DedupSim {
     }.mkString(" + ")
   }
 
+  /** DuckDB mirror of [[graft.core.BlockPolicy.srpBits]]: the banded SRP
+    * cell id, reading the corpus count from a `cnt` CTE the caller must
+    * provide (`cnt AS (SELECT COUNT(*) AS n FROM embeddings)`) — both
+    * engines pick the same width from the data (the q161 idiom; one
+    * policy point per VERDICT r13 #7). */
+  private def srpCellCaseSql(v: String): String =
+    s"""CASE WHEN (SELECT n FROM cnt) >= 10000 THEN (${srpCellSql(v, 10)})
+              WHEN (SELECT n FROM cnt) >= 2000 THEN (${srpCellSql(v, 6)})
+              ELSE (${srpCellSql(v, 4)}) END"""
+
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
@@ -225,8 +235,10 @@ object DedupSim {
     * q34→q126 A/B, SCALING.md). 32-bit survives ONLY as q34, retained
     * deliberately as the oracle-parity A/B control; `bits` has no
     * default so a new consumer must choose a width on purpose
-    * (SimHashWidthSpec pins that 32 appears nowhere else). */
-  private[graft] val ScaleBits = 64
+    * (SimHashWidthSpec pins that 32 appears nowhere else). The value
+    * lives in [[graft.core.BlockPolicy]] — the one policy point for
+    * every blocked-pair width (VERDICT r13 #7). */
+  private[graft] val ScaleBits = graft.core.BlockPolicy.SimHashScaleBits
 
   private[graft] def simhashCandFrom(docs: DataFrame, bits: Int): DataFrame = {
     val sig = simhashSigFrom(docs, bits).localCheckpoint()
@@ -1209,8 +1221,12 @@ object DedupSim {
               array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
               expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"),
             col("label"))
+        // banded cell width (BlockPolicy.srpBits, mirrored by a CASE on
+        // COUNT(*) in the oracle): the (label, cell) pair space must grow
+        // with the corpus — the q34→q126 lesson (VERDICT r13 #7)
+        val bits = graft.core.BlockPolicy.srpBits(e0.count())
         val e = e0.unionByName(planted)
-          .withColumn("cell", Ivf.cellCol("embedding", Ivf.DefaultBits, Ivf.DefaultDims))
+          .withColumn("cell", Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
         val a = e.select(col("vec_id").as("id_a"), col("label"), col("cell"),
           col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("id_b"), col("label"), col("cell"),
@@ -1223,7 +1239,8 @@ object DedupSim {
             round(col("sim"), 4).as("sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH aug AS (
+      Some(s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+        aug AS (
           SELECT vec_id, embedding, label FROM embeddings
           UNION ALL
           SELECT vec_id + 1000000000000,
@@ -1231,7 +1248,7 @@ object DedupSim {
             label
           FROM embeddings WHERE vec_id % 10 = 0),
         c AS (SELECT vec_id, label, embedding,
-            (${srpCellSql("embedding")}) AS cell FROM aug)
+            (${srpCellCaseSql("embedding")}) AS cell FROM aug)
         SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(${cosDuck("a.embedding", "b.embedding")}, 4) AS sim
         FROM c a JOIN c b
@@ -2393,8 +2410,12 @@ object DedupSim {
               array(expr("cast(cast(element_at(embedding, 1) as double) * 0.5d as float)")),
               expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"),
             col("label"))
+        // banded cell width via BlockPolicy (VERDICT r13 #7) — the vector
+        // side's (label, cell) pair space grows with the corpus, matching
+        // the text side's 64-bit scale config
+        val bits = graft.core.BlockPolicy.srpBits(e0.count())
         val e = e0.unionByName(eplant)
-          .withColumn("cell", Ivf.cellCol("embedding", Ivf.DefaultBits, Ivf.DefaultDims))
+          .withColumn("cell", Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
         val va = e.select(col("vec_id").as("id_a"), col("label"), col("cell"),
           col("embedding").as("ea"))
         val vb = e.select(col("vec_id").as("id_b"), col("label"), col("cell"),
@@ -2413,7 +2434,8 @@ object DedupSim {
           .orderBy(col("signal"))
       },
       Some(s"""${simhashSql64(src = "pd").replaceFirst("WITH ",
-          """WITH pd AS (SELECT doc_id, text FROM documents
+          """WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+            pd AS (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000000000, text
             FROM documents WHERE doc_id % 6 = 0), """)},
         $simhashCandSql64,
@@ -2426,7 +2448,7 @@ object DedupSim {
             label
           FROM embeddings WHERE vec_id % 10 = 0),
         cc AS (SELECT vec_id, label, embedding,
-            (${srpCellSql("embedding")}) AS cell FROM aug),
+            (${srpCellCaseSql("embedding")}) AS cell FROM aug),
         vp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM cc a JOIN cc b
             ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2571,16 +2593,31 @@ object DedupSim {
                 expr("substring(upper(p_desc), 1, length(p_desc) - 1)"))
               .when(col("p_partkey") % 11 === 0, reverse(col("p_desc")))
               .otherwise(col("p_desc")).as("cand_name"))
-        def pass(key: String => org.apache.spark.sql.Column): DataFrame =
-          cands.withColumn("bk", key("cand_name"))
-            .join(cat.withColumn("bk", key("p_desc")), Seq("bk"))
+        // the blocked-pair term is n²/|blocks| and the 3-word key space
+        // is VOCABULARY-bounded (it does not grow with the catalog):
+        // measured 93× pairs for 10× parts at sf1 (76 k → 7.1 M), the
+        // q34→q126 quadratic resurfacing in ER form. Above the
+        // BlockPolicy band each complementary key is refined with the
+        // first 3 chars of the word it OMITS — loss-free for every
+        // corruption class the operator is specified against (case is
+        // normalized, truncation drops the string's final char, never
+        // the omitted word's prefix) and mirrored by a CASE on COUNT(*)
+        // in the oracle so both engines pick the same space.
+        val refine = graft.core.BlockPolicy.refineNameBlocks(cat.count())
+        def key(c: String, start: Int, omitted: Int): org.apache.spark.sql.Column = {
+          val base = s"concat_ws(' ', slice(split(lower($c), ' '), $start, 3))"
+          if (refine)
+            expr(s"$base || ' ' || substring(element_at(split(lower($c), ' '), $omitted), 1, 3)")
+          else expr(base)
+        }
+        def pass(k: String => org.apache.spark.sql.Column): DataFrame =
+          cands.withColumn("bk", k("cand_name"))
+            .join(cat.withColumn("bk", k("p_desc")), Seq("bk"))
             .filter(abs(length(col("cand_name")) - length(col("p_desc"))) <= 2)
             .select(col("cand_id"), col("cand_name"),
               col("p_partkey"), col("p_desc"))
-        val pairs = pass(c =>
-            expr(s"concat_ws(' ', slice(split(lower($c), ' '), 1, 3))"))
-          .unionByName(pass(c =>
-            expr(s"concat_ws(' ', slice(split(lower($c), ' '), 2, 3))")))
+        val pairs = pass(key(_, 1, 4))
+          .unionByName(pass(key(_, 2, 1)))
           .distinct()
           .withColumn("dist",
             levenshtein(lower(col("cand_name")), lower(col("p_desc")))
@@ -2597,7 +2634,19 @@ object DedupSim {
             col("best_partkey"), col("best_distance"))
           .orderBy(col("cand_id"))
       },
-      Some("""WITH cat AS (SELECT p_partkey,
+      Some {
+        // the banded key refinement (BlockPolicy.refineNameBlocks),
+        // mirrored as a CASE on COUNT(*) — the q161 idiom
+        def bk(v: String, a: Int, b: Int, omitted: Int) = {
+          val base = s"""array_to_string(list_slice(
+                 string_split(lower($v), ' '), $a, $b), ' ')"""
+          s"""CASE WHEN (SELECT n FROM pcnt) >= 100000
+               THEN $base || ' ' ||
+                 substring(string_split(lower($v), ' ')[$omitted], 1, 3)
+               ELSE $base END"""
+        }
+        s"""WITH pcnt AS (SELECT COUNT(*) AS n FROM part),
+        cat AS (SELECT p_partkey,
             p_name || ' ' || lower(p_brand) || ' ' || lower(p_type) AS p_desc
           FROM part),
         cands AS (SELECT p_partkey + 2000000000 AS cand_id,
@@ -2607,18 +2656,20 @@ object DedupSim {
                  ELSE p_desc END AS cand_name
           FROM cat
           WHERE p_partkey % 7 = 0 OR p_partkey % 11 = 0 OR p_partkey % 13 = 0),
+        ck AS (SELECT cand_id, cand_name,
+            (${bk("cand_name", 1, 3, 4)}) AS bk1,
+            (${bk("cand_name", 2, 4, 1)}) AS bk2 FROM cands),
+        pk AS (SELECT p_partkey, p_desc,
+            (${bk("p_desc", 1, 3, 4)}) AS bk1,
+            (${bk("p_desc", 2, 4, 1)}) AS bk2 FROM cat),
         rawpairs AS (
-          SELECT DISTINCT c.cand_id, c.cand_name, p.p_partkey, p.p_desc
-          FROM cands c JOIN cat p
-            ON array_to_string(list_slice(
-                 string_split(lower(c.cand_name), ' '), 1, 3), ' ') =
-               array_to_string(list_slice(
-                 string_split(lower(p.p_desc), ' '), 1, 3), ' ')
-            OR array_to_string(list_slice(
-                 string_split(lower(c.cand_name), ' '), 2, 4), ' ') =
-               array_to_string(list_slice(
-                 string_split(lower(p.p_desc), ' '), 2, 4), ' ')
-          WHERE abs(length(c.cand_name) - length(p.p_desc)) <= 2),
+          SELECT DISTINCT cand_id, cand_name, p_partkey, p_desc FROM (
+            SELECT c.cand_id, c.cand_name, p.p_partkey, p.p_desc
+            FROM ck c JOIN pk p ON c.bk1 = p.bk1
+            UNION ALL
+            SELECT c.cand_id, c.cand_name, p.p_partkey, p.p_desc
+            FROM ck c JOIN pk p ON c.bk2 = p.bk2)
+          WHERE abs(length(cand_name) - length(p_desc)) <= 2),
         pairs AS (SELECT cand_id, p_partkey,
             CAST(levenshtein(lower(cand_name), lower(p_desc)) AS BIGINT)
               AS dist
@@ -2633,7 +2684,8 @@ object DedupSim {
           b.best_partkey, b.best_distance
         FROM cands c
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (cand_id)
-        ORDER BY c.cand_id"""))
+        ORDER BY c.cand_id"""
+      })
   ,
 
     // ---- embedding-space covariance DIAGNOSTICS (whitening /
@@ -2760,9 +2812,9 @@ object DedupSim {
         // its n²/cells candidate term): banded bits keep cells at ~32
         // vectors at every fixture scale; the bands are mirrored by a
         // CASE on COUNT(*) in the oracle, so both engines pick the same
-        // width from the data
+        // width from the data. Band values live in BlockPolicy (r13 #7).
         val nBase = e0.count()
-        val bits = if (nBase >= 10000L) 10 else if (nBase >= 2000L) 6 else 4
+        val bits = graft.core.BlockPolicy.srpBits(nBase)
         val base = e0
           .withColumn("cell", Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
           .select(col("vec_id").as("id_b"), col("label").as("nb_l"),
@@ -2799,19 +2851,15 @@ object DedupSim {
           .orderBy(col("true_label"), col("pred_label"))
       },
       Some({
-        def cellCase(v: String) =
-          s"""CASE WHEN (SELECT n FROM cnt) >= 10000 THEN (${srpCellSql(v, 10)})
-              WHEN (SELECT n FROM cnt) >= 2000 THEN (${srpCellSql(v, 6)})
-              ELSE (${srpCellSql(v, 4)}) END"""
         s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
         base AS (SELECT vec_id AS id_b, label AS nb_l, embedding AS eb,
-            (${cellCase("embedding")}) AS cell FROM embeddings),
+            (${srpCellCaseSql("embedding")}) AS cell FROM embeddings),
         pr0 AS (SELECT vec_id + 1000000000000 AS id_a, label AS true_l,
             list_prepend(CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT),
               embedding[2:]) AS ea
           FROM embeddings WHERE vec_id % 5 = 0),
         probes AS (SELECT id_a, true_l, ea,
-            (${cellCase("ea")}) AS cell FROM pr0),
+            (${srpCellCaseSql("ea")}) AS cell FROM pr0),
         pairs AS (SELECT p.id_a, b.id_b, b.nb_l,
             ROUND(${cosDuck("p.ea", "b.eb")}, 4) AS sim4
           FROM probes p JOIN base b ON p.cell = b.cell),

@@ -104,6 +104,40 @@ class SimHashWidthSpec extends SparkSpec {
     assert(DedupSim.ScaleBits === 64)
   }
 
+  test("blocked-pair widths flow from ONE policy point (VERDICT r13 #7)") {
+    import graft.core.BlockPolicy
+    // simhash width: the catalog constant IS the policy constant
+    assert(DedupSim.ScaleBits === BlockPolicy.SimHashScaleBits)
+    // the SRP band shape every oracle CASE mirrors
+    assert(BlockPolicy.srpBits(0L) === 4)
+    assert(BlockPolicy.srpBits(1999L) === 4)
+    assert(BlockPolicy.srpBits(2000L) === 6)
+    assert(BlockPolicy.srpBits(9999L) === 6)
+    assert(BlockPolicy.srpBits(10000L) === 10)
+    // the ER refinement band q154 and its oracle share
+    assert(!BlockPolicy.refineNameBlocks(99999L))
+    assert(BlockPolicy.refineNameBlocks(100000L))
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/queries/DedupSim.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // every SRP pair-space site (q36, q136, q161) derives its width from
+    // the policy — a new consumer with a literal width fails here
+    val cellWidths = """Ivf\.cellCol\("[^"]+",\s*([^,]+),""".r
+      .findAllMatchIn(src).map(_.group(1).trim).toList
+    assert(cellWidths.nonEmpty, "no cellCol call sites found — regex drifted")
+    assert(cellWidths.forall(_ == "bits"),
+      s"cellCol site with a non-policy width: $cellWidths")
+    assert("""BlockPolicy\.srpBits""".r.findAllIn(src).size >= 3,
+      "q36/q136/q161 must all band via BlockPolicy.srpBits")
+    assert(src.contains("BlockPolicy.refineNameBlocks"),
+      "q154 must band via BlockPolicy.refineNameBlocks")
+    // and the oracle mirrors carry the same thresholds
+    assert(src.contains("FROM cnt) >= 10000") && src.contains("FROM cnt) >= 2000"),
+      "shared SRP CASE mirror lost its policy thresholds")
+    assert(src.contains("FROM pcnt) >= 100000"),
+      "q154 oracle lost its refinement threshold")
+  }
+
   test("q112 blocking-k scale rule: fixture scales stay at the oracle's k") {
     assert(DedupSim.semdedupK(22L) === 4)     // sf0.001
     assert(DedupSim.semdedupK(220L) === 4)    // sf0.01 (the oracle gate)

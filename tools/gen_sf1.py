@@ -135,6 +135,73 @@ def gen_lineitem(rng):
     })
 
 
+N_PARTS = 200_000     # sf0.1: 20,000 (lineitem sf1 draws l_partkey in [0, 200k))
+N_ORDERS = 1_500_000  # sf0.1: 150,000 (lineitem sf1 l_orderkey domain)
+N_CUSTS = 150_000     # sf0.1: 15,000
+
+ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def gen_part(rng):
+    """sf1-shaped part: 10x rows, SAME vocabulary sizes as sf0.1 (64
+    names, 25 brands, 6 types) — name diversity deliberately does NOT
+    scale, which is exactly the property q154's blocked-pair growth
+    term needs to exercise. p_retailprice keeps sf0.1's deterministic
+    900 + (key % 1000)/10 ramp."""
+    keys = np.arange(N_PARTS)
+    names = [f"{ADJS[int(a)]} {NOUNS[int(b)]}" for a, b in
+             zip(rng.integers(0, 8, N_PARTS), rng.integers(0, 8, N_PARTS))]
+    return pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array([f"Brand#{int(x)}" for x in
+                             rng.integers(1, 26, N_PARTS)], pa.string()),
+        "p_type": pa.array(np.array(TYPES)[rng.integers(0, 6, N_PARTS)],
+                           pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, N_PARTS).astype("int32"),
+                           pa.int32()),
+        "p_retailprice": pa.array(900.0 + (keys % 1000) / 10.0, pa.float64()),
+    })
+
+
+def gen_orders(rng):
+    """sf1-shaped orders: dense orderkeys matching sf1 lineitem's
+    l_orderkey domain, custkeys over the sf1 customer domain, same
+    date span / status / priority mix as sf0.1."""
+    day_us = 24 * 3600 * 1_000_000
+    base_us = np.datetime64("1995-01-01T00:00:00", "us").astype("int64")
+    dates = rng.integers(0, 2405, N_ORDERS) * day_us + base_us
+    return pa.table({
+        "o_orderkey": pa.array(np.arange(N_ORDERS), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, N_CUSTS, N_ORDERS), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[
+            rng.integers(0, 3, N_ORDERS)], pa.string()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1000.0, 500_000.0, N_ORDERS), 2), pa.float64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(PRIORITIES)[
+            rng.integers(0, 5, N_ORDERS)], pa.string()),
+    })
+
+
+def gen_customer(rng):
+    return pa.table({
+        "c_custkey": pa.array(np.arange(N_CUSTS), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUSTS)],
+                           pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUSTS).astype("int32"),
+                                pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000.0, 10_000.0, N_CUSTS), 2),
+                              pa.float64()),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[
+            rng.integers(0, 5, N_CUSTS)], pa.string()),
+    })
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(421)
@@ -151,12 +218,25 @@ def main():
             os.remove(dst)  # r12 symlinked these to sf0.1; now generated
         if not os.path.exists(dst):
             pq.write_table(gen(rng), dst, row_group_size=65536)
-    for name in ["region", "nation", "customer", "supplier", "part", "orders"]:
+    # part/orders/customer get their OWN seeded stream (r14): the main
+    # stream's position depends on which files already exist (generators
+    # above are called lazily), so a shared stream would make these
+    # tables differ between an incremental and a from-scratch run
+    rng2 = np.random.default_rng(1421)
+    for name, gen in [("part", gen_part), ("orders", gen_orders),
+                      ("customer", gen_customer)]:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)  # symlinked to sf0.1 through r13; now generated
+        if not os.path.exists(dst):
+            pq.write_table(gen(rng2), dst, row_group_size=65536)
+    for name in ["region", "nation", "supplier"]:
         dst = os.path.join(OUT, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
     print(f"wrote {OUT}: documents={N_DOCS}, embeddings={N_VECS}, "
-          f"events={N_EVENTS}, lineitem={N_LINES}")
+          f"events={N_EVENTS}, lineitem={N_LINES}, part={N_PARTS}, "
+          f"orders={N_ORDERS}, customer={N_CUSTS}")
 
 
 if __name__ == "__main__":
