@@ -1034,7 +1034,8 @@ object CorpusSearch {
     * this doc_id-only join. Both are mechanical once a query batch
     * exists; the single-query TakeOrdered is the better plan for one
     * query. */
-  def hybridRrf(s: SparkSession, dir: String, topK: Int = 10000): DataFrame = {
+  def hybridRrf(s: SparkSession, dir: String, topK: Int = 10000,
+      term: String = "spark", vecId: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     require(topK >= 20, s"topK must be >= 20, got $topK")
@@ -1044,7 +1045,7 @@ object CorpusSearch {
     // unlike a literal query id cannot be constant-folded out of the
     // partitionSpec by the optimizer (a foldable key IS removed, quietly
     // reintroducing the single-partition window — PlanSpec guards this)
-    val queries = Seq("spark").toDF("query_id")
+    val queries = Seq(term).toDF("query_id")
     val docs = t(s, dir, "documents")
     val n = docs.count() // driver-side metadata agg, like ref A2
     val toks = explodeLean(docs, Seq(col("doc_id")), expr(tokensExpr), "term")
@@ -1069,11 +1070,11 @@ object CorpusSearch {
       .withColumn("rank_lex", row_number().over(wLex).cast("long"))
     val e = t(s, dir, "embeddings")
     // the probe relation carries its own id — same non-foldable-key point
-    val probe = e.filter(col("vec_id") === 0)
+    val probe = e.filter(col("vec_id") === vecId)
       .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
     val wVec = Window.partitionBy(col("probe_id"))
       .orderBy(desc("vec_score"), asc("doc_id"))
-    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+    val vec = e.filter(col("vec_id") =!= vecId).crossJoin(broadcast(probe))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         (floor(expr(DedupSim.cosSpark("embedding", "qv")) * 1e4 + 0.5) / 1e4).as("vec_score"))
       .orderBy(desc("vec_score"), asc("doc_id")).limit(topK) // TakeOrdered
