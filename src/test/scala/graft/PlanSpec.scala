@@ -234,10 +234,27 @@ class PlanSpec extends SparkSpec {
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
       }
     Seq("q84_sequence_packing", "q113_hybrid_rrf", "q115_curriculum_order",
-      "q118_ann_ndcg", "q121_bitext_margin").foreach { q =>
+      "q118_ann_ndcg", "q121_bitext_margin", "q173_hybrid_rrf_batch").foreach { q =>
       assert(unpartitioned(q).isEmpty,
         s"$q plans a single-partition window — the 100 TB scale-killer")
     }
+  }
+
+  test("q173: every per-query top-K plans a query_id-partitioned WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    // The batch-retrieval contract (VERDICT r14 #1): the three rank<=K
+    // sites (lex top-K, vec top-K, fused top-20) must each rewrite to
+    // WindowGroupLimit — the distributed per-group top-K that prunes
+    // partitions BEFORE the rank window's exchange — and every node must
+    // carry the query_id partitionSpec (an empty spec would be the r7
+    // single-partition defect in new clothes). Spark plans each site as
+    // a Partial+Final pair, so >= 3 nodes means all three sites rewrote.
+    val gls = SparkEntry.queries("q173_hybrid_rrf_batch")(spark, dir)
+      .queryExecution.sparkPlan.collect { case w: WindowGroupLimitExec => w }
+    assert(gls.size >= 3,
+      s"expected >= 3 WindowGroupLimit nodes (3 rank<=K sites), got ${gls.size}")
+    assert(gls.forall(_.partitionSpec.nonEmpty),
+      "a WindowGroupLimit lost its query_id partitionSpec")
   }
 
   test("sanctioned unpartitioned-window whitelist: exactly the two bounded sites") {
