@@ -1620,8 +1620,13 @@ object Relational {
             expr("cast(cb + 1 as decimal(38,0)) * (ncv + 10) - " +
               "cast(cc + 1 as decimal(38,0)) * (nbv + 10)"))
           .withColumn("lr4",
-            floor(log(expr("cast((cb + 1) * (ncv + 10) as double)") /
-              expr("cast((cc + 1) * (nbv + 10) as double)")) * 1e4 + 0.5)
+            // cast each factor BEFORE the multiply (ADVICE r14): a
+            // double product cannot wrap, while an int64 (cb+1)*(ncv+10)
+            // at 100 TB row counts wraps silently under Spark's non-ANSI
+            // arithmetic (DuckDB would error) — below 2^53 the double
+            // product is exact, so fixture results are bit-identical
+            floor(log(expr("cast(cb + 1 as double) * cast(ncv + 10 as double)") /
+              expr("cast(cc + 1 as double) * cast(nbv + 10 as double)")) * 1e4 + 0.5)
               .cast("long"))
           .withColumn("d", expr("cast(nbv + 10 as decimal(38,0)) * (ncv + 10)"))
           .groupBy(col("cn"))
@@ -1661,8 +1666,8 @@ object Relational {
             JOIN nb ON nb.cn = g.cn JOIN nc ON nc.cn = g.cn),
           term AS (SELECT cn, nbv, ncv,
               ((cb + 1) * (ncv + 10) - (cc + 1) * (nbv + 10)) AS num,
-              CAST(floor(ln(CAST((cb + 1) * (ncv + 10) AS DOUBLE)
-                / CAST((cc + 1) * (nbv + 10) AS DOUBLE)) * 10000.0 + 0.5)
+              CAST(floor(ln((CAST(cb + 1 AS DOUBLE) * CAST(ncv + 10 AS DOUBLE))
+                / (CAST(cc + 1 AS DOUBLE) * CAST(nbv + 10 AS DOUBLE))) * 10000.0 + 0.5)
                 AS BIGINT) AS lr4,
               (nbv + 10) * (ncv + 10) AS d
             FROM t)

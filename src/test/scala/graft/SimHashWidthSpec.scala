@@ -120,12 +120,24 @@ class SimHashWidthSpec extends SparkSpec {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/queries/DedupSim.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
-    // every SRP pair-space site (q36, q136, q161) derives its width from
-    // the policy — a new consumer with a literal width fails here
-    val cellWidths = """Ivf\.cellCol\("[^"]+",\s*([^,]+),""".r
-      .findAllMatchIn(src).map(_.group(1).trim).toList
+    // every SRP pair-space site derives its width from the policy — and
+    // the sweep covers ALL of src/main/scala (ADVICE r14: a consumer in
+    // another file passing a literal width must not escape the gate)
+    val cellWidthRe = """Ivf\.cellCol\("[^"]+",\s*([^,]+),""".r
+    val allMain = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => p.toString -> new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .toList
+    }
+    val cellWidths = allMain.flatMap { case (path, text) =>
+      cellWidthRe.findAllMatchIn(text).map(m => path -> m.group(1).trim)
+    }
     assert(cellWidths.nonEmpty, "no cellCol call sites found — regex drifted")
-    assert(cellWidths.forall(_ == "bits"),
+    assert(cellWidths.forall(_._2 == "bits"),
       s"cellCol site with a non-policy width: $cellWidths")
     assert("""BlockPolicy\.srpBits""".r.findAllIn(src).size >= 3,
       "q36/q136/q161 must all band via BlockPolicy.srpBits")

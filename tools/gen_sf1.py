@@ -218,18 +218,22 @@ def main():
             os.remove(dst)  # r12 symlinked these to sf0.1; now generated
         if not os.path.exists(dst):
             pq.write_table(gen(rng), dst, row_group_size=65536)
-    # part/orders/customer get their OWN seeded stream (r14): the main
-    # stream's position depends on which files already exist (generators
-    # above are called lazily), so a shared stream would make these
-    # tables differ between an incremental and a from-scratch run
-    rng2 = np.random.default_rng(1421)
-    for name, gen in [("part", gen_part), ("orders", gen_orders),
-                      ("customer", gen_customer)]:
+    # part/orders/customer each get their OWN seed (ADVICE r14): a stream
+    # shared across the group reintroduces the lazy-position flaw WITHIN
+    # it — if a strict subset of the three files exists (interrupted run),
+    # the rerun consumes the stream from a different position than a
+    # from-scratch run. Per-table seeds make every table's bytes a
+    # function of its own seed only, so incremental == from-scratch
+    # regardless of which files survive. (Changes orders/customer bytes
+    # vs the r14 shared-stream layout; distributions are identical.)
+    for idx, (name, gen) in enumerate([("part", gen_part), ("orders", gen_orders),
+                                       ("customer", gen_customer)]):
         dst = os.path.join(OUT, f"{name}.parquet")
         if os.path.islink(dst):
             os.remove(dst)  # symlinked to sf0.1 through r13; now generated
         if not os.path.exists(dst):
-            pq.write_table(gen(rng2), dst, row_group_size=65536)
+            pq.write_table(gen(np.random.default_rng(1421 + idx)), dst,
+                           row_group_size=65536)
     for name in ["region", "nation", "supplier"]:
         dst = os.path.join(OUT, f"{name}.parquet")
         if not os.path.exists(dst):
