@@ -30,6 +30,24 @@ object BlockPolicy {
   def srpBits(n: Long): Int =
     if (n >= 10000L) 10 else if (n >= 2000L) 6 else 4
 
+  /** Doc budget for the EXACT side of the sketch-quality evals (q122 —
+    * VERDICT r14 #3): the all-pairs-by-shingle ground-truth join is the
+    * one intentionally quadratic shape in the dedup family, so above
+    * this many documents the eval runs it over a deterministic
+    * md5-bucket doc sample (`DedupSim.sampleDocs`) of ~this size and
+    * reports the recall estimate's 95% CI alongside it. 2000 docs ≈
+    * 2M shingle-pair candidates — bounded regardless of corpus size —
+    * and keeps every fixture gate (≤500 docs) at fraction 1.0, where
+    * the sample filter is absent and the DuckDB oracle needs no twin. */
+  val ExactEvalDocBudget: Long = 2000L
+
+  /** Fraction of docs the exact ground-truth side evaluates: 1.0 up to
+    * [[ExactEvalDocBudget]], then budget/n — the sampled doc count stays
+    * ~constant, so the quadratic term stops growing with the corpus. */
+  def exactEvalFraction(nDocs: Long): Double =
+    if (nDocs <= ExactEvalDocBudget) 1.0
+    else ExactEvalDocBudget.toDouble / nDocs
+
   /** ER composite-name-key refinement band (q154): below the band the
     * complementary 3-word keys stand alone (the oracle-gated fixture
     * config); above it each key is refined with the first 3 characters

@@ -600,8 +600,12 @@ object DedupSim {
     * verification work the bucketing induces, a whole-corpus property).
     * At the default 1.0 no filter node exists, plan and result are
     * identical to the unsampled eval, and prec = n_hit / n_pred — the
-    * catalog gate runs there, so the DuckDB oracle needs no sampling
-    * twin. */
+    * catalog gate runs there for fixture corpora, so the DuckDB oracle
+    * needs no sampling twin; past `BlockPolicy.ExactEvalDocBudget` docs
+    * the gate derives fraction = budget/n (see the q122 entry). The
+    * recall estimate ships with its 95% normal-approximation CI
+    * (`recall_lo`/`recall_hi`, 1e-4-quantized) so a sampled eval's
+    * uncertainty is part of the answer. */
   def simhashQuality(s: SparkSession, dir: String, sampleFraction: Double = 1.0,
       hamMax: Int = 3): DataFrame = {
     // 4-block bucketing (16-bit blocks at ScaleBits) pigeonholes
@@ -627,11 +631,21 @@ object DedupSim {
         sampleDocs(sampleDocs(pred, "shq:", sampleFraction, "id_a"),
             "shq:", sampleFraction, "id_b")
           .agg(count(lit(1)).as("n_pred_s")))
+    // 95% normal-approximation CI of the recall estimate (VERDICT r14
+    // #3): under sampling the estimator's uncertainty is part of the
+    // answer, so it ships in the schema; at fraction 1.0 the same
+    // binomial-proportion interval reads as exact-eval resolution.
+    // Quantized on the 1e-4 grid (IEEE-identical in both engines).
+    val half = lit(1.96) * sqrt(col("recall") * (lit(1.0) - col("recall")) / col("n_exact"))
     withDenom
       .withColumn("prec", col("n_hit").cast("double") / col("n_pred_s"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .withColumn("recall_lo", when(col("n_exact") > 0,
+        floor(greatest(lit(0.0), col("recall") - half) * 1e4 + 0.5) / 1e4))
+      .withColumn("recall_hi", when(col("n_exact") > 0,
+        floor(least(lit(1.0), col("recall") + half) * 1e4 + 0.5) / 1e4))
       .select(col("n_exact"), col("n_pred"), col("n_hit"),
-        col("prec"), col("recall"))
+        col("prec"), col("recall"), col("recall_lo"), col("recall_hi"))
   }
 
   /** DuckDB twin of [[sketchEval]]'s SRP rows (exact-vs-probe top-10 overlap). */
@@ -768,14 +782,24 @@ object DedupSim {
           JOIN sizes nb ON nb.doc_id = p.id_b
           WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5),
         hit AS (SELECT ex.id_a, ex.id_b FROM ex
-                JOIN pred ON pred.id_a = ex.id_a AND pred.id_b = ex.id_b)
-        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+                JOIN pred ON pred.id_a = ex.id_a AND pred.id_b = ex.id_b),
+        m AS (SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
           (SELECT COUNT(*) FROM pred) AS n_pred,
-          (SELECT COUNT(*) FROM hit) AS n_hit,
-          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM pred) AS prec,
-          CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-            / (SELECT COUNT(*) FROM ex) AS recall"""
+          (SELECT COUNT(*) FROM hit) AS n_hit)
+        SELECT n_exact, n_pred, n_hit,
+          CAST(n_hit AS DOUBLE) / n_pred AS prec,
+          CAST(n_hit AS DOUBLE) / n_exact AS recall,
+          CASE WHEN n_exact > 0 THEN
+            floor(greatest(CAST(0.0 AS DOUBLE), CAST(n_hit AS DOUBLE) / n_exact
+              - CAST(1.96 AS DOUBLE) * sqrt((CAST(n_hit AS DOUBLE) / n_exact)
+                * (1.0 - CAST(n_hit AS DOUBLE) / n_exact) / n_exact))
+              * 10000.0 + 0.5) / 10000.0 END AS recall_lo,
+          CASE WHEN n_exact > 0 THEN
+            floor(least(CAST(1.0 AS DOUBLE), CAST(n_hit AS DOUBLE) / n_exact
+              + CAST(1.96 AS DOUBLE) * sqrt((CAST(n_hit AS DOUBLE) / n_exact)
+                * (1.0 - CAST(n_hit AS DOUBLE) / n_exact) / n_exact))
+              * 10000.0 + 0.5) / 10000.0 END AS recall_hi
+        FROM m"""
 
   /** DuckDB twin of [[lshRecall]] (unsampled — the gate runs there).
     * A complete WITH…SELECT, reused verbatim by q114 and (wrapped as a
@@ -1991,8 +2015,18 @@ object DedupSim {
     // LOW by construction: simhash buckets token-frequency similarity
     // while the ground truth is shingle jaccard — exactly the gap the
     // eval exists to expose.
+    // The gate derives its exact-side sample fraction from the corpus
+    // size (BlockPolicy.exactEvalFraction — VERDICT r14 #3): every
+    // fixture scale (<= ExactEvalDocBudget docs) resolves to 1.0, where
+    // the sample filter is ABSENT and the oracle needs no sampling twin;
+    // past the budget the quadratic ground-truth join runs over a
+    // ~budget-sized md5-bucket doc sample and the schema's recall_lo/hi
+    // CI columns carry the estimator's uncertainty.
     ("q122_simhash_quality",
-      (s: SparkSession, dir: String) => simhashQuality(s, dir),
+      (s: SparkSession, dir: String) => {
+        val nDocs = graft.core.Tables.load(s, dir, "documents").count()
+        simhashQuality(s, dir, graft.core.BlockPolicy.exactEvalFraction(nDocs))
+      },
       Some(simhashQualitySql())),
 
     // ---- the unified sketch-eval matrix (see [[sketchEval]]): every

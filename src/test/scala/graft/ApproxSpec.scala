@@ -135,6 +135,13 @@ class ApproxSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     def run(f: Double) = {
       val r = DedupSim.simhashQuality(spark, dir, f).collect().head
+      // CI columns (r14 #3): present, ordered, and bracketing the estimate
+      if (r.getLong(0) > 0) {
+        val (lo, hi, rec) = (r.getDouble(5), r.getDouble(6), r.getDouble(4))
+        assert(lo >= 0.0 && hi <= 1.0 && lo <= hi, s"CI [$lo, $hi] at f=$f")
+        // bounds are 1e-4-quantized around recall; allow the half-grid slop
+        assert(lo <= rec + 5e-5 && hi >= rec - 5e-5, s"CI [$lo, $hi] vs $rec")
+      } else assert(r.isNullAt(5) && r.isNullAt(6))
       (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)) // (n_exact, n_pred, n_hit, prec, recall)
     }

@@ -117,6 +117,13 @@ class SimHashWidthSpec extends SparkSpec {
     // the ER refinement band q154 and its oracle share
     assert(!BlockPolicy.refineNameBlocks(99999L))
     assert(BlockPolicy.refineNameBlocks(100000L))
+    // the exact-eval sampling band (q122, r14 #3): fixtures run unsampled
+    assert(BlockPolicy.exactEvalFraction(500L) === 1.0)   // all fixture sfs
+    assert(BlockPolicy.exactEvalFraction(2000L) === 1.0)  // budget boundary
+    assert(BlockPolicy.exactEvalFraction(2200L) === 2000.0 / 2200.0) // sf0.1
+    assert(BlockPolicy.exactEvalFraction(22000L) === 2000.0 / 22000.0) // sf1
+    // sampled doc count stays ~constant => quadratic term stops growing
+    assert(BlockPolicy.exactEvalFraction(1000000L) * 1000000L === 2000.0)
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/queries/DedupSim.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
