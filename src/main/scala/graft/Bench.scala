@@ -221,6 +221,14 @@ object Bench {
     (median(kept.map(_._2)), mn, dropped)
   }
 
+  /** The headline's DESIGNED reported set (VERDICT r14 #5): the top-K
+    * slowest queries ride the printed line; everything else is by-design
+    * in BENCH_DETAIL.json, not budget-elided. 40 entries render well
+    * under the 1600-byte cap, so `q_omitted` — elisions from the
+    * REPORTED set — is 0 in normal operation and nonzero only if query
+    * names grow pathologically (the budgeter stays as the backstop). */
+  private[graft] val HeadlineTopK = 40
+
   /** Headline queries-map budgeter, pinned by BenchSpec: the driver
     * captures only the LAST ~2000 chars of stdout and json-parses the one
     * line it finds there, and the failure mode is REAL — r11's 125-query
@@ -628,15 +636,18 @@ object Bench {
       xs.filterNot(_.isNaN).minOption.map(sec3).getOrElse("null")
     // "excl" = count of per-query outlier drops (full record with pass,
     // value, and floor in BENCH_DETAIL "excluded"). The queries map is
-    // BUDGETED (budgetedQueries above): the whole printed line must stay
-    // <= 1600 bytes so it survives the driver's last-2000-chars capture
-    // alongside sbt's prefix and epilogue — the slowest queries ride the
-    // headline, "q_omitted" counts the elided fast ones, and the full map
-    // is in the committed BENCH_DETAIL.json.
+    // the DESIGNED top-HeadlineTopK slowest ("q_top" names the cap) —
+    // the set perf adjudication reads first — so the reported set is a
+    // stable design choice, not a byte-arithmetic artifact; "q_omitted"
+    // counts elisions from THAT set and is 0 in normal operation
+    // (budgetedQueries stays as the backstop so the whole line can never
+    // outgrow the driver's last-2000-chars capture). The full 172-query
+    // map is in the committed BENCH_DETAIL.json.
     def lineWith(qsJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qsJson,"q_omitted":$omitted,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}"""
-    val scaffold = lineWith("{}", qItems.size).length
-    val (qsBudgeted, qOmitted) = budgetedQueries(qItems, 1600 - scaffold)
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","q_top":$HeadlineTopK,"queries":$qsJson,"q_omitted":$omitted,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}"""
+    val qTop = qItems.sortBy { case (n, v) => (-v, n) }.take(HeadlineTopK)
+    val scaffold = lineWith("{}", qTop.size).length
+    val (qsBudgeted, qOmitted) = budgetedQueries(qTop, 1600 - scaffold)
     println(lineWith(qsBudgeted, qOmitted))
     if (warnViolations.nonEmpty) {
       System.err.println(s"[bench] WARNING GATE FAILED: ${warnViolations.mkString("; ")}")

@@ -78,6 +78,18 @@ class BenchSpec extends AnyFunSuite {
     assert(json == "{\"qa\":1.000,\"qb\":1.000,\"qc\":1.000}")
   }
 
+  test("designed top-K headline: 40 worst-case entries fit the budget with room (r14 #5)") {
+    // the reported set is top-HeadlineTopK BY DESIGN; q_omitted must be 0
+    // for it even with worst-case key ("q999") and value (>= 100 s) widths,
+    // i.e. the budgeter backstop never engages in normal operation
+    assert(Bench.HeadlineTopK == 40)
+    val worst = (1 to Bench.HeadlineTopK).map(i => (f"q${900 + i}%d", 999.999))
+    val (json, omitted) = Bench.budgetedQueries(worst, 1600 - 400)
+    assert(omitted == 0, s"top-$worst elided under a scaffold-sized budget")
+    assert(json.count(_ == ':') == Bench.HeadlineTopK)
+    assert(json.length < 1600 - 400)
+  }
+
   test("exactly-2x values are kept (bound is strict)") {
     val (med, _, dropped) = Bench.gateQuery(Seq((0, 1.0), (1, 2.0)))
     assert(dropped.isEmpty)
