@@ -135,6 +135,76 @@ object Relational {
     }.mkString("", "\n          UNION ALL ", "")
 
   /** (name, spark query, oracle SQL) triples. */
+  /** q172's default bin widths (cents): sized so every fixture column
+    * keeps ≫1 row per occupied bin — the density rule SCALING.md's
+    * width A/B measures (state cost and fence wobble both scale with
+    * the bin count, so the width is the operator's one tunable). */
+  val FenceBinWidths: Map[String, Long] = Map("l_quantity" -> 100L,
+    "l_extendedprice" -> 100000L, "l_discount" -> 1L, "l_tax" -> 1L)
+
+  /** q172's core, parameterized by bin width (VERDICT r14 #7): quartiles
+    * off a mergeable fixed-bin histogram — state is OCCUPIED BINS
+    * (domain/width-bounded), never the row count — then integer
+    * multiply-through Tukey fences over the same melted pass. The same
+    * planted-outlier cent grid as q148, which stays the exact-state A/B
+    * control. `widths` trades state for resolution: quartiles are exact
+    * to within ONE bin width by construction (OutlierFenceSpec pins the
+    * bound at both the default and a 10×-narrower width). */
+  def outlierFencesHist(s: SparkSession, dir: String,
+      widths: Map[String, Long] = FenceBinWidths): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // same planted-outlier cent grid as q148 (the exact A/B control)
+    val base = t(s, dir, "lineitem")
+    val aug = base.select(cols.map(col): _*).unionByName(
+      base.filter(col("l_orderkey") % 9973 === 0)
+        .select((col("l_quantity") * 1000).as("l_quantity"),
+          (col("l_extendedprice") * 100).as("l_extendedprice"),
+          (col("l_discount") - 5.0).as("l_discount"),
+          (col("l_tax") + 5.0).as("l_tax")))
+    val stackE = cols.map(c =>
+      s"'$c', cast(floor($c * 100 + 0.5) as bigint)")
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (cn, v)")
+    val widthCase = cols.map(c => s"WHEN '$c' THEN ${widths(c)}L")
+      .mkString("CASE cn ", " ", " END")
+    val m = aug.select(expr(stackE))
+      .withColumn("w", expr(widthCase))
+      .withColumn("bin", floor(col("v").cast("double") / col("w")))
+      .localCheckpoint() // feeds the histogram AND the fence pass
+    Scoped.releaseAfterUse(m)
+    val wc = Window.partitionBy(col("cn")).orderBy(col("bin"))
+    val qs = m.groupBy(col("cn"), col("w"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("cn"))))
+      .groupBy(col("cn"), col("w"))
+      .agg(
+        min(when(col("cum") * 4 > col("total") - 1, col("bin"))).as("b1"),
+        min(when(col("cum") * 4 > (col("total") - 1) * 2, col("bin"))).as("b2"),
+        min(when(col("cum") * 4 > (col("total") - 1) * 3, col("bin"))).as("b3"),
+        max(col("total")).as("n_rows"))
+      .select(col("cn"), col("n_rows"),
+        (col("b1") * col("w")).as("q1_cents"),
+        (col("b2") * col("w")).as("median_cents"),
+        (col("b3") * col("w")).as("q3_cents"),
+        col("w").as("bin_w"))
+    val f = m.join(broadcast(qs), Seq("cn"))
+      .groupBy(col("cn"))
+      .agg(
+        sum(when(col("v") * 2 <
+          col("q1_cents") * 2 - (col("q3_cents") - col("q1_cents")) * 3,
+          1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") * 2 >
+          col("q3_cents") * 2 + (col("q3_cents") - col("q1_cents")) * 3,
+          1L).otherwise(0L)).as("n_above"))
+    qs.join(f, Seq("cn"))
+      .select(col("cn").as("column_name"), col("n_rows"),
+        col("q1_cents"), col("median_cents"), col("q3_cents"),
+        (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+        col("bin_w"), col("n_below"), col("n_above"))
+      .orderBy(col("column_name"))
+  }
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- scan + filter + project + group/agg (TPC-H Q1 shape; ref A6/A7
@@ -1388,61 +1458,7 @@ object Relational {
     // ones and the planted-outlier counts EQUAL (the ×1000/×100 plants
     // sit far outside any one-bin fence wobble).
     ("q172_outlier_fences_hist",
-      (s: SparkSession, dir: String) => {
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val widths = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,
-          "l_discount" -> 1L, "l_tax" -> 1L)
-        // same planted-outlier cent grid as q148 (the exact A/B control)
-        val base = t(s, dir, "lineitem")
-        val aug = base.select(cols.map(col): _*).unionByName(
-          base.filter(col("l_orderkey") % 9973 === 0)
-            .select((col("l_quantity") * 1000).as("l_quantity"),
-              (col("l_extendedprice") * 100).as("l_extendedprice"),
-              (col("l_discount") - 5.0).as("l_discount"),
-              (col("l_tax") + 5.0).as("l_tax")))
-        val stackE = cols.map(c =>
-          s"'$c', cast(floor($c * 100 + 0.5) as bigint)")
-          .mkString(s"stack(${cols.size}, ", ", ", ") as (cn, v)")
-        val widthCase = cols.map(c => s"WHEN '$c' THEN ${widths(c)}L")
-          .mkString("CASE cn ", " ", " END")
-        val m = aug.select(expr(stackE))
-          .withColumn("w", expr(widthCase))
-          .withColumn("bin", floor(col("v").cast("double") / col("w")))
-          .localCheckpoint() // feeds the histogram AND the fence pass
-        Scoped.releaseAfterUse(m)
-        val wc = Window.partitionBy(col("cn")).orderBy(col("bin"))
-        val qs = m.groupBy(col("cn"), col("w"), col("bin"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(wc))
-          .withColumn("total", sum(col("cnt")).over(
-            Window.partitionBy(col("cn"))))
-          .groupBy(col("cn"), col("w"))
-          .agg(
-            min(when(col("cum") * 4 > col("total") - 1, col("bin"))).as("b1"),
-            min(when(col("cum") * 4 > (col("total") - 1) * 2, col("bin"))).as("b2"),
-            min(when(col("cum") * 4 > (col("total") - 1) * 3, col("bin"))).as("b3"),
-            max(col("total")).as("n_rows"))
-          .select(col("cn"), col("n_rows"),
-            (col("b1") * col("w")).as("q1_cents"),
-            (col("b2") * col("w")).as("median_cents"),
-            (col("b3") * col("w")).as("q3_cents"),
-            col("w").as("bin_w"))
-        val f = m.join(broadcast(qs), Seq("cn"))
-          .groupBy(col("cn"))
-          .agg(
-            sum(when(col("v") * 2 <
-              col("q1_cents") * 2 - (col("q3_cents") - col("q1_cents")) * 3,
-              1L).otherwise(0L)).as("n_below"),
-            sum(when(col("v") * 2 >
-              col("q3_cents") * 2 + (col("q3_cents") - col("q1_cents")) * 3,
-              1L).otherwise(0L)).as("n_above"))
-        qs.join(f, Seq("cn"))
-          .select(col("cn").as("column_name"), col("n_rows"),
-            col("q1_cents"), col("median_cents"), col("q3_cents"),
-            (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
-            col("bin_w"), col("n_below"), col("n_above"))
-          .orderBy(col("column_name"))
-      },
+      (s: SparkSession, dir: String) => outlierFencesHist(s, dir),
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val widths = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,

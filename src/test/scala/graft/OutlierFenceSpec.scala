@@ -36,4 +36,31 @@ class OutlierFenceSpec extends SparkSpec {
       assert(h.getAs[Long]("n_above") === e.getAs[Long]("n_above"), s"$cn n_above")
     }
   }
+
+  test("width A/B (r14 #7): one-bin agreement holds at a 10x-narrower price width too") {
+    // The operator's one tunable is bin width: narrower bins cost ~10x
+    // the histogram state but tighten the quartile bound to ONE narrower
+    // bin. Both claims must hold ON DATA, not by narrative — this is the
+    // fixture-side pin behind SCALING.md's sf1 width-curve row.
+    import graft.queries.Relational
+    val exact = SparkEntry.queries("q148_robust_outliers")(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val narrowW = Relational.FenceBinWidths.updated("l_extendedprice", 10000L)
+    val hist = Relational.outlierFencesHist(spark, dir, narrowW)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val h = hist("l_extendedprice")
+    assert(h.getAs[Long]("bin_w") === 10000L)
+    Seq("q1_cents", "median_cents", "q3_cents").foreach { q =>
+      val hq = h.getAs[Long](q).toDouble
+      val eq = exact("l_extendedprice").getAs[Double](q)
+      assert(math.abs(hq - eq) <= 10000.0,
+        s"l_extendedprice $q at w=10000: hist=$hq exact=$eq")
+    }
+    // plants sit far outside any one-bin wobble: counts identical at
+    // BOTH widths
+    assert(h.getAs[Long]("n_below") ===
+      exact("l_extendedprice").getAs[Long]("n_below"))
+    assert(h.getAs[Long]("n_above") ===
+      exact("l_extendedprice").getAs[Long]("n_above"))
+  }
 }
