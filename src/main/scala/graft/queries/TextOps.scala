@@ -1776,7 +1776,258 @@ object TextOps {
         FROM sfx, tt, tgt
         WHERE sfx.cumtok * 100 >= tgt.pct * tt.tt
           AND (sfx.cumtok - sfx.toks) * 100 < tgt.pct * tt.tt
-        ORDER BY pct"""))
+        ORDER BY pct""")),
+
+    // ---- classifier CALIBRATION report (ECE): the q40 language-ID
+    // heuristic emits a CONFIDENCE (its stop-ratio, scaled so the 0.05
+    // decision threshold maps to 0.5); this op measures whether that
+    // confidence MEANS anything before it is used as a keep/drop filter —
+    // 10 equal-width confidence bins, each with its mean stated
+    // confidence, its empirical accuracy against the labeled `lang`
+    // column, and the per-bin gap; plus the corpus Expected Calibration
+    // Error Σ n_b·|acc_b − conf_b| / N broadcast onto every row. The
+    // number that decides whether "keep docs with p(en) ≥ 0.8" is a
+    // calibrated filter or a lie before it runs over 100 TB. All shares
+    // are BIGINT ‱ floor division — cross-engine exact, no float drift.
+    //
+    // Scale: one map-only doc pass (the q40 token expressions) → a
+    // 10-row combinable aggregate → a 1-row ECE broadcast back onto the
+    // bins. Aggregate state is the BIN count, never rows.
+    ("q174_calibration_report",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+          .select(col("lang"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("n_stop",
+            expr(s"size(filter(ws, w -> array_contains($stopSparkArr, w)))")
+              .cast("long"))
+          // confidence = stop_ratio / 0.10 clamped to [0,1], on the 1e4
+          // integer grid (so q40's 0.05 cut sits at conf4 = 5000)
+          .withColumn("conf4",
+            least(expr("n_stop * 100000 div greatest(n_tokens, 1)"),
+              lit(10000L)))
+          .withColumn("hit", when(col("lang") === "en", 1L).otherwise(0L))
+          .withColumn("bin", least(expr("conf4 div 1000"), lit(9L)))
+        val bins = d.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(conf4) div count(1)").as("avg_conf4"),
+            expr("sum(hit) * 10000 div count(1)").as("acc4"))
+          .withColumn("gap4", abs(col("acc4") - col("avg_conf4")))
+        val ece = bins.agg(expr("sum(n * gap4) div sum(n)").as("ece4"))
+        bins.crossJoin(broadcast(ece))
+          .select(col("bin"), col("n"), col("avg_conf4"), col("acc4"),
+            col("gap4"), col("ece4"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH d AS (SELECT lang,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        e AS (SELECT lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(ws, w -> list_contains($stopDuckList, w))) AS BIGINT) AS n_stop
+          FROM d),
+        c AS (SELECT
+            least(n_stop * 100000 // greatest(n_tokens, 1), 10000) AS conf4,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS hit FROM e),
+        b AS (SELECT least(conf4 // 1000, 9) AS bin, COUNT(*) AS n,
+            CAST(SUM(conf4) // COUNT(*) AS BIGINT) AS avg_conf4,
+            CAST(SUM(hit) * 10000 // COUNT(*) AS BIGINT) AS acc4
+          FROM c GROUP BY 1),
+        g AS (SELECT bin, n, avg_conf4, acc4,
+            abs(acc4 - avg_conf4) AS gap4 FROM b),
+        ece AS (SELECT CAST(SUM(n * gap4) // SUM(n) AS BIGINT) AS ece4 FROM g)
+        SELECT CAST(bin AS BIGINT) AS bin, n, avg_conf4, acc4, gap4, ece.ece4
+        FROM g, ece ORDER BY bin""")),
+
+    // ---- Poisson-bootstrap confidence interval (metric uncertainty at
+    // corpus scale): classical bootstrap resampling is impossible at
+    // 100 TB — you cannot draw n rows with replacement B times — but the
+    // Poisson approximation needs only ONE scan: each row enters
+    // replicate b with weight w ~ Poisson(1), derived here
+    // deterministically from md5(doc_id, b) pushed through the
+    // Poisson(1) inverse CDF on a 1e4 grid (thresholds are the floored
+    // CDF values; the grid saturates at k = 6), bit-identical in both
+    // engines. B = 64 weighted means of n_chars; the CI is the rank-2 /
+    // rank-63 order statistics of the replicate means (2.5% / 97.5%).
+    //
+    // Scale: the explode(0..63) inflation never reaches a shuffle —
+    // map-side partial aggregation collapses it to ≤ 64 rows per
+    // partition, and the final aggregate state is 64 (Σwx, Σw) pairs
+    // regardless of corpus size. The order-statistic pull is a 64-row
+    // collect_list, bounded by B by construction.
+    ("q175_bootstrap_ci",
+      (s: SparkSession, dir: String) => {
+        val B = 64
+        val reps = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+          .withColumn("u4", expr(
+            """cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+               cast(b as string))), 1, 8), 16, 10) as bigint) % 10000"""))
+          .withColumn("w", expr(
+            """cast(case when u4 < 3679 then 0 when u4 < 7358 then 1
+               when u4 < 9197 then 2 when u4 < 9811 then 3
+               when u4 < 9964 then 4 when u4 < 9995 then 5
+               else 6 end as bigint)"""))
+          .groupBy(col("b"))
+          .agg(expr("sum(w * n_chars) * 10000 div greatest(sum(w), 1)")
+            .as("mean4"))
+        val base = t(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(n_chars) * 10000 div count(1)").as("est4"))
+        val ci = reps.agg(
+          count(lit(1)).as("n_replicates"),
+          expr("element_at(sort_array(collect_list(mean4)), 2)").as("lo4"),
+          expr(s"element_at(sort_array(collect_list(mean4)), ${B - 1})")
+            .as("hi4"))
+        base.crossJoin(broadcast(ci))
+          .select(col("n_docs"), col("n_replicates"), col("est4"),
+            col("lo4"), col("hi4"), (col("hi4") - col("lo4")).as("width4"))
+      },
+      Some("""WITH u AS (
+          SELECT n_chars, r0.b,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':' || r0.b::VARCHAR), 1, 8))::BIGINT
+              % 10000 AS u4
+          FROM documents, (SELECT unnest(range(0, 64)) AS b) r0),
+        wt AS (SELECT b, n_chars,
+            CASE WHEN u4 < 3679 THEN 0 WHEN u4 < 7358 THEN 1
+                 WHEN u4 < 9197 THEN 2 WHEN u4 < 9811 THEN 3
+                 WHEN u4 < 9964 THEN 4 WHEN u4 < 9995 THEN 5
+                 ELSE 6 END AS w
+          FROM u),
+        reps AS (SELECT b,
+            CAST(SUM(w * n_chars) * 10000 // greatest(SUM(w), 1) AS BIGINT) AS mean4
+          FROM wt GROUP BY b),
+        base AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) * 10000 // COUNT(*) AS BIGINT) AS est4
+          FROM documents),
+        ci AS (SELECT COUNT(*) AS n_replicates,
+            list_sort(list(mean4))[2] AS lo4,
+            list_sort(list(mean4))[63] AS hi4
+          FROM reps)
+        SELECT n_docs, n_replicates, est4, lo4, hi4, hi4 - lo4 AS width4
+        FROM base, ci""")),
+
+    // ---- cross-source score-quantile ALIGNMENT (threshold transfer):
+    // quality scores are only comparable within the source that produced
+    // them — "keep score ≥ 0.8" is a different severity per crawl. This
+    // op aligns them: per-source exact quantiles at 9 probe points vs
+    // the pooled-corpus quantiles, the per-probe gap, and the
+    // threshold-transfer number — the share of each source that a cut at
+    // the GLOBAL p-quantile keeps. The decision artifact before applying
+    // one filter threshold across heterogeneous sources at 100 TB.
+    //
+    // Scale: scores live on q41's 1e4 grid, so the distribution state is
+    // the (source, score4) HISTOGRAM — domain-bounded (≤ 10001 rows per
+    // source), never row count (the q172 lesson applied to quantiles).
+    // One map-only scoring pass → one combinable histogram aggregate;
+    // quantiles are min-over-a-9-probe-filter on the bounded histogram;
+    // the only window is source-partitioned over histogram rows; the
+    // pooled cumulative uses the q142 bounded self-join, NOT an
+    // unpartitioned window (the PlanSpec whitelist stays at two sites).
+    ("q176_score_quantile_align",
+      (s: SparkSession, dir: String) => {
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+        val scored = t(s, dir, "documents")
+          .select(col("source"), col("text"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("n_alpha", length(array_join(col("ws"), "")).cast("long"))
+          .withColumn("alpha_ratio",
+            r4(col("n_alpha").cast("double")
+              / greatest(length(col("text")).cast("long"), lit(1L))))
+          .withColumn("avg_w_len",
+            r4(col("n_alpha").cast("double") / greatest(col("n_tokens"), lit(1L))))
+          // q41's quality_score, kept as its 1e4-grid integer numerator
+          .withColumn("score4",
+            floor((lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+              + lit(0.3) * col("alpha_ratio")
+              + lit(0.3) * least(col("avg_w_len") / 10.0, lit(1.0))) * 1e4 + 0.5)
+              .cast("long"))
+        val hist = scored.groupBy(col("source"), col("score4"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds totals, the per-source cum, the pooled
+                             // histogram AND the kept-share pass
+        Scoped.releaseAfterUse(hist)
+        val tot = hist.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+        val wsrc = Window.partitionBy(col("source")).orderBy(col("score4"))
+        val cum = hist.withColumn("cum", sum(col("n")).over(wsrc))
+          .join(broadcast(tot), Seq("source"))
+        val probes = s.range(1).select(explode(expr(
+          "array(100L, 500L, 1000L, 2500L, 5000L, 7500L, 9000L, 9500L, 9900L)"))
+          .as("p"))
+        val srcq = cum.crossJoin(broadcast(probes))
+          .filter(col("cum") * 10000 >= col("p") * col("nt"))
+          .groupBy(col("source"), col("p"))
+          .agg(min(col("score4")).as("src_q4"))
+        val ghist = hist.groupBy(col("score4")).agg(sum(col("n")).as("n"))
+        val gcum = ghist.as("a")
+          .join(ghist.as("b"), col("b.score4") <= col("a.score4"))
+          .groupBy(col("a.score4").as("score4"))
+          .agg(sum(col("b.n")).as("cum"))
+        val gtot = ghist.agg(sum(col("n")).as("gt"))
+        val gq = gcum.crossJoin(broadcast(gtot)).crossJoin(broadcast(probes))
+          .filter(col("cum") * 10000 >= col("p") * col("gt"))
+          .groupBy(col("p")).agg(min(col("score4")).as("glob_q4"))
+        val kept = hist.crossJoin(broadcast(gq))
+          .groupBy(col("source"), col("p"), col("glob_q4"))
+          .agg(sum(when(col("score4") > col("glob_q4"), col("n"))
+            .otherwise(0L)).as("n_kept"))
+          .join(broadcast(tot), Seq("source"))
+          .withColumn("kept4", expr("n_kept * 10000 div nt"))
+        srcq.join(kept, Seq("source", "p"))
+          .select(col("source"), col("p"), col("src_q4"), col("glob_q4"),
+            (col("src_q4") - col("glob_q4")).as("gap4"), col("kept4"))
+          .orderBy(col("source"), col("p"))
+      },
+      Some("""WITH d AS (SELECT source, text,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
+        e AS (SELECT source,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_alpha,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+        f AS (SELECT source, n_tokens,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+            floor(CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) * 10000.0 + 0.5) / 10000.0 AS avg_w_len
+          FROM e),
+        sc AS (SELECT source,
+            CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * alpha_ratio + 0.3 * least(avg_w_len / 10.0, 1.0))
+              * 10000.0 + 0.5) AS BIGINT) AS score4
+          FROM f),
+        hist AS (SELECT source, score4, COUNT(*) AS n
+          FROM sc GROUP BY source, score4),
+        tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt
+          FROM hist GROUP BY source),
+        cum AS (SELECT source, score4, n,
+            CAST(SUM(n) OVER (PARTITION BY source ORDER BY score4) AS BIGINT) AS cum
+          FROM hist),
+        probes AS (SELECT CAST(unnest([100, 500, 1000, 2500, 5000, 7500,
+            9000, 9500, 9900]) AS BIGINT) AS p),
+        srcq AS (SELECT c.source, p.p, MIN(c.score4) AS src_q4
+          FROM cum c JOIN tot t USING (source), probes p
+          WHERE c.cum * 10000 >= p.p * t.nt
+          GROUP BY c.source, p.p),
+        ghist AS (SELECT score4, CAST(SUM(n) AS BIGINT) AS n
+          FROM hist GROUP BY score4),
+        gcum AS (SELECT score4, CAST(SUM(n) OVER (ORDER BY score4) AS BIGINT) AS cum
+          FROM ghist),
+        gtot AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM ghist),
+        gq AS (SELECT p.p, MIN(g.score4) AS glob_q4
+          FROM gcum g, gtot, probes p
+          WHERE g.cum * 10000 >= p.p * gtot.gt
+          GROUP BY p.p),
+        kept AS (SELECT h.source, gq.p, gq.glob_q4,
+            CAST(SUM(CASE WHEN h.score4 > gq.glob_q4 THEN h.n ELSE 0 END)
+              AS BIGINT) AS n_kept
+          FROM hist h, gq
+          GROUP BY h.source, gq.p, gq.glob_q4)
+        SELECT s.source, s.p, s.src_q4, k.glob_q4,
+          s.src_q4 - k.glob_q4 AS gap4,
+          CAST(k.n_kept * 10000 // t.nt AS BIGINT) AS kept4
+        FROM srcq s JOIN kept k ON s.source = k.source AND s.p = k.p
+        JOIN tot t ON t.source = s.source
+        ORDER BY s.source, s.p"""))
   )
 
   /** BPE trainer-loop round 2 (q116): learn merge #1 from the iteration-1

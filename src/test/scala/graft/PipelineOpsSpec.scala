@@ -161,4 +161,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.filter(_._2 == 1L).map(_._1).toSet === hop1,
       "level 1 == live out-neighbors of v0 (minus the seed)")
   }
+
+  test("q174: bins partition the corpus and the ECE is the bins' own weighted gap") {
+    val rows = SparkEntry.queries("q174_calibration_report")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total,
+      "every document lands in exactly one confidence bin")
+    rows.foreach { r =>
+      val (conf, acc) = (r.getAs[Long]("avg_conf4"), r.getAs[Long]("acc4"))
+      assert(conf >= 0L && conf <= 10000L && acc >= 0L && acc <= 10000L)
+      assert(r.getAs[Long]("gap4") === math.abs(acc - conf))
+      val bin = r.getAs[Long]("bin")
+      // the bin's mean stated confidence must lie inside the bin's range
+      // (bin 9 also absorbs the conf4 = 10000 clamp)
+      assert(conf >= bin * 1000 && conf <= (if (bin == 9L) 10000L else bin * 1000 + 999L),
+        s"bin $bin mean confidence $conf outside its own range")
+    }
+    val eces = rows.map(_.getAs[Long]("ece4")).distinct
+    assert(eces.length === 1, "ECE is one corpus-level scalar")
+    val manual = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap4")).sum / total
+    assert(eces.head === manual, "ECE recomputes from the published bins")
+  }
+
+  test("q175: the CI brackets the point estimate and replicate count is B by construction") {
+    val r = SparkEntry.queries("q175_bootstrap_ci")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_replicates") === 64L)
+    assert(r.getAs[Long]("n_docs") ===
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    val (lo, est, hi) = (r.getAs[Long]("lo4"), r.getAs[Long]("est4"), r.getAs[Long]("hi4"))
+    assert(lo <= est && est <= hi, "point estimate inside the 95% bootstrap CI")
+    assert(r.getAs[Long]("width4") === hi - lo)
+    assert(hi - lo > 0L, "a degenerate zero-width CI means the weights never varied")
+    // deterministic resampling: a second evaluation is bit-equal
+    val r2 = SparkEntry.queries("q175_bootstrap_ci")(spark, dir).collect().head
+    assert(r === r2, "hash-derived Poisson weights make the bootstrap a pure function")
+  }
+
+  test("q176: quantiles and kept-shares are monotone in the probe, per source") {
+    val rows = SparkEntry.queries("q176_score_quantile_align")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("p"),
+        r.getAs[Long]("src_q4"), r.getAs[Long]("glob_q4"), r.getAs[Long]("kept4")))
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong === nSources * 9, "9 probes for every source")
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byP = rs.sortBy(_._2)
+      assert(byP.map(_._3).toSeq === byP.map(_._3).sorted.toSeq,
+        s"$src: source quantile non-decreasing in p")
+      assert(byP.map(_._5).toSeq === byP.map(_._5).sorted.toSeq.reverse,
+        s"$src: kept share non-increasing in p")
+      byP.foreach { case (_, _, _, _, kept) => assert(kept >= 0L && kept <= 10000L) }
+    }
+    // the pooled quantile is identical on every source's row (one global curve)
+    rows.groupBy(_._2).foreach { case (p, rs) =>
+      assert(rs.map(_._4).distinct.length === 1, s"probe $p has one global quantile")
+    }
+  }
 }

@@ -234,10 +234,25 @@ class PlanSpec extends SparkSpec {
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
       }
     Seq("q84_sequence_packing", "q113_hybrid_rrf", "q115_curriculum_order",
-      "q118_ann_ndcg", "q121_bitext_margin", "q173_hybrid_rrf_batch").foreach { q =>
+      "q118_ann_ndcg", "q121_bitext_margin", "q173_hybrid_rrf_batch",
+      "q174_calibration_report", "q175_bootstrap_ci",
+      "q176_score_quantile_align").foreach { q =>
       assert(unpartitioned(q).isEmpty,
         s"$q plans a single-partition window — the 100 TB scale-killer")
     }
+  }
+
+  test("q175: the 64x replicate explode collapses map-side before any shuffle") {
+    // the Poisson-bootstrap contract: explode(0..63) inflation feeds a
+    // PARTIAL aggregate keyed on the replicate id, so at most 64 rows per
+    // partition ever reach the exchange — without it the op shuffles 64x
+    // the corpus and the one-scan claim is false
+    val p = plan("q175_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      "replicate sums must partial-aggregate before the shuffle:\n" + p.take(1600))
+    assert(!p.contains("SortMergeJoin"),
+      "the CI assembly must stay broadcast — nothing here is big enough to sort-merge:\n"
+        + p.take(1600))
   }
 
   test("q173: every per-query top-K plans a query_id-partitioned WindowGroupLimit") {
