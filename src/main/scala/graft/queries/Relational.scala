@@ -142,16 +142,12 @@ object Relational {
   val FenceBinWidths: Map[String, Long] = Map("l_quantity" -> 100L,
     "l_extendedprice" -> 100000L, "l_discount" -> 1L, "l_tax" -> 1L)
 
-  /** q172's core, parameterized by bin width (VERDICT r14 #7): quartiles
-    * off a mergeable fixed-bin histogram — state is OCCUPIED BINS
-    * (domain/width-bounded), never the row count — then integer
-    * multiply-through Tukey fences over the same melted pass. The same
-    * planted-outlier cent grid as q148, which stays the exact-state A/B
-    * control. `widths` trades state for resolution: quartiles are exact
-    * to within ONE bin width by construction (OutlierFenceSpec pins the
-    * bound at both the default and a 10×-narrower width). */
-  def outlierFencesHist(s: SparkSession, dir: String,
-      widths: Map[String, Long] = FenceBinWidths): DataFrame = {
+  /** The shared melted planted-outlier cent stream (q148's grid): one row
+    * per (column, value-in-cents) with its q172 histogram bin.
+    * Checkpointed — the histogram pass and the fence/winsorize pass both
+    * read it (q172 and q177 each materialize their own). */
+  private def meltedCentStream(s: SparkSession, dir: String,
+      widths: Map[String, Long]): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     // same planted-outlier cent grid as q148 (the exact A/B control)
     val base = t(s, dir, "lineitem")
@@ -169,10 +165,18 @@ object Relational {
     val m = aug.select(expr(stackE))
       .withColumn("w", expr(widthCase))
       .withColumn("bin", floor(col("v").cast("double") / col("w")))
-      .localCheckpoint() // feeds the histogram AND the fence pass
+      .localCheckpoint()
     Scoped.releaseAfterUse(m)
+    m
+  }
+
+  /** q172's quartile extraction off the bounded (cn, bin) histogram:
+    * smallest bin with 4·cum > k·(n−1), valued at its lower edge bin·W
+    * — exact to within one bin width. Returns one row per column:
+    * (cn, n_rows, q1_cents, median_cents, q3_cents, bin_w). */
+  private def histQuartiles(m: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("cn")).orderBy(col("bin"))
-    val qs = m.groupBy(col("cn"), col("w"), col("bin"))
+    m.groupBy(col("cn"), col("w"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wc))
       .withColumn("total", sum(col("cnt")).over(
@@ -188,6 +192,20 @@ object Relational {
         (col("b2") * col("w")).as("median_cents"),
         (col("b3") * col("w")).as("q3_cents"),
         col("w").as("bin_w"))
+  }
+
+  /** q172's core, parameterized by bin width (VERDICT r14 #7): quartiles
+    * off a mergeable fixed-bin histogram — state is OCCUPIED BINS
+    * (domain/width-bounded), never the row count — then integer
+    * multiply-through Tukey fences over the same melted pass. The same
+    * planted-outlier cent grid as q148, which stays the exact-state A/B
+    * control. `widths` trades state for resolution: quartiles are exact
+    * to within ONE bin width by construction (OutlierFenceSpec pins the
+    * bound at both the default and a 10×-narrower width). */
+  def outlierFencesHist(s: SparkSession, dir: String,
+      widths: Map[String, Long] = FenceBinWidths): DataFrame = {
+    val m = meltedCentStream(s, dir, widths)
+    val qs = histQuartiles(m)
     val f = m.join(broadcast(qs), Seq("cn"))
       .groupBy(col("cn"))
       .agg(
@@ -1499,6 +1517,106 @@ object Relational {
             q.q3_cents, q.q3_cents - q.q1_cents AS iqr_cents, q.w AS bin_w,
             f.n_below, f.n_above
           FROM q JOIN f ON f.cn = q.cn ORDER BY column_name"""
+      }),
+
+    // ---- WINSORIZATION report (the REPAIR to what q148/q172 detect —
+    // the q158→q19 advisor→fix pattern): clamp every value to the
+    // histogram Tukey fences and account for what that did — clipped
+    // counts on each side, the exact before/after sums, and the relative
+    // mass shift. The go/no-go artifact before replacing a raw column
+    // with its winsorized form in a 100 TB feature build.
+    // Fences stay in multiply-through ×2 form (1.5·IQR never leaves the
+    // integers; q172's construction), so the clamp operates on v·2 and
+    // all sums are in DOUBLED cents. Sums are DECIMAL(38,0) — at 100 TB
+    // row counts an int64 cent sum wraps silently in non-ANSI Spark
+    // while DuckDB errors (the q150/lr4 overflow lesson, applied at the
+    // design stage this time, not as a retrofit). shift4 divides the two
+    // exact decimals as correctly-rounded doubles on the 1e4 grid.
+    //
+    // Scale: one bounded-state histogram pass for the fences (occupied
+    // bins, never rows) + ONE map-side clamp/conditional-count pass with
+    // the 4-row fence table broadcast — both combinable aggregates; the
+    // winsorize itself never shuffles.
+    ("q177_winsorize_report",
+      (s: SparkSession, dir: String) => {
+        val m = meltedCentStream(s, dir, FenceBinWidths)
+        val qs = histQuartiles(m)
+        m.join(broadcast(qs), Seq("cn"))
+          .withColumn("lo_x2",
+            col("q1_cents") * 2 - (col("q3_cents") - col("q1_cents")) * 3)
+          .withColumn("hi_x2",
+            col("q3_cents") * 2 + (col("q3_cents") - col("q1_cents")) * 3)
+          .withColumn("v2", col("v") * 2)
+          .withColumn("v2c",
+            greatest(least(col("v2"), col("hi_x2")), col("lo_x2")))
+          .groupBy(col("cn"))
+          .agg(count(lit(1)).as("n_rows"),
+            first(col("lo_x2")).as("lo_fence_x2"),
+            first(col("hi_x2")).as("hi_fence_x2"),
+            sum(when(col("v2") < col("lo_x2"), 1L).otherwise(0L))
+              .as("n_clip_low"),
+            sum(when(col("v2") > col("hi_x2"), 1L).otherwise(0L))
+              .as("n_clip_high"),
+            sum(col("v2").cast("decimal(38,0)")).as("sum_before_x2"),
+            sum(col("v2c").cast("decimal(38,0)")).as("sum_after_x2"))
+          .withColumn("shift4",
+            floor((col("sum_before_x2") - col("sum_after_x2")).cast("double")
+              / greatest(abs(col("sum_before_x2")).cast("double"), lit(1.0))
+              * 1e4 + 0.5).cast("long"))
+          .select(col("cn").as("column_name"), col("n_rows"),
+            col("lo_fence_x2"), col("hi_fence_x2"),
+            col("n_clip_low"), col("n_clip_high"),
+            col("sum_before_x2"), col("sum_after_x2"), col("shift4"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val widths = Map("l_quantity" -> 100L, "l_extendedprice" -> 100000L,
+          "l_discount" -> 1L, "l_tax" -> 1L)
+        val melt = cols.map(c =>
+          s"""SELECT '$c' AS cn, CAST(floor($c * 100 + 0.5) AS BIGINT) AS v,
+            CAST(${widths(c)} AS BIGINT) AS w FROM aug""")
+          .mkString("\n          UNION ALL ")
+        s"""WITH aug AS (
+            SELECT ${cols.mkString(", ")} FROM lineitem
+            UNION ALL
+            SELECT l_quantity * 1000, l_extendedprice * 100,
+              l_discount - 5.0, l_tax + 5.0
+            FROM lineitem WHERE l_orderkey % 9973 = 0),
+          m AS ($melt),
+          mb AS (SELECT cn, w, v,
+              CAST(floor(CAST(v AS DOUBLE) / w) AS BIGINT) AS bin FROM m),
+          hist AS (SELECT cn, w, bin, COUNT(*) AS cnt FROM mb GROUP BY 1, 2, 3),
+          c AS (SELECT cn, w, bin, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY cn ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY cn) AS BIGINT) AS total
+            FROM hist),
+          q AS (SELECT cn, w, MAX(total) AS n_rows,
+              MIN(CASE WHEN cum * 4 > total - 1 THEN bin END) * w AS q1_cents,
+              MIN(CASE WHEN cum * 4 > (total - 1) * 2 THEN bin END) * w AS median_cents,
+              MIN(CASE WHEN cum * 4 > (total - 1) * 3 THEN bin END) * w AS q3_cents
+            FROM c GROUP BY 1, 2),
+          w2 AS (SELECT mb.cn, mb.v * 2 AS v2,
+              q.q1_cents * 2 - (q.q3_cents - q.q1_cents) * 3 AS lo_x2,
+              q.q3_cents * 2 + (q.q3_cents - q.q1_cents) * 3 AS hi_x2
+            FROM mb JOIN q ON q.cn = mb.cn),
+          r AS (SELECT cn, COUNT(*) AS n_rows,
+              MIN(lo_x2) AS lo_fence_x2, MIN(hi_x2) AS hi_fence_x2,
+              CAST(SUM(CASE WHEN v2 < lo_x2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_low,
+              CAST(SUM(CASE WHEN v2 > hi_x2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_high,
+              CAST(SUM(v2) AS DECIMAL(38,0)) AS sum_before_x2,
+              CAST(SUM(GREATEST(LEAST(v2, hi_x2), lo_x2)) AS DECIMAL(38,0))
+                AS sum_after_x2
+            FROM w2 GROUP BY cn)
+          SELECT cn AS column_name, n_rows, lo_fence_x2, hi_fence_x2,
+            n_clip_low, n_clip_high, sum_before_x2, sum_after_x2,
+            CAST(floor(CAST(sum_before_x2 - sum_after_x2 AS DOUBLE)
+              / greatest(CAST(abs(sum_before_x2) AS DOUBLE), 1.0)
+              * 10000.0 + 0.5) AS BIGINT) AS shift4
+          FROM r ORDER BY column_name"""
       }),
 
     // ---- zone-map DATA-SKIPPING effectiveness report: quantifies what

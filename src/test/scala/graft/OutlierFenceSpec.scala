@@ -63,4 +63,38 @@ class OutlierFenceSpec extends SparkSpec {
     assert(h.getAs[Long]("n_above") ===
       exact("l_extendedprice").getAs[Long]("n_above"))
   }
+
+  test("q177 repairs exactly what q172 detects: clip counts == fence counts, mass moves the right way") {
+    val fences = SparkEntry.queries("q172_outlier_fences_hist")(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val win = SparkEntry.queries("q177_winsorize_report")(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(win.keySet === fences.keySet)
+    win.foreach { case (cn, w) =>
+      val f = fences(cn)
+      // same fences (x2 form), so the repair clips exactly the detected set
+      assert(w.getAs[Long]("lo_fence_x2") === f.getAs[Long]("q1_cents") * 2
+        - (f.getAs[Long]("q3_cents") - f.getAs[Long]("q1_cents")) * 3, s"$cn lo")
+      assert(w.getAs[Long]("hi_fence_x2") === f.getAs[Long]("q3_cents") * 2
+        + (f.getAs[Long]("q3_cents") - f.getAs[Long]("q1_cents")) * 3, s"$cn hi")
+      assert(w.getAs[Long]("n_clip_low") === f.getAs[Long]("n_below"), s"$cn low")
+      assert(w.getAs[Long]("n_clip_high") === f.getAs[Long]("n_above"), s"$cn high")
+      assert(w.getAs[Long]("n_rows") === f.getAs[Long]("n_rows"), s"$cn rows")
+      // clamping can only pull mass TOWARD the fences: the sum moves down
+      // when the clips are high-side, up when low-side, not at all when
+      // nothing clipped
+      val before = BigDecimal(w.getAs[java.math.BigDecimal]("sum_before_x2"))
+      val after = BigDecimal(w.getAs[java.math.BigDecimal]("sum_after_x2"))
+      val (lo, hi) = (w.getAs[Long]("n_clip_low"), w.getAs[Long]("n_clip_high"))
+      if (lo == 0L && hi == 0L) assert(before === after, s"$cn untouched")
+      if (lo == 0L && hi > 0L) assert(after < before, s"$cn high clips shrink the sum")
+      if (hi == 0L && lo > 0L) assert(after > before, s"$cn low clips grow the sum")
+      // and the clamp is idempotent by construction: every surviving value
+      // lies inside [lo, hi], so the after-sum is bounded by the fences
+      assert(after <= BigDecimal(w.getAs[Long]("hi_fence_x2")) * w.getAs[Long]("n_rows"),
+        s"$cn after-sum exceeds an all-at-hi-fence corpus")
+      assert(after >= BigDecimal(w.getAs[Long]("lo_fence_x2")) * w.getAs[Long]("n_rows"),
+        s"$cn after-sum under an all-at-lo-fence corpus")
+    }
+  }
 }
