@@ -3071,6 +3071,189 @@ object DedupSim {
             CAST(SUM(j4) AS BIGINT) // COUNT(*) AS avg_j4,
             src_a <> src_b AS cross_source
           FROM flow GROUP BY 1, 2 ORDER BY src_a, src_b"""
+      }),
+
+    // ---- asymmetric CONTAINMENT dedup (Broder's containment, not
+    // resemblance): a document wrapped in boilerplate — quoted articles,
+    // templated mirrors, license-stamped re-posts — has containment
+    // |Sa∩Sb|/|Sa| ≈ 1 while its Jaccard can sit far BELOW every
+    // resemblance threshold in q31/q32 (the wrapper inflates the union).
+    // This op reports ordered pairs with containment ≥ 0.9 plus the
+    // Jaccard each pair would have scored, and flags the ones resemblance
+    // dedup would have MISSED (jac4 < 5000 — q31's own 0.5 cut).
+    //
+    // The fixture corpus has no wrapped copies, so the derivation PLANTS
+    // them (the q30 pattern): every 40th doc re-issued under id + 2e12
+    // inside 64+64 distinct all-letter boilerplate words, built by
+    // char arithmetic so both engines generate identical text.
+    //
+    // Scale: candidate generation joins on IDENTITY-BEARING shingles only
+    // — a df ≤ 50 cutoff (P5's df-cutoff lesson applied to dedup
+    // blocking) drops boilerplate shingles, so per-shingle pair fan-out
+    // is ≤ df², total candidate work ≤ |shingles|·50 — linear in the
+    // corpus. (The planted wrapper shingles themselves cross df=50 at
+    // sf0.01 and are dropped — the cutoff is load-bearing at fixture
+    // scale.) Containment is then verified EXACTLY on candidates over the
+    // full shingle sets (the q32 candidates-then-verify shape), so the
+    // cutoff can only lose candidates sharing < 1 rare shingle — and a
+    // contained doc shares ALL its shingles with its container.
+    ("q178_containment_dup",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pfx = expr("concat_ws(' ', transform(sequence(1, 64), " +
+          "i -> concat('w', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
+        val sfx = expr("concat_ws(' ', transform(sequence(1, 64), " +
+          "i -> concat('x', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
+        val aug = d.unionByName(
+          d.filter(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 2000000000000L).as("doc_id"),
+              concat(pfx, lit(" "), col("text"), lit(" "), sfx).as("text")))
+        // shingle table feeds df-count + candidate join ×2 + verify ×2 +
+        // sizes — materialize once, release after the terminal action
+        val sh = shingleDf(aug).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
+        val rare = sh.join(
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 50L).select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        val cand = rare.select(col("doc_id").as("id_a"), col("shingle"))
+          .join(rare.select(col("doc_id").as("id_b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("shingle")),
+            Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            Seq("id_b"))
+          // containment ≥ 0.9 as exact integers — no double threshold
+          .filter(col("common") * 10 >= col("na") * 9)
+          .select(col("id_a").as("contained_id"),
+            col("id_b").as("container_id"), col("na"), col("nb"),
+            expr("common * 10000 div na").as("cont4"),
+            expr("common * 10000 div (na + nb - common)").as("jac4"))
+          .withColumn("resemblance_missed", col("jac4") < 5000L)
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some("""WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000000000,
+            array_to_string(list_transform(range(1, 65),
+              i -> 'w' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))), ' ')
+            || ' ' || text || ' ' ||
+            array_to_string(list_transform(range(1, 65),
+              i -> 'x' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))), ' ')
+          FROM documents WHERE doc_id % 40 = 0),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
+                 FROM aug WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 5),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                   i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS shingle
+               FROM toks),
+        rare AS (SELECT doc_id, shingle FROM sh
+                 WHERE shingle IN (SELECT shingle FROM sh
+                                   GROUP BY shingle HAVING COUNT(*) <= 50)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM rare a JOIN rare b
+                 ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+                   FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                   GROUP BY c.id_a, c.id_b)
+        SELECT id_a AS contained_id, id_b AS container_id, na.n AS na,
+          nb.n AS nb,
+          common * 10000 // na.n AS cont4,
+          common * 10000 // (na.n + nb.n - common) AS jac4,
+          common * 10000 // (na.n + nb.n - common) < 5000 AS resemblance_missed
+        FROM common JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE common * 10 >= na.n * 9
+        ORDER BY contained_id, container_id""")),
+
+    // ---- HARD-NEGATIVE mining for embedding-model training: per anchor,
+    // the top-3 highest-cosine vectors of a DIFFERENT label (the
+    // negatives a contrastive loss learns most from) plus the anchor's
+    // best same-label cosine and the margin between them — margin ≤ 0 is
+    // a label-noise / boundary signal the curriculum reads. The mining
+    // sibling of q161 (which EVALUATES a classifier on the same blocked
+    // pair space; this op EMITS training pairs).
+    //
+    // Scale: the pair space is Σ|cell|² within corpus-banded SRP cells
+    // ([[graft.core.BlockPolicy.srpBits]] — cells grow with the corpus,
+    // the q34→q126 width lesson), never all-pairs; cosine is the codegen'd
+    // [[graft.functions.CosineSim]]; per-anchor top-3 is rank ≤ k over an
+    // (anchor)-partitioned window (Partial WindowGroupLimit — per-anchor
+    // wire cost is partitions × 3 rows); the positive side is a plain max
+    // aggregate. All scores on the floor(x·1e4 + 0.5) BIGINT grid (the
+    // q161 negative-cosine cast discipline).
+    ("q179_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        import graft.similarity.Ivf
+        graft.functions.GraftFunctions.register(s)
+        val e0 = t(s, dir, "embeddings")
+        val bits = graft.core.BlockPolicy.srpBits(e0.count())
+        val base = e0.withColumn("cell",
+          Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
+        val pairs = base
+          .select(col("vec_id").as("anchor_id"), col("label").as("la"),
+            col("cell"), col("embedding").as("ea"))
+          .join(base.select(col("vec_id").as("cand_id"),
+            col("label").as("lb"), col("cell"), col("embedding").as("eb")),
+            Seq("cell"))
+          .filter(col("anchor_id") =!= col("cand_id"))
+          .withColumn("sim4i",
+            floor(round(expr(cosSpark("ea", "eb")), 4) * 10000 + 0.5)
+              .cast("long"))
+        val wNeg = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor_id")).orderBy(desc("sim4i"), asc("cand_id"))
+        val negs = pairs.filter(col("lb") =!= col("la"))
+          .withColumn("rk", row_number().over(wNeg))
+          .filter(col("rk") <= 3)
+        val pos = pairs.filter(col("lb") === col("la"))
+          .groupBy(col("anchor_id")).agg(max(col("sim4i")).as("pos4i"))
+        negs.join(pos, Seq("anchor_id"), "left")
+          .select(col("anchor_id"), col("rk").cast("long").as("rk"),
+            col("cand_id").as("neg_id"), col("lb").cast("long").as("neg_label"),
+            col("sim4i").as("neg4i"),
+            // no same-label neighbor in the cell → sentinel below the
+            // cosine grid floor (−10000), kept distinguishable from it
+            coalesce(col("pos4i"), lit(-10001L)).as("pos4i"))
+          .withColumn("margin4i", col("pos4i") - col("neg4i"))
+          .orderBy(col("anchor_id"), col("rk"))
+      },
+      Some {
+        s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+          base AS (SELECT vec_id, label, embedding,
+              (${srpCellCaseSql("embedding")}) AS cell FROM embeddings),
+          pairs AS (SELECT a.vec_id AS anchor_id, a.label AS la,
+              b.vec_id AS cand_id, b.label AS lb,
+              CAST(floor(round(${cosDuck("a.embedding", "b.embedding")}, 4)
+                * 10000 + 0.5) AS BIGINT) AS sim4i
+            FROM base a JOIN base b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+          negs AS (SELECT anchor_id, cand_id, lb, sim4i,
+              row_number() OVER (PARTITION BY anchor_id
+                ORDER BY sim4i DESC, cand_id) AS rk
+            FROM pairs WHERE lb <> la),
+          pos AS (SELECT anchor_id, MAX(sim4i) AS pos4i
+            FROM pairs WHERE lb = la GROUP BY anchor_id)
+          SELECT n.anchor_id, CAST(n.rk AS BIGINT) AS rk,
+            n.cand_id AS neg_id, CAST(n.lb AS BIGINT) AS neg_label,
+            n.sim4i AS neg4i,
+            COALESCE(p.pos4i, -10001) AS pos4i,
+            COALESCE(p.pos4i, -10001) - n.sim4i AS margin4i
+          FROM negs n LEFT JOIN pos p ON p.anchor_id = n.anchor_id
+          WHERE n.rk <= 3
+          ORDER BY n.anchor_id, n.rk"""
       })
   )
 

@@ -479,6 +479,37 @@ object EventStreams {
         col("d"), col("c"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming fence MONITOR — q172/q177 at ingest: the Tukey fences are
+    * TRAINED by the batch histogram pass (a 4-row (event_type, lo2, hi2)
+    * table in q172's multiply-through ×2-cents form — no division ever
+    * happens) and FROZEN; the stream scores arrivals against them and
+    * emits per-(1-hour window, type) violation counts. This split is the
+    * production contract: fences move at batch cadence (retrain daily),
+    * violation RATES move at stream cadence (alert in minutes) — a
+    * stream cannot compute its own quartiles without unbounded state,
+    * and a monitor that did would also let a corrupt feed drag its own
+    * fences toward itself.
+    *
+    * Scale: the fence table is fences-sized (≤ |types| rows) so it
+    * broadcasts by construction; state is windows-in-flight × |types|
+    * counters, watermark-evicted; counts are additive so late windows
+    * merge. StreamingSpec pins stream == batch window counts on a
+    * shared fixture. */
+  def fenceMonitorStream(events: DataFrame, fences: DataFrame,
+      window: String = "1 hour", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .withColumn("v", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .join(broadcast(fences.select(col("event_type"), col("lo2"), col("hi2"))),
+        Seq("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") * 2 < col("lo2"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") * 2 > col("hi2"), 1L).otherwise(0L)).as("n_above"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("n_below"), col("n_above"))
+
   /** Streaming CDC apply: maintain a parquet serving table by MERGE-ing
     * each micro-batch through [[graft.maintenance.Upsert]] — the
     * streaming twin of q86 (a crawl feed continuously upserting a

@@ -217,4 +217,59 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rs.map(_._4).distinct.length === 1, s"probe $p has one global quantile")
     }
   }
+
+  test("q178: every planted wrapper contains its original exactly; flag matches jac4") {
+    val rows = SparkEntry.queries("q178_containment_dup")(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")),
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("cont4"),
+          r.getAs[Long]("jac4"), r.getAs[Boolean]("resemblance_missed"))))
+      .toMap
+    rows.foreach { case ((a, b), (na, nb, cont4, jac4, missed)) =>
+      assert(a !== b)
+      assert(cont4 >= 9000L && cont4 <= 10000L, s"($a,$b) containment in band")
+      // resemblance can never exceed containment (the union ⊇ |Sa|)
+      assert(jac4 <= cont4, s"($a,$b) jac4 $jac4 > cont4 $cont4")
+      assert(missed === (jac4 < 5000L), s"($a,$b) flag is q31's own 0.5 cut")
+      assert(na > 0L && nb > 0L)
+    }
+    // the plants: every 40th doc with ≥ 5 alpha tokens is fully contained
+    // (cont4 = 10000) in its wrapper copy at id + 2e12
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 40 === 0)
+      .filter(size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")) >= 5)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(planted.nonEmpty, "fixture must exercise the planted path")
+    planted.foreach { id =>
+      val hit = rows.get((id, id + 2000000000000L))
+      assert(hit.isDefined, s"planted pair ($id, wrapper) not found")
+      assert(hit.get._3 === 10000L, s"planted containment of $id is exact")
+    }
+  }
+
+  test("q179: per-anchor ranks are contiguous, similarity-ordered, and negatives cross labels") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q179_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neg_id"), r.getAs[Long]("neg_label"),
+        r.getAs[Long]("neg4i"), r.getAs[Long]("pos4i"), r.getAs[Long]("margin4i")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, _, n, nl, neg4, pos4, m4) =>
+      assert(labels(n) === nl, "neg_label is the candidate's own label")
+      assert(labels(a) !== nl, s"anchor $a mined a same-label 'negative'")
+      assert(neg4 >= -10000L && neg4 <= 10000L)
+      assert(pos4 >= -10001L && pos4 <= 10000L)
+      assert(m4 === pos4 - neg4)
+    }
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val byRk = rs.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq === (1L to rs.length), s"anchor $a ranks contiguous")
+      assert(byRk.length <= 3, s"anchor $a has > 3 negatives")
+      // hardest-first: neg4i non-increasing in rank
+      assert(byRk.map(_._5).toSeq === byRk.map(_._5).sorted.toSeq.reverse,
+        s"anchor $a negatives not similarity-ordered")
+      assert(byRk.map(_._6).distinct.length === 1, s"anchor $a has one positive")
+    }
+  }
 }

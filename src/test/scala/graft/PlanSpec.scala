@@ -272,6 +272,19 @@ class PlanSpec extends SparkSpec {
       "a WindowGroupLimit lost its query_id partitionSpec")
   }
 
+  test("q179: the hard-negative top-3 plans an anchor-partitioned WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    // The mining contract: rank <= 3 must rewrite to a Partial+Final
+    // WindowGroupLimit pair partitioned by anchor_id, so per-anchor wire
+    // cost is partitions × 3 rows — not the full blocked pair space
+    val gls = SparkEntry.queries("q179_hard_negatives")(spark, dir)
+      .queryExecution.sparkPlan.collect { case w: WindowGroupLimitExec => w }
+    assert(gls.size >= 2,
+      s"expected a Partial+Final WindowGroupLimit pair, got ${gls.size}")
+    assert(gls.forall(_.partitionSpec.nonEmpty),
+      "the top-3 WindowGroupLimit lost its anchor_id partitionSpec")
+  }
+
   test("sanctioned unpartitioned-window whitelist: exactly the two bounded sites") {
     import org.apache.spark.sql.execution.window.WindowExec
     // The bench gate (Bench.scala) asserts <= 32 `No Partition Defined`

@@ -651,6 +651,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("fenceMonitorStream: frozen fences score arrivals; stream == batch counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // fences in q172's multiply-through ×2-cents form: view band
+    // [$0.50, $4.50], purchase band [$2.00, $10.50]
+    val fences = Seq(("view", 100L, 900L), ("purchase", 400L, 2100L))
+      .toDF("event_type", "lo2", "hi2")
+    val evs = Seq(
+      Event(1, 1, "view", 0.25, ts(5)),      //  50 < 100 → below
+      Event(2, 1, "view", 3.00, ts(10)),     // 600 in band
+      Event(3, 1, "view", 9.00, ts(20)),     // 1800 > 900 → above
+      Event(4, 2, "purchase", 2.00, ts(30)), // 400 = lo2: fences are inclusive
+      Event(5, 2, "purchase", 12.00, ts(70)))// next window, above
+    val mem = MemoryStream[Event]
+    mem.addData(evs: _*)
+    val q = EventStreams.fenceMonitorStream(mem.toDF(), fences)
+      .writeStream.format("memory").queryName("fence_mon")
+      .outputMode(OutputMode.Complete()).start()
+    runToCompletion(q)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(r => (r._1.getTime, r._2)).toSeq
+    val streamed = canon(spark.table("fence_mon"))
+    val batch = canon(EventStreams.fenceMonitorStream(evs.toDF(), fences))
+    assert(streamed === batch, "monitor is cadence-independent")
+    val view = streamed.find(_._2 == "view").get
+    assert((view._3, view._4, view._5) === (3L, 1L, 1L))
+    val p1 = streamed.filter(_._2 == "purchase")
+    assert(p1.map(r => (r._3, r._4, r._5)).toSeq === Seq((1L, 0L, 0L), (1L, 0L, 1L)))
+  }
+
   test("upsertStream: serving table converges to latest-per-key across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
