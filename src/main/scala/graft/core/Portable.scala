@@ -23,6 +23,17 @@ object Portable {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit hash of a string column: first 15 hex chars of md5 (fits a
+    * signed BIGINT in both engines — 16 chars would overflow). For
+    * COMPACTING wide join keys (e.g. 5-word shingles, ~40 bytes) to 8-byte
+    * longs before a shuffle: collisions over n distinct keys ≈ n²/2⁶¹
+    * (3e-6 at 3M keys), and because the hash is md5-derived the oracle
+    * computes the IDENTICAL value, so even a collision cannot cause a
+    * cross-engine mismatch.
+    * DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Explode a COMPUTED array expression without the inferred-filter tax.
     *
     * A plain `explode(e)` gets `size(e) > 0 AND isnotnull(e)` inferred

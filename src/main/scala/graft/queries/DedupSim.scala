@@ -3108,12 +3108,29 @@ object DedupSim {
           d.filter(col("doc_id") % 40 === 0)
             .select((col("doc_id") + 2000000000000L).as("doc_id"),
               concat(pfx, lit(" "), col("text"), lit(" "), sfx).as("text")))
-        // shingle table feeds df-count + candidate join ×2 + verify ×2 +
-        // sizes — materialize once, release after the terminal action
-        val sh = shingleDf(aug).localCheckpoint()
-        Scoped.releaseAfterUse(sh)
-        val rare = sh.join(
-          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        // per-doc shingle SET built on the doc's OWN row — no shuffle ever
+        // touches text: array_distinct(transform(...)) over the token
+        // array, each 5-gram compacted to [[hash60]] inside the lambda.
+        // The checkpoint is |docs| array rows (~55 longs each), not a
+        // |docs|×55 flat table; the flat view for df-counting explodes
+        // the STORED array (plain explode — no InferFilters tax, see
+        // Portable.explodeLean's doc). Set intersections then run row-
+        // local (array_intersect), replacing r15's first-cut 19M-row
+        // verify shuffle+groupBy (sf1 A/B in SCALING.md).
+        val docsh = aug
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"),
+            array_distinct(transform(
+              sequence(lit(0), size(col("ws")) - 5),
+              i => hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(5))))))
+              .as("arr"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(docsh)
+        val flat = docsh.select(col("doc_id"), explode(col("arr")).as("shingle"))
+        val rare = flat.join(
+          flat.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
             .filter(col("df") <= 50L).select(col("shingle")),
           Seq("shingle"), "left_semi")
         val cand = rare.select(col("doc_id").as("id_a"), col("shingle"))
@@ -3121,18 +3138,15 @@ object DedupSim {
             Seq("shingle"))
           .filter(col("id_a") =!= col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         cand
-          .join(sh.select(col("doc_id").as("id_a"), col("shingle")),
+          .join(docsh.select(col("doc_id").as("id_a"), col("arr").as("sa")),
             Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
-            Seq("id_b", "shingle"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
-            Seq("id_a"))
-          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          .join(docsh.select(col("doc_id").as("id_b"), col("arr").as("sb")),
             Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+            size(col("sa")).cast("long").as("na"),
+            size(col("sb")).cast("long").as("nb"))
           // containment ≥ 0.9 as exact integers — no double threshold
           .filter(col("common") * 10 >= col("na") * 9)
           .select(col("id_a").as("contained_id"),
@@ -3154,29 +3168,30 @@ object DedupSim {
           FROM documents WHERE doc_id % 40 = 0),
         toks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
                  FROM aug WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 5),
-        sh AS (SELECT DISTINCT doc_id,
-                 unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
-                   i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS shingle
-               FROM toks),
-        rare AS (SELECT doc_id, shingle FROM sh
-                 WHERE shingle IN (SELECT shingle FROM sh
+        docsh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                      i -> CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(ws, i + 1, i + 5), ' ')), 1, 15)) AS BIGINT))) AS arr
+                  FROM toks),
+        flat AS (SELECT doc_id, unnest(arr) AS shingle FROM docsh),
+        rare AS (SELECT doc_id, shingle FROM flat
+                 WHERE shingle IN (SELECT shingle FROM flat
                                    GROUP BY shingle HAVING COUNT(*) <= 50)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM rare a JOIN rare b
                  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
-                   FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-                   GROUP BY c.id_a, c.id_b)
-        SELECT id_a AS contained_id, id_b AS container_id, na.n AS na,
-          nb.n AS nb,
-          common * 10000 // na.n AS cont4,
-          common * 10000 // (na.n + nb.n - common) AS jac4,
-          common * 10000 // (na.n + nb.n - common) < 5000 AS resemblance_missed
-        FROM common JOIN sizes na ON na.doc_id = id_a
-        JOIN sizes nb ON nb.doc_id = id_b
-        WHERE common * 10 >= na.n * 9
+        common AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(da.arr, db.arr)) AS BIGINT) AS common,
+                     CAST(len(da.arr) AS BIGINT) AS na,
+                     CAST(len(db.arr) AS BIGINT) AS nb
+                   FROM cand c JOIN docsh da ON da.doc_id = c.id_a
+                   JOIN docsh db ON db.doc_id = c.id_b)
+        SELECT id_a AS contained_id, id_b AS container_id, na, nb,
+          common * 10000 // na AS cont4,
+          common * 10000 // (na + nb - common) AS jac4,
+          common * 10000 // (na + nb - common) < 5000 AS resemblance_missed
+        FROM common
+        WHERE common * 10 >= na * 9
         ORDER BY contained_id, container_id""")),
 
     // ---- HARD-NEGATIVE mining for embedding-model training: per anchor,
