@@ -73,7 +73,10 @@ object PlanDump {
     // r15: df-cutoff containment blocking + candidates-then-verify
     // (q178), SRP-cell hard-negative mining's WindowGroupLimit top-3
     // (q179)
-    "q178_containment_dup", "q179_hard_negatives")
+    "q178_containment_dup", "q179_hard_negatives",
+    // r15: HITS's per-iteration join+partial-agg pair and 1-row
+    // broadcast normalization (q180)
+    "q180_hits")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

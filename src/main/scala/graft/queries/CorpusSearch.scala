@@ -1052,7 +1052,135 @@ object CorpusSearch {
           FROM walk w JOIN edges e ON w.title = e.src
           WHERE w.level < 3)
         SELECT title, CAST(MIN(level) AS BIGINT) AS level
-        FROM walk GROUP BY title ORDER BY level, title"""))
+        FROM walk GROUP BY title ORDER BY level, title""")),
+
+    // ---- HITS hubs & authorities (Kleinberg) on the key graph — the
+    // mutual-reinforcement sibling of PageRank: auth(v) = Σ hub(u) over
+    // in-edges, hub(v) = Σ auth(w) over out-edges, L1-normalized, both
+    // updated SYNCHRONOUSLY from the previous iteration (one state read
+    // per step — the same property lets the oracle's recursive CTE
+    // reference its state table exactly once, via a doubled-edge table
+    // carrying each edge in both directions). No dead-link/NULL wiring:
+    // unlike PageRank's stochastic matrix, HITS runs on the raw digraph,
+    // so part-nodes that are never orderkeys stay as pure authorities.
+    //
+    // Cross-engine exactness is by CONSTRUCTION, not quantization-of-
+    // doubles: scores live on a 1e-9 integer grid (BIGINT h9/a9), the
+    // contribution sums are exact integer adds (order-independent, unlike
+    // the 1e-9-rounded DOUBLE sums q29/q95 use — their per-vertex fan-in
+    // is small; HITS's global L1 total over every vertex is not), and the
+    // normalization is multiply-through integer division widened to
+    // decimal(38,0)/HUGEINT so no int64 product can wrap (the q150
+    // lesson). Identical bits at every iteration in both engines.
+    //
+    // Scale: the SAME doubled-edge table drives both engines — each edge
+    // carried once per direction, static across iterations — so one
+    // iteration is ONE join + ONE partial-agg shuffle of the
+    // contributions + a 2-long driver pull for the L1 totals (the I3
+    // counter→conf pattern): the PageRank one-shuffle-per-iteration
+    // shape, with both score directions riding the same pass. At bench
+    // scale the |V|-row state broadcasts, so the join is map-side; on a
+    // cluster where |V| outgrows broadcast, bucket-or-pre-partition
+    // dedges by contact once so only the state shuffles per iteration.
+    // Hot joins run on INTEGER vertex ids (the q96 lesson), 'v'-titles
+    // rebuilt only at output; contributions are checkpointed per
+    // iteration because they feed two consumers (totals + normalize) —
+    // left lazy the plan doubles per step.
+    ("q180_hits",
+      (s: SparkSession, dir: String) => {
+        val edges = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst")).distinct()
+        val dedges = edges
+          .select(col("src").as("contact"), col("dst").as("target"),
+            lit(true).as("from_hub"))
+          .unionByName(edges.select(col("dst").as("contact"),
+            col("src").as("target"), lit(false).as("from_hub")))
+          .localCheckpoint()
+        // every vertex is some dedges row's target (each edge targets
+        // both its ends), so the vertex set needs no separate carry
+        var state = dedges.select(col("target").as("v")).distinct()
+          .select(col("v"), lit(1000000000L).as("h9"),
+            lit(1000000000L).as("a9"))
+        var prev: DataFrame = null
+        for (i <- 1 to 5) {
+          // the contributions feed TWO consumers — the L1 totals and the
+          // normalize — so materialize them once per iteration (|V| rows):
+          // left lazy, each iteration's totals branch re-derives the whole
+          // prior chain and the plan doubles per step (measured: 5
+          // checkpoint-every-3 iterations cost the same 23 s as 10)
+          // broadcast the |V|-row state EXPLICITLY: its checkpoint-backed
+          // plan carries join-derived (inflated) size stats, so left to
+          // itself Spark broadcasts the 2|E|-row dedges side instead — a
+          // single-task ~5 s hashed-relation build per iteration
+          // (stage-profiled). On a cluster where |V| outgrows broadcast,
+          // drop the hint and pre-bucket dedges by contact.
+          val contrib = dedges
+            .join(broadcast(state.withColumnRenamed("v", "contact")),
+              Seq("contact"))
+            .groupBy(col("target").as("v"))
+            .agg(sum(when(col("from_hub"), col("h9"))).as("a_sum"),
+              sum(when(!col("from_hub"), col("a9"))).as("h_sum"))
+            .select(col("v"), coalesce(col("a_sum"), lit(0L)).as("a_raw"),
+              coalesce(col("h_sum"), lit(0L)).as("h_raw"))
+            .localCheckpoint()
+          // the L1 totals are TWO LONGS off the just-checkpointed
+          // contributions — pull them driver-side and inline as literals
+          // (the I3 counter→conf pattern PageRank's convergence loop
+          // uses). The lazy alternative (crossJoin over a broadcast 1-row
+          // aggregate) re-enters the next iteration's broadcast build as
+          // a nested-exchange plan that measured 6-8 s PER ITERATION vs
+          // <1 s for the whole contribution pass.
+          val tot = contrib.agg(sum(col("a_raw")), sum(col("h_raw"))).head()
+          val (at, ht) = (tot.getLong(0), tot.getLong(1))
+          // exact floor division: Spark's decimal `div` ROUNDS its
+          // intermediate quotient at scale 6 (HALF_UP) before truncating,
+          // so a quotient within 5e-7 below an integer comes back +1 vs
+          // DuckDB's exact `//`. Subtracting the exact decimal remainder
+          // first makes the division exactly representable, so the
+          // rounding is moot.
+          state = contrib
+            .withColumn("hn", expr("cast(h_raw as decimal(38,0)) * 1000000000"))
+            .withColumn("an", expr("cast(a_raw as decimal(38,0)) * 1000000000"))
+            .select(col("v"),
+              expr(s"cast((hn - hn % ${ht}L) div ${ht}L as bigint)").as("h9"),
+              expr(s"cast((an - an % ${at}L) div ${at}L as bigint)").as("a9"))
+          if (prev != null) Scoped.free(prev)
+          prev = contrib
+        }
+        Scoped.releaseAfterUse(dedges, prev)
+        state.select(concat(lit("v"), col("v")).as("title"),
+          col("h9").as("hub9"), col("a9").as("auth9"))
+          .orderBy(col("title"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 1200 AS dst
+          FROM lineitem),
+        verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+        dedges AS (
+          SELECT src AS contact, dst AS target, TRUE AS from_hub FROM edges
+          UNION ALL
+          SELECT dst AS contact, src AS target, FALSE AS from_hub FROM edges),
+        state AS (
+          SELECT 0 AS iter, v, CAST(1000000000 AS BIGINT) AS h9,
+                 CAST(1000000000 AS BIGINT) AS a9
+          FROM verts
+          UNION ALL
+          SELECT iter, v,
+            CAST(CAST(h_raw AS HUGEINT) * 1000000000
+                 // (SUM(h_raw) OVER ()) AS BIGINT) AS h9,
+            CAST(CAST(a_raw AS HUGEINT) * 1000000000
+                 // (SUM(a_raw) OVER ()) AS BIGINT) AS a9
+          FROM (
+            SELECT p.iter + 1 AS iter, e.target AS v,
+              COALESCE(SUM(CASE WHEN e.from_hub THEN p.h9 END), 0) AS a_raw,
+              COALESCE(SUM(CASE WHEN NOT e.from_hub THEN p.a9 END), 0) AS h_raw
+            FROM state p JOIN dedges e ON p.v = e.contact
+            WHERE p.iter < 5
+            GROUP BY 1, 2) s)
+        SELECT 'v' || CAST(v AS VARCHAR) AS title, h9 AS hub9, a9 AS auth9
+        FROM state WHERE iter = 5 ORDER BY title"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side

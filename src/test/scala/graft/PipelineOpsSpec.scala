@@ -272,4 +272,39 @@ class PipelineOpsSpec extends SparkSpec {
       assert(byRk.map(_._6).distinct.length === 1, s"anchor $a has one positive")
     }
   }
+
+  test("q180: output equals an exact integer HITS reference, bit for bit") {
+    // the gate pins sf0.01 against DuckDB; this pins the RECURRENCE
+    // itself — a from-scratch BigInt power iteration with the same 1e-9
+    // grid and floor normalization, driver-side over the sf0.001 graph
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") % 997).as("src"), (col("l_partkey") % 1200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var h = verts.map(_ -> BigInt(1000000000L)).toMap
+    var a = h
+    for (_ <- 1 to 5) {
+      val aRaw = verts.map(v => v -> in.getOrElse(v, Array.empty[Long]).map(h).sum).toMap
+      val hRaw = verts.map(v => v -> out.getOrElse(v, Array.empty[Long]).map(a).sum).toMap
+      val (at, ht) = (aRaw.values.sum, hRaw.values.sum)
+      a = aRaw.map { case (v, x) => v -> x * 1000000000L / at }
+      h = hRaw.map { case (v, x) => v -> x * 1000000000L / ht }
+    }
+    val got = SparkEntry.queries("q180_hits")(spark, dir).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Long]("hub9"), r.getAs[Long]("auth9")))
+    assert(got.length === verts.length)
+    got.foreach { case (title, hub9, auth9) =>
+      val v = title.drop(1).toLong
+      assert(BigInt(hub9) === h(v), s"hub($title)")
+      assert(BigInt(auth9) === a(v), s"auth($title)")
+    }
+    // L1 discipline: each normalized score vector sums to 1e9 minus only
+    // the floor loss (< 1 grid unit per vertex)
+    val hubSum = got.map(_._2).sum
+    val authSum = got.map(_._3).sum
+    assert(hubSum <= 1000000000L && hubSum > 1000000000L - verts.length)
+    assert(authSum <= 1000000000L && authSum > 1000000000L - verts.length)
+  }
 }
