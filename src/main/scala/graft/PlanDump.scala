@@ -75,8 +75,9 @@ object PlanDump {
     // (q179)
     "q178_containment_dup", "q179_hard_negatives",
     // r15: HITS's per-iteration join+partial-agg pair and 1-row
-    // broadcast normalization (q180)
-    "q180_hits")
+    // broadcast normalization (q180); winnowing's map-side fingerprint
+    // HOF + candidates-then-intersect verify (q181)
+    "q180_hits", "q181_winnowing_overlap")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

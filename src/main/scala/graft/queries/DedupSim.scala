@@ -3269,7 +3269,139 @@ object DedupSim {
           FROM negs n LEFT JOIN pos p ON p.anchor_id = n.anchor_id
           WHERE n.rk <= 3
           ORDER BY n.anchor_id, n.rk"""
-      })
+      }),
+
+    // ---- WINNOWING fingerprint overlap (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): per document, hash every token
+    // 4-gram, slide a 4-hash window, and keep each window's MINIMUM hash
+    // (ties to the RIGHTMOST position, the paper's rule — encoded as
+    // min over hash*4 + (3 - offset) so one integer min does both).
+    // Guarantee: any shared run of >= w + k - 1 = 7 tokens yields a
+    // shared fingerprint; expected density 2/(w+1) of positions. This is
+    // the LOCAL-overlap detector the family lacked: q111's CDC chunks
+    // find shared long blocks cut at content boundaries, q178's
+    // containment needs |Sa∩Sb|/|Sa| near 1 — winnowing reports partial
+    // overlap (a spliced second half, a quoted paragraph) between
+    // documents that are globally dissimilar, with a guaranteed floor.
+    //
+    // The fixture has no spliced docs, so the derivation PLANTS them
+    // (the q178 pattern): every 60th doc re-issued under id + 3e12 with
+    // its first half replaced by 64 unique filler words — the pair
+    // shares only the second half, far below resemblance thresholds.
+    //
+    // Scale: fingerprinting is map-side on the doc's own row (ONE HOF
+    // pass; each gram hashed w times rather than materializing a gram
+    // array — 4x the md5s, no cross-projection inlining risk); the
+    // fingerprint table is ~2/(w+1) of gram count; candidates join on
+    // df <= 50 identity-bearing fingerprints (the q178 cutoff), and the
+    // exact match count is a row-local array_intersect over the two
+    // checkpointed fingerprint sets — no post-join aggregation.
+    ("q181_winnowing_overlap",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val filler = expr("concat_ws(' ', transform(sequence(1, 64), " +
+          "i -> concat('y', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
+        val twin = d.filter(col("doc_id") % 60 === 0)
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 14)
+          .select((col("doc_id") + 3000000000000L).as("doc_id"),
+            concat(filler, lit(" "), expr(
+              "concat_ws(' ', slice(ws, size(ws) div 2 + 1, size(ws) - size(ws) div 2))"))
+              .as("text"))
+        val aug = d.unionByName(twin)
+        val fps = aug
+          .select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 7)
+          // each gram is hashed ONCE: the gram-hash array is bound as a
+          // transform lambda VALUE (the q111 lesson — lambdas bind element
+          // values, so element_at(gs, ...) inside the window min is O(1)),
+          // instead of re-deriving the md5 inside every window ×4
+          .select(col("doc_id"), expr(
+            "array_distinct(element_at(transform(array(" +
+            "transform(sequence(0, size(ws) - 4), i -> " +
+            "cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 4))), 1, 15), 16, 10) as bigint))" +
+            "), gs -> transform(sequence(0, size(gs) - 4), j -> " +
+            "array_min(transform(sequence(0, 3), o -> " +
+            "element_at(gs, j + o + 1) * 4 + 3 - o)) div 4)), 1))").as("fps"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(fps)
+        val flat = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+        val rare = flat.join(
+          flat.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 50L).select(col("fp")),
+          Seq("fp"), "left_semi")
+        // candidate refinement (the q154 lesson, measured in SCALING.md):
+        // a pair must share TWO rare fingerprints, not one — chance
+        // 4-gram collisions in a bounded vocabulary are overwhelmingly
+        // single-fingerprint (sf1: 1.11 M pairs at >=1 vs 7.4 k at >=2,
+        // 150x), while a genuinely shared run of >= 14 tokens GUARANTEES
+        // >= 2 fingerprints (winnowed positions are never more than w
+        // apart), so the detection floor moves 7 -> 14 tokens — far
+        // under any splice worth reporting
+        val cand = rare.select(col("doc_id").as("id_a"), col("fp"))
+          .join(rare.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared_rare"))
+          .filter(col("shared_rare") >= 2L)
+          .select(col("id_a"), col("id_b"))
+        cand
+          .join(fps.select(col("doc_id").as("id_a"), col("fps").as("fa")),
+            Seq("id_a"))
+          .join(fps.select(col("doc_id").as("id_b"), col("fps").as("fb")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("fa"), col("fb"))).cast("long").as("matched"),
+            size(col("fa")).cast("long").as("na"),
+            size(col("fb")).cast("long").as("nb"))
+          .filter(col("matched") >= 3L)
+          .select(col("id_a"), col("id_b"), col("matched"), col("na"), col("nb"),
+            expr("matched * 10000 div (na + nb - matched)").as("sim4"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH twin AS (
+          SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
+          FROM documents WHERE doc_id % 60 = 0),
+        aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000000000,
+            array_to_string(list_transform(range(1, 65),
+              i -> 'y' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))), ' ')
+            || ' ' || array_to_string(ws[(len(ws) // 2 + 1):len(ws)], ' ')
+          FROM twin WHERE len(ws) >= 14),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
+                 FROM aug WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 7),
+        gr AS (SELECT doc_id,
+                 list_transform(range(0, len(ws) - 3),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                          list_slice(ws, i + 1, i + 4), ' ')), 1, 15)) AS BIGINT)) AS gs
+               FROM toks),
+        fps AS (SELECT doc_id,
+                  list_distinct(list_transform(range(0, len(gs) - 3),
+                    j -> list_min(list_transform(range(0, 4),
+                      o -> gs[CAST(j + o + 1 AS BIGINT)] * 4 + 3 - o)) // 4)) AS fps
+                FROM gr),
+        flat AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        rare AS (SELECT doc_id, fp FROM flat
+                 WHERE fp IN (SELECT fp FROM flat
+                              GROUP BY fp HAVING COUNT(*) <= 50)),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM rare a JOIN rare b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        m AS (SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(fa.fps, fb.fps)) AS BIGINT) AS matched,
+                CAST(len(fa.fps) AS BIGINT) AS na,
+                CAST(len(fb.fps) AS BIGINT) AS nb
+              FROM cand c JOIN fps fa ON fa.doc_id = c.id_a
+              JOIN fps fb ON fb.doc_id = c.id_b)
+        SELECT id_a, id_b, matched, na, nb,
+          matched * 10000 // (na + nb - matched) AS sim4
+        FROM m WHERE matched >= 3
+        ORDER BY id_a, id_b"""))
   )
 
 }

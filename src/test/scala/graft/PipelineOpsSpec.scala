@@ -307,4 +307,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hubSum <= 1000000000L && hubSum > 1000000000L - verts.length)
     assert(authSum <= 1000000000L && authSum > 1000000000L - verts.length)
   }
+
+  test("q181: every planted spliced twin is detected; overlap algebra holds") {
+    val rows = SparkEntry.queries("q181_winnowing_overlap")(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("matched"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("sim4"))))
+      .toMap
+    rows.foreach { case ((a, b), (m, na, nb, sim4)) =>
+      assert(a < b, "pairs are ordered")
+      assert(m >= 3L && m <= math.min(na, nb), s"($a,$b) matched in range")
+      assert(sim4 === m * 10000L / (na + nb - m), s"($a,$b) sim4 algebra")
+      assert(sim4 >= 1L && sim4 <= 10000L)
+    }
+    // plants: every 60th doc with >= 14 alpha tokens shares its second
+    // half with the twin at id + 3e12 — a run far above the w + k - 1 = 7
+    // guarantee, so the pair MUST surface
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 60 === 0)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .filter { case (_, n) => n >= 14 && n - n / 2 >= 30 }
+    assert(planted.nonEmpty, "fixture must exercise the planted path")
+    planted.foreach { case (id, n) =>
+      val hit = rows.get((id, id + 3000000000000L))
+      assert(hit.isDefined, s"planted splice ($id, twin) not found (kept half ${n - n / 2} tokens)")
+      // the shared half holds >= (kept - 6) windows; winnowing keeps
+      // ~2/(w+1) of them — demand a conservative floor, not the mean
+      assert(hit.get._1 >= (n - n / 2 - 6) / 10,
+        s"planted splice ($id) matched ${hit.get._1} below the guarantee floor")
+    }
+  }
 }
