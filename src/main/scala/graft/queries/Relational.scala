@@ -2247,5 +2247,67 @@ object Relational {
                WHEN n * idx_w + n_distinct * width <= n * width THEN 'dict'
                ELSE 'plain' END AS best
         FROM j ORDER BY colname"""))
+    ,
+
+    // ---- k-ANONYMITY / l-DIVERSITY audit with a generalization rescue
+    // column — the data-RELEASE side of the privacy family (q46 redacts
+    // PII spans, q153 erases on request; this op answers "is this table
+    // safe to publish as-is"). Quasi-identifier = (nation, segment,
+    // $1000 balance bucket); sensitive attribute = the exact balance.
+    // Per QI group: size n, k-anonymous at k=5, l-diversity (distinct
+    // sensitive values), and whether generalizing the bucket one level
+    // up ($5000) would rescue an at-risk group — the Samarati/Sweeney
+    // generalization-hierarchy step evaluated in the SAME pass via a
+    // window over the coarser key, so the report costs ONE aggregation
+    // of the table plus a groups-sized window, no second scan.
+    //
+    // Scale: one combinable groupBy of |rows| → |QI combos| (bounded by
+    // the QI domain product, NOT the row count); the rescue window is
+    // partitioned by the coarse key over the already-aggregated groups.
+    // Balance buckets via double floor() — floor-division on negative
+    // INTEGERS diverges between engines (Spark div truncates toward
+    // zero, DuckDB // floors), double floor() agrees everywhere.
+    ("q182_k_anonymity",
+      (s: SparkSession, dir: String) => {
+        val k = 5L
+        val fine = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            (floor(col("c_acctbal") / 1000.0).cast("long") * 1000L).as("bal_bucket"),
+            expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("bal2"))
+          .groupBy(col("nation"), col("segment"), col("bal_bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("bal2")).as("l_div"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nation"), col("segment"), col("bal5"))
+        fine
+          .withColumn("bal5",
+            (floor(col("bal_bucket").cast("double") / 5000.0).cast("long") * 5000L))
+          .withColumn("n_coarse", sum(col("n")).over(w))
+          .select(col("nation"), col("segment"), col("bal_bucket"),
+            col("n"), col("l_div"),
+            (col("n") < k).as("at_risk"),
+            col("n_coarse"),
+            (col("n") < k && col("n_coarse") >= k).as("rescued_by_bal5"))
+          .orderBy(col("nation"), col("segment"), col("bal_bucket"))
+      },
+      Some("""WITH fine AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nation,
+            c_mktsegment AS segment,
+            CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS bal_bucket,
+            COUNT(*) AS n,
+            COUNT(DISTINCT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS l_div
+          FROM customer GROUP BY 1, 2, 3),
+        c AS (SELECT *,
+            CAST(floor(CAST(bal_bucket AS DOUBLE) / 5000.0) AS BIGINT) * 5000 AS bal5
+          FROM fine),
+        r AS (SELECT *,
+            CAST(SUM(n) OVER (PARTITION BY nation, segment, bal5) AS BIGINT)
+              AS n_coarse
+          FROM c)
+        SELECT nation, segment, bal_bucket, n, l_div,
+          n < 5 AS at_risk, n_coarse,
+          n < 5 AND n_coarse >= 5 AS rescued_by_bal5
+        FROM r ORDER BY nation, segment, bal_bucket"""))
   )
 }

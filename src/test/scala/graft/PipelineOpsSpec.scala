@@ -339,4 +339,28 @@ class PipelineOpsSpec extends SparkSpec {
         s"planted splice ($id) matched ${hit.get._1} below the guarantee floor")
     }
   }
+
+  test("q182: QI groups partition the table; rescue and risk flags are consistent") {
+    val rows = SparkEntry.queries("q182_k_anonymity")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("nation"), r.getAs[String]("segment"),
+        r.getAs[Long]("bal_bucket"), r.getAs[Long]("n"), r.getAs[Long]("l_div"),
+        r.getAs[Boolean]("at_risk"), r.getAs[Long]("n_coarse"),
+        r.getAs[Boolean]("rescued_by_bal5")))
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(rows.map(_._4).sum === total, "fine groups partition the table")
+    rows.foreach { case (_, _, _, n, lDiv, atRisk, nCoarse, rescued) =>
+      assert(lDiv >= 1L && lDiv <= n, "l-diversity bounded by group size")
+      assert(atRisk === (n < 5L))
+      assert(nCoarse >= n, "coarse group contains its fine group")
+      assert(rescued === (atRisk && nCoarse >= 5L))
+    }
+    // n_coarse is the SUM of fine ns within its coarse key
+    rows.groupBy { case (nat, seg, bb, _, _, _, _, _) =>
+      (nat, seg, math.floor(bb.toDouble / 5000.0).toLong * 5000L)
+    }.foreach { case (key, grp) =>
+      val s = grp.map(_._4).sum
+      grp.foreach { g => assert(g._7 === s, s"coarse sum at $key") }
+    }
+  }
 }
