@@ -2309,5 +2309,67 @@ object Relational {
           n < 5 AS at_risk, n_coarse,
           n < 5 AND n_coarse >= 5 AS rescued_by_bal5
         FROM r ORDER BY nation, segment, bal_bucket"""))
+    ,
+
+    // ---- JOIN-SIZE estimation by count-min inner product (AMS-style):
+    // |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), estimated as the MIN over depths
+    // of the dot product of the two sides' CM counter rows — the
+    // optimizer-statistics primitive a 100 TB planner uses to choose
+    // join order/strategy WITHOUT shuffling either table by key: each
+    // side folds to depth×width (4×256) counters in one combinable
+    // pass, the sketches are additive across shards, and the estimate is
+    // a 1024-row join. One-sided contract: collisions only ADD mass, so
+    // cm_est >= exact always — the gate pins it per depth alongside the
+    // exact control (events.user_id ⋈ orders.o_custkey). Counter
+    // products are HUGEINT/decimal(38,0)-widened before summing — a
+    // silent int64 wrap at real row counts is the q150-lr4 lesson.
+    ("q183_join_size_sketch",
+      (s: SparkSession, dir: String) => {
+        def cmC(d: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+          hash32(concat(d.cast("string"), lit(":"), k.cast("string"))) % 256
+        val e = t(s, dir, "events").select(col("user_id").as("k"))
+        val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        def cm(side: DataFrame, as: String) = side
+          .select(col("k"), explode(expr("array(0, 1, 2, 3)")).as("d"))
+          .withColumn("c", cmC(col("d"), col("k")))
+          .groupBy(col("d"), col("c")).agg(count(lit(1)).as(as))
+        // zero counters contribute zero to the dot product, so the inner
+        // join over (d, c) is the full sum
+        val dots = cm(e, "ce").join(cm(o, "co"), Seq("d", "c"))
+          .groupBy(col("d"))
+          .agg(expr("cast(sum(cast(ce as decimal(38,0)) * co) as bigint)")
+            .as("dot"))
+        val exact = e.groupBy(col("k")).agg(count(lit(1)).as("ec"))
+          .join(o.groupBy(col("k")).agg(count(lit(1)).as("oc")), Seq("k"))
+          .agg(expr("cast(sum(cast(ec as decimal(38,0)) * oc) as bigint)")
+            .as("exact"))
+        val est = dots.agg(min(col("dot")).as("cm_est"))
+        dots.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+          .select(col("d"), col("dot"), col("exact"), col("cm_est"),
+            expr("case when exact > 0 then (cm_est - exact) * 10000 div exact end")
+              .as("over4"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        cme AS (SELECT d,
+            ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS c,
+            COUNT(*) AS ce
+          FROM events, ds GROUP BY 1, 2),
+        cmo AS (SELECT d,
+            ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS c,
+            COUNT(*) AS co
+          FROM orders, ds GROUP BY 1, 2),
+        dots AS (SELECT cme.d,
+            CAST(SUM(CAST(ce AS HUGEINT) * co) AS BIGINT) AS dot
+          FROM cme JOIN cmo ON cmo.d = cme.d AND cmo.c = cme.c
+          GROUP BY 1),
+        ex AS (SELECT CAST(SUM(CAST(ec AS HUGEINT) * oc) AS BIGINT) AS exact
+          FROM (SELECT user_id AS k, COUNT(*) AS ec FROM events GROUP BY 1) e
+          JOIN (SELECT o_custkey AS k, COUNT(*) AS oc FROM orders GROUP BY 1) o
+          USING (k)),
+        est AS (SELECT MIN(dot) AS cm_est FROM dots)
+        SELECT d, dot, exact, cm_est,
+          CASE WHEN exact > 0 THEN (cm_est - exact) * 10000 // exact END AS over4
+        FROM dots, ex, est ORDER BY d"""))
   )
 }

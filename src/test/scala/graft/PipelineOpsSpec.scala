@@ -363,4 +363,28 @@ class PipelineOpsSpec extends SparkSpec {
       grp.foreach { g => assert(g._7 === s, s"coarse sum at $key") }
     }
   }
+
+  test("q183: cm_est is one-sided above the exact join size, and exact is exact") {
+    val rows = SparkEntry.queries("q183_join_size_sketch")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("dot"), r.getAs[Long]("exact"),
+        r.getAs[Long]("cm_est"), r.getAs[Long]("over4")))
+    assert(rows.map(_._1).sorted.toSeq === Seq(0, 1, 2, 3), "one row per depth")
+    val exact = rows.head._3
+    // the exact control really is the join size, recomputed driver-side
+    val ec = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oc = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = ec.map { case (k, n) => n * oc.getOrElse(k, 0L) }.sum
+    assert(exact === ref, "exact join size")
+    rows.foreach { case (d, dot, ex, est, over4) =>
+      assert(ex === exact, "one global exact")
+      assert(dot >= exact, s"depth $d dot is one-sided (collisions only add)")
+      assert(est === rows.map(_._2).min, "cm_est is the min over depths")
+      assert(over4 === (est - exact) * 10000L / exact)
+      assert(over4 >= 0L)
+    }
+  }
 }
