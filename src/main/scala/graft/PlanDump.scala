@@ -77,7 +77,9 @@ object PlanDump {
     // r15: HITS's per-iteration join+partial-agg pair and 1-row
     // broadcast normalization (q180); winnowing's map-side fingerprint
     // HOF + candidates-then-intersect verify (q181)
-    "q180_hits", "q181_winnowing_overlap")
+    "q180_hits", "q181_winnowing_overlap",
+    // r15: LPA's per-iteration double aggregate (count -> encoded max)
+    "q184_lpa_communities")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1180,7 +1180,91 @@ object CorpusSearch {
             WHERE p.iter < 5
             GROUP BY 1, 2) s)
         SELECT 'v' || CAST(v AS VARCHAR) AS title, h9 AS hub9, a9 AS auth9
-        FROM state WHERE iter = 5 ORDER BY title"""))
+        FROM state WHERE iter = 5 ORDER BY title""")),
+
+    // ---- LABEL PROPAGATION community detection (Raghavan/Albert/Kumara
+    // 2007) on the undirected key graph: label_0(v) = v; each iteration
+    // every vertex adopts the most frequent label among its neighbors,
+    // ties to the SMALLEST label; 5 synchronous iterations (synchronous
+    // LPA can oscillate, so the fixed-depth output is the deterministic
+    // contract — same policy as q180/q95). Near-linear community
+    // detection — the coarse-graining complement to exact components
+    // (q49): CC merges anything connected, LPA splits a connected graph
+    // into densely-linked regions.
+    //
+    // Determinism across engines is ENCODED, not hoped for: the per-
+    // vertex argmax runs as one plain MAX over
+    // cnt·2²⁰ + (2²⁰−1 − label) — max count wins, then min label —
+    // exact 64-bit integer ops in both engines (labels are vertex ids
+    // < 2²⁰ here; a cluster run widens the packing or uses a struct
+    // max). Oracle: recursive CTE over the same doubled-edge table, one
+    // state reference per step (the q180 shape).
+    //
+    // Scale: per iteration ONE join (broadcast |V|-row state; see q180's
+    // stats note) + a (target,label)-keyed combinable count + a
+    // target-keyed MAX — all partial-aggregated; state is |V| rows.
+    ("q184_lpa_communities",
+      (s: SparkSession, dir: String) => {
+        val edges = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst")).distinct()
+        val dedges = edges
+          .select(col("src").as("contact"), col("dst").as("target"))
+          .unionByName(edges.select(col("dst").as("contact"),
+            col("src").as("target")))
+          .localCheckpoint()
+        var state = dedges.select(col("target").as("v")).distinct()
+          .select(col("v"), col("v").as("label"))
+        var prev: DataFrame = null
+        for (i <- 1 to 5) {
+          val next = dedges
+            .join(broadcast(state.withColumnRenamed("v", "contact")),
+              Seq("contact"))
+            .groupBy(col("target").as("v"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("v"))
+            .agg(max(col("cnt") * 1048576L + (lit(1048575L) - col("label")))
+              .as("key"))
+            .select(col("v"), (lit(1048575L) - col("key") % 1048576L).as("label"))
+            .localCheckpoint()
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          state = next
+        }
+        val sizes = state.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+        Scoped.releaseAfterUse(dedges, prev)
+        state.join(broadcast(sizes), Seq("label"))
+          .select(concat(lit("v"), col("v")).as("title"),
+            col("label").as("community"), col("comm_size"))
+          .orderBy(col("title"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 1200 AS dst
+          FROM lineitem),
+        dedges AS (
+          SELECT src AS contact, dst AS target FROM edges
+          UNION ALL
+          SELECT dst AS contact, src AS target FROM edges),
+        verts AS (SELECT DISTINCT target AS v FROM dedges),
+        state AS (
+          SELECT 0 AS iter, v, v AS label FROM verts
+          UNION ALL
+          SELECT iter, v, 1048575 - key % 1048576 AS label
+          FROM (
+            SELECT iter, v, MAX(cnt * 1048576 + (1048575 - label)) AS key
+            FROM (
+              SELECT p.iter + 1 AS iter, e.target AS v, p.label,
+                COUNT(*) AS cnt
+              FROM state p JOIN dedges e ON p.v = e.contact
+              WHERE p.iter < 5
+              GROUP BY 1, 2, 3) c
+            GROUP BY 1, 2) m),
+        fin AS (SELECT v, label FROM state WHERE iter = 5),
+        sz AS (SELECT label, COUNT(*) AS comm_size FROM fin GROUP BY label)
+        SELECT 'v' || CAST(f.v AS VARCHAR) AS title, f.label AS community,
+          sz.comm_size
+        FROM fin f JOIN sz ON sz.label = f.label
+        ORDER BY title"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side

@@ -387,4 +387,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(over4 >= 0L)
     }
   }
+
+  test("q184: labels equal an exact synchronous-LPA reference; sizes partition") {
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") % 997).as("src"), (col("l_partkey") % 1200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val verts = nbrs.keySet
+    var label = verts.map(v => v -> v).toMap
+    for (_ <- 1 to 5)
+      label = verts.map { v =>
+        // most frequent neighbor label, ties to the smallest
+        val best = nbrs(v).map(label).groupBy(identity).toSeq
+          .map { case (l, o) => (o.length, l) }
+          .minBy { case (c, l) => (-c, l) }
+        v -> best._2
+      }.toMap
+    val got = SparkEntry.queries("q184_lpa_communities")(spark, dir).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Long]("community"),
+        r.getAs[Long]("comm_size")))
+    assert(got.length === verts.size)
+    got.foreach { case (title, comm, _) =>
+      assert(comm === label(title.drop(1).toLong), s"label($title)")
+    }
+    val sizes = got.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    got.foreach { case (t, c, sz) => assert(sz === sizes(c), s"size($t)") }
+    assert(sizes.values.sum === verts.size.toLong, "communities partition")
+    assert(sizes.size > 1, "the key graph is not one community")
+  }
 }
