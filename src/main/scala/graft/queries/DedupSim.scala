@@ -43,6 +43,24 @@ object DedupSim {
       "shingle")
       .distinct()
 
+  /** Winnowed fingerprint array (MOSS: 4-token grams, 4-hash windows,
+    * rightmost-min tie-break via min over hash·4+(3−o)) from a bound
+    * token-array column `ws` — ONE definition shared by batch q181 and
+    * [[graft.streaming.EventStreams.winnowMatchStream]], so stream and
+    * batch fingerprint identically (the cdcChunkHashArray contract).
+    * Each gram is hashed once: the gram-hash array is bound as a
+    * transform lambda VALUE (q111 lesson). Docs with < 7 alpha tokens
+    * carry an empty array (no window fits). */
+  private[graft] val winnowFpsExpr: String =
+    "case when size(ws) >= 7 then " +
+    "array_distinct(element_at(transform(array(" +
+    "transform(sequence(0, size(ws) - 4), i -> " +
+    "cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 4))), 1, 15), 16, 10) as bigint))" +
+    "), gs -> transform(sequence(0, size(gs) - 4), j -> " +
+    "array_min(transform(sequence(0, 3), o -> " +
+    "element_at(gs, j + o + 1) * 4 + 3 - o)) div 4)), 1)) " +
+    "else cast(array() as array<bigint>) end"
+
   /** Distinct word-5-gram shingles per document. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleDf(t(s, dir, "documents"))
@@ -3314,17 +3332,9 @@ object DedupSim {
           .select(col("doc_id"),
             expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
           .filter(size(col("ws")) >= 7)
-          // each gram is hashed ONCE: the gram-hash array is bound as a
-          // transform lambda VALUE (the q111 lesson — lambdas bind element
-          // values, so element_at(gs, ...) inside the window min is O(1)),
-          // instead of re-deriving the md5 inside every window ×4
-          .select(col("doc_id"), expr(
-            "array_distinct(element_at(transform(array(" +
-            "transform(sequence(0, size(ws) - 4), i -> " +
-            "cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 4))), 1, 15), 16, 10) as bigint))" +
-            "), gs -> transform(sequence(0, size(gs) - 4), j -> " +
-            "array_min(transform(sequence(0, 3), o -> " +
-            "element_at(gs, j + o + 1) * 4 + 3 - o)) div 4)), 1))").as("fps"))
+          // the shared [[winnowFpsExpr]] (also the stream twin's): each
+          // gram hashed ONCE via a bound lambda value (the q111 lesson)
+          .select(col("doc_id"), expr(winnowFpsExpr).as("fps"))
           .localCheckpoint()
         Scoped.releaseAfterUse(fps)
         val flat = fps.select(col("doc_id"), explode(col("fps")).as("fp"))

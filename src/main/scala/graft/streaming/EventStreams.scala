@@ -510,6 +510,42 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("n_below"), col("n_above"))
 
+  /** Ingest-time winnowing overlap — the STREAM twin of batch q181: each
+    * arriving doc is fingerprinted MAP-SIDE by the shared
+    * [[graft.queries.DedupSim.winnowFpsExpr]] (stream and batch
+    * fingerprints are bit-identical — the cdcChunkStream contract), then
+    * its fingerprint set probes the STATIC corpus fingerprint table with
+    * one stream-static left equi join; the per-doc verdict is
+    * (n_fps, n_matched, overlap = any corpus fingerprint hit). The
+    * ingest-side half of plagiarism/splice screening: the corpus table
+    * moves at batch cadence (a q181-style pass maintains it), arrivals
+    * are screened in minutes. Stream-static joins keep no state and the
+    * static side re-plans per micro-batch, so the corpus table may
+    * exceed broadcast size and picks up batch refreshes without a
+    * restart; agg state is horizon-bounded. The (doc_id, event_us)
+    * grouping discriminator is the cdcChunkStream ADVICE-r7 rule: one
+    * verdict per ingest event, not a silent merge of re-ingests. Docs
+    * with < 7 alpha tokens report n_fps = 0 (explode_outer keeps them). */
+  def winnowMatchStream(docs: DataFrame, corpusFps: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val fp = docs
+      .withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+      .withColumn("fps", expr(graft.queries.DedupSim.winnowFpsExpr))
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"),
+        unix_micros(col("ts")).as("event_us"),
+        size(col("fps")).as("n_fps"),
+        explode_outer(col("fps")).as("fp"))
+    val idx = corpusFps.select(col("fp")).distinct().withColumn("hit", lit(1))
+    fp.join(idx, Seq("fp"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), horizon),
+        col("doc_id"), col("event_us"), col("n_fps"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .select(col("doc_id"), col("event_us"), col("n_fps").cast("long").as("n_fps"),
+        col("n_matched"))
+      .withColumn("overlap", col("n_matched") > 0)
+  }
+
   /** Streaming CDC apply: maintain a parquet serving table by MERGE-ing
     * each micro-batch through [[graft.maintenance.Upsert]] — the
     * streaming twin of q86 (a crawl feed continuously upserting a

@@ -682,6 +682,52 @@ class StreamingSpec extends SparkSpec {
     assert(p1.map(r => (r._3, r._4, r._5)).toSeq === Seq((1L, 0L, 0L), (1L, 0L, 1L)))
   }
 
+  test("winnowMatchStream: ingest fingerprints match the batch q181 fingerprinter") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val corpusFps = corpus
+      .withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+      .select(explode(expr(graft.queries.DedupSim.winnowFpsExpr)).as("fp"))
+    val streamDocs = Seq(
+      (10L, base, ts(0)),                         // full copy: all fps hit
+      (11L, "zz yy xx ww vv uu tt " + base, ts(1)), // splice: tail fps hit
+      (12L, "one two three four five six seven eight nine ten", ts(2)), // fresh
+      (13L, "too short here", ts(3)))              // < 7 tokens: no fps
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(streamDocs: _*)
+    val q = EventStreams.winnowMatchStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), corpusFps)
+      .writeStream.format("memory").queryName("winnow_match")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    val streamed = spark.table("winnow_match")
+      .select(col("doc_id"), col("n_fps"), col("n_matched"), col("overlap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // batch reference with the SAME shared expression
+    val batch = streamDocs.toDF("doc_id", "text", "ts")
+      .withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+      .withColumn("fps", expr(graft.queries.DedupSim.winnowFpsExpr))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        explode_outer(col("fps")).as("fp"))
+      .join(corpusFps.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy(col("doc_id"), col("n_fps"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("overlap", col("n_matched") > 0)
+      .select(col("doc_id"), col("n_fps"), col("n_matched"), col("overlap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(streamed === batch, "stream verdicts must equal the batch fingerprinter's")
+    val byDoc = streamed.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(byDoc(10L)._1 > 0 && byDoc(10L)._2 === byDoc(10L)._1, "full copy: every fp hits")
+    assert(byDoc(11L)._2 > 0 && byDoc(11L)._3, "splice detected through the prefix")
+    assert(byDoc(12L)._2 === 0L && !byDoc(12L)._3, "fresh text shares nothing")
+    assert(byDoc(13L) === ((0L, 0L, false)), "short doc reports with zero signal")
+  }
+
   test("upsertStream: serving table converges to latest-per-key across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
