@@ -3411,7 +3411,100 @@ object DedupSim {
         SELECT id_a, id_b, matched, na, nb,
           matched * 10000 // (na + nb - matched) AS sim4
         FROM m WHERE matched >= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- dedup threshold OPERATING CURVE: the decision table an
+    // operator reads before picking 0.80 vs 0.85 — for each Jaccard
+    // threshold (0.50..0.95 step 0.05, ‱ grid), how many verified
+    // near-dup pairs clear it, how many documents a greedy
+    // keep-smallest-id pass would drop, and how many chars of corpus
+    // that forfeits. The pair set is q32's LSH-candidates-then-exact-
+    // verify (same shingle/minhash CTEs — one definition), WITHOUT the
+    // 0.5 floor so the curve covers its whole domain; jac4 on the exact
+    // integer grid. Every threshold row is emitted (zeros kept) so the
+    // curve is always 10 rows.
+    //
+    // Scale: the pair set is LSH-banded (never all-pairs); the curve is
+    // a 10-row broadcast crossed against it, two small aggregates, and
+    // one broadcast-able join of dropped ids against doc lengths.
+    ("q185_dedup_threshold_curve",
+      (s: SparkSession, dir: String) => {
+        val sh = shingles(s, dir).localCheckpoint()
+        Scoped.releaseAfterUse(sh)
+        val bands = minhashBands(sh)
+        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("common * 10000 div (na + nb - common)").as("jac4"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(pairs)
+        // bigint thresholds: DuckDB's range() yields BIGINT and the
+        // compare sorts on schema-hashed columns
+        val ts = s.range(1).select(
+          explode(expr("sequence(bigint(5000), bigint(9500), bigint(500))"))
+            .as("threshold"))
+        val hit = broadcast(ts).crossJoin(pairs)
+          .filter(col("jac4") >= col("threshold"))
+        val nPairs = hit.groupBy(col("threshold"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val dropped = hit.select(col("threshold"), col("id_b")).distinct()
+          .join(t(s, dir, "documents")
+            .select(col("doc_id").as("id_b"), col("n_chars")), Seq("id_b"))
+          .groupBy(col("threshold"))
+          .agg(count(lit(1)).as("n_docs_dropped"),
+            sum(col("n_chars")).as("chars_dropped"))
+        ts.join(nPairs, Seq("threshold"), "left")
+          .join(dropped, Seq("threshold"), "left")
+          .select(col("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+            coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
+          .orderBy(col("threshold"))
+      },
+      Some {
+        s"""WITH $shinglesSql,
+          sh_s AS (SELECT doc_id, shingle FROM sh),
+          ${minhashBandsSql("s")},
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands_s a JOIN bands_s b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+                     FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                     JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                     GROUP BY c.id_a, c.id_b),
+          pairs AS (SELECT id_a, id_b,
+              common * 10000 // (na.n + nb.n - common) AS jac4
+            FROM common JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b),
+          ts AS (SELECT unnest(range(5000, 10000, 500)) AS threshold),
+          hit AS (SELECT t.threshold, p.id_a, p.id_b
+                  FROM ts t JOIN pairs p ON p.jac4 >= t.threshold),
+          np AS (SELECT threshold, COUNT(*) AS n_pairs FROM hit GROUP BY 1),
+          dr AS (SELECT h.threshold, COUNT(*) AS n_docs_dropped,
+              CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped
+            FROM (SELECT DISTINCT threshold, id_b FROM hit) h
+            JOIN documents d ON d.doc_id = h.id_b
+            GROUP BY 1)
+          SELECT t.threshold, COALESCE(np.n_pairs, 0) AS n_pairs,
+            COALESCE(dr.n_docs_dropped, 0) AS n_docs_dropped,
+            COALESCE(dr.chars_dropped, 0) AS chars_dropped
+          FROM ts t LEFT JOIN np ON np.threshold = t.threshold
+          LEFT JOIN dr ON dr.threshold = t.threshold
+          ORDER BY t.threshold"""
+      })
   )
 
 }

@@ -416,4 +416,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sizes.values.sum === verts.size.toLong, "communities partition")
     assert(sizes.size > 1, "the key graph is not one community")
   }
+
+  test("q185: the threshold curve is complete and monotonically non-increasing") {
+    val rows = SparkEntry.queries("q185_dedup_threshold_curve")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_dropped"), r.getAs[Long]("chars_dropped")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (5000L to 9500L by 500L), "all 10 rows present")
+    // raising the threshold can only shrink every budget number
+    rows.sliding(2).foreach { case Array((t1, p1, d1, c1), (t2, p2, d2, c2)) =>
+      assert(p2 <= p1, s"n_pairs rises $t1->$t2")
+      assert(d2 <= d1, s"n_docs_dropped rises $t1->$t2")
+      assert(c2 <= c1, s"chars_dropped rises $t1->$t2")
+    }
+    rows.foreach { case (t, p, d, c) =>
+      assert(d <= p * 2, s"dropped docs bounded by pair endpoints at $t")
+      assert((c == 0L) === (d == 0L), s"chars and docs agree on zero at $t")
+    }
+    // the fixture's planted near-dup families must make the low end load-bearing
+    assert(rows.head._2 > 0L, "0.5 threshold sees the planted families")
+  }
 }
