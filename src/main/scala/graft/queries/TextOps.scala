@@ -2203,7 +2203,59 @@ object TextOps {
             CAST(SUM(n_syms) AS BIGINT) AS n_syms,
             floor(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_syms) * 10000.0 + 0.5)
               / 10000.0 AS compression
-          FROM j GROUP BY lang ORDER BY lang"""))
+          FROM j GROUP BY lang ORDER BY lang""")),
+
+    // ---- DETERMINISTIC GLOBAL SHUFFLE ORDER for reproducible training:
+    // every doc's position in the epoch-0 data order is the rank of its
+    // seeded hash (md5-derived, so re-runs, engines, and resumed jobs
+    // agree bit-for-bit), and shard/pos_in_shard follow by round-robin —
+    // the data-loading contract that makes a training run replayable
+    // from any step. The SCALE point is HOW the rank is computed: a
+    // global row_number() is a single-task window at 100 TB, so this
+    // runs the two-phase enumeration instead — range-partition by hash,
+    // per-partition rank via a pid-PARTITIONED window, and ≤ |partitions|
+    // per-partition counts pulled driver-side (the I3 bounded-pull
+    // pattern) into broadcast offsets. Output is invariant to where the
+    // sampled range boundaries land, because offsets absorb them.
+    ("q186_shuffle_order",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val parted = t(s, dir, "documents")
+          .select(col("doc_id"),
+            hash60(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("h"))
+          .repartitionByRange(32, col("h"), col("doc_id"))
+          .sortWithinPartitions(col("h"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        // armed only AFTER the driver-side counts pull: releaseAfterUse
+        // fires on the next completed action, and the bounded collect
+        // above IS an action — arming first frees the checkpoint under
+        // the real consumer (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+        Scoped.releaseAfterUse(parted)
+        var acc = 0L
+        val offs = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+        val w = Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+        parted
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(offs.toSeq.toDF("pid", "off")), Seq("pid"))
+          .select(col("doc_id"),
+            (col("off") + col("rk") - 1L).as("position"))
+          .select(col("doc_id"), col("position"),
+            (col("position") % 8L).as("shard"),
+            expr("position div 8").as("pos_in_shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+            CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        p AS (SELECT doc_id,
+            row_number() OVER (ORDER BY h, doc_id) - 1 AS position
+          FROM h)
+        SELECT doc_id, position, position % 8 AS shard,
+          position // 8 AS pos_in_shard
+        FROM p ORDER BY doc_id"""))
   )
 
   /** k BPE trainer rounds over the frequency-weighted word-TYPE table

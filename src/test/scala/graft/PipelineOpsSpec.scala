@@ -436,4 +436,29 @@ class PipelineOpsSpec extends SparkSpec {
     // the fixture's planted near-dup families must make the low end load-bearing
     assert(rows.head._2 > 0L, "0.5 threshold sees the planted families")
   }
+
+  test("q186: positions are the exact seeded-hash rank; shards round-robin") {
+    val got = SparkEntry.queries("q186_shuffle_order")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("position"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    // driver-side reference: global rank of md5-derived hash (the
+    // two-phase enumeration must be invariant to partition boundaries)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sv: String): Long = {
+      val hex = md.digest(sv.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ref = got.map(_._1).map(id => id -> h60(s"epoch0:$id")).sortBy {
+      case (id, h) => (h, id)
+    }.zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got.length === ref.size)
+    got.foreach { case (id, pos, shard, pis) =>
+      assert(pos === ref(id), s"position($id)")
+      assert(shard === pos % 8, s"shard($id)")
+      assert(pis === pos / 8, s"pos_in_shard($id)")
+    }
+    // positions are a permutation of 0..n-1
+    assert(got.map(_._2).sorted.toSeq === (0L until got.length.toLong))
+  }
 }
