@@ -2255,7 +2255,114 @@ object TextOps {
           FROM h)
         SELECT doc_id, position, position % 8 AS shard,
           position // 8 AS pos_in_shard
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ---- HEAPS' LAW vocabulary-growth curve + fitted exponent: V(n) ≈
+    // K·n^β measured at 10 geometric doc-id prefixes (maxid >> 9 ... >>
+    // 0), with β and ln K from an integer-exact least-squares fit over
+    // (ln n_tokens, ln vocab) — the corpus scaling diagnostic that says
+    // whether a tokenizer vocab / hash space sized on a sample will hold
+    // at 100 TB (β drifting up = open vocabulary growing faster than the
+    // sample suggested; the fixture's bounded synthetic vocab fits a
+    // near-zero β — the report EXPOSES the fixture artifact that drove
+    // the q154/q178/q181 candidate transitions).
+    //
+    // Cross-engine discipline: vocab-at-prefix needs NO cumulative
+    // window — each term folds to its FIRST doc id (one combinable min),
+    // each prefix count is a broadcast 10-row theta-join; ln values live
+    // on the 1e-6 grid (the q133/q165 pattern) and the regression is
+    // exact integer sums with ONE widened division per coefficient
+    // (decimal(38,0)/HUGEINT — m·Σxy·1e4 overflows int64). Prefixes with
+    // zero vocab are reported but excluded from the fit (ln undefined).
+    ("q187_heaps_law",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("doc_id")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+          .localCheckpoint()
+        Scoped.releaseAfterUse(toks)
+        val ts = toks.agg(max(col("doc_id")).as("m"))
+          .select(explode(expr("sequence(1, 10)")).as("k"), col("m"))
+          .select(col("k").cast("long").as("k"),
+            expr("shiftright(m, 10 - k)").as("t"))
+        val firstDoc = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        val vocabK = broadcast(ts).join(firstDoc, col("fd") <= col("t"))
+          .groupBy(col("k"), col("t")).agg(count(lit(1)).as("vocab"))
+        val docTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        val sizeK = broadcast(ts).join(docTok, col("doc_id") <= col("t"))
+          .groupBy(col("k"), col("t"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val curve = ts.join(vocabK, Seq("k", "t"), "left")
+          .join(sizeK, Seq("k", "t"), "left")
+          .select(col("k"), col("t"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("vocab"), lit(0L)).as("vocab"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(curve)
+        val fit = curve
+          .filter(col("vocab") > 0L && col("n_tokens") > 0L)
+          .select(
+            expr("cast(floor(ln(cast(n_tokens as double)) * 1e6 + 0.5) as bigint)").as("x6"),
+            expr("cast(floor(ln(cast(vocab as double)) * 1e6 + 0.5) as bigint)").as("y6"))
+          .agg(count(lit(1)).as("m"), sum(col("x6")).as("sx"),
+            sum(col("y6")).as("sy"),
+            sum(expr("x6 * y6")).as("sxy"), sum(expr("x6 * x6")).as("sxx"))
+          // exact-remainder division (the q180 lesson, on BOTH engines):
+          // Spark's decimal div rounds its intermediate quotient at scale
+          // 6 and DuckDB's // floors on negatives — subtracting num % den
+          // first makes the quotient exact, where the two agree
+          .withColumn("bn", expr("cast(m * sxy - sx * sy as decimal(38,0)) * 10000 " +
+            "+ (m * sxx - sx * sx) div 2"))
+          .withColumn("bd", expr("m * sxx - sx * sx"))
+          .select(expr("cast((bn - bn % bd) div bd as bigint)").as("beta4"),
+            col("m"), col("sx"), col("sy"))
+          .withColumn("kn", expr("cast(sy as decimal(38,0)) * 10000 " +
+            "- cast(beta4 as decimal(38,0)) * sx"))
+          .withColumn("kd", expr("m * 1000000"))
+          .select(col("beta4"),
+            expr("cast((kn - kn % kd) div kd as bigint)").as("lnk4"))
+        curve.crossJoin(broadcast(fit)).orderBy(col("k"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        ts AS (SELECT CAST(k AS BIGINT) AS k,
+            (SELECT MAX(doc_id) FROM toks) >> CAST(10 - k AS INTEGER) AS t
+          FROM (SELECT unnest(range(1, 11)) AS k)),
+        fd AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+        vk AS (SELECT ts.k, ts.t, COUNT(*) AS vocab
+          FROM ts JOIN fd ON fd.fd <= ts.t GROUP BY 1, 2),
+        dt AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+        sk AS (SELECT ts.k, ts.t, COUNT(*) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens
+          FROM ts JOIN dt ON dt.doc_id <= ts.t GROUP BY 1, 2),
+        curve AS (SELECT ts.k, ts.t,
+            COALESCE(sk.n_docs, 0) AS n_docs,
+            COALESCE(sk.n_tokens, 0) AS n_tokens,
+            COALESCE(vk.vocab, 0) AS vocab
+          FROM ts LEFT JOIN vk ON vk.k = ts.k
+          LEFT JOIN sk ON sk.k = ts.k),
+        pts AS (SELECT
+            CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x6,
+            CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y6
+          FROM curve WHERE vocab > 0 AND n_tokens > 0),
+        agg AS (SELECT COUNT(*) AS m, SUM(x6) AS sx, SUM(y6) AS sy,
+            SUM(x6 * y6) AS sxy, SUM(x6 * x6) AS sxx FROM pts),
+        fit0 AS (SELECT m, sx, sy,
+            CAST(m * sxx - sx * sx AS HUGEINT) AS bd,
+            CAST(m * sxy - sx * sy AS HUGEINT) * 10000
+              + (m * sxx - sx * sx) // 2 AS bn
+          FROM agg),
+        fit1 AS (SELECT m, sx, sy,
+            CAST((bn - bn % bd) // bd AS BIGINT) AS beta4 FROM fit0),
+        fit2 AS (SELECT beta4,
+            CAST(sy AS HUGEINT) * 10000 - CAST(beta4 AS HUGEINT) * sx AS kn,
+            CAST(m * 1000000 AS HUGEINT) AS kd
+          FROM fit1),
+        fit AS (SELECT beta4,
+            CAST((kn - kn % kd) // kd AS BIGINT) AS lnk4 FROM fit2)
+        SELECT c.k, c.t, c.n_docs, c.n_tokens, c.vocab, f.beta4, f.lnk4
+        FROM curve c, fit f ORDER BY c.k"""))
   )
 
   /** k BPE trainer rounds over the frequency-weighted word-TYPE table

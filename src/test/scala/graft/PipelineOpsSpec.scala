@@ -461,4 +461,40 @@ class PipelineOpsSpec extends SparkSpec {
     // positions are a permutation of 0..n-1
     assert(got.map(_._2).sorted.toSeq === (0L until got.length.toLong))
   }
+
+  test("q187: the growth curve is monotone and the fit matches a driver recompute") {
+    val rows = SparkEntry.queries("q187_heaps_law")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("beta4"), r.getAs[Long]("lnk4")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 10L), "all 10 prefixes present")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4,
+        s"prefix growth must be monotone at k=${b._1}")
+    }
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.last._2 === total, "k=10 covers the whole corpus")
+    assert(rows.map(_._5).distinct.length === 1, "one beta")
+    assert(rows.map(_._6).distinct.length === 1, "one lnK")
+    // driver recompute of the integer-exact least squares from the curve
+    val pts = rows.filter(r => r._4 > 0 && r._3 > 0).map { r =>
+      (math.floor(math.log(r._3.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(r._4.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val m = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    // BigInt % follows the dividend's sign — the same remainder-removed
+    // division both engines compute
+    val bd = BigInt(m * sxx - sx * sx)
+    val bn = BigInt(m * sxy - sx * sy) * 10000 + BigInt((m * sxx - sx * sx) / 2)
+    val beta4 = ((bn - bn % bd) / bd).toLong
+    val kn = BigInt(sy) * 10000 - BigInt(beta4) * sx
+    val kd = BigInt(m * 1000000)
+    val lnk4 = ((kn - kn % kd) / kd).toLong
+    assert(rows.head._5 === beta4, "beta matches the exact recompute")
+    assert(rows.head._6 === lnk4, "lnK matches the exact recompute")
+  }
 }
