@@ -2362,7 +2362,91 @@ object TextOps {
         fit AS (SELECT beta4,
             CAST((kn - kn % kd) // kd AS BIGINT) AS lnk4 FROM fit2)
         SELECT c.k, c.t, c.n_docs, c.n_tokens, c.vocab, f.beta4, f.lnk4
-        FROM curve c, fit f ORDER BY c.k"""))
+        FROM curve c, fit f ORDER BY c.k""")),
+
+    // ---- TEMPERATURE-MIXTURE EPOCH PLANNER with cap-and-redistribute
+    // waterfilling — the repeat-epochs dimension q91 (rate planning) and
+    // q117 (mixture apply) lack: α = 0.5 temperature weights
+    // (w ∝ √n_tokens — upweights small domains), a 2×-corpus token
+    // budget, and a 4-epoch repetition cap per domain (the
+    // Gopher/Llama-recipe rule that data repeated too often hurts);
+    // over-cap excess REDISTRIBUTES to uncapped domains proportionally,
+    // iterated to the fixed point (≤ |domains| rounds; 5 pinned).
+    //
+    // Scale/shape: the distributed work is ONE combinable (lang →
+    // n_tokens) fold; the waterfill itself runs driver-side over the
+    // DOMAINS-sized table (a bounded pull — domains number in the
+    // hundreds at 100 TB, the I3 pattern) in exact BigInt, and the
+    // oracle replays it as a recursive CTE with window aggregates per
+    // round. √n is IEEE-correctly-rounded in both engines; everything
+    // after the 1e-4 weight grid is exact integer arithmetic.
+    ("q188_mixture_epochs",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val langs = t(s, dir, "documents")
+          .select(col("lang"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast("long").as("nt"))
+          .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val budget = 2L * langs.map(_._2).sum
+        val w4 = langs.map { case (l, n) =>
+          (l, n, math.floor(math.sqrt(n.toDouble) * 1e4 + 0.5).toLong)
+        }
+        var capped = Set.empty[String]
+        var alloc = Map.empty[String, Long]
+        for (_ <- 1 to 5) {
+          val remaining = budget - w4.filter(t => capped(t._1))
+            .map(t => 4L * t._2).sum
+          val sumW = w4.filterNot(t => capped(t._1)).map(_._3).sum
+          alloc = w4.map { case (l, n, w) =>
+            l -> (if (capped(l)) 4L * n
+            else if (sumW > 0L) (BigInt(remaining) * w / sumW).toLong
+            else 0L)
+          }.toMap
+          capped = capped ++ w4.collect {
+            case (l, n, _) if alloc(l) > 4L * n => l
+          }
+        }
+        w4.map { case (l, n, w) =>
+          val a = if (capped(l)) 4L * n else alloc(l)
+          (l, n, w, a, a * 10000L / n, capped(l))
+        }.toSeq
+          .toDF("lang", "n_tokens", "w4", "alloc_tokens", "epochs4", "capped")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH RECURSIVE base AS (
+          SELECT lang, CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        b AS (SELECT 2 * SUM(n_tokens) AS budget FROM base),
+        w AS (SELECT lang, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS w4
+          FROM base),
+        state AS (
+          SELECT 0 AS iter, lang, n_tokens, w4, FALSE AS capped FROM w
+          UNION ALL
+          SELECT iter + 1, lang, n_tokens, w4,
+            capped OR COALESCE(
+              CAST((SELECT budget FROM b)
+                   - SUM(CASE WHEN capped THEN 4 * n_tokens ELSE 0 END) OVER ()
+                   AS HUGEINT) * w4
+                // NULLIF(SUM(CASE WHEN NOT capped THEN w4 END) OVER (), 0)
+              > 4 * n_tokens, FALSE) AS capped
+          FROM state WHERE iter < 5),
+        fin AS (SELECT lang, n_tokens, w4, capped,
+            CAST((SELECT budget FROM b)
+                 - SUM(CASE WHEN capped THEN 4 * n_tokens ELSE 0 END) OVER ()
+                 AS HUGEINT) AS remaining,
+            NULLIF(SUM(CASE WHEN NOT capped THEN w4 END) OVER (), 0) AS sumw
+          FROM state WHERE iter = 5),
+        alloc AS (SELECT lang, n_tokens, w4, capped,
+            CASE WHEN capped THEN 4 * n_tokens
+                 ELSE CAST(COALESCE(remaining * w4 // sumw, 0) AS BIGINT)
+            END AS alloc_tokens
+          FROM fin)
+        SELECT lang, n_tokens, w4, alloc_tokens,
+          alloc_tokens * 10000 // n_tokens AS epochs4, capped
+        FROM alloc ORDER BY lang"""))
   )
 
   /** k BPE trainer rounds over the frequency-weighted word-TYPE table
