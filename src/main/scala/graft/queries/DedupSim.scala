@@ -3103,7 +3103,12 @@ object DedupSim {
     // The fixture corpus has no wrapped copies, so the derivation PLANTS
     // them (the q30 pattern): every 40th doc re-issued under id + 2e12
     // inside 64+64 distinct all-letter boilerplate words, built by
-    // char arithmetic so both engines generate identical text.
+    // char arithmetic so both engines generate identical text. The
+    // filler is SEEDED with the doc_id (four base-26 tail letters,
+    // period 26⁴ — ADVICE r15): identical wrappers made short originals'
+    // wrapper copies score spurious wrapper-vs-wrapper containment at
+    // small sf; per-doc filler has zero cross-wrapper shingle overlap
+    // at every scale, so every emitted pair is a real containment.
     //
     // Scale: candidate generation joins on IDENTITY-BEARING shingles only
     // — a df ≤ 50 cutoff (P5's df-cutoff lesson applied to dedup
@@ -3118,10 +3123,16 @@ object DedupSim {
     ("q178_containment_dup",
       (s: SparkSession, dir: String) => {
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val pfx = expr("concat_ws(' ', transform(sequence(1, 64), " +
-          "i -> concat('w', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
-        val sfx = expr("concat_ws(' ', transform(sequence(1, 64), " +
-          "i -> concat('x', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
+        // doc_id resolves against the SELECT's input row (the original id)
+        def filler(p: String) = expr(
+          s"concat_ws(' ', transform(sequence(1, 64), i -> concat('$p', " +
+            "char(97 + (i - 1) % 26), char(97 + (i - 1) div 26), " +
+            "char(cast(97 + doc_id % 26 as int)), " +
+            "char(cast(97 + (doc_id div 26) % 26 as int)), " +
+            "char(cast(97 + (doc_id div 676) % 26 as int)), " +
+            "char(cast(97 + (doc_id div 17576) % 26 as int)))))")
+        val pfx = filler("w")
+        val sfx = filler("x")
         val aug = d.unionByName(
           d.filter(col("doc_id") % 40 === 0)
             .select((col("doc_id") + 2000000000000L).as("doc_id"),
@@ -3179,10 +3190,14 @@ object DedupSim {
           UNION ALL
           SELECT doc_id + 2000000000000,
             array_to_string(list_transform(range(1, 65),
-              i -> 'w' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))), ' ')
+              i -> 'w' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))
+                || chr(CAST(97 + doc_id % 26 AS INTEGER)) || chr(CAST(97 + (doc_id // 26) % 26 AS INTEGER))
+                || chr(CAST(97 + (doc_id // 676) % 26 AS INTEGER)) || chr(CAST(97 + (doc_id // 17576) % 26 AS INTEGER))), ' ')
             || ' ' || text || ' ' ||
             array_to_string(list_transform(range(1, 65),
-              i -> 'x' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))), ' ')
+              i -> 'x' || chr(CAST(97 + (i - 1) % 26 AS INTEGER)) || chr(CAST(97 + (i - 1) // 26 AS INTEGER))
+                || chr(CAST(97 + doc_id % 26 AS INTEGER)) || chr(CAST(97 + (doc_id // 26) % 26 AS INTEGER))
+                || chr(CAST(97 + (doc_id // 676) % 26 AS INTEGER)) || chr(CAST(97 + (doc_id // 17576) % 26 AS INTEGER))), ' ')
           FROM documents WHERE doc_id % 40 = 0),
         toks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
                  FROM aug WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 5),
@@ -3236,6 +3251,13 @@ object DedupSim {
         val bits = graft.core.BlockPolicy.srpBits(e0.count())
         val base = e0.withColumn("cell",
           Ivf.cellCol("embedding", bits, Ivf.DefaultDims))
+        // the blocked cosine self-join feeds TWO consumers (top-3 negs
+        // and the same-label max), so it is projected down to 5 slim
+        // columns — the embeddings never survive the join — and
+        // checkpointed once (ADVICE r15; the q180 two-consumer
+        // discipline). The rank<=3 WindowGroupLimit rewrite is a
+        // physical rewrite on the window node itself, so the PlanSpec
+        // pin holds over the checkpointed scan.
         val pairs = base
           .select(col("vec_id").as("anchor_id"), col("label").as("la"),
             col("cell"), col("embedding").as("ea"))
@@ -3243,9 +3265,11 @@ object DedupSim {
             col("label").as("lb"), col("cell"), col("embedding").as("eb")),
             Seq("cell"))
           .filter(col("anchor_id") =!= col("cand_id"))
-          .withColumn("sim4i",
+          .select(col("anchor_id"), col("la"), col("cand_id"), col("lb"),
             floor(round(expr(cosSpark("ea", "eb")), 4) * 10000 + 0.5)
-              .cast("long"))
+              .cast("long").as("sim4i"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(pairs)
         val wNeg = org.apache.spark.sql.expressions.Window
           .partitionBy(col("anchor_id")).orderBy(desc("sim4i"), asc("cand_id"))
         val negs = pairs.filter(col("lb") =!= col("la"))

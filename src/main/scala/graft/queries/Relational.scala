@@ -194,6 +194,17 @@ object Relational {
         col("w").as("bin_w"))
   }
 
+  /** Overflow-checked DECIMAL(38,0)→BIGINT downcast (the r15 q177 gate
+    * lesson): decimal accumulation stays INTERNAL — wide sums still
+    * can't wrap — but output schemas carry integers, because decimal
+    * columns canonicalize differently across downstream hash layers
+    * (NoDecimalOutputSpec enforces this repo-wide). assert_true fails
+    * the job loudly if the value ever exceeds int64; the 100 TB
+    * contract at that point is re-grid the units, never wrap. */
+  private def decimalToLongChecked(c: Column): Column =
+    when(assert_true(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"))
+      .isNull, c.cast("long"))
+
   /** q172's core, parameterized by bin width (VERDICT r14 #7): quartiles
     * off a mergeable fixed-bin histogram — state is OCCUPIED BINS
     * (domain/width-bounded), never the row count — then integer
@@ -1527,11 +1538,18 @@ object Relational {
     // with its winsorized form in a 100 TB feature build.
     // Fences stay in multiply-through ×2 form (1.5·IQR never leaves the
     // integers; q172's construction), so the clamp operates on v·2 and
-    // all sums are in DOUBLED cents. Sums are DECIMAL(38,0) — at 100 TB
-    // row counts an int64 cent sum wraps silently in non-ANSI Spark
-    // while DuckDB errors (the q150/lr4 overflow lesson, applied at the
-    // design stage this time, not as a retrofit). shift4 divides the two
-    // exact decimals as correctly-rounded doubles on the 1e4 grid.
+    // all sums are in DOUBLED cents. Sums accumulate as DECIMAL(38,0)
+    // INTERNALLY — at 100 TB row counts an int64 cent sum wraps silently
+    // in non-ANSI Spark while DuckDB errors (the q150/lr4 overflow
+    // lesson) — but the OUTPUT is BIGINT behind an overflow-checked
+    // downcast (assert_true fails loudly if a sum ever exceeds int64;
+    // at that point the operator's contract is to re-grid, not wrap).
+    // Decimal stays out of the final schema: the r15 gate showed
+    // decimal columns canonicalize differently across the pandas/DuckDB
+    // hash layers, so the repo-wide contract (NoDecimalOutputSpec) is
+    // decimals internal, integers/doubles/strings external.
+    // shift4 divides the two exact sums as correctly-rounded doubles on
+    // the 1e4 grid.
     //
     // Scale: one bounded-state histogram pass for the fences (occupied
     // bins, never rows) + ONE map-side clamp/conditional-count pass with
@@ -1557,16 +1575,18 @@ object Relational {
               .as("n_clip_low"),
             sum(when(col("v2") > col("hi_x2"), 1L).otherwise(0L))
               .as("n_clip_high"),
-            sum(col("v2").cast("decimal(38,0)")).as("sum_before_x2"),
-            sum(col("v2c").cast("decimal(38,0)")).as("sum_after_x2"))
+            sum(col("v2").cast("decimal(38,0)")).as("sum_before_dec"),
+            sum(col("v2c").cast("decimal(38,0)")).as("sum_after_dec"))
           .withColumn("shift4",
-            floor((col("sum_before_x2") - col("sum_after_x2")).cast("double")
-              / greatest(abs(col("sum_before_x2")).cast("double"), lit(1.0))
+            floor((col("sum_before_dec") - col("sum_after_dec")).cast("double")
+              / greatest(abs(col("sum_before_dec")).cast("double"), lit(1.0))
               * 1e4 + 0.5).cast("long"))
           .select(col("cn").as("column_name"), col("n_rows"),
             col("lo_fence_x2"), col("hi_fence_x2"),
             col("n_clip_low"), col("n_clip_high"),
-            col("sum_before_x2"), col("sum_after_x2"), col("shift4"))
+            decimalToLongChecked(col("sum_before_dec")).as("sum_before_x2"),
+            decimalToLongChecked(col("sum_after_dec")).as("sum_after_x2"),
+            col("shift4"))
           .orderBy(col("column_name"))
       },
       Some {
@@ -1607,14 +1627,16 @@ object Relational {
                 AS n_clip_low,
               CAST(SUM(CASE WHEN v2 > hi_x2 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_clip_high,
-              CAST(SUM(v2) AS DECIMAL(38,0)) AS sum_before_x2,
+              CAST(SUM(v2) AS DECIMAL(38,0)) AS sum_before_dec,
               CAST(SUM(GREATEST(LEAST(v2, hi_x2), lo_x2)) AS DECIMAL(38,0))
-                AS sum_after_x2
+                AS sum_after_dec
             FROM w2 GROUP BY cn)
           SELECT cn AS column_name, n_rows, lo_fence_x2, hi_fence_x2,
-            n_clip_low, n_clip_high, sum_before_x2, sum_after_x2,
-            CAST(floor(CAST(sum_before_x2 - sum_after_x2 AS DOUBLE)
-              / greatest(CAST(abs(sum_before_x2) AS DOUBLE), 1.0)
+            n_clip_low, n_clip_high,
+            CAST(sum_before_dec AS BIGINT) AS sum_before_x2,
+            CAST(sum_after_dec AS BIGINT) AS sum_after_x2,
+            CAST(floor(CAST(sum_before_dec - sum_after_dec AS DOUBLE)
+              / greatest(CAST(abs(sum_before_dec) AS DOUBLE), 1.0)
               * 10000.0 + 0.5) AS BIGINT) AS shift4
           FROM r ORDER BY column_name"""
       }),

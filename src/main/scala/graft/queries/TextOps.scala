@@ -2393,23 +2393,32 @@ object TextOps {
         val w4 = langs.map { case (l, n) =>
           (l, n, math.floor(math.sqrt(n.toDouble) * 1e4 + 0.5).toLong)
         }
+        // each round recomputes remaining/sumW from the CURRENT capped
+        // set and caps anyone whose proportional share would exceed 4
+        // epochs; the loop only grows `capped` (the fixed point)
+        def shares(capped: Set[String]): (BigInt, BigInt) = {
+          val remaining = BigInt(budget) -
+            w4.filter(t => capped(t._1)).map(t => BigInt(4L) * t._2).sum
+          val sumW = w4.filterNot(t => capped(t._1)).map(t => BigInt(t._3)).sum
+          (remaining, sumW)
+        }
         var capped = Set.empty[String]
-        var alloc = Map.empty[String, Long]
         for (_ <- 1 to 5) {
-          val remaining = budget - w4.filter(t => capped(t._1))
-            .map(t => 4L * t._2).sum
-          val sumW = w4.filterNot(t => capped(t._1)).map(_._3).sum
-          alloc = w4.map { case (l, n, w) =>
-            l -> (if (capped(l)) 4L * n
-            else if (sumW > 0L) (BigInt(remaining) * w / sumW).toLong
-            else 0L)
-          }.toMap
+          val (remaining, sumW) = shares(capped)
           capped = capped ++ w4.collect {
-            case (l, n, _) if alloc(l) > 4L * n => l
+            case (l, n, w) if !capped(l) && sumW > 0 &&
+              remaining * w / sumW > BigInt(4L) * n => l
           }
         }
+        // emit from the FINAL capped set — remaining/sumW recomputed once
+        // more after the loop, exactly as the oracle's `fin` CTE does
+        // (ADVICE r15: alloc from the round-4 set left a round-5-capped
+        // domain clamped with its excess never redistributed)
+        val (remF, sumWF) = shares(capped)
         w4.map { case (l, n, w) =>
-          val a = if (capped(l)) 4L * n else alloc(l)
+          val a = if (capped(l)) 4L * n
+          else if (sumWF > 0) (remF * w / sumWF).toLong
+          else 0L
           (l, n, w, a, a * 10000L / n, capped(l))
         }.toSeq
           .toDF("lang", "n_tokens", "w4", "alloc_tokens", "epochs4", "capped")

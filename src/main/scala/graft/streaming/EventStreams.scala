@@ -494,21 +494,30 @@ object EventStreams {
     * broadcasts by construction; state is windows-in-flight × |types|
     * counters, watermark-evicted; counts are additive so late windows
     * merge. StreamingSpec pins stream == batch window counts on a
-    * shared fixture. */
+    * shared fixture.
+    *
+    * Unfenced types are NOT dropped (ADVICE r15): the fence join is a
+    * LEFT join, so an event_type with no fence row still surfaces with
+    * its arrival count, null n_below/n_above, and fenced = false — a
+    * stale fence table is visible at stream cadence instead of making
+    * the monitor silently blind to new types. */
   def fenceMonitorStream(events: DataFrame, fences: DataFrame,
       window: String = "1 hour", horizon: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", horizon)
       .withColumn("v", expr("cast(floor(value * 100 + 0.5) as bigint)"))
       .join(broadcast(fences.select(col("event_type"), col("lo2"), col("hi2"))),
-        Seq("event_type"))
+        Seq("event_type"), "left")
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("v") * 2 < col("lo2"), 1L).otherwise(0L)).as("n_below"),
-        sum(when(col("v") * 2 > col("hi2"), 1L).otherwise(0L)).as("n_above"))
+        sum(when(col("v") * 2 < col("lo2"), 1L).otherwise(0L)).as("n_below_raw"),
+        sum(when(col("v") * 2 > col("hi2"), 1L).otherwise(0L)).as("n_above_raw"),
+        max(col("lo2").isNotNull).as("fenced"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
-        col("n_below"), col("n_above"))
+        when(col("fenced"), col("n_below_raw")).as("n_below"),
+        when(col("fenced"), col("n_above_raw")).as("n_above"),
+        col("fenced"))
 
   /** Ingest-time winnowing overlap — the STREAM twin of batch q181: each
     * arriving doc is fingerprinted MAP-SIDE by the shared

@@ -83,8 +83,10 @@ class OutlierFenceSpec extends SparkSpec {
       // clamping can only pull mass TOWARD the fences: the sum moves down
       // when the clips are high-side, up when low-side, not at all when
       // nothing clipped
-      val before = BigDecimal(w.getAs[java.math.BigDecimal]("sum_before_x2"))
-      val after = BigDecimal(w.getAs[java.math.BigDecimal]("sum_after_x2"))
+      // sums ship as overflow-checked BIGINT (the r16 gate-stability
+      // contract, NoDecimalOutputSpec); the algebra below is unchanged
+      val before = BigDecimal(w.getAs[Long]("sum_before_x2"))
+      val after = BigDecimal(w.getAs[Long]("sum_after_x2"))
       val (lo, hi) = (w.getAs[Long]("n_clip_low"), w.getAs[Long]("n_clip_high"))
       if (lo == 0L && hi == 0L) assert(before === after, s"$cn untouched")
       if (lo == 0L && hi > 0L) assert(after < before, s"$cn high clips shrink the sum")

@@ -663,23 +663,34 @@ class StreamingSpec extends SparkSpec {
       Event(2, 1, "view", 3.00, ts(10)),     // 600 in band
       Event(3, 1, "view", 9.00, ts(20)),     // 1800 > 900 → above
       Event(4, 2, "purchase", 2.00, ts(30)), // 400 = lo2: fences are inclusive
-      Event(5, 2, "purchase", 12.00, ts(70)))// next window, above
+      Event(5, 2, "purchase", 12.00, ts(70)),// next window, above
+      Event(6, 3, "refund", 1.00, ts(40)))   // NO fence row: surfaced, not dropped
     val mem = MemoryStream[Event]
     mem.addData(evs: _*)
     val q = EventStreams.fenceMonitorStream(mem.toDF(), fences)
       .writeStream.format("memory").queryName("fence_mon")
       .outputMode(OutputMode.Complete()).start()
     runToCompletion(q)
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).sortBy(r => (r._1.getTime, r._2)).toSeq
+        optL(r, 3), optL(r, 4), r.getBoolean(5)))
+      .sortBy(r => (r._1.getTime, r._2)).toSeq
     val streamed = canon(spark.table("fence_mon"))
     val batch = canon(EventStreams.fenceMonitorStream(evs.toDF(), fences))
     assert(streamed === batch, "monitor is cadence-independent")
     val view = streamed.find(_._2 == "view").get
-    assert((view._3, view._4, view._5) === (3L, 1L, 1L))
+    assert((view._3, view._4, view._5, view._6) ===
+      (3L, Some(1L), Some(1L), true))
     val p1 = streamed.filter(_._2 == "purchase")
-    assert(p1.map(r => (r._3, r._4, r._5)).toSeq === Seq((1L, 0L, 0L), (1L, 0L, 1L)))
+    assert(p1.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((1L, Some(0L), Some(0L)), (1L, Some(0L), Some(1L))))
+    // ADVICE r15: an unfenced type is visible with n counted and null
+    // bands — the fence-table staleness gap surfaces at stream cadence
+    val refund = streamed.find(_._2 == "refund").get
+    assert((refund._3, refund._4, refund._5, refund._6) ===
+      (1L, None, None, false))
   }
 
   test("winnowMatchStream: ingest fingerprints match the batch q181 fingerprinter") {
