@@ -79,7 +79,16 @@ object PlanDump {
     // HOF + candidates-then-intersect verify (q181)
     "q180_hits", "q181_winnowing_overlap",
     // r15: LPA's per-iteration double aggregate (count -> encoded max)
-    "q184_lpa_communities")
+    "q184_lpa_communities",
+    // r16 (VERDICT r15 #3 — the six newest operators): k-anonymity's
+    // QI-domain-bounded double agg (q182), the fixed-state CM join
+    // sketch (q183), the 10-row broadcast threshold curve over q32's
+    // banded machinery (q185), two-phase shuffle-order enumeration —
+    // NO single-task global window in the plan (q186), Heaps-law
+    // theta-join fit (q187), the one-fold mixture epoch planner (q188)
+    "q182_k_anonymity", "q183_join_size_sketch",
+    "q185_dedup_threshold_curve", "q186_shuffle_order",
+    "q187_heaps_law", "q188_mixture_epochs")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

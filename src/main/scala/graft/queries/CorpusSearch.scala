@@ -1264,7 +1264,96 @@ object CorpusSearch {
         SELECT 'v' || CAST(f.v AS VARCHAR) AS title, f.label AS community,
           sz.comm_size
         FROM fin f JOIN sz ON sz.label = f.label
-        ORDER BY title"""))
+        ORDER BY title""")),
+
+    // ---- k-CORE PEELING CURVE (k = 3): iteratively remove vertices of
+    // degree < k with their edges until the 3-core remains, reporting the
+    // per-round (vertices kept, edges kept, vertices removed) — the
+    // standard density filter before community detection / influence
+    // analysis, and the graph family's "how much of this crawl graph is
+    // structurally dense" scorecard beside q73's static degree histogram.
+    // Edges are the q180/q184 key graph, CANONICALIZED to undirected
+    // simple edges (least/greatest + distinct, self-loops dropped) so
+    // degree counts are the textbook ones.
+    //
+    // Scale/shape: each round is ONE degree aggregate (a map-side-
+    // combinable count over 2|E| endpoint rows) + TWO left-semi joins
+    // back to the edge list, with the surviving edge set checkpointed
+    // per round (the PageRank loop discipline — lineage stays flat).
+    // The per-round stats are 1-row aggregate pulls (the I3 bounded-pull
+    // pattern; 10 rounds = 10 longs on the driver). ROUNDS = 10 is a
+    // fixed cap like PageRank's: the curve after stabilization repeats
+    // the fixed point, so the output stays 10 rows and both engines
+    // agree without a convergence side-channel.
+    ("q189_kcore_peel",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val k = 3
+        val rounds = 10
+        var edges = t(s, dir, "lineitem").select(
+          least(col("l_orderkey") % 997, col("l_partkey") % 1200).as("u"),
+          greatest(col("l_orderkey") % 997, col("l_partkey") % 1200).as("w"))
+          .filter(col("u") =!= col("w")).distinct()
+          .localCheckpoint()
+        var prev = edges
+        val curve = (1 to rounds).map { r =>
+          val deg = edges.select(col("u").as("v"))
+            .unionByName(edges.select(col("w").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          val stats = deg.agg(count(lit(1)), sum(when(col("deg") >= k, 1L)
+            .otherwise(0L))).head()
+          val (nBefore, nKeep) =
+            (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+          val keep = deg.filter(col("deg") >= k).select(col("v"))
+          val next = edges
+            .join(keep.select(col("v").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("v").as("w")), Seq("w"), "left_semi")
+            .localCheckpoint()
+          Scoped.free(prev)
+          prev = next
+          edges = next
+          (r.toLong, nKeep, next.count(), nBefore - nKeep)
+        }
+        Scoped.free(prev)
+        curve.toDF("round", "n_vertices", "n_edges", "n_removed")
+          .orderBy(col("round"))
+      },
+      Some {
+        // fixed-round UNROLLED peel (a recursive CTE may reference itself
+        // only once per step; the peel needs the edge set twice — for
+        // degrees and for the semi-joins — so the 10 rounds are generated
+        // as chained CTEs instead). Every stage is MATERIALIZED: left to
+        // inlining, each round's ~3 references to its predecessor expand
+        // the plan 3^10-fold and the leaf scans exhaust file handles.
+        val peels = (1 to 10).map { r =>
+          val (p, c) = (s"e${r - 1}", s"e$r")
+          s"""deg$r AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (
+               SELECT u AS v FROM $p UNION ALL SELECT w AS v FROM $p)
+             GROUP BY v),
+           keep$r AS MATERIALIZED (SELECT v FROM deg$r WHERE d >= 3),
+           $c AS MATERIALIZED (SELECT u, w FROM $p
+             WHERE u IN (SELECT v FROM keep$r)
+               AND w IN (SELECT v FROM keep$r)),
+           row$r AS (SELECT $r AS round,
+             (SELECT COUNT(*) FROM keep$r) AS n_vertices,
+             (SELECT COUNT(*) FROM e$r) AS n_edges,
+             (SELECT COUNT(*) FROM deg$r) - (SELECT COUNT(*) FROM keep$r)
+               AS n_removed)"""
+        }.mkString(",\n          ")
+        val rows = (1 to 10).map(r => s"SELECT * FROM row$r")
+          .mkString("\n          UNION ALL ")
+        s"""WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT least(l_orderkey % 997, l_partkey % 1200) AS u,
+              greatest(l_orderkey % 997, l_partkey % 1200) AS w
+            FROM lineitem
+            WHERE l_orderkey % 997 <> l_partkey % 1200),
+          $peels
+          SELECT CAST(round AS BIGINT) AS round,
+            CAST(n_vertices AS BIGINT) AS n_vertices,
+            CAST(n_edges AS BIGINT) AS n_edges,
+            CAST(n_removed AS BIGINT) AS n_removed
+          FROM ($rows) ORDER BY round"""
+      })
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side

@@ -3528,7 +3528,87 @@ object DedupSim {
           FROM ts t LEFT JOIN np ON np.threshold = t.threshold
           LEFT JOIN dr ON dr.threshold = t.threshold
           ORDER BY t.threshold"""
-      })
+      }),
+
+    // ---- LABEL-NOISE OUTLIERS (confident-learning shape): per label,
+    // the 3 vectors FARTHEST from their own label centroid — the audit
+    // list a labeling pipeline re-reviews first, and the complement of
+    // q179's hard negatives (q179 mines confusable CROSS-label pairs;
+    // this flags suspect WITHIN-label members). Exactness discipline:
+    // each embedding dimension is gridded to integers up front
+    // (floor(x·1e6 + 0.5) — the q157 covariance pattern), the centroid
+    // stays an exact rational (per-dim integer sum, count), and the
+    // distance statistic is the all-integer ‖n·q − s‖² — DECIMAL(38,0)
+    // internally (64 dims of (n·q−s)² wrap int64 even at fixture n;
+    // the q177 contract), shipped as the n²-normalized d2g6 on a 1e-6
+    // grid via one correctly-rounded double division per candidate.
+    //
+    // Scale: the centroid is one map-side-combinable (label, dim)
+    // aggregate, |labels|·dims rows → broadcast as an assembled
+    // |labels|-row array table; scoring is map-side (zip_with over the
+    // row's own vector); top-3 per label is a WindowGroupLimit
+    // (partitioned by label — the q179 plan shape), so per-partition
+    // wire cost is 3 rows per label.
+    ("q192_label_outliers",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
+              .as("q"))
+        val cent = e
+          .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("sv")))).as("ds"),
+            max(col("n")).as("n"))
+          .select(col("label"), expr("transform(ds, p -> p.sv)").as("sv"), col("n"))
+        val scored = e.join(broadcast(cent), Seq("label"))
+          // d2n2 = Σ_d (n·q_d − s_d)² exactly; d2g6 = d2n2 / n² / 1e12
+          // on the 1e-6 grid (q ticks are 1e-6 units, so squared ticks
+          // are 1e-12 of the float scale)
+          .withColumn("d2n2", expr(
+            """aggregate(zip_with(q, sv, (a, b) -> cast(n as decimal(38,0)) * a - b),
+                 cast(0 as decimal(38,0)), (acc, x) -> acc + x * x)"""))
+          .withColumn("d2g6",
+            floor(col("d2n2").cast("double")
+              / (col("n") * col("n")).cast("double") / lit(1e12) * lit(1e6)
+              + 0.5).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(desc("d2g6"), asc("vec_id"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("label"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("d2g6"), col("n").as("label_size"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        dims AS (SELECT vec_id, label, unnest(q) AS v,
+            generate_subscripts(q, 1) AS dim FROM e),
+        cent AS (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS sv,
+            COUNT(*) AS n FROM dims GROUP BY 1, 2),
+        scored AS (SELECT d.vec_id, d.label, MAX(c.n) AS n,
+            SUM(CAST(c.n AS HUGEINT) * d.v * (CAST(c.n AS HUGEINT) * d.v)
+              - 2 * CAST(c.n AS HUGEINT) * d.v * c.sv
+              + CAST(c.sv AS HUGEINT) * c.sv) AS d2n2
+          FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+          GROUP BY 1, 2),
+        g AS (SELECT vec_id, label, n,
+            CAST(floor(CAST(d2n2 AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12
+              * 1e6 + 0.5) AS BIGINT) AS d2g6
+          FROM scored),
+        rk AS (SELECT label, vec_id, d2g6, n,
+            row_number() OVER (PARTITION BY label
+              ORDER BY d2g6 DESC, vec_id) AS rk
+          FROM g)
+        SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2g6,
+          CAST(n AS BIGINT) AS label_size
+        FROM rk WHERE rk <= 3 ORDER BY label, rk"""))
   )
 
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Portable._
@@ -2455,8 +2455,323 @@ object TextOps {
           FROM fin)
         SELECT lang, n_tokens, w4, alloc_tokens,
           alloc_tokens * 10000 // n_tokens AS epochs4, capped
-        FROM alloc ORDER BY lang"""))
+        FROM alloc ORDER BY lang""")),
+
+    // ---- GOPHER-STYLE QUALITY RULE SCORECARD (Rae et al. 2021 §A1.1,
+    // the MassiveText repetition-rule family q78 already implements one
+    // member of): five deterministic per-document rules —
+    //   word_count      50 ≤ |words| ≤ 100 000
+    //   mean_word_len   3 ≤ mean ≤ 10   (as integers: 3n ≤ chars ≤ 10n)
+    //   alpha_ratio     ≥ 80% of words contain a letter (5a ≥ 4n)
+    //   symbol_ratio    (# chars + "..." runs) ≤ |words| / 10  (10s ≤ n)
+    //   stopword_hits   ≥ 2 of {the,be,to,of,and,that,have,with} present
+    // — evaluated entirely map-side (every threshold multiplied through
+    // to integer comparisons, no division), then melted to one bounded
+    // (rule → n_docs, n_pass) aggregate plus the all-rules conjunction.
+    // The scorecard a 100 TB curation run reads BEFORE choosing which
+    // rules to enforce (each rule's forfeit is visible separately —
+    // q185's operating-curve discipline applied to quality filtering).
+    //
+    // Scale: one scan, one map-side-combinable aggregate; output is
+    // 6 rows regardless of corpus size.
+    ("q190_gopher_rules",
+      (s: SparkSession, dir: String) => {
+        val d = gopherFlags(t(s, dir, "documents"))
+        d.select(col("rule"), col("pass"))
+          .groupBy(col("rule"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+          .withColumn("pass4", expr("n_pass * 10000 div n_docs"))
+          .orderBy(col("rule"))
+      },
+      Some {
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val hits = stops.map(w =>
+          s"CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+        val rules = Seq("r_word_count", "r_mean_word_len", "r_alpha_ratio",
+          "r_symbol_ratio", "r_stopword_hits", "r_all")
+        val melt = rules.map(r =>
+          s"SELECT '$r' AS rule, $r AS pass FROM flags")
+          .mkString("\n          UNION ALL ")
+        s"""WITH base AS (
+            SELECT regexp_extract_all(text, '\\S+') AS ws,
+              len(regexp_extract_all(text, '\\.{3}'))
+                + len(text) - len(replace(text, '#', '')) AS syms,
+              regexp_extract_all(lower(text), '[a-z]+') AS lw
+            FROM documents),
+          m AS (SELECT CAST(len(ws) AS BIGINT) AS nw,
+              CAST(len(array_to_string(ws, '')) AS BIGINT) AS chars,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                AS BIGINT) AS alpha,
+              CAST(syms AS BIGINT) AS syms,
+              CAST($hits AS BIGINT) AS stop_hits
+            FROM base),
+          flags AS (SELECT
+              nw >= 50 AND nw <= 100000 AS r_word_count,
+              chars >= nw * 3 AND chars <= nw * 10 AS r_mean_word_len,
+              alpha * 5 >= nw * 4 AS r_alpha_ratio,
+              syms * 10 <= nw AS r_symbol_ratio,
+              stop_hits >= 2 AS r_stopword_hits,
+              (nw >= 50 AND nw <= 100000) AND (chars >= nw * 3 AND chars <= nw * 10)
+                AND (alpha * 5 >= nw * 4) AND (syms * 10 <= nw)
+                AND (stop_hits >= 2) AS r_all
+            FROM m)
+          SELECT rule, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+            CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) * 10000
+              // COUNT(*) AS pass4
+          FROM ($melt) GROUP BY rule ORDER BY rule"""
+      }),
+
+    // ---- PER-SOURCE UNIGRAM KL DRIFT: KL(source ‖ pooled corpus) over
+    // the unigram token distribution — the language-level counterpart of
+    // q143/q150's numeric drift profiles. A crawl source whose token
+    // distribution diverges from the pool (template spam, language mix
+    // shift, boilerplate flood) surfaces as a high-KL row BEFORE any
+    // model is trained on it. Decomposition keeps everything exact
+    // until one final division:
+    //   KL = (1/n)·Σ_t c_t·[ln c_t − ln C_t]  +  [ln N − ln n]
+    // Each bracket is gridded to 1e-6 nats (floor(x·1e6 + 0.5) — the
+    // q187 cross-engine ln discipline), the Σ accumulates c_t·x6 as
+    // DECIMAL(38,0) internally (the q177 contract: wide sums can't
+    // wrap; output stays integer), and the division is one
+    // correctly-rounded double op per source.
+    //
+    // Scale: token counts are one map-side-combinable (source, tok)
+    // aggregate; the pooled counts derive from the SAME aggregate
+    // (checkpointed once, two consumers); the join is tok-keyed; output
+    // is |sources| rows. N is a 1-long driver pull (I3).
+    ("q191_unigram_kl_drift",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val st = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val ct = st.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+        val ns = st.groupBy(col("source"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+        val totN = ns.agg(sum(col("n"))).head().getLong(0)
+        // armed AFTER the totN pull — that pull is itself an action and
+        // would otherwise fire the release while the main query still
+        // reads st (the Verify-concurrency hazard class)
+        Scoped.releaseAfterUse(st)
+        val kl = st.join(ct, Seq("tok"))
+          .select(col("source"),
+            (col("c") * floor((log(col("c").cast("double"))
+              - log(col("ct").cast("double"))) * 1e6 + 0.5).cast("long"))
+              .cast("decimal(38,0)").as("term"))
+          .groupBy(col("source")).agg(sum(col("term")).as("kl_num"))
+        ns.join(kl, Seq("source"))
+          .select(col("source"), col("n").as("n_tokens"), col("n_types"),
+            (floor(col("kl_num").cast("double") / col("n").cast("double")
+              + 0.5).cast("long")
+              + floor((log(lit(totN.toDouble))
+                - log(col("n").cast("double"))) * 1e6 + 0.5).cast("long"))
+              .as("kl6"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY tok),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+            COUNT(*) AS n_types FROM st GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM ns),
+        terms AS (SELECT st.source,
+            CAST(st.c AS HUGEINT)
+              * CAST(floor((ln(CAST(st.c AS DOUBLE)) - ln(CAST(ct.ct AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS term
+          FROM st JOIN ct ON ct.tok = st.tok),
+        ks AS (SELECT source, SUM(term) AS kl_num FROM terms GROUP BY source)
+        SELECT ns.source AS source, ns.n AS n_tokens,
+          CAST(ns.n_types AS BIGINT) AS n_types,
+          CAST(floor(CAST(ks.kl_num AS DOUBLE) / CAST(ns.n AS DOUBLE) + 0.5)
+            AS BIGINT)
+          + CAST(floor((ln(tot.nn) - ln(CAST(ns.n AS DOUBLE))) * 1e6 + 0.5)
+            AS BIGINT) AS kl6
+        FROM ns JOIN ks ON ks.source = ns.source CROSS JOIN tot
+        ORDER BY ns.source""")),
+
+    // ---- CROSS-SOURCE N-GRAM NOVELTY: per source, the fraction of its
+    // DISTINCT token 3-grams that appear in NO other source — the
+    // marginal-content question behind adding a crawl snapshot or a new
+    // feed to a 100 TB mix (a source whose novelty is near zero buys
+    // epochs of repetition, not coverage; q77 contamination asks the
+    // overlap question against a benchmark, this asks it between
+    // sources). Grams ride [[Portable.hash60]] (md5-compacted to 8-byte
+    // longs before any shuffle — collisions are engine-identical by
+    // construction).
+    //
+    // Scale: per-doc gram SETS built row-local (array_distinct over one
+    // HOF pass), one distinct (source, gram) projection, one gram-keyed
+    // count for the cross-source df, one semi-join back. Everything is
+    // gram-partitioned; output is |sources| rows.
+    ("q193_gram_novelty",
+      (s: SparkSession, dir: String) => {
+        val grams = t(s, dir, "documents")
+          .select(col("source"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("source"),
+            array_distinct(transform(
+              sequence(lit(0), size(col("ws")) - 3),
+              i => hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
+              .as("arr"))
+        val sg = grams.select(col("source"), explode(col("arr")).as("g"))
+          .distinct().localCheckpoint()
+        Scoped.releaseAfterUse(sg)
+        val gdf = sg.groupBy(col("g"))
+          .agg(count(lit(1)).as("nsrc"))
+        sg.join(gdf, Seq("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nsrc") === 1L, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novel4", expr("n_novel * 10000 div n_grams"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+          SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents
+          WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 3),
+        grams AS (SELECT source,
+            unnest(list_distinct(list_transform(range(0, len(ws) - 2),
+              i -> CAST(('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT)))) AS g
+          FROM d),
+        sg AS (SELECT DISTINCT source, g FROM grams),
+        gdf AS (SELECT g, COUNT(*) AS nsrc FROM sg GROUP BY g)
+        SELECT sg.source, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN gdf.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(SUM(CASE WHEN gdf.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000 // COUNT(*) AS novel4
+        FROM sg JOIN gdf ON gdf.g = sg.g
+        GROUP BY sg.source ORDER BY sg.source""")),
+
+    // ---- LPT SHARD-BALANCE PLANNER: assign (lang, source) domains to 4
+    // output shards by Longest-Processing-Time greedy (largest domain
+    // first, each to the currently least-loaded shard, ties to the
+    // lowest shard id) — the layout decision behind writing a mixed
+    // corpus as N balanced shards so downstream training readers stream
+    // without a straggler (LPT's makespan is ≤ 4/3 · OPT, Graham 1969).
+    // Reports each domain's shard plus the final per-shard load and the
+    // makespan-vs-ideal ratio the plan is accepted on.
+    //
+    // Scale/shape: the distributed work is ONE combinable (lang, source
+    // → n_tokens) fold; the greedy itself is inherently sequential, so
+    // it runs driver-side over the DOMAINS-sized table (the q188/I3
+    // bounded-pull pattern — domains number in the hundreds at 100 TB)
+    // and the oracle replays it as a recursive CTE carrying the four
+    // shard loads as state columns.
+    ("q194_shard_balance",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast("long").as("nt"))
+          .groupBy(col("lang"), col("source")).agg(sum(col("nt")).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy { case (l, src, n) => (-n, l, src) }
+        val loads = Array.fill(4)(0L)
+        val assigned = base.map { case (l, src, n) =>
+          val shard = loads.zipWithIndex.minBy { case (ld, i) => (ld, i) }._2
+          loads(shard) += n
+          (l, src, n, shard.toLong)
+        }
+        val total = loads.sum
+        val makespan4 = if (total > 0L) loads.max * 40000L / total else 0L
+        assigned.map { case (l, src, n, sh) =>
+          (l, src, n, sh, loads(sh.toInt), makespan4)
+        }.toSeq
+          .toDF("lang", "source", "n_tokens", "shard", "shard_load",
+            "makespan4")
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH RECURSIVE base AS (
+          SELECT lang, source,
+            CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+              AS n
+          FROM documents GROUP BY 1, 2),
+        items AS (SELECT lang, source, n,
+            row_number() OVER (ORDER BY n DESC, lang, source) AS rn
+          FROM base),
+        st AS (
+          SELECT 0 AS i, CAST(NULL AS VARCHAR) AS lang,
+            CAST(NULL AS VARCHAR) AS source, CAST(0 AS BIGINT) AS n,
+            -1 AS shard, CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+            CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3
+          UNION ALL
+          SELECT it.rn, it.lang, it.source, it.n,
+            CASE WHEN p.l0 <= p.l1 AND p.l0 <= p.l2 AND p.l0 <= p.l3 THEN 0
+                 WHEN p.l1 <= p.l2 AND p.l1 <= p.l3 THEN 1
+                 WHEN p.l2 <= p.l3 THEN 2 ELSE 3 END,
+            p.l0 + CASE WHEN p.l0 <= p.l1 AND p.l0 <= p.l2 AND p.l0 <= p.l3
+              THEN it.n ELSE 0 END,
+            p.l1 + CASE WHEN NOT (p.l0 <= p.l1 AND p.l0 <= p.l2 AND p.l0 <= p.l3)
+              AND p.l1 <= p.l2 AND p.l1 <= p.l3 THEN it.n ELSE 0 END,
+            p.l2 + CASE WHEN NOT (p.l0 <= p.l1 AND p.l0 <= p.l2 AND p.l0 <= p.l3)
+              AND NOT (p.l1 <= p.l2 AND p.l1 <= p.l3)
+              AND p.l2 <= p.l3 THEN it.n ELSE 0 END,
+            p.l3 + CASE WHEN NOT (p.l0 <= p.l1 AND p.l0 <= p.l2 AND p.l0 <= p.l3)
+              AND NOT (p.l1 <= p.l2 AND p.l1 <= p.l3)
+              AND NOT (p.l2 <= p.l3) THEN it.n ELSE 0 END
+          FROM st p JOIN items it ON it.rn = p.i + 1),
+        fin AS (SELECT l0, l1, l2, l3,
+            greatest(l0, l1, l2, l3) AS mx, l0 + l1 + l2 + l3 AS total
+          FROM st ORDER BY i DESC LIMIT 1)
+        SELECT a.lang, a.source, a.n AS n_tokens,
+          CAST(a.shard AS BIGINT) AS shard,
+          CASE a.shard WHEN 0 THEN f.l0 WHEN 1 THEN f.l1
+            WHEN 2 THEN f.l2 ELSE f.l3 END AS shard_load,
+          CASE WHEN f.total > 0 THEN f.mx * 40000 // f.total ELSE 0 END
+            AS makespan4
+        FROM st a CROSS JOIN fin f
+        WHERE a.i >= 1
+        ORDER BY a.lang, a.source"""))
   )
+
+  /** q190's rule evaluation, shared with the streaming twin
+    * ([[graft.streaming.EventStreams.gopherRulesStream]] — stream and
+    * batch verdicts are bit-identical by construction): per input row,
+    * emit one (rule, pass) row per rule (five Gopher rules + the
+    * conjunction), carrying `carry` through the melt. Entirely map-side
+    * column expressions — every threshold is an integer comparison
+    * multiplied through (no division), so the flags are exact on both
+    * engines and safe inside a streaming Generate. */
+  def gopherFlags(docs: DataFrame, carry: Seq[Column] = Seq.empty): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val rules = Seq("r_word_count", "r_mean_word_len", "r_alpha_ratio",
+      "r_symbol_ratio", "r_stopword_hits", "r_all")
+    val flagged = docs
+      .withColumn("ws", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("chars", length(concat_ws("", col("ws"))).cast("long"))
+      .withColumn("alpha", size(expr(
+        "filter(ws, w -> w rlike '[a-zA-Z]')")).cast("long"))
+      .withColumn("syms",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+          + size(expr("regexp_extract_all(text, '\\\\.{3}', 0)"))).cast("long"))
+      .withColumn("lw", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("stop_hits", stops.map(w =>
+        when(array_contains(col("lw"), w), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .withColumn("r_word_count", col("nw") >= 50L && col("nw") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("chars") >= col("nw") * 3L && col("chars") <= col("nw") * 10L)
+      .withColumn("r_alpha_ratio", col("alpha") * 5L >= col("nw") * 4L)
+      .withColumn("r_symbol_ratio", col("syms") * 10L <= col("nw"))
+      .withColumn("r_stopword_hits", col("stop_hits") >= 2L)
+      .withColumn("r_all",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_alpha_ratio") && col("r_symbol_ratio") &&
+          col("r_stopword_hits"))
+    flagged.select(carry :+ expr(s"stack(${rules.size}, " +
+      rules.map(r => s"'$r', $r").mkString(", ") + ") as (rule, pass)"): _*)
+  }
 
   /** k BPE trainer rounds over the frequency-weighted word-TYPE table
     * (shared by q119/q120). Returns the per-round 1-row merge tables

