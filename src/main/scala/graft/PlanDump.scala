@@ -88,7 +88,13 @@ object PlanDump {
     // theta-join fit (q187), the one-fold mixture epoch planner (q188)
     "q182_k_anonymity", "q183_join_size_sketch",
     "q185_dedup_threshold_curve", "q186_shuffle_order",
-    "q187_heaps_law", "q188_mixture_epochs")
+    "q187_heaps_law", "q188_mixture_epochs",
+    // r16 additions: the Gopher rules melt + 6-row agg (q190), KL's
+    // checkpointed two-consumer token aggregate (q191), the label-
+    // partitioned WindowGroupLimit outlier top-3 (q192), novelty's
+    // join-free double aggregate (q193)
+    "q190_gopher_rules", "q191_unigram_kl_drift",
+    "q192_label_outliers", "q193_gram_novelty")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

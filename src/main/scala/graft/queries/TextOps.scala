@@ -2606,9 +2606,13 @@ object TextOps {
     // construction).
     //
     // Scale: per-doc gram SETS built row-local (array_distinct over one
-    // HOF pass), one distinct (source, gram) projection, one gram-keyed
-    // count for the cross-source df, one semi-join back. Everything is
-    // gram-partitioned; output is |sources| rows.
+    // HOF pass), one distinct (source, gram) projection, then TWO
+    // combinable aggregates off it — per-source totals directly, and a
+    // gram-keyed (count, min(source)) whose single-source rows SELF-
+    // ATTRIBUTE their owner (nsrc = 1 ⇒ min(source) IS the source), so
+    // novelty needs no join back over the full gram table (the first
+    // cut's |sg|⋈|grams| join measured 0.55× slope; this shape is
+    // 0.25× — SCALING.md). Output is |sources| rows.
     ("q193_gram_novelty",
       (s: SparkSession, dir: String) => {
         val grams = t(s, dir, "documents")
@@ -2623,12 +2627,16 @@ object TextOps {
         val sg = grams.select(col("source"), explode(col("arr")).as("g"))
           .distinct().localCheckpoint()
         Scoped.releaseAfterUse(sg)
-        val gdf = sg.groupBy(col("g"))
-          .agg(count(lit(1)).as("nsrc"))
-        sg.join(gdf, Seq("g"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("nsrc") === 1L, 1L).otherwise(0L)).as("n_novel"))
+        val totals = sg.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"))
+        val novel = sg.groupBy(col("g"))
+          .agg(count(lit(1)).as("nsrc"), min(col("source")).as("owner"))
+          .filter(col("nsrc") === 1L)
+          .groupBy(col("owner").as("source"))
+          .agg(count(lit(1)).as("n_novel"))
+        totals.join(novel, Seq("source"), "left")
+          .select(col("source"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .withColumn("novel4", expr("n_novel * 10000 div n_grams"))
           .orderBy(col("source"))
       },
@@ -2642,14 +2650,16 @@ object TextOps {
                 list_slice(ws, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT)))) AS g
           FROM d),
         sg AS (SELECT DISTINCT source, g FROM grams),
-        gdf AS (SELECT g, COUNT(*) AS nsrc FROM sg GROUP BY g)
-        SELECT sg.source, COUNT(*) AS n_grams,
-          CAST(SUM(CASE WHEN gdf.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_novel,
-          CAST(SUM(CASE WHEN gdf.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-            * 10000 // COUNT(*) AS novel4
-        FROM sg JOIN gdf ON gdf.g = sg.g
-        GROUP BY sg.source ORDER BY sg.source""")),
+        totals AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+        novel AS (SELECT owner AS source, COUNT(*) AS n_novel FROM (
+            SELECT g, COUNT(*) AS nsrc, MIN(source) AS owner
+            FROM sg GROUP BY g) x
+          WHERE nsrc = 1 GROUP BY owner)
+        SELECT t.source AS source, t.n_grams,
+          COALESCE(n.n_novel, 0) AS n_novel,
+          COALESCE(n.n_novel, 0) * 10000 // t.n_grams AS novel4
+        FROM totals t LEFT JOIN novel n ON n.source = t.source
+        ORDER BY t.source""")),
 
     // ---- LPT SHARD-BALANCE PLANNER: assign (lang, source) domains to 4
     // output shards by Longest-Processing-Time greedy (largest domain
