@@ -94,7 +94,11 @@ object PlanDump {
     // partitioned WindowGroupLimit outlier top-3 (q192), novelty's
     // join-free double aggregate (q193)
     "q190_gopher_rules", "q191_unigram_kl_drift",
-    "q192_label_outliers", "q193_gram_novelty")
+    "q192_label_outliers", "q193_gram_novelty",
+    // r16 second batch: bounded-alphabet entropy agg (q196), the md5
+    // dup join + broadcast-total contingency (q199), the one-Expand
+    // rollup dataset card (q200)
+    "q196_char_entropy", "q199_quality_dup_matrix", "q200_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2485,8 +2485,7 @@ object TextOps {
           .orderBy(col("rule"))
       },
       Some {
-        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        val hits = stops.map(w =>
+        val hits = GopherStops.map(w =>
           s"CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END").mkString(" + ")
         val rules = Seq("r_word_count", "r_mean_word_len", "r_alpha_ratio",
           "r_symbol_ratio", "r_stopword_hits", "r_all")
@@ -2741,7 +2740,374 @@ object TextOps {
             AS makespan4
         FROM st a CROSS JOIN fin f
         WHERE a.i >= 1
-        ORDER BY a.lang, a.source"""))
+        ORDER BY a.lang, a.source""")),
+
+    // ---- CONTEXT-LENGTH TRUNCATION PLANNER: for each candidate max
+    // sequence length L (128..8192, powers of two), the docs that
+    // overflow L tokens, the tokens a hard truncation at L forfeits,
+    // and the forfeit fraction — the table a max_seq_len decision is
+    // made on (the complement of q84's packing, which assumes L is
+    // already chosen; q185's operating-curve discipline applied to the
+    // sequence-length knob).
+    //
+    // Scale: one scan to per-doc token counts (map-side), a 7-way
+    // bounded melt (explode over the literal L array — rows × 7,
+    // map-side), one combinable 7-row aggregate. No shuffle wider than
+    // 7 keys.
+    ("q195_truncation_planner",
+      (s: SparkSession, dir: String) => {
+        val ls = Seq(128, 256, 512, 1024, 2048, 4096, 8192)
+        t(s, dir, "documents")
+          .select(size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+            .cast("long").as("n_tok"))
+          .select(col("n_tok"),
+            explode(array(ls.map(l => lit(l.toLong)): _*)).as("max_len"))
+          .groupBy(col("max_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") > col("max_len"), 1L).otherwise(0L))
+              .as("n_docs_over"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(greatest(col("n_tok") - col("max_len"), lit(0L)))
+              .as("tokens_lost"))
+          .withColumn("loss4", expr("tokens_lost * 10000 div total_tokens"))
+          .orderBy(col("max_len"))
+      },
+      Some("""WITH d AS (
+          SELECT CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+            AS n_tok FROM documents),
+        m AS (SELECT n_tok, CAST(unnest([128, 256, 512, 1024, 2048, 4096,
+            8192]) AS BIGINT) AS max_len FROM d)
+        SELECT max_len, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_over,
+          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          CAST(SUM(greatest(n_tok - max_len, 0)) AS BIGINT) AS tokens_lost,
+          CAST(SUM(greatest(n_tok - max_len, 0)) AS BIGINT) * 10000
+            // CAST(SUM(n_tok) AS BIGINT) AS loss4
+        FROM m GROUP BY max_len ORDER BY max_len""")),
+
+    // ---- PER-SOURCE CHARACTER-BIGRAM ENTROPY: H = ln n − (1/n)·Σ c·ln c
+    // over within-token char bigrams — the encoding-anomaly / gibberish
+    // detector beside q191's token-level KL (mojibake, base64 floods,
+    // and key-mash spam shift bigram structure before they shift the
+    // token distribution). Same exactness discipline as q191: ln
+    // brackets gridded to 1e-6 nats, Σ c·x6 DECIMAL(38,0) internal,
+    // ONE double division per source.
+    //
+    // Scale: the (source, bigram) aggregate state is bounded at
+    // |sources|·26² REGARDLESS of corpus size (the q172 bounded-
+    // histogram argument, alphabet edition); everything before it is
+    // map-side HOF work on the row's own tokens.
+    ("q196_char_entropy",
+      (s: SparkSession, dir: String) => {
+        val bg = explodeLean(
+          t(s, dir, "documents"), Seq(col("source")),
+          expr("""flatten(transform(filter(
+                    regexp_extract_all(lower(text), '[a-z]+', 0),
+                    w -> length(w) >= 2),
+                  w -> transform(sequence(1, length(w) - 1),
+                    i -> substring(w, i, 2))))"""), "bg")
+          .groupBy(col("source"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+        val agg = bg.groupBy(col("source"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+            sum((col("c") * floor(log(col("c").cast("double")) * 1e6 + 0.5)
+              .cast("long")).cast("decimal(38,0)")).as("clnc"))
+        agg.select(col("source"), col("n").as("n_bigrams"), col("n_distinct"),
+          (floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long")
+            - floor(col("clnc").cast("double") / col("n").cast("double")
+              + 0.5).cast("long")).as("h6"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, unnest(list_filter(
+            regexp_extract_all(lower(text), '[a-z]+'), w -> len(w) >= 2)) AS w
+          FROM documents),
+        bg AS (SELECT source, unnest(list_transform(range(1, len(w)),
+            i -> substr(w, i, 2))) AS bg FROM toks),
+        c AS (SELECT source, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+            COUNT(*) AS n_distinct,
+            SUM(CAST(c AS HUGEINT)
+              * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+              AS clnc
+          FROM c GROUP BY source)
+        SELECT source, n AS n_bigrams, CAST(n_distinct AS BIGINT) AS n_distinct,
+          CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+            - CAST(floor(CAST(clnc AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+              AS BIGINT) AS h6
+        FROM a ORDER BY source""")),
+
+    // ---- PII INCIDENCE MATRIX (source × type): per crawl source, how
+    // many documents and total hits each PII class shows — the audit
+    // that decides WHERE q46's redaction pass must run and which feeds
+    // need quarantine (incidence localizes the problem; redaction fixes
+    // it). Four detectors: email, IPv4, 16-digit card, 555-XXXX phone —
+    // all bracket-class regexes (no escapes, so Java and RE2 parse them
+    // identically). The fixture corpus is PII-free, so the derivation
+    // PLANTS deterministic hits at staggered rates (email every 25th
+    // doc, ip 40th, card 60th, phone 75th — the q30/q178 pattern) in
+    // both engines.
+    //
+    // Scale: counting is map-side per doc; the aggregate is bounded at
+    // |sources| × 4 rows.
+    ("q197_pii_incidence",
+      (s: SparkSession, dir: String) => {
+        val pats = Seq(
+          ("email", "[a-z0-9]+@[a-z0-9]+[.][a-z]+"),
+          ("ipv4", "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"),
+          ("card", "[0-9]{16}"),
+          ("phone", "555-[0-9]{4}"))
+        val aug = t(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 25 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@example.org")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 40 === 0,
+              concat(lit(" host 10."), col("doc_id") % 256, lit(".0.7")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 60 === 0, lit(" card 4111222233334444"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 75 === 0, lit(" call 555-0142"))
+              .otherwise(lit(""))))
+        val counted = pats.foldLeft(aug) { case (df, (name, pat)) =>
+          df.withColumn(s"c_$name",
+            size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long"))
+        }
+        counted.select(col("source"), expr(s"stack(${pats.size}, " +
+            pats.map { case (n, _) => s"'$n', c_$n" }.mkString(", ")
+            + ") as (pii_type, hits)"))
+          .groupBy(col("source"), col("pii_type"))
+          .agg(sum(when(col("hits") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
+            sum(col("hits")).as("n_hits"))
+          .orderBy(col("source"), col("pii_type"))
+      },
+      Some {
+        val pats = Seq(
+          ("email", "[a-z0-9]+@[a-z0-9]+[.][a-z]+"),
+          ("ipv4", "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"),
+          ("card", "[0-9]{16}"),
+          ("phone", "555-[0-9]{4}"))
+        val melt = pats.map { case (n, p) =>
+          s"""SELECT source,
+             '$n' AS pii_type,
+             CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS hits
+           FROM aug"""
+        }.mkString("\n          UNION ALL ")
+        s"""WITH aug AS (
+            SELECT source, text
+              || CASE WHEN doc_id % 25 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.org'
+                 ELSE '' END
+              || CASE WHEN doc_id % 40 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+                 ELSE '' END
+              || CASE WHEN doc_id % 60 = 0 THEN ' card 4111222233334444'
+                 ELSE '' END
+              || CASE WHEN doc_id % 75 = 0 THEN ' call 555-0142'
+                 ELSE '' END AS text
+            FROM documents),
+          m AS ($melt)
+          SELECT source, pii_type,
+            CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_docs_hit,
+            CAST(SUM(hits) AS BIGINT) AS n_hits
+          FROM m GROUP BY 1, 2 ORDER BY source, pii_type"""
+      }),
+
+    // ---- VOCAB-TRANSFER OOV RATES: build the token vocabulary on the
+    // EVEN-numbered sources and measure out-of-vocabulary rates on each
+    // ODD source — token-level (how much text a fixed tokenizer/embedding
+    // table fails on) and type-level (how much of the tail is new). The
+    // train/serve skew question q142 asks of a designed vocab, asked of
+    // a source split — the go/no-go before reusing a tokenizer on a new
+    // feed without retraining.
+    //
+    // Scale: the vocab is one distinct projection over half the corpus;
+    // the holdout side aggregates (source, tok, c) then LEFT-joins the
+    // vocab on tok (hash-partitioned, type-level width, never instance-
+    // level); output is |odd sources| rows.
+    ("q198_vocab_oov",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(
+          t(s, dir, "documents")
+            .withColumn("par",
+              substring(col("source"), 4, 10).cast("long") % 2),
+          Seq(col("source"), col("par")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val vocab = toks.filter(col("par") === 0L)
+          .select(col("tok")).distinct()
+        val hold = toks.filter(col("par") === 1L)
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        hold.join(vocab.withColumn("in_v", lit(1L)), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tok"),
+            sum(when(col("in_v").isNull, col("c")).otherwise(0L))
+              .as("oov_tok"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_types"))
+          .select(col("source"), col("n_tok"), col("oov_tok"),
+            expr("oov_tok * 10000 div n_tok").as("oov4"),
+            col("n_types"), col("oov_types"),
+            expr("oov_types * 10000 div n_types").as("oovt4"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source,
+            CAST(substr(source, 4) AS BIGINT) % 2 AS par,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        vocab AS (SELECT DISTINCT tok FROM toks WHERE par = 0),
+        hold AS (SELECT source, tok, COUNT(*) AS c FROM toks
+                 WHERE par = 1 GROUP BY 1, 2)
+        SELECT h.source AS source, CAST(SUM(h.c) AS BIGINT) AS n_tok,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN h.c ELSE 0 END) AS BIGINT)
+            AS oov_tok,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN h.c ELSE 0 END) AS BIGINT)
+            * 10000 // CAST(SUM(h.c) AS BIGINT) AS oov4,
+          COUNT(*) AS n_types,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS oov_types,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000 // COUNT(*) AS oovt4
+        FROM hold h LEFT JOIN vocab v ON v.tok = h.tok
+        GROUP BY h.source ORDER BY h.source""")),
+
+    // ---- QUALITY × DUPLICATION INTERACTION: the 2×2 contingency of
+    // q190's all-rules verdict against q30's exact-duplicate signal —
+    // answers "is duplicated content disproportionately low-quality?",
+    // which decides whether dedup and quality filtering are redundant
+    // or complementary passes in a 100 TB curation budget. Shares ride
+    // the ‱ grid; the log-odds question is left to the reader of the
+    // 4-row table (exact integers only).
+    //
+    // Scale: one md5 projection + one hash-keyed count (q30's shape)
+    // joined back by doc_id; the contingency is a bounded ≤4-row
+    // aggregate (checkpointed for its two consumers: the rows and the
+    // 1-row total the shares divide by).
+    ("q199_quality_dup_matrix",
+      (s: SparkSession, dir: String) => {
+        // the fixture has no exact duplicates, so PLANT them (the q30
+        // pattern): every 20th doc re-issued verbatim under id + 4e12 —
+        // the is_dup dimension stays load-bearing at every sf
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val d = base.unionByName(
+          base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 4000000000000L).as("doc_id"),
+              col("text")))
+        val flags = gopherFlags(d, Seq(col("doc_id").as("fid")))
+          .filter(col("rule") === "r_all")
+          .select(col("fid"), col("pass"))
+        val h = d.select(col("doc_id"), md5(col("text")).as("h"))
+        val dup = h.join(
+          h.groupBy(col("h")).agg(count(lit(1)).as("cnt")), Seq("h"))
+          .select(col("doc_id"), (col("cnt") > 1L).as("is_dup"))
+        val g = dup.join(flags, dup("doc_id") === flags("fid"))
+          .groupBy(col("is_dup"), col("pass"))
+          .agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(g)
+        // share over the ≤4-row contingency via a broadcast 1-row total
+        // (never an unpartitioned window — the PlanSpec whitelist)
+        g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("tot"))))
+          .select(col("is_dup"), col("pass"), col("n_docs"),
+            expr("n_docs * 10000 div tot").as("share4"))
+          .orderBy(col("is_dup"), col("pass"))
+      },
+      Some {
+        s"""WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 4000000000000, text FROM documents
+            WHERE doc_id % 20 = 0),
+          flags AS (${gopherAllSql("aug")}),
+          hs AS (SELECT doc_id, md5(text) AS h FROM aug),
+          cnts AS (SELECT h, COUNT(*) AS cnt FROM hs GROUP BY h),
+          dup AS (SELECT hs.doc_id, cnts.cnt > 1 AS is_dup
+                  FROM hs JOIN cnts ON cnts.h = hs.h),
+          m AS (SELECT d.is_dup, f.pass, COUNT(*) AS n_docs
+                FROM dup d JOIN flags f ON f.doc_id = d.doc_id GROUP BY 1, 2)
+          SELECT is_dup, pass, n_docs,
+            CAST(n_docs * 10000 // (SELECT SUM(n_docs) FROM m) AS BIGINT)
+              AS share4
+          FROM m ORDER BY is_dup, pass"""
+      }),
+
+    // ---- DATASET CARD: the one-table summary a corpus release ships —
+    // per source AND the ALL rollup row: docs, tokens, corpus token
+    // share, exact-duplicate docs (q30's md5 signal), Gopher all-rules
+    // passes (q190's conjunction), with everything on the ‱ grid. The
+    // operators are all individually gated elsewhere; the card is the
+    // COMPOSITION — one scan produces the per-doc signal row, and
+    // `rollup` emits source-level and corpus-level in the same
+    // aggregate (Spark plans one Expand + one combinable aggregate, no
+    // second pass for the total).
+    //
+    // Scale: per-doc signals are map-side except the md5-count join
+    // (q30's shape); the rollup aggregate is |sources|+1 rows.
+    ("q200_dataset_card",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+        val flags = gopherFlags(d, Seq(col("doc_id").as("fid")))
+          .filter(col("rule") === "r_all")
+          .select(col("fid"), col("pass"))
+        val h = d.select(col("doc_id"), col("source"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+            .cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        val perDoc = h
+          .join(h.groupBy(col("h")).agg(count(lit(1)).as("cnt")), Seq("h"))
+          .join(flags, col("doc_id") === col("fid"))
+          .select(col("source"), col("n_tok"),
+            (col("cnt") > 1L).as("is_dup"), col("pass"))
+        val card = perDoc.rollup(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_quality_pass"))
+          .localCheckpoint() // two consumers: the total pull + the select
+        val total = card.filter(col("source").isNull)
+          .select(col("n_tokens")).head().getLong(0)
+        Scoped.releaseAfterUse(card) // armed AFTER the pull (q191 lesson)
+        card.select(coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_tokens"),
+          expr(s"n_tokens * 10000 div ${total}L").as("share4"),
+          col("n_dup_docs"),
+          expr("n_dup_docs * 10000 div n_docs").as("dup4"),
+          col("n_quality_pass"),
+          expr("n_quality_pass * 10000 div n_docs").as("quality4"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH flags AS (${gopherAllSql("documents")}),
+        hs AS (SELECT doc_id, source,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+              AS n_tok,
+            md5(text) AS h
+          FROM documents),
+        cnts AS (SELECT h, COUNT(*) AS cnt FROM hs GROUP BY h),
+        perdoc AS (SELECT hs.source, hs.n_tok, cnts.cnt > 1 AS is_dup, f.pass
+                   FROM hs JOIN cnts ON cnts.h = hs.h
+                   JOIN flags f ON f.doc_id = hs.doc_id),
+        card AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_docs,
+            CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_quality_pass
+          FROM perdoc GROUP BY ROLLUP(source)),
+        tot AS (SELECT n_tokens AS total FROM card WHERE source IS NULL)
+        SELECT COALESCE(card.source, 'ALL') AS source, card.n_docs,
+          card.n_tokens,
+          card.n_tokens * 10000 // tot.total AS share4,
+          card.n_dup_docs,
+          card.n_dup_docs * 10000 // card.n_docs AS dup4,
+          card.n_quality_pass,
+          card.n_quality_pass * 10000 // card.n_docs AS quality4
+        FROM card CROSS JOIN tot
+        ORDER BY source"""
+      })
   )
 
   /** q190's rule evaluation, shared with the streaming twin
@@ -2752,8 +3118,38 @@ object TextOps {
     * column expressions — every threshold is an integer comparison
     * multiplied through (no division), so the flags are exact on both
     * engines and safe inside a streaming Generate. */
+  /** The stop-list behind r_stopword_hits — Gopher's eight plus "a"/"in"
+    * (the standard short-list extension; with only the original eight,
+    * the fixture's synthetic vocabulary contains just "the" and the rule
+    * would be identically false — a vacuous gate. Two DISTINCT hits are
+    * still required, so the rule discriminates at every fixture sf). */
+  lazy val GopherStops: Seq[String] = // lazy: referenced during catalog init
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with", "in")
+
+  /** DuckDB SQL for q190's five-rule conjunction over `documents`-shaped
+    * rows (the single source of truth the q190/q199/q200 oracles share —
+    * column `pass`, keyed by doc_id). */
+  def gopherAllSql(src: String): String = {
+    val hits = GopherStops.map(w =>
+      s"CASE WHEN list_contains(regexp_extract_all(lower(text), '[a-z]+'), '$w') THEN 1 ELSE 0 END")
+      .mkString("\n               + ")
+    s"""SELECT doc_id,
+            len(regexp_extract_all(text, '\\S+')) BETWEEN 50 AND 100000
+            AND len(array_to_string(regexp_extract_all(text, '\\S+'), ''))
+              BETWEEN 3 * len(regexp_extract_all(text, '\\S+'))
+              AND 10 * len(regexp_extract_all(text, '\\S+'))
+            AND 5 * len(list_filter(regexp_extract_all(text, '\\S+'),
+              w -> regexp_matches(w, '[a-zA-Z]')))
+              >= 4 * len(regexp_extract_all(text, '\\S+'))
+            AND 10 * (len(regexp_extract_all(text, '\\.{3}'))
+              + len(text) - len(replace(text, '#', '')))
+              <= len(regexp_extract_all(text, '\\S+'))
+            AND ($hits) >= 2 AS pass
+          FROM $src"""
+  }
+
   def gopherFlags(docs: DataFrame, carry: Seq[Column] = Seq.empty): DataFrame = {
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stops = GopherStops
     val rules = Seq("r_word_count", "r_mean_word_len", "r_alpha_ratio",
       "r_symbol_ratio", "r_stopword_hits", "r_all")
     val flagged = docs

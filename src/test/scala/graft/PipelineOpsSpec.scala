@@ -615,4 +615,120 @@ class PipelineOpsSpec extends SparkSpec {
     val optLb = math.max((total + 3L) / 4L, biggest)
     assert(maxLoad * 3L <= optLb * 4L + 3L, "Graham 4/3 bound holds")
   }
+
+  test("q195: truncation losses are monotone in L and reconcile against a driver recompute") {
+    val rows = SparkEntry.queries("q195_truncation_planner")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("max_len"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_docs_over"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("tokens_lost"), r.getAs[Long]("loss4")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq(128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L))
+    assert(rows.map(_._2).distinct.length === 1, "every L sees every doc")
+    assert(rows.map(_._4).distinct.length === 1, "one corpus token total")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3 && b._5 <= a._5,
+          s"a larger L can only reduce overflow at L=${b._1}")
+      case _ => ()
+    }
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+        .cast("long")).collect().map(_.getLong(0))
+    rows.foreach { case (l, _, over, tot, lost, loss4) =>
+      assert(over === lens.count(_ > l), s"L=$l overflow count")
+      assert(lost === lens.map(n => math.max(n - l, 0L)).sum, s"L=$l loss")
+      assert(tot === lens.sum)
+      assert(loss4 === lost * 10000L / tot)
+    }
+  }
+
+  test("q196: bigram entropy is within [0, ln(26^2)] on the grid and state is alphabet-bounded") {
+    val rows = SparkEntry.queries("q196_char_entropy")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("h6")))
+    assert(rows.nonEmpty)
+    val hMax = math.ceil(math.log(26.0 * 26.0) * 1e6).toLong
+    rows.foreach { case (src, n, d, h6) =>
+      assert(n > 0L, s"$src has bigrams")
+      assert(d <= 26L * 26L, s"$src bigram state is alphabet-bounded")
+      assert(h6 >= -5L && h6 <= hMax + 5L, s"$src entropy $h6 in range")
+      // entropy can't exceed ln(n_distinct) (uniform over observed bins)
+      val hObs = math.floor(math.log(d.toDouble) * 1e6 + 0.5).toLong
+      assert(h6 <= hObs + 5L, s"$src entropy bounded by ln(distinct)")
+    }
+  }
+
+  test("q197: planted PII rates reconcile exactly per type") {
+    val rows = SparkEntry.queries("q197_pii_incidence")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("pii_type")),
+        (r.getAs[Long]("n_docs_hit"), r.getAs[Long]("n_hits")))).toMap
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = Seq(("email", 25L), ("ipv4", 40L), ("card", 60L), ("phone", 75L))
+    types.foreach { case (ty, m) =>
+      val expected = ids.filter(_._1 % m == 0).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      ids.map(_._2).distinct.foreach { src =>
+        val exp = expected.getOrElse(src, 0L)
+        val (hit, hits) = rows((src, ty))
+        assert(hit === exp, s"$src/$ty planted doc count")
+        assert(hits >= hit, s"$src/$ty hits >= docs hit")
+      }
+    }
+  }
+
+  test("q198: OOV rates are bounded and the vocab side reports zero rows") {
+    val rows = SparkEntry.queries("q198_vocab_oov")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("oov_tok"), r.getAs[Long]("oov4"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("oov_types"),
+        r.getAs[Long]("oovt4")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, oov, oov4, ty, oovT, oovt4) =>
+      assert(src.length > 3 && (src.drop(3).toLong % 2L) === 1L,
+        s"$src is a holdout source")
+      assert(oov >= 0L && oov <= n)
+      assert(oovT >= 0L && oovT <= ty)
+      assert(oov4 === oov * 10000L / n)
+      assert(oovt4 === oovT * 10000L / ty)
+      // instance-level OOV can't exceed type-level OOV share in the tail
+      // only when frequencies skew — but both must agree on zero
+      assert((oov == 0L) === (oovT == 0L), s"$src zero-OOV consistency")
+    }
+  }
+
+  test("q199: contingency partitions the planted-dup corpus and shares sum to ~1") {
+    val rows = SparkEntry.queries("q199_quality_dup_matrix")(spark, dir).collect()
+      .map(r => (r.getAs[Boolean]("is_dup"), r.getAs[Boolean]("pass"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("share4")))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(rows.map(_._3).sum === total + planted, "partition incl. plants")
+    // every planted pair contributes 2 dup-side docs (original + copy),
+    // and only md5-identical text is counted dup
+    assert(rows.filter(_._1).map(_._3).sum >= 2L * planted)
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum >= 9996L && shareSum <= 10000L, s"shares $shareSum ~ 1")
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("q200: the dataset card's ALL row reconciles with the per-source rows") {
+    val rows = SparkEntry.queries("q200_dataset_card")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("share4"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[Long]("n_quality_pass")))
+    val (all, per) = rows.partition(_._1 == "ALL")
+    assert(all.length === 1, "exactly one rollup total row")
+    assert(per.map(_._2).sum === all.head._2, "docs reconcile")
+    assert(per.map(_._3).sum === all.head._3, "tokens reconcile")
+    assert(per.map(_._5).sum === all.head._5, "dups reconcile")
+    assert(per.map(_._6).sum === all.head._6, "quality passes reconcile")
+    assert(all.head._4 === 10000L, "ALL row holds the full token share")
+    per.foreach { r =>
+      assert(r._4 === r._3 * 10000L / all.head._3, s"${r._1} share grid")
+    }
+  }
 }
