@@ -201,8 +201,10 @@ object Relational {
     * (NoDecimalOutputSpec enforces this repo-wide). assert_true fails
     * the job loudly if the value ever exceeds int64; the 100 TB
     * contract at that point is re-grid the units, never wrap. */
-  private def decimalToLongChecked(c: Column): Column =
-    when(assert_true(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"))
+  private[graft] def decimalToLongChecked(c: Column): Column =
+    when(assert_true(
+      c >= lit(Long.MinValue).cast("decimal(38,0)") &&
+        c <= lit(Long.MaxValue).cast("decimal(38,0)"))
       .isNull, c.cast("long"))
 
   /** q172's core, parameterized by bin width (VERDICT r14 #7): quartiles

@@ -542,6 +542,31 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("rule"), col("n_docs"),
         col("n_pass"))
 
+  /** Ingest-time OOV monitor — the STREAM twin of batch q198: arriving
+    * docs are tokenized map-side and probed against the FROZEN
+    * vocabulary table (built batch-side, refreshed at batch cadence —
+    * the fenceMonitorStream split applied to the tokenizer-coverage
+    * question); output is per-(1-hour window) token / OOV-token counts.
+    * A feed whose OOV rate jumps at stream cadence signals a language
+    * or encoding shift BEFORE a day of intake embeds badly.
+    *
+    * Scale: the stream-static left join is stateless and re-plans the
+    * vocab table per micro-batch (so it may exceed broadcast size and
+    * picks up batch refreshes without a restart — the winnowMatchStream
+    * contract); agg state is windows-in-flight counters,
+    * watermark-evicted; counts are additive so late windows merge. */
+  def oovMonitorStream(docs: DataFrame, vocab: DataFrame,
+      window: String = "1 hour", horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .join(vocab.select(col("tok"), lit(1L).as("in_v")), Seq("tok"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tok"))
+      .select(col("w.start").as("hour"), col("n_tok"), col("oov_tok"))
+
   /** Ingest-time winnowing overlap — the STREAM twin of batch q181: each
     * arriving doc is fingerprinted MAP-SIDE by the shared
     * [[graft.queries.DedupSim.winnowFpsExpr]] (stream and batch

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Pins q172 (bounded-state histogram quartiles) against q148 (exact
   * percentile, the oracle-parity A/B control) on the planted-outlier
   * fixture: the sketch's quartiles must sit within ONE BIN of the exact
@@ -98,5 +100,24 @@ class OutlierFenceSpec extends SparkSpec {
       assert(after >= BigDecimal(w.getAs[Long]("lo_fence_x2")) * w.getAs[Long]("n_rows"),
         s"$cn after-sum under an all-at-lo-fence corpus")
     }
+  }
+
+  test("decimalToLongChecked: exact through the int64 boundary, loud past it") {
+    import spark.implicits._
+    val ok = Seq("9223372036854775807", "-9223372036854775808", "0", "-42")
+      .toDF("s")
+      .select(graft.queries.Relational
+        .decimalToLongChecked(col("s").cast("decimal(38,0)")).as("v"))
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq === Seq(Long.MaxValue, Long.MinValue, 0L, -42L))
+    // one past int64: the downcast must FAIL the job, never wrap — the
+    // 100 TB contract is re-grid the units, not silently corrupt sums
+    val boom = intercept[Exception] {
+      Seq("9223372036854775808").toDF("s")
+        .select(graft.queries.Relational
+          .decimalToLongChecked(col("s").cast("decimal(38,0)")).as("v"))
+        .collect()
+    }
+    assert(boom.toString.nonEmpty)
   }
 }

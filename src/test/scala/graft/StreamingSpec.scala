@@ -728,6 +728,31 @@ class StreamingSpec extends SparkSpec {
     assert(byRule("r_all")._2 >= 1L, "the good doc passes everything")
   }
 
+  test("oovMonitorStream: frozen vocab scores arrivals; stream == batch counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma").toDF("tok")
+    val docs = Seq(
+      (1L, "alpha beta beta", ts(0)),     // 3 tokens, 0 OOV
+      (2L, "gamma delta", ts(1)),         // 2 tokens, 1 OOV
+      (3L, "zz yy xx", ts(70)))           // next window, all OOV
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs: _*)
+    val q = EventStreams.oovMonitorStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), vocab)
+      .writeStream.format("memory").queryName("oov_stream")
+      .outputMode(OutputMode.Complete()).start()
+    runToCompletion(q)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getTime).toSeq
+    val streamed = canon(spark.table("oov_stream"))
+    val batch = canon(EventStreams.oovMonitorStream(
+      docs.toDF("doc_id", "text", "ts"), vocab))
+    assert(streamed === batch, "monitor is cadence-independent")
+    assert(streamed.map(r => (r._2, r._3)) === Seq((5L, 1L), (3L, 3L)))
+  }
+
   test("winnowMatchStream: ingest fingerprints match the batch q181 fingerprinter") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
