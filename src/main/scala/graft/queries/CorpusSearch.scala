@@ -1296,7 +1296,10 @@ object CorpusSearch {
           .filter(col("u") =!= col("w")).distinct()
           .localCheckpoint()
         var prev = edges
-        val curve = (1 to rounds).map { r =>
+        val curve = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var r = 1
+        while (r <= rounds && (curve.isEmpty || curve.last._4 > 0L)) {
           val deg = edges.select(col("u").as("v"))
             .unionByName(edges.select(col("w").as("v")))
             .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1312,10 +1315,21 @@ object CorpusSearch {
           Scoped.free(prev)
           prev = next
           edges = next
-          (r.toLong, nKeep, next.count(), nBefore - nKeep)
+          curve += ((r.toLong, nKeep, next.count(), nBefore - nKeep))
+          r += 1
         }
         Scoped.free(prev)
-        curve.toDF("round", "n_vertices", "n_edges", "n_removed")
+        // a round that removed nothing IS the fixed point: every later
+        // round repeats it by construction (the degree aggregate over an
+        // unchanged edge set is unchanged), so the remaining curve rows
+        // are filled driver-side without running no-op jobs — the output
+        // is bit-identical to the always-10-jobs formulation (the spec
+        // pins post-stabilization constancy; the oracle still unrolls
+        // all 10 rounds and agrees)
+        val fp = curve.last
+        while (curve.length < rounds)
+          curve += ((curve.length + 1L, fp._2, fp._3, 0L))
+        curve.toSeq.toDF("round", "n_vertices", "n_edges", "n_removed")
           .orderBy(col("round"))
       },
       Some {
