@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       GraftFunctions.l2SqInfo,
       GraftFunctions.mkL2Sq _))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hash60"),
+      GraftFunctions.gramHash60Info,
+      GraftFunctions.mkGramHash60 _))
   }
 }

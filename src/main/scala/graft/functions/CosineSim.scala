@@ -120,6 +120,7 @@ object GraftFunctions {
   val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
   val srpCellInfo = new ExpressionInfo(classOf[SrpCell].getName, "srp_cell")
   val l2SqInfo = new ExpressionInfo(classOf[L2Sq].getName, "l2_sq")
+  val gramHash60Info = new ExpressionInfo(classOf[GramHash60].getName, "gram_hash60")
 
   /** Arity-checked builder — a SQL user passing the wrong argument count
     * gets an analysis-time message, not a dropped argument (3 args would
@@ -165,6 +166,27 @@ object GraftFunctions {
       litInt(children(2), "dims", 1, 1 << 16))
   }
 
+  /** gram_hash60(ws, n) — n must be an int literal (it parameterizes the
+    * kernel, not per-row data). */
+  private[graft] def mkGramHash60(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"gram_hash60 expects (words, n), got ${children.length} arguments")
+    val nArg = children(1)
+    require(nArg.foldable, "gram_hash60: n must be a literal")
+    val n = nArg.eval() match {
+      case null => throw new IllegalArgumentException(
+        "gram_hash60: n must not be NULL")
+      case b: java.lang.Byte => b.toInt
+      case s: java.lang.Short => s.toInt
+      case i: java.lang.Integer => i.toInt
+      case l: java.lang.Long if l == l.toInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"gram_hash60: n must be an integer literal, got $other")
+    }
+    require(n >= 1 && n <= 1024, s"gram_hash60: n must be in [1, 1024], got $n")
+    GramHash60(children(0), n)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
@@ -173,6 +195,8 @@ object GraftFunctions {
       FunctionIdentifier("srp_cell"), srpCellInfo, mkSrpCell _)
     reg.registerFunction(
       FunctionIdentifier("l2_sq"), l2SqInfo, mkL2Sq _)
+    reg.registerFunction(
+      FunctionIdentifier("gram_hash60"), gramHash60Info, mkGramHash60 _)
   }
 }
 

@@ -48,14 +48,15 @@ object DedupSim {
     * token-array column `ws` — ONE definition shared by batch q181 and
     * [[graft.streaming.EventStreams.winnowMatchStream]], so stream and
     * batch fingerprint identically (the cdcChunkHashArray contract).
-    * Each gram is hashed once: the gram-hash array is bound as a
-    * transform lambda VALUE (q111 lesson). Docs with < 7 alpha tokens
-    * carry an empty array (no window fits). */
+    * The gram hashes come from the native fused [[graft.functions
+    * .GramHash60]] kernel (bit-parity with the portable HOF pinned by
+    * GramHash60Spec; consumers must have GraftFunctions registered),
+    * bound ONCE as a transform lambda VALUE (q111 lesson) for the
+    * window-min pass. Docs with < 7 alpha tokens carry an empty array
+    * (no window fits). */
   private[graft] val winnowFpsExpr: String =
     "case when size(ws) >= 7 then " +
-    "array_distinct(element_at(transform(array(" +
-    "transform(sequence(0, size(ws) - 4), i -> " +
-    "cast(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, 4))), 1, 15), 16, 10) as bigint))" +
+    "array_distinct(element_at(transform(array(gram_hash60(ws, 4)" +
     "), gs -> transform(sequence(0, size(gs) - 4), j -> " +
     "array_min(transform(sequence(0, 3), o -> " +
     "element_at(gs, j + o + 1) * 4 + 3 - o)) div 4)), 1)) " +
@@ -3146,15 +3147,15 @@ object DedupSim {
         // Portable.explodeLean's doc). Set intersections then run row-
         // local (array_intersect), replacing r15's first-cut 19M-row
         // verify shuffle+groupBy (sf1 A/B in SCALING.md).
+        graft.functions.GraftFunctions.register(s)
         val docsh = aug
           .select(col("doc_id"),
             expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
           .filter(size(col("ws")) >= 5)
+          // native fused gram kernel (GramHash60Spec pins bit-parity
+          // with the portable HOF the oracle keeps)
           .select(col("doc_id"),
-            array_distinct(transform(
-              sequence(lit(0), size(col("ws")) - 5),
-              i => hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(5))))))
-              .as("arr"))
+            expr("array_distinct(gram_hash60(ws, 5))").as("arr"))
           .localCheckpoint()
         Scoped.releaseAfterUse(docsh)
         val flat = docsh.select(col("doc_id"), explode(col("arr")).as("shingle"))
@@ -3340,6 +3341,7 @@ object DedupSim {
     // checkpointed fingerprint sets — no post-join aggregation.
     ("q181_winnowing_overlap",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s) // winnowFpsExpr kernel
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val filler = expr("concat_ws(' ', transform(sequence(1, 64), " +
           "i -> concat('y', char(97 + (i - 1) % 26), char(97 + (i - 1) div 26))))")
@@ -3356,8 +3358,8 @@ object DedupSim {
           .select(col("doc_id"),
             expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
           .filter(size(col("ws")) >= 7)
-          // the shared [[winnowFpsExpr]] (also the stream twin's): each
-          // gram hashed ONCE via a bound lambda value (the q111 lesson)
+          // the shared [[winnowFpsExpr]] (also the stream twin's): the
+          // fused gram kernel, bound once as a lambda value (q111 lesson)
           .select(col("doc_id"), expr(winnowFpsExpr).as("fps"))
           .localCheckpoint()
         Scoped.releaseAfterUse(fps)

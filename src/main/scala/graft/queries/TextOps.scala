@@ -2614,15 +2614,15 @@ object TextOps {
     // 0.25× — SCALING.md). Output is |sources| rows.
     ("q193_gram_novelty",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val grams = t(s, dir, "documents")
           .select(col("source"),
             expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
           .filter(size(col("ws")) >= 3)
+          // native fused kernel (GramHash60Spec pins bit-parity with the
+          // portable transform/md5/conv HOF the oracle keeps)
           .select(col("source"),
-            array_distinct(transform(
-              sequence(lit(0), size(col("ws")) - 3),
-              i => hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))
-              .as("arr"))
+            expr("array_distinct(gram_hash60(ws, 3))").as("arr"))
         val sg = grams.select(col("source"), explode(col("arr")).as("g"))
           .distinct().localCheckpoint()
         Scoped.releaseAfterUse(sg)

@@ -585,6 +585,7 @@ object EventStreams {
     * with < 7 alpha tokens report n_fps = 0 (explode_outer keeps them). */
   def winnowMatchStream(docs: DataFrame, corpusFps: DataFrame,
       horizon: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // fps kernel
     val fp = docs
       .withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
       .withColumn("fps", expr(graft.queries.DedupSim.winnowFpsExpr))

@@ -756,6 +756,7 @@ class StreamingSpec extends SparkSpec {
   test("winnowMatchStream: ingest fingerprints match the batch q181 fingerprinter") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // winnowFpsExpr kernel
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
     val corpus = Seq((1L, base)).toDF("doc_id", "text")
