@@ -98,7 +98,9 @@ object PlanDump {
     // r16 second batch: bounded-alphabet entropy agg (q196), the md5
     // dup join + broadcast-total contingency (q199), the one-Expand
     // rollup dataset card (q200)
-    "q196_char_entropy", "q199_quality_dup_matrix", "q200_dataset_card")
+    "q196_char_entropy", "q199_quality_dup_matrix", "q200_dataset_card",
+    // r16 third batch: the bounded-bin ECDF self-join (q202)
+    "q202_ecdf_table")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Portable._
-import graft.core.Tables
+import graft.core.{Scoped, Tables}
 
 /** Event-stream operators (batch semantics over the `events` table; the
   * Structured Streaming equivalents live in graft.streaming and are tested
@@ -690,6 +690,94 @@ object Events {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
             AS attributed_value
         FROM i WHERE event_type = 'purchase'
-        GROUP BY first_touch ORDER BY first_touch"""))
+        GROUP BY first_touch ORDER BY first_touch""")),
+
+    // ---- DYADIC TIME-DECAYED ENGAGEMENT (feature-store staple): per
+    // user, Σ over events of 2^(−age_hours) at the corpus reference time
+    // (max event ts) — recent activity dominates, week-old activity is
+    // noise-floor. The decay is DYADIC on whole hours (decay6 =
+    // 1 000 000 >> age_hours, zero past 2⁻²⁰), so the whole feature is
+    // EXACT INTEGER arithmetic — no exp(), whose cross-engine bit parity
+    // (unlike ln's, which q187/q191 pin) is not worth betting a gate on
+    // when a half-life reparameterization gives the same feature shape.
+    //
+    // Scale: ref time is a 1-long driver pull (I3); the feature is one
+    // map-side expression + one combinable per-user aggregate.
+    ("q201_decayed_engagement",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir)
+        val refUs = e.agg(max(col("us"))).head().getLong(0)
+        // cap at 20: 1e6 >> 20 is already 0, and capping keeps the shift
+        // far from the sign bit (at 63, Spark's truncating div and
+        // DuckDB's flooring // disagree on the negative divisor)
+        e.select(col("user_id"),
+          least(expr(s"(${refUs}L - us) div 3600000000L"), lit(20L))
+            .as("age_h"))
+          .withColumn("decay6", expr("1000000L div shiftleft(1L, cast(age_h as int))"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("decay6")).as("engagement6"),
+            min(col("age_h")).as("last_seen_hours"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        r AS (SELECT MAX(us) AS ref FROM e),
+        a AS (SELECT user_id,
+            least((r.ref - us) // 3600000000, 20) AS age_h
+          FROM e CROSS JOIN r)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(1000000 // (1::BIGINT << CAST(age_h AS INTEGER)))
+            AS BIGINT) AS engagement6,
+          MIN(age_h) AS last_seen_hours
+        FROM a GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- EMPIRICAL-CDF TABLE (quantile normalization / rank transform):
+    // the bounded mapping table that turns a raw feature into its corpus
+    // percentile — the inverse direction of q94 (which answers "what
+    // value sits at p?"; this answers "what p does a value sit at?").
+    // Downstream, rank-normalizing a 100 TB column is then a map-side
+    // broadcast join against this table — the operator's PRODUCT is the
+    // table, so the output is bins, never rows. pct4 uses the midpoint
+    // convention ((cum_below + cum_incl) / 2 over 2n, the standard
+    // tie-safe empirical CDF), kept exact on the ‱ grid.
+    //
+    // Scale: one combinable (bin → count) aggregate over a
+    // value-domain-bounded cent grid (the q172/q196 bounded-state
+    // argument), one bin-ordered cumulative window over BINS (bounded),
+    // output = occupied bins.
+    ("q202_ecdf_table",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir)
+        val hist = e
+          .select(expr("cast(floor(value * 100 + 0.5) as bigint) div 100")
+            .as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        // the cumulative count runs over OCCUPIED BINS (value-domain
+        // bounded, q172's argument) as a range self-join on the bounded
+        // bin table — |bins|² pairs of a BOUNDED relation — rather than
+        // an unpartitioned running-sum window (the PlanSpec whitelist
+        // keeps WindowExec's single-partition mode to its two
+        // sanctioned sites)
+        val bins = hist.localCheckpoint()
+        Scoped.releaseAfterUse(bins)
+        val cum = bins.as("a")
+          .join(bins.as("b"), col("b.bin") <= col("a.bin"))
+          .groupBy(col("a.bin").as("bin"))
+          .agg(max(col("a.n")).as("n"), sum(col("b.n")).as("cum"))
+        cum.crossJoin(broadcast(bins.agg(sum(col("n")).as("total"))))
+          .select(col("bin"), col("n"), col("cum"),
+            expr("(2 * cum - n) * 10000 div (2 * total)").as("pct4"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
+            AS bin FROM events),
+        hist AS (SELECT bin, COUNT(*) AS n FROM e GROUP BY bin),
+        cum AS (SELECT a.bin, MAX(a.n) AS n,
+            CAST(SUM(b.n) AS BIGINT) AS cum
+          FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
+        SELECT c.bin, c.n, c.cum,
+          (2 * c.cum - c.n) * 10000 // (2 * t.total) AS pct4
+        FROM cum c CROSS JOIN t ORDER BY c.bin"""))
   )
 }

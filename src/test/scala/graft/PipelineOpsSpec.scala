@@ -715,6 +715,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
 
+  test("q201: dyadic decay is bounded by count and reconciles against a driver recompute") {
+    val rows = SparkEntry.queries("q201_decayed_engagement")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("engagement6"), r.getAs[Long]("last_seen_hours")))
+    assert(rows.nonEmpty)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val us = graft.core.Tables.epochMicros(raw, "ts")
+    val evs = raw.select(col("user_id"), us.as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = evs.map(_._2).max
+    val expect = evs.groupBy(_._1).view.mapValues { es =>
+      val ages = es.map(e => math.min((ref - e._2) / 3600000000L, 20L))
+      (es.length.toLong, ages.map(a => 1000000L >> a).sum, ages.min)
+    }.toMap
+    rows.foreach { case (u, n, eng, last) =>
+      val (en, ee, el) = expect(u)
+      assert((n, eng, last) === ((en, ee, el)), s"user $u")
+      assert(eng <= n * 1000000L, s"user $u decay bounded by count")
+    }
+    assert(rows.map(_._1).toSet === expect.keySet)
+  }
+
+  test("q202: the ECDF table is monotone, reconciles, and pct4 stays on the grid") {
+    val rows = SparkEntry.queries("q202_ecdf_table")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("cum"), r.getAs[Long]("pct4")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_._2).sum === total, "bin counts partition the rows")
+    assert(rows.last._3 === total, "cum reaches the total")
+    var running = 0L
+    rows.foreach { case (b, n, cum, pct4) =>
+      running += n
+      assert(cum === running, s"bin $b cumulative reconciles")
+      assert(pct4 === (2L * cum - n) * 10000L / (2L * total),
+        s"bin $b midpoint grid")
+      assert(pct4 >= 0L && pct4 <= 10000L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 >= a._4, "percentiles monotone")
+      case _           => ()
+    }
+  }
+
   test("q200: the dataset card's ALL row reconciles with the per-source rows") {
     val rows = SparkEntry.queries("q200_dataset_card")(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
