@@ -812,6 +812,57 @@ object Relational {
         FROM orders WHERE o_totalprice > 150000.0
         GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // ---- SCHEMA-EVOLUTION read (mergeSchema): two parquet snapshots of
+    // the same table written at different schema versions — v1 without
+    // `o_orderstatus`, v2 with it (the additive-column evolution every
+    // long-lived 100 TB dataset accumulates) — read back through ONE
+    // mergeSchema scan; v1 rows surface the evolved column as NULL and
+    // the report accounts for exactly which mass predates the column.
+    // Snapshots land in a per-invocation temp dir (the q85 rule:
+    // concurrent harness runs must not overwrite each other's input);
+    // the oracle replays the union semantics directly on `orders`
+    // (mergeSchema is Spark's reader mechanics; the RESULT is fully
+    // determined by the two projections, which is what the gate checks).
+    //
+    // Scale: mergeSchema unifies footer schemas at planning time; the
+    // scan itself stays one pass with column pruning per file version —
+    // no rewrite of historical snapshots to add a column.
+    ("q203_schema_evolution",
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q203_evo_").toString
+        val base = t(s, dir, "orders")
+        base.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        base.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+          .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>"))
+            .as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+              .as("n_null_status"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH u AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            CAST(NULL AS VARCHAR) AS o_orderstatus
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT COALESCE(o_orderstatus, '<pre-evolution>') AS o_orderstatus,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_status
+        FROM u GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // ---- CDC upsert (MERGE): apply a change batch — updates (price bump,
     // status 'U') and inserts (re-keyed onto the 10^12 grid, status 'N') —
     // to the orders table via graft.maintenance.Upsert, then aggregate the

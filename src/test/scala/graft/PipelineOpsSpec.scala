@@ -760,6 +760,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q203: pre-evolution mass is exactly the v1 rows and carries all the nulls") {
+    val rows = SparkEntry.queries("q203_schema_evolution")(spark, dir).collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_null_status")))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val pre = rows.find(_._1 == "<pre-evolution>").get
+    assert(pre._2 === v1, "pre-evolution row counts the v1 snapshot")
+    assert(pre._3 === v1, "every pre-evolution row surfaces a NULL status")
+    rows.filterNot(_._1 == "<pre-evolution>").foreach { r =>
+      assert(r._3 === 0L, s"evolved rows carry no nulls (${r._1})")
+    }
+    assert(rows.map(_._2).sum === orders.count(), "union covers the table")
+  }
+
   test("q200: the dataset card's ALL row reconciles with the per-source rows") {
     val rows = SparkEntry.queries("q200_dataset_card")(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
