@@ -3532,6 +3532,82 @@ object DedupSim {
           ORDER BY t.threshold"""
       }),
 
+    // ---- DEDUP-CLUSTER-SAFE SPLIT ASSIGNMENT: the FIX to what q104
+    // detects — train/val/test assignment keyed on the near-dup CLUSTER
+    // (q49's SimHash CC labels; singletons key on their own doc_id), so
+    // two near-duplicates can never straddle a split boundary and leak
+    // eval answers into training. Buckets ride the q48 deterministic
+    // md5 hash ("split:" ++ group, mod 10 → 8/1/1), seed-free and
+    // re-run-stable; the output carries a COMPUTED cross-split-group
+    // count (structurally zero — the contract column a release gate
+    // reads, derived from the assignments, not assumed).
+    //
+    // Scale: CC labels are the q49 machinery (banded SimHash blocking,
+    // min-label propagation); assignment is a map-side hash after one
+    // left join of docs to the (smaller) labeled set; the leak column
+    // is a group-keyed count-distinct over the slim checkpointed
+    // assignment projection, joined back as a broadcast 1-row table.
+    ("q204_cluster_safe_split",
+      (s: SparkSession, dir: String) => {
+        val cand = simhashCand(s, dir, ScaleBits)
+        val labels = graft.graph.ConnectedComponents.assign(
+          cand.filter(expr("bit_count(ha ^ hb)") <= 3)
+            .select(col("id_a"), col("id_b")))
+        Scoped.free(cand)
+        val grouped = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .join(labels.select(col("v").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .select(col("n_chars"),
+            coalesce(col("comp"), col("doc_id")).as("grp"))
+          .withColumn("bucket",
+            graft.core.Portable.hash32(
+              concat(lit("split:"), col("grp").cast("string"))) % 10)
+          .withColumn("split",
+            when(col("bucket") < 8L, "train")
+              .when(col("bucket") === 8L, "val").otherwise("test"))
+          .localCheckpoint()
+        Scoped.free(labels)
+        Scoped.releaseAfterUse(grouped)
+        val leaks = grouped.groupBy(col("grp"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("leaked_groups"))
+        grouped.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("grp")).as("n_groups"),
+            sum(col("n_chars")).as("n_chars"))
+          .crossJoin(broadcast(leaks))
+          .orderBy(col("split"))
+      },
+      Some(s"""${simhashSql64().replaceFirst("WITH", "WITH RECURSIVE")},
+        $simhashCandSql64,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS v FROM e),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.u AS v, reach.r FROM reach JOIN e ON e.v = reach.v),
+        labels AS (SELECT v AS doc_id, MIN(r) AS comp FROM reach GROUP BY v),
+        g AS (SELECT d.n_chars, COALESCE(l.comp, d.doc_id) AS grp
+              FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        sp AS (SELECT n_chars, grp,
+            CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM g),
+        lk AS (SELECT COUNT(*) AS leaked_groups FROM (
+            SELECT grp FROM sp GROUP BY grp
+            HAVING COUNT(DISTINCT split) > 1))
+        SELECT sp.split, COUNT(*) AS n_docs,
+          COUNT(DISTINCT sp.grp) AS n_groups,
+          CAST(SUM(sp.n_chars) AS BIGINT) AS n_chars,
+          lk.leaked_groups
+        FROM sp CROSS JOIN lk
+        GROUP BY sp.split, lk.leaked_groups ORDER BY sp.split""")),
+
     // ---- LABEL-NOISE OUTLIERS (confident-learning shape): per label,
     // the 3 vectors FARTHEST from their own label centroid — the audit
     // list a labeling pipeline re-reviews first, and the complement of

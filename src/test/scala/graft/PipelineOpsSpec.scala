@@ -775,6 +775,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_._2).sum === orders.count(), "union covers the table")
   }
 
+  test("q204: the cluster-safe split partitions the corpus with zero cross-split groups") {
+    val rows = SparkEntry.queries("q204_cluster_safe_split")(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("leaked_groups")))
+    assert(rows.map(_._1).toSet === Set("train", "val", "test"))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum === total, "splits partition the corpus")
+    rows.foreach { r =>
+      assert(r._5 === 0L, "the computed leak count must be zero")
+      assert(r._3 <= r._2, s"${r._1}: groups cannot exceed docs")
+      assert(r._4 > 0L)
+    }
+    val train = rows.find(_._1 == "train").get._2
+    assert(train * 2 > total, "the 8/10 bucket share dominates")
+  }
+
   test("q200: the dataset card's ALL row reconciles with the per-source rows") {
     val rows = SparkEntry.queries("q200_dataset_card")(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
