@@ -2660,6 +2660,113 @@ object TextOps {
         FROM totals t LEFT JOIN novel n ON n.source = t.source
         ORDER BY t.source""")),
 
+    // ---- PAIRWISE SOURCE-OVERLAP MATRIX: Jaccard over distinct token
+    // 3-gram sets for every source pair — q193 asks "how much of a
+    // source is unique?"; this asks "WHICH sources duplicate each
+    // other?", the matrix behind dropping a redundant feed rather than
+    // deduping it row by row. Grams ride [[gram_hash60]].
+    //
+    // Scale: the per-gram source set is BOUNDED by |sources| (tens to
+    // hundreds at 100 TB), so pairs are generated ROW-LOCALLY from the
+    // sorted set (nested transform over a ≤|sources| array) — never a
+    // gram-keyed self-join whose fan-out is per-gram df² over the whole
+    // corpus (the oracle, on fixture scale, does use the self-join —
+    // same result, different cost class; this asymmetry is the point).
+    // Output is |sources|²/2 rows.
+    ("q205_source_overlap",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val sg = t(s, dir, "documents")
+          .select(col("source"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("source"),
+            expr("array_distinct(gram_hash60(ws, 3))").as("arr"))
+          .select(col("source"), explode(col("arr")).as("g"))
+          .distinct().localCheckpoint()
+        Scoped.releaseAfterUse(sg)
+        val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val common = sg.groupBy(col("g"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(ss, (x, i) ->
+                 transform(slice(ss, i + 2, size(ss)),
+                   y -> struct(x as sa, y as sb))))""")).as("p"))
+          .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(broadcast(totals.select(col("source").as("src_a"),
+            col("n").as("na"))), Seq("src_a"))
+          .join(broadcast(totals.select(col("source").as("src_b"),
+            col("n").as("nb"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("common"),
+            col("na"), col("nb"),
+            expr("common * 10000 div (na + nb - common)").as("jac4"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH d AS (
+          SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents
+          WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 3),
+        grams AS (SELECT source,
+            unnest(list_distinct(list_transform(range(0, len(ws) - 2),
+              i -> CAST(('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT)))) AS g
+          FROM d),
+        sg AS (SELECT DISTINCT source, g FROM grams),
+        totals AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+        common AS (SELECT a.source AS src_a, b.source AS src_b,
+            COUNT(*) AS common
+          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT c.src_a, c.src_b, c.common,
+          ta.n AS na, tb.n AS nb,
+          c.common * 10000 // (ta.n + tb.n - c.common) AS jac4
+        FROM common c
+        JOIN totals ta ON ta.source = c.src_a
+        JOIN totals tb ON tb.source = c.src_b
+        ORDER BY c.src_a, c.src_b""")),
+
+    // ---- TOKENIZER FERTILITY BY LANGUAGE: bytes / chars / alpha-token
+    // counts per lang with the ‱-grid chars-per-token and
+    // bytes-per-token ratios — the per-language cost model behind token
+    // budgets (the same corpus costs different token counts per
+    // language; q188's mixture planning and q141's recipes consume
+    // exactly this table at 100 TB). One scan, map-side lengths, one
+    // |langs|-row combinable aggregate.
+    ("q206_lang_fertility",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("lang"),
+            octet_length(col("text")).cast("long").as("bytes"),
+            length(col("text")).cast("long").as("chars"),
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))
+              .cast("long").as("toks"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bytes")).as("n_bytes"),
+            sum(col("chars")).as("n_chars"),
+            sum(col("toks")).as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_bytes"),
+            col("n_chars"), col("n_tokens"),
+            expr("n_chars * 10000 div n_tokens").as("chars_per_tok4"),
+            expr("n_bytes * 10000 div n_tokens").as("bytes_per_tok4"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+          CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+          CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT)
+            AS n_tokens,
+          CAST(SUM(len(text)) AS BIGINT) * 10000
+            // CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT)
+            AS chars_per_tok4,
+          CAST(SUM(strlen(text)) AS BIGINT) * 10000
+            // CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT)
+            AS bytes_per_tok4
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- LPT SHARD-BALANCE PLANNER: assign (lang, source) domains to 4
     // output shards by Longest-Processing-Time greedy (largest domain
     // first, each to the currently least-loaded shard, ties to the

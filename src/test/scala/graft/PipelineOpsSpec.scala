@@ -792,6 +792,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(train * 2 > total, "the 8/10 bucket share dominates")
   }
 
+  test("q205: the overlap matrix is ordered, bounded, and source-consistent") {
+    val rows = SparkEntry.queries("q205_source_overlap")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("jac4")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, na, nb, j4) =>
+      assert(a < b, "pairs are canonically ordered")
+      assert(c >= 1L && c <= math.min(na, nb), s"($a,$b) common bounded")
+      assert(j4 >= 0L && j4 <= 10000L)
+      assert(j4 === c * 10000L / (na + nb - c), s"($a,$b) grid arithmetic")
+    }
+    // every mention of a source carries ONE total
+    (rows.map(r => r._1 -> r._4) ++ rows.map(r => r._2 -> r._5))
+      .groupBy(_._1).foreach { case (src, ns) =>
+        assert(ns.map(_._2).distinct.length === 1, s"$src total consistent")
+      }
+  }
+
+  test("q206: fertility ratios respect the length hierarchy") {
+    val rows = SparkEntry.queries("q206_lang_fertility")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("chars_per_tok4"), r.getAs[Long]("bytes_per_tok4")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, bytes, chars, toks, cpt4, bpt4) =>
+      assert(bytes >= chars, s"$lang: UTF-8 bytes >= chars")
+      assert(toks > 0L && chars >= toks, s"$lang: a token is >= 1 char")
+      assert(cpt4 >= 10000L, s"$lang: chars-per-token at least 1 on the grid")
+      assert(bpt4 >= cpt4, s"$lang: bytes ratio dominates chars ratio")
+      assert(cpt4 === chars * 10000L / toks && bpt4 === bytes * 10000L / toks)
+    }
+  }
+
   test("q200: the dataset card's ALL row reconciles with the per-source rows") {
     val rows = SparkEntry.queries("q200_dataset_card")(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
