@@ -99,8 +99,10 @@ object PlanDump {
     // dup join + broadcast-total contingency (q199), the one-Expand
     // rollup dataset card (q200)
     "q196_char_entropy", "q199_quality_dup_matrix", "q200_dataset_card",
-    // r16 third batch: the bounded-bin ECDF self-join (q202)
-    "q202_ecdf_table")
+    // r16 third batch: the bounded-bin ECDF self-join (q202), the
+    // cluster-safe split's leak-check broadcast (q204), the row-local
+    // pair generation over bounded per-gram source sets (q205)
+    "q202_ecdf_table", "q204_cluster_safe_split", "q205_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
