@@ -3619,7 +3619,8 @@ object DedupSim {
     // distance statistic is the all-integer ‖n·q − s‖² — DECIMAL(38,0)
     // internally (64 dims of (n·q−s)² wrap int64 even at fixture n;
     // the q177 contract), shipped as the n²-normalized d2g6 on a 1e-6
-    // grid via one correctly-rounded double division per candidate.
+    // grid via a short double sequence (÷(n·n as double) then ÷1e12,
+    // ·1e6) mirrored operation-for-operation in the oracle SQL.
     //
     // Scale: the centroid is one map-side-combinable (label, dim)
     // aggregate, |labels|·dims rows → broadcast as an assembled
@@ -3648,9 +3649,15 @@ object DedupSim {
           .withColumn("d2n2", expr(
             """aggregate(zip_with(q, sv, (a, b) -> cast(n as decimal(38,0)) * a - b),
                  cast(0 as decimal(38,0)), (acc, x) -> acc + x * x)"""))
+          // operation-for-operation match with the oracle's
+          // `CAST(n AS DOUBLE) * n`: the n² divisor is a DOUBLE multiply
+          // (not an exact integer product cast late — for n > 2^26 the
+          // two round differently by 1 ulp, enough to flip a grid tick;
+          // ADVICE r16)
           .withColumn("d2g6",
             floor(col("d2n2").cast("double")
-              / (col("n") * col("n")).cast("double") / lit(1e12) * lit(1e6)
+              / (col("n").cast("double") * col("n").cast("double"))
+              / lit(1e12) * lit(1e6)
               + 0.5).cast("long"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("label")).orderBy(desc("d2g6"), asc("vec_id"))

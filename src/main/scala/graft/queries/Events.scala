@@ -708,8 +708,10 @@ object Events {
         val e = ev(s, dir)
         val refUs = e.agg(max(col("us"))).head().getLong(0)
         // cap at 20: 1e6 >> 20 is already 0, and capping keeps the shift
-        // far from the sign bit (at 63, Spark's truncating div and
-        // DuckDB's flooring // disagree on the negative divisor)
+        // far from the sign bit (at 63, Spark's shiftleft wraps to a
+        // negative divisor while DuckDB's << raises an overflow error —
+        // measured, r17 — so an uncapped age would diverge as
+        // wrong-value vs query-error)
         e.select(col("user_id"),
           least(expr(s"(${refUs}L - us) div 3600000000L"), lit(20L))
             .as("age_h"))
@@ -748,9 +750,18 @@ object Events {
     ("q202_ecdf_table",
       (s: SparkSession, dir: String) => {
         val e = ev(s, dir)
+        // Bin assignment is FLOOR division of the cents grid, sign-safe
+        // by construction (ADVICE r16): subtracting the nonnegative
+        // pmod/positive-mod remainder first makes the dividend an exact
+        // multiple of 100, so EVERY integer-division semantics (Spark
+        // `div` truncates; measured DuckDB `//` also truncates, e.g.
+        // -150//100 = -1) yields the same floor quotient for negative
+        // cents too — no silent nonnegative-domain assumption, and no
+        // bet on either engine's rounding direction. Mirrored verbatim
+        // in the oracle SQL.
         val hist = e
-          .select(expr("cast(floor(value * 100 + 0.5) as bigint) div 100")
-            .as("bin"))
+          .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+          .select(expr("(cents - pmod(cents, 100)) div 100").as("bin"))
           .groupBy(col("bin")).agg(count(lit(1)).as("n"))
         // the cumulative count runs over OCCUPIED BINS (value-domain
         // bounded, q172's argument) as a range self-join on the bounded
@@ -769,8 +780,10 @@ object Events {
             expr("(2 * cum - n) * 10000 div (2 * total)").as("pct4"))
           .orderBy(col("bin"))
       },
-      Some("""WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
-            AS bin FROM events),
+      Some("""WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+            AS cents FROM events),
+        e AS (SELECT (cents - ((cents % 100 + 100) % 100)) // 100
+            AS bin FROM c),
         hist AS (SELECT bin, COUNT(*) AS n FROM e GROUP BY bin),
         cum AS (SELECT a.bin, MAX(a.n) AS n,
             CAST(SUM(b.n) AS BIGINT) AS cum

@@ -29,6 +29,24 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-invocation scratch dir for the roundtrip/snapshot queries
+    * (q85, q203). Unique per call — a fixed path would let concurrent
+    * harness runs (Verify vs sbt test, two sf dirs) overwrite each
+    * other's input mid-read — and registered for recursive deletion at
+    * JVM exit so catalog sweeps that invoke every builder (the
+    * NoDecimalOutputSpec schema gate, PlanDump) don't leave snapshot
+    * directories behind (ADVICE r16). */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private val profNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val profStrCols = Seq("l_returnflag", "l_linestatus")
@@ -786,10 +804,7 @@ object Relational {
     // map-only job at any scale.
     ("q85_orc_roundtrip",
       (s: SparkSession, dir: String) => {
-        // unique dir per invocation: a fixed path would let concurrent
-        // harness runs (Verify vs sbt test, two sf dirs) overwrite each
-        // other's input mid-read
-        val out = java.nio.file.Files.createTempDirectory("graft_q85_orc_").toString
+        val out = scratchDir("graft_q85_orc_")
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderstatus"), col("o_orderdate"))
@@ -829,8 +844,7 @@ object Relational {
     // no rewrite of historical snapshots to add a column.
     ("q203_schema_evolution",
       (s: SparkSession, dir: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_q203_evo_").toString
+        val out = scratchDir("graft_q203_evo_")
         val base = t(s, dir, "orders")
         base.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

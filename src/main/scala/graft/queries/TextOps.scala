@@ -3036,10 +3036,16 @@ object TextOps {
     // level); output is |odd sources| rows.
     ("q198_vocab_oov",
       (s: SparkSession, dir: String) => {
+        // Fixture naming contract: sources are `src<N>` with a numeric
+        // suffix; the split parity comes from N. `try_cast` over an
+        // UNBOUNDED suffix on BOTH engines (ADVICE r16: a bounded
+        // substring(4,10) would truncate >10-digit suffixes, and a plain
+        // cast diverges on non-numeric suffixes — NULL-drop in Spark vs
+        // an error in DuckDB; TRY_CAST makes both drop them identically).
         val toks = explodeLean(
           t(s, dir, "documents")
             .withColumn("par",
-              substring(col("source"), 4, 10).cast("long") % 2),
+              expr("try_cast(substring(source, 4) as bigint)") % 2),
           Seq(col("source"), col("par")),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
         val vocab = toks.filter(col("par") === 0L)
@@ -3061,7 +3067,7 @@ object TextOps {
       },
       Some("""WITH toks AS (
           SELECT source,
-            CAST(substr(source, 4) AS BIGINT) % 2 AS par,
+            TRY_CAST(substr(source, 4) AS BIGINT) % 2 AS par,
             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
           FROM documents),
         vocab AS (SELECT DISTINCT tok FROM toks WHERE par = 0),

@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, St
   *
   * The SimHashWidthSpec pattern: a defect class, once root-caused,
   * becomes a sweep-the-catalog gate rather than a code-review memory.
-  * This spec ANALYZES all queries (schema only, no result action), so
-  * it also doubles as a catalog-wide resolution check — a query whose
-  * plan no longer analyzes fails here before the driver gate sees it.
+  * This spec invokes every builder and reads only the schema — the spec
+  * itself takes no result action, but builders whose BODIES run jobs
+  * (q189's peel loop, q191/q200's head pulls, q194's collect, q203's
+  * snapshot writes) do that work at build time, so the sweep is a
+  * catalog-wide RESOLUTION check too — a query whose plan no longer
+  * analyzes (or whose build-time actions break) fails here before the
+  * driver gate sees it. Build-time snapshot dirs are shutdown-hook
+  * cleaned (Relational.scratchDir).
   */
 class NoDecimalOutputSpec extends SparkSpec {
 
