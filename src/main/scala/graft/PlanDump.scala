@@ -2,9 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Regenerates PLANS.md — the captured physical plans of the headline
-  * queries (plan-shape documentation backing SCALING.md's claims; the
+/** Regenerates PLANS.md — the captured physical plans of EVERY catalog
+  * query (plan-shape documentation backing SCALING.md's claims; the
   * binding assertions live in PlanSpec).
+  *
+  * r17 (VERDICT r16 #1): the capture set is now the FULL
+  * `SparkEntry.queries` key set, not a curated headline list — eight
+  * r16 queries had shipped with no captured plan because the list was
+  * maintained by hand; PlansCoverageSpec asserts every catalog key has
+  * a PLANS.md heading so the gap class stays closed. The `headline`
+  * list below is retained as the curated plan-family MAP (one
+  * representative per interesting shape, with the why), and those
+  * entries are ordered first in the file.
   *
   * Usage: `sbt "runMain graft.PlanDump"` (optional args: sfDir,
   * comma-separated query names).
@@ -106,7 +115,11 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args(1).split(",").toSeq else headline
+    // full sweep: headline (plan-family representatives) first, then
+    // every remaining catalog key in numeric order
+    val rest = SparkEntry.queries.keySet.diff(headline.toSet).toSeq
+      .sortBy(n => ("""\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(999), n))
+    val names = if (args.length > 1) args(1).split(",").toSeq else headline ++ rest
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -116,11 +129,15 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder(
-      s"""# PLANS — captured physical plans of headline queries (${new java.io.File(dir).getName}, AQE initial)
+      s"""# PLANS — captured physical plans of ALL catalog queries (${new java.io.File(dir).getName}, AQE initial)
          |
          |Auto-generated by `sbt "runMain graft.PlanDump"`; regenerate after
          |planner-affecting changes. Binding plan assertions live in PlanSpec —
          |this file is the full-text reference those assertions summarize.
+         |Plan-family representatives (the curated headline set in
+         |PlanDump.scala) come first; the rest follow in catalog order.
+         |PlansCoverageSpec asserts every `SparkEntry.queries` key has a
+         |heading here.
          |""".stripMargin)
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
