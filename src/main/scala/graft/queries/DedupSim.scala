@@ -3693,7 +3693,149 @@ object DedupSim {
           FROM g)
         SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2g6,
           CAST(n AS BIGINT) AS label_size
-        FROM rk WHERE rk <= 3 ORDER BY label, rk"""))
+        FROM rk WHERE rk <= 3 ORDER BY label, rk""")),
+
+    // ---- EXACT DUPLICATED-SPAN EXCISION with canonical-copy retention
+    // (the "remove every duplicated span >= K tokens corpus-wide"
+    // operator — Lee et al. 2022's ExactSubstr dedup, VERDICT r16 #3):
+    // q129 REPORTS where duplication lives (every span whose grams occur
+    // >= 2x, in ALL copies); this query decides what a dedup pass
+    // actually DELETES — for every duplicated K-token substring, the
+    // first occurrence in corpus order (min (doc_id, position)) is the
+    // canonical copy and survives; every OTHER occurrence is marked for
+    // excision, and marked positions merge into maximal per-doc spans.
+    // The paper's suffix array is replaced by the cluster-scale shape:
+    // rolling K-gram fingerprints ([[graft.functions.GramHash60]], the
+    // native kernel) grouped per fingerprint — "sorted fingerprint
+    // runs" realized as a hash shuffle instead of a driver-memory
+    // suffix sort. Exact for every duplicated substring of length >= K
+    // (K = 10 tokens; the fixture's shingle-level near-dup plantings
+    // give ~1k natural duplicated 10-grams at sf0.01 — nothing is
+    // planted here).
+    //
+    // Positional fidelity (the inverted-index offsets contract,
+    // /root/reference/src/main/scala/invertedIndex.scala:46,52 —
+    // downstream consumers slice the ORIGINAL text, so offsets must be
+    // exact): spans ship both token coordinates and 1-based CHAR
+    // coordinates, and span_md5 — the md5 of the substring the char
+    // range addresses — proves on every row that both engines agree on
+    // the bytes being excised, not just the indices.
+    //
+    // Scale: gram fingerprinting is map-side (one native pass, no gram
+    // strings); the canonical occurrence is min(struct(doc_id, i)) — a
+    // COMBINABLE partial aggregate, so a slogan duplicated a million
+    // times corpus-wide is a combiner cell, never a hot window
+    // partition (contrast the oracle's row_number window, fine at
+    // fixture scale); the excision mark-back is a fingerprint
+    // equi-join (linear in total grams); span merge + offset cumsum
+    // are per-doc windows bounded by document length. Every stage is
+    // linear in corpus tokens at 100 TB.
+    ("q207_dedup_span_excision",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val K = 10
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = docs
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+        // (position, fingerprint) pairs, 1-based; struct-packed under
+        // explodeLean so the kernel is not duplicated into an inferred
+        // pre-Generate filter (the q111 lesson)
+        val grams = explodeLean(toks, Seq(col("doc_id")),
+          expr(s"""transform(gram_hash60(tk, $K),
+                     (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
+          "gr")
+          .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("g"))
+          // both consumers (canonical agg + mark-back join) read the
+          // gram table: checkpoint so tokenize+fingerprint runs once
+          .localCheckpoint()
+        Scoped.releaseAfterUse(grams)
+        val canon = grams.groupBy(col("g"))
+          .agg(min(struct(col("doc_id"), col("i"))).as("c"),
+            count(lit(1)).as("nocc"))
+          .filter(col("nocc") >= 2L)
+          .select(col("g"), col("c.doc_id").as("cdoc"), col("c.i").as("ci"))
+        val excise = grams.join(canon, Seq("g"))
+          .filter(!(col("doc_id") === col("cdoc") && col("i") === col("ci")))
+          .select(col("doc_id"), col("i"), (col("i") + (K - 1)).as("e"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("i"))
+        val up = org.apache.spark.sql.expressions.Window.unboundedPreceding
+        val spans = excise
+          .withColumn("pmax", max(col("e")).over(w.rowsBetween(up, -1)))
+          .withColumn("ns",
+            when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(w.rowsBetween(up, 0)))
+          .groupBy(col("doc_id"), col("sid"))
+          .agg(min(col("i")).as("s_tok"), max(col("e")).as("e_tok"))
+        // 1-based char offset of token ti = 1 + Σ_{j<ti} (len_j + 1),
+        // computed ROW-LOCALLY on the span rows (an O(doc-length) fold
+        // over the already-joined token array): spans are orders of
+        // magnitude fewer than corpus tokens, so this replaces exploding
+        // EVERY corpus token into a per-doc cumulative window plus two
+        // offset joins — fixture-neutral at sf1 (A/B 8.61 → 8.59 s,
+        // span count too small to show it) but the removed stage is the
+        // one whose cost is linear in corpus tokens, the term that
+        // dominates at 100 TB; the measured sf1 win came from
+        // checkpointing the two-consumer gram table (8.59 → 7.06 s).
+        // Both A/Bs in SCALING.md r17.
+        spans
+          .join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("s_tok"), col("e_tok"),
+            (col("e_tok") - col("s_tok") + 1).as("span_tokens"),
+            expr("""aggregate(slice(tk, 1, cast(s_tok - 1 as int)),
+                      cast(0 as bigint), (a, t) -> a + length(t) + 1) + 1""")
+              .as("s_char"),
+            expr("""aggregate(slice(tk, 1, cast(e_tok as int)),
+                      cast(0 as bigint), (a, t) -> a + length(t) + 1) - 1""")
+              .as("e_char"),
+            col("text"))
+          .select(col("doc_id"), col("s_tok"), col("e_tok"),
+            col("span_tokens"), col("s_char"), col("e_char"),
+            md5(expr("substring(text, cast(s_char as int), cast(e_char - s_char + 1 as int))"))
+              .as("span_md5"))
+          .orderBy(col("doc_id"), col("s_tok"))
+      },
+      Some("""WITH tks AS (
+          SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        g0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+            CAST(('0x' || substr(md5(array_to_string(
+              tk[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 9)], ' ')),
+              1, 15)) AS BIGINT) AS g
+          FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) - 8)) AS u(i)),
+        rk AS (SELECT doc_id, i, g,
+            row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+          FROM g0),
+        ex AS (SELECT doc_id, i, i + 9 AS e FROM rk WHERE rn >= 2),
+        mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM ex),
+        mk2 AS (SELECT *,
+            CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ns
+          FROM mk),
+        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM mk2),
+        spans AS (SELECT doc_id, sid, MIN(i) AS s_tok, MAX(e) AS e_tok
+          FROM mk3 GROUP BY 1, 2),
+        toko AS (SELECT doc_id, CAST(u.i AS BIGINT) AS ti,
+            CAST(len(tk[CAST(u.i AS BIGINT)]) AS BIGINT) AS len
+          FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) + 1)) AS u(i)),
+        offs AS (SELECT doc_id, ti, len,
+            CAST(COALESCE(SUM(len + 1) OVER (PARTITION BY doc_id ORDER BY ti
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              AS BIGINT) AS off
+          FROM toko)
+        SELECT sp.doc_id, sp.s_tok, sp.e_tok,
+          sp.e_tok - sp.s_tok + 1 AS span_tokens,
+          o1.off AS s_char,
+          CAST(o2.off + o2.len - 1 AS BIGINT) AS e_char,
+          md5(substr(t.text, CAST(o1.off AS BIGINT),
+            CAST(o2.off + o2.len - o1.off AS BIGINT))) AS span_md5
+        FROM spans sp
+        JOIN offs o1 ON o1.doc_id = sp.doc_id AND o1.ti = sp.s_tok
+        JOIN offs o2 ON o2.doc_id = sp.doc_id AND o2.ti = sp.e_tok
+        JOIN tks t ON t.doc_id = sp.doc_id
+        ORDER BY sp.doc_id, sp.s_tok"""))
   )
 
 }
