@@ -35,9 +35,10 @@ object Cli {
   * reference's convergence policy, write the docs/pr serving tables and the
   * final `title \t pr` ranked list (ref stages A–D, pageRank.scala:331-393). */
 object RankPages {
-  def main(args: Array[String]): Unit = {
-    val Array(input, out) = args.take(2)
-    val spark = Cli.session()
+  /** The stage A–D chain, shared by `main` (the CLI surface) and the
+    * q208 driver-gate entry (queries/CorpusSearch.scala), so the gate
+    * exercises the CLI's OWN code path and artifacts, not a replica. */
+  def pipeline(spark: SparkSession, input: String, out: String): PageRank.Result = {
     val docs = WikiCorpus.ingest(spark, input).cache()
     val graph = GraphBuilder.build(docs.select(col("title"), col("links")))
     val res = PageRank.run(graph)
@@ -47,6 +48,14 @@ object RankPages {
     PageRank.ranked(res.graph)
       .select(concat_ws("\t", col("title"), col("pr")))
       .write.mode("overwrite").text(s"$out/ranked")
+    docs.unpersist()
+    res
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(input, out) = args.take(2)
+    val spark = Cli.session()
+    val res = pipeline(spark, input, out)
     println(s"iterations=${res.iterations} avgChange=${res.avgChange}")
     spark.stop()
   }

@@ -65,6 +65,50 @@ object CorpusSearch {
     * the build, not the gate. */
   val NationFixtureIterations = 12
 
+  /** The recursive-CTE PageRank over the [[nationGraphDocs]] fixture to
+    * exactly [[NationFixtureIterations]] depth — the shared oracle body
+    * of q25 (library API gate) and q208 (CLI artifact gate): one
+    * semantics, two surfaces. */
+  private def nationPrRecursiveCtes: String = {
+    val it = NationFixtureIterations
+    s"""WITH RECURSIVE docs AS (
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS title,
+                 ['n' || CAST((n_nationkey * 3) % 31 AS VARCHAR),
+                  'n' || CAST((n_nationkey * 8 + 2) % 31 AS VARCHAR),
+                  'n' || CAST((n_nationkey * 11 + 5) % 31 AS VARCHAR)] AS links
+          FROM nation),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        realedges AS (SELECT DISTINCT src, dst FROM rawedges
+                      WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM realedges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        verts AS (SELECT title FROM g),
+        nn AS (SELECT COUNT(*) AS n FROM g),
+        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
+        pr AS (
+          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.title,
+              0.15 / (SELECT n FROM nn)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pr
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM pr p JOIN edges2 e ON p.title = e.src
+              WHERE p.iter < $it
+              GROUP BY 1, 2) m
+            ON t.title = m.title) x
+          WHERE x.iter IS NOT NULL)"""
+  }
+
   /** Recursive-CTE oracle for 10 power iterations over [[keyGraphDocs]]
     * with per-iteration 1e-9 quantization — shared verbatim by q29 (the
     * DataFrame loop) and q47 (the GraphX backend): both engines must land
@@ -495,42 +539,7 @@ object CorpusSearch {
       },
       Some {
         val it = NationFixtureIterations
-        s"""WITH RECURSIVE docs AS (
-          SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS title,
-                 ['n' || CAST((n_nationkey * 3) % 31 AS VARCHAR),
-                  'n' || CAST((n_nationkey * 8 + 2) % 31 AS VARCHAR),
-                  'n' || CAST((n_nationkey * 11 + 5) % 31 AS VARCHAR)] AS links
-          FROM nation),
-        titles AS (SELECT DISTINCT title FROM docs),
-        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
-        realedges AS (SELECT DISTINCT src, dst FROM rawedges
-                      WHERE dst IN (SELECT title FROM titles)),
-        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
-                FROM realedges GROUP BY 1),
-        g AS (
-          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
-          FROM titles t LEFT JOIN adj a ON t.title = a.title
-          UNION ALL
-          SELECT 'NULL' AS title,
-                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
-        verts AS (SELECT title FROM g),
-        nn AS (SELECT COUNT(*) AS n FROM g),
-        edges2 AS (SELECT title AS src, unnest(links) AS dst, len(links) AS outdeg FROM g),
-        pr AS (
-          SELECT 0 AS iter, title, CAST(1.0 AS DOUBLE) AS pr FROM g
-          UNION ALL
-          SELECT * FROM (
-            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
-              t.title,
-              0.15 / (SELECT n FROM nn)
-                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pr
-            FROM verts t LEFT JOIN (
-              SELECT p.iter + 1 AS iter, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
-              FROM pr p JOIN edges2 e ON p.title = e.src
-              WHERE p.iter < $it
-              GROUP BY 1, 2) m
-            ON t.title = m.title) x
-          WHERE x.iter IS NOT NULL)
+        s"""$nationPrRecursiveCtes
         SELECT title, ROUND(pr, 6) AS pr, CAST($it AS BIGINT) AS iterations
         FROM pr WHERE iter = $it ORDER BY title"""
       }),
@@ -1367,6 +1376,85 @@ object CorpusSearch {
             CAST(n_edges AS BIGINT) AS n_edges,
             CAST(n_removed AS BIGINT) AS n_removed
           FROM ($rows) ORDER BY round"""
+      }),
+
+    // ---- CLI surface, end-to-end (VERDICT r16 #6): the full RankPages
+    // stage A→D chain — wiki-markup TEXT corpus → offset-bridge ingest
+    // (S1) → title/link extraction (P1/P2) → graph build with dead-link
+    // rejection (J1/A1) → dynamic-policy PageRank (A3–A5/I2) → the
+    // `title \t pr` ranked TEXT sink (S3/T1, ref
+    // pageRank.scala:331-393) — driven through graft.cli.RankPages'
+    // OWN pipeline method and gated on its OWN artifact, read back
+    // with the same offset bridge. The corpus is the q25 nation graph
+    // RENDERED AS MARKUP, so the oracle is the shared recursive CTE;
+    // what this entry adds over q25 is the CLI path itself: markup
+    // parsing, the text sink's string rendering (title\tpr round-trips
+    // Spark's double→string→double cast, which is exact), and the
+    // sink's TOTAL ORDER (pr DESC, title), recovered from file layout.
+    //
+    // Order recovery is scale-honest (the q141 two-phase pattern):
+    // global sort → range-partitioned part files, so total order =
+    // (part file, byte offset); rank = per-file ordinal from a
+    // PARTITIONED window + driver-side prefix sums over the |files|
+    // per-file counts (bounded by partition count) — no
+    // single-partition window, no driver collect of rows.
+    ("q208_cli_rank_pipeline",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val out = Relational.scratchDir("graft_q208_cli_")
+        // stage 0: render the nation fixture as one-doc-per-line wiki
+        // markup — the input format the reference CLI consumes
+        t(s, dir, "nation").select(concat(
+            lit("<title>n"), col("n_nationkey").cast("string"),
+            lit("</title> [[n"), ((col("n_nationkey") * 3) % 31).cast("string"),
+            lit("]] [[n"), ((col("n_nationkey") * 8 + 2) % 31).cast("string"),
+            lit("]] [[n"), ((col("n_nationkey") * 11 + 5) % 31).cast("string"),
+            lit("]] <text>nation page body</text>")).as("value"))
+          .write.mode("overwrite").text(s"$out/corpus")
+        // stages A–D: the CLI's own chain
+        val res = graft.cli.RankPages.pipeline(s, s"$out/corpus", s"$out/serve")
+        require(res.iterations == NationFixtureIterations,
+          s"CLI pipeline stopped at ${res.iterations}, expected $NationFixtureIterations")
+        // read the ranked text sink back through the offset bridge
+        val parts = new java.io.File(s"$out/serve/ranked").listFiles()
+          .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+        val perFile = parts.zipWithIndex.map { case (p, idx) =>
+          graft.corpus.WikiCorpus.readWithOffsets(s, p)
+            .withColumn("fidx", lit(idx.toLong))
+        }.reduce(_ unionByName _)
+        val parsed = perFile
+          .select(col("fidx"), col("line_offset"),
+            split(col("line"), "\t").as("kv"))
+          .select(col("fidx"), col("line_offset"),
+            col("kv").getItem(0).as("title"),
+            col("kv").getItem(1).cast("double").as("prx"))
+          .localCheckpoint()
+        val counts = parsed.groupBy(col("fidx")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // armed only AFTER the counts pull — that pull is itself a
+        // completed action and would fire the release under the main
+        // query (the q191 lesson)
+        Scoped.releaseAfterUse(parsed)
+        val bases = parts.indices
+          .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i.toLong, 0L))
+        val baseDf = parts.indices.map(i => (i.toLong, bases(i)))
+          .toDF("fidx", "base")
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fidx")).orderBy(col("line_offset"))
+        parsed
+          .withColumn("ord", row_number().over(wf))
+          .join(broadcast(baseDf), Seq("fidx"))
+          .select((col("base") + col("ord")).as("rank"),
+            col("title"), round(col("prx"), 6).as("pr"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val it = NationFixtureIterations
+        s"""$nationPrRecursiveCtes
+        SELECT CAST(row_number() OVER (ORDER BY pr DESC, title) AS BIGINT)
+            AS rank,
+          title, ROUND(pr, 6) AS pr
+        FROM pr WHERE iter = $it ORDER BY rank"""
       })
   )
 

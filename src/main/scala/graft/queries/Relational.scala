@@ -36,7 +36,7 @@ object Relational {
     * JVM exit so catalog sweeps that invoke every builder (the
     * NoDecimalOutputSpec schema gate, PlanDump) don't leave snapshot
     * directories behind (ADVICE r16). */
-  private def scratchDir(prefix: String): String = {
+  private[queries] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
