@@ -66,6 +66,36 @@ object DedupSim {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleDf(t(s, dir, "documents"))
 
+  /** q31's hashed-shingle variant of [[shingles]]: the exact-Jaccard
+    * self-join only needs shingle EQUALITY, so the 5-gram rides the
+    * native 60-bit fingerprint ([[graft.functions.GramHash60]]) — no
+    * 5-token string is materialized, per-doc dedup is an in-row
+    * array_distinct (no corpus-wide distinct() shuffle; the q77
+    * discipline), and the self-join shuffles longs instead of ~30-byte
+    * strings. The q30/q32–q34 MinHash family keeps STRING shingles: its
+    * signatures are defined over md5(shingle-string) 32-bit arithmetic
+    * (the pinned portable contract, VERDICT r15/r16). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    explodeLean(
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+        .filter(size(col("ws")) >= 5),
+      Seq(col("doc_id")),
+      expr("array_distinct(gram_hash60(ws, 5))"),
+      "shingle")
+  }
+
+  /** DuckDB CTE mirroring [[shingleHashes]] (CTE name `shh`). */
+  private val shingleHashesSql =
+    """tokshh AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws
+         FROM documents WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 5),
+      shh AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 4, 0)),
+                 i -> ('0x' || substr(md5(array_to_string(
+                   list_slice(ws, i + 1, i + 5), ' ')), 1, 15))::BIGINT))) AS shingle
+             FROM tokshh)"""
+
   /** (doc_id, m0..m15): the 16-permutation minhash SIGNATURE table — one
     * pass over the shingles. Every band LAYOUT derives from it map-only,
     * so a banding sweep ([[sketchEval]]) re-reads the signature table,
@@ -884,8 +914,9 @@ object DedupSim {
         // terminal action completes (a long-lived session must not
         // accumulate one shingle table per dedup run). (At 100 TB this is
         // persist-to-disk of the shingle table, the standard shape for
-        // multi-pass dedup.)
-        val sh = shingles(s, dir).localCheckpoint()
+        // multi-pass dedup.) Shingles ride the 60-bit fingerprint
+        // ([[shingleHashes]], r17) — equality-only consumer.
+        val sh = shingleHashes(s, dir).localCheckpoint()
         Scoped.releaseAfterUse(sh)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
@@ -901,10 +932,10 @@ object DedupSim {
             round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH $shinglesSql,
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      Some(s"""WITH $shingleHashesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                   GROUP BY a.doc_id, b.doc_id)
         SELECT id_a, id_b,
           ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard

@@ -461,18 +461,23 @@ object TextOps {
     // shuffle into the per-(bench,doc) count.
     ("q77_contamination",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = t(s, dir, "documents")
         // per-doc gram dedup happens INSIDE the row (array_distinct on the
         // gram array, before the explode): doc_id is unique per input row,
         // so the exploded (doc_id, gram) stream is already globally
         // distinct — a post-explode .distinct() here would shuffle every
         // corpus gram and contradict the map-only broadcast-probe design
-        // (it did, until r7: the one plan-level finding of VERDICT r6)
+        // (it did, until r7: the one plan-level finding of VERDICT r6).
+        // Grams ride the native 60-bit fingerprint (gram_hash60, r17 —
+        // the probe only needs gram EQUALITY): no 13-token string is
+        // ever materialized on the corpus side, and the broadcast set
+        // carries longs instead of ~90-byte strings. A/B in SCALING.md.
         def grams13(d: DataFrame): DataFrame = explodeLean(
           d.select(col("doc_id"), expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
             .filter(size(col("ws")) >= 13),
           Seq(col("doc_id")),
-          expr("array_distinct(transform(sequence(0, size(ws)-13), i -> concat_ws(' ', slice(ws, i+1, 13))))"),
+          expr("array_distinct(gram_hash60(ws, 13))"),
           "gram")
         val bench = docs.filter(col("doc_id") % 53 === 0)
           .select((col("doc_id") + expr("5000000000000L")).as("doc_id"),
@@ -497,12 +502,14 @@ object TextOps {
         bw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
         bg AS (SELECT doc_id AS bench_id,
             unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
-              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
+              i -> ('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 13), ' ')), 1, 15))::BIGINT))) AS gram
           FROM bw WHERE len(ws) >= 13),
         dw AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents),
         dg AS (SELECT doc_id,
             unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
-              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
+              i -> ('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 13), ' ')), 1, 15))::BIGINT))) AS gram
           FROM dw WHERE len(ws) >= 13),
         sizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bg GROUP BY 1),
         sh AS (SELECT bg.bench_id, dg.doc_id, COUNT(*) AS n_shared
@@ -1451,17 +1458,20 @@ object TextOps {
     // left-semi-restricted minority).
     ("q152_decontaminate_spans",
       (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = t(s, dir, "documents")
         val bench = docs.filter(col("doc_id") % 53 === 0)
           .select(expr(
             "concat_ws(' ', slice(regexp_extract_all(text, '[a-zA-Z]+', 0), 1, 20))")
             .as("text"))
+        // probe grams ride the native 60-bit fingerprint (gram_hash60,
+        // r17): span marking only needs gram EQUALITY, so neither side
+        // materializes 13-token strings (A/B in SCALING.md)
         val bg = explodeLean(
           bench.select(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
             .filter(size(col("ws")) >= 13),
           Seq(),
-          expr("""array_distinct(transform(sequence(0, size(ws)-13),
-                   i -> concat_ws(' ', slice(ws, i+1, 13))))"""),
+          expr("array_distinct(gram_hash60(ws, 13))"),
           "gram").distinct()
         val toks = docs
           .select(col("doc_id"),
@@ -1470,9 +1480,9 @@ object TextOps {
         val grams = explodeLean(
           toks.filter(col("n_tokens") >= 13),
           Seq(col("doc_id")),
-          expr("""transform(sequence(1, size(ws) - 12),
-                   i -> named_struct('i', cast(i as bigint),
-                     'g', concat_ws(' ', slice(ws, i, 13))))"""), "gr")
+          expr("""transform(gram_hash60(ws, 13),
+                   (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
+          "gr")
           .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("gram"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
         val spans = grams.join(broadcast(bg), Seq("gram"))
@@ -1505,13 +1515,16 @@ object TextOps {
         bw AS (SELECT regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM bench),
         bg AS (SELECT DISTINCT
             unnest(list_distinct(list_transform(range(0, greatest(len(ws) - 12, 0)),
-              i -> array_to_string(list_slice(ws, i + 1, i + 13), ' ')))) AS gram
+              i -> ('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 13), ' ')), 1, 15))::BIGINT))) AS gram
           FROM bw WHERE len(ws) >= 13),
         tks AS (SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+') AS ws,
             CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_tokens
           FROM documents),
         grams AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
-            array_to_string(ws[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 12)], ' ') AS gram
+            ('0x' || substr(md5(array_to_string(
+              ws[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 12)], ' ')),
+              1, 15))::BIGINT AS gram
           FROM tks, UNNEST(range(1, CAST(n_tokens AS BIGINT) - 11)) AS u(i)
           WHERE n_tokens >= 13),
         hits AS (SELECT g.doc_id, g.i, g.i + 12 AS e

@@ -272,14 +272,12 @@ object EventStreams {
     * collected set for an exploded stream-static equi join plus a
     * windowless `dropDuplicates` on doc_id within the batch. */
   def contaminationStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
-    // tokenize ONCE into a bound column — referencing regexp_extract_all
-    // inside the transform() lambda would re-run it per gram position
-    // (higher-order lambdas get no common-subexpression hoisting)
-    val grams13 = expr(
-      """CASE WHEN size(ws) >= 13
-         THEN transform(sequence(0, size(ws) - 13),
-           i -> concat_ws(' ', slice(ws, i + 1, 13)))
-         ELSE array() END""")
+    // grams ride the native 60-bit fingerprint, exactly like the batch
+    // q77 probe after r17 (`benchGrams.gram` is the LONG fingerprint,
+    // not the gram string) — stream and batch screen on bit-identical
+    // keys, the cdcChunkHashArray twin contract
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams13 = expr("gram_hash60(ws, 13)")
     val benchSet = broadcast(
       benchGrams.agg(collect_set(col("gram")).as("bench_set")))
     docs.withColumn("ws", expr("regexp_extract_all(text, '[a-zA-Z]+', 0)"))

@@ -632,9 +632,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     // letter-only tokens: the 13-gram tokenizer is [a-zA-Z]+, so digits
-    // would be stripped from the doc side but not from this literal
+    // would be stripped from the doc side but not from this literal.
+    // benchGrams carries the 60-bit FINGERPRINT of the gram (the r17
+    // batch-q77 contract), so the fixture hashes its literal the same way
+    graft.functions.GraftFunctions.register(spark)
     val words = (0 until 13).map(i => "tok" + ('a' + i).toChar).mkString(" ")
-    val bench = Seq(words).toDF("gram")
+    val bench = Seq(words).toDF("g")
+      .select(expr("element_at(gram_hash60(split(g, ' '), 13), 1)").as("gram"))
     val mem = MemoryStream[(Long, String, Timestamp)]
     mem.addData(
       (1L, s"prefix $words suffix", ts(0)),           // contains the gram
