@@ -96,6 +96,81 @@ object DedupSim {
                    list_slice(ws, i + 1, i + 5), ' ')), 1, 15))::BIGINT))) AS shingle
              FROM tokshh)"""
 
+  /** ExactSubstr span token length — q207/q209's K. */
+  private[graft] val ExactSubstrK = 10
+
+  /** Maximal per-doc EXCISION spans of the ExactSubstr dedup (Lee et
+    * al. 2022): for every duplicated K-token substring corpus-wide, the
+    * first occurrence in (doc_id, position) order is canonical; every
+    * other occurrence's gram positions merge into (doc_id, s_tok,
+    * e_tok) spans. Shared by q207 (the positional span report) and
+    * q209 (the cleaned-corpus rebuild). `toks` must carry (doc_id, tk:
+    * array<string>); caller must have GraftFunctions registered.
+    *
+    * Shape: map-side native fingerprinting → checkpointed two-consumer
+    * gram table → COMBINABLE min(struct) canonical aggregate (never a
+    * per-gram window) → fingerprint equi-join mark-back → bounded
+    * per-doc island-merge windows. See q207's header for the full
+    * scale argument and SCALING.md r17 for the A/Bs. */
+  private def exactSubstrSpans(toks: DataFrame, k: Int): DataFrame = {
+    val grams = explodeLean(toks, Seq(col("doc_id")),
+      expr(s"""transform(gram_hash60(tk, $k),
+                 (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
+      "gr")
+      .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("g"))
+      // both consumers (canonical agg + mark-back join) read the
+      // gram table: checkpoint so tokenize+fingerprint runs once
+      .localCheckpoint()
+    Scoped.releaseAfterUse(grams)
+    val canon = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("c"),
+        count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2L)
+      .select(col("g"), col("c.doc_id").as("cdoc"), col("c.i").as("ci"))
+    val excise = grams.join(canon, Seq("g"))
+      .filter(!(col("doc_id") === col("cdoc") && col("i") === col("ci")))
+      .select(col("doc_id"), col("i"), (col("i") + (k - 1)).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val up = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    excise
+      .withColumn("pmax", max(col("e")).over(w.rowsBetween(up, -1)))
+      .withColumn("ns",
+        when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w.rowsBetween(up, 0)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("i")).as("s_tok"), max(col("e")).as("e_tok"))
+  }
+
+  /** DuckDB CTEs mirroring [[exactSubstrSpans]] over `documents` at
+    * K = [[ExactSubstrK]]: `tks(doc_id, text, tk, …)` → `spans(doc_id,
+    * sid, s_tok, e_tok)`. Shared oracle body of q207 and q209. */
+  private val exactSubstrSpanCtes: String = {
+    val k = ExactSubstrK
+    s"""tks AS (
+          SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        g0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+            CAST(('0x' || substr(md5(array_to_string(
+              tk[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + ${k - 1})], ' ')),
+              1, 15)) AS BIGINT) AS g
+          FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) - ${k - 2})) AS u(i)),
+        rk AS (SELECT doc_id, i, g,
+            row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+          FROM g0),
+        ex AS (SELECT doc_id, i, i + ${k - 1} AS e FROM rk WHERE rn >= 2),
+        mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM ex),
+        mk2 AS (SELECT *,
+            CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ns
+          FROM mk),
+        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM mk2),
+        spans AS (SELECT doc_id, sid, MIN(i) AS s_tok, MAX(e) AS e_tok
+          FROM mk3 GROUP BY 1, 2)"""
+  }
+
   /** (doc_id, m0..m15): the 16-permutation minhash SIGNATURE table — one
     * pass over the shingles. Every band LAYOUT derives from it map-only,
     * so a banding sweep ([[sketchEval]]) re-reads the signature table,
@@ -3764,40 +3839,10 @@ object DedupSim {
     ("q207_dedup_span_excision",
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
-        val K = 10
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val toks = docs
           .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
-        // (position, fingerprint) pairs, 1-based; struct-packed under
-        // explodeLean so the kernel is not duplicated into an inferred
-        // pre-Generate filter (the q111 lesson)
-        val grams = explodeLean(toks, Seq(col("doc_id")),
-          expr(s"""transform(gram_hash60(tk, $K),
-                     (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
-          "gr")
-          .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("g"))
-          // both consumers (canonical agg + mark-back join) read the
-          // gram table: checkpoint so tokenize+fingerprint runs once
-          .localCheckpoint()
-        Scoped.releaseAfterUse(grams)
-        val canon = grams.groupBy(col("g"))
-          .agg(min(struct(col("doc_id"), col("i"))).as("c"),
-            count(lit(1)).as("nocc"))
-          .filter(col("nocc") >= 2L)
-          .select(col("g"), col("c.doc_id").as("cdoc"), col("c.i").as("ci"))
-        val excise = grams.join(canon, Seq("g"))
-          .filter(!(col("doc_id") === col("cdoc") && col("i") === col("ci")))
-          .select(col("doc_id"), col("i"), (col("i") + (K - 1)).as("e"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("i"))
-        val up = org.apache.spark.sql.expressions.Window.unboundedPreceding
-        val spans = excise
-          .withColumn("pmax", max(col("e")).over(w.rowsBetween(up, -1)))
-          .withColumn("ns",
-            when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
-          .withColumn("sid", sum(col("ns")).over(w.rowsBetween(up, 0)))
-          .groupBy(col("doc_id"), col("sid"))
-          .agg(min(col("i")).as("s_tok"), max(col("e")).as("e_tok"))
+        val spans = exactSubstrSpans(toks, ExactSubstrK)
         // 1-based char offset of token ti = 1 + Σ_{j<ti} (len_j + 1),
         // computed ROW-LOCALLY on the span rows (an O(doc-length) fold
         // over the already-joined token array): spans are orders of
@@ -3826,28 +3871,7 @@ object DedupSim {
               .as("span_md5"))
           .orderBy(col("doc_id"), col("s_tok"))
       },
-      Some("""WITH tks AS (
-          SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-        g0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
-            CAST(('0x' || substr(md5(array_to_string(
-              tk[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 9)], ' ')),
-              1, 15)) AS BIGINT) AS g
-          FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) - 8)) AS u(i)),
-        rk AS (SELECT doc_id, i, g,
-            row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
-          FROM g0),
-        ex AS (SELECT doc_id, i, i + 9 AS e FROM rk WHERE rn >= 2),
-        mk AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-          FROM ex),
-        mk2 AS (SELECT *,
-            CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END AS ns
-          FROM mk),
-        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-          FROM mk2),
-        spans AS (SELECT doc_id, sid, MIN(i) AS s_tok, MAX(e) AS e_tok
-          FROM mk3 GROUP BY 1, 2),
+      Some(s"""WITH $exactSubstrSpanCtes,
         toko AS (SELECT doc_id, CAST(u.i AS BIGINT) AS ti,
             CAST(len(tk[CAST(u.i AS BIGINT)]) AS BIGINT) AS len
           FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) + 1)) AS u(i)),
@@ -3866,7 +3890,65 @@ object DedupSim {
         JOIN offs o1 ON o1.doc_id = sp.doc_id AND o1.ti = sp.s_tok
         JOIN offs o2 ON o2.doc_id = sp.doc_id AND o2.ti = sp.e_tok
         JOIN tks t ON t.doc_id = sp.doc_id
-        ORDER BY sp.doc_id, sp.s_tok"""))
+        ORDER BY sp.doc_id, sp.s_tok""")),
+
+    // ---- ExactSubstr dedup, APPLIED (the cleaned-corpus product of
+    // q207, and the q152-rebuild contract extended corpus-wide): every
+    // document's q207 excision spans are cut out and the survivor text
+    // reassembled — the actual artifact a training run consumes after
+    // span-level dedup. EVERY document is a gate row (affected or not),
+    // so the gate also pins identity preservation: a rebuild bug that
+    // mangles untouched docs breaks the hash even though no span
+    // touched them. `changed` + tokens_removed + clean_hash tie the
+    // rebuilt bytes to the span report.
+    //
+    // Scale: spans are the shared [[exactSubstrSpans]] machinery (its
+    // scale argument in q207's header); the rebuild is MAP-ONLY over
+    // the span-joined docs — an O(doc-length) row-local filter over
+    // the doc's own token array against its own bounded span list —
+    // and affected docs are a left-join minority, so the dominant
+    // corpus pass stays one scan.
+    ("q209_dedup_span_rebuild",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = docs
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+        val sps = exactSubstrSpans(toks, ExactSubstrK)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e_tok") - col("s_tok") + 1).as("tokens_removed"),
+            collect_list(struct(col("s_tok"), col("e_tok"))).as("sps"))
+        toks
+          .join(sps, Seq("doc_id"), "left")
+          .withColumn("n_tokens", size(col("tk")).cast("long"))
+          .withColumn("cleaned", expr(
+            """concat_ws(' ', filter(tk,
+                 (tok, ix) -> sps IS NULL OR NOT exists(sps,
+                   sp -> ix + 1 >= sp.s_tok AND ix + 1 <= sp.e_tok)))"""))
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+            col("n_spans").isNotNull.as("changed"),
+            md5(col("cleaned")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $exactSubstrSpanCtes,
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(e_tok - s_tok + 1) AS BIGINT) AS tokens_removed,
+            list({'s_tok': s_tok, 'e_tok': e_tok}) AS sps
+          FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          COALESCE(pd.n_spans, 0) AS n_spans,
+          COALESCE(pd.tokens_removed, 0) AS tokens_removed,
+          pd.n_spans IS NOT NULL AS changed,
+          md5(COALESCE(array_to_string(list_transform(
+            list_filter(range(1, CAST(len(t.tk) AS BIGINT) + 1),
+              ix -> pd.sps IS NULL OR len(list_filter(pd.sps,
+                sp -> ix >= sp.s_tok AND ix <= sp.e_tok)) = 0),
+            ix -> t.tk[ix]), ' '), '')) AS clean_hash
+        FROM tks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
   )
 
 }

@@ -289,6 +289,50 @@ object EventStreams {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Ingest-time ExactSubstr span screening — the STREAM-STATIC twin of
+    * batch q207/q209: each arriving document is screened against the
+    * static corpus's duplicated-K-gram fingerprint table (`dupGrams.gram`,
+    * LONG fingerprints, the q207 contract). Every arriving occurrence of
+    * a corpus gram is BY DEFINITION non-canonical — the corpus preceded
+    * it — so the doc's hit positions merge into maximal would-be
+    * excision spans and the verdict (n_spans, dup_tokens) ships with the
+    * doc before it lands. Completely stateless per micro-batch: the gram
+    * set collapses to one broadcast row (slogan/benchmark-scale tables;
+    * at corpus-scale gram sets, swap for the exploded stream-static equi
+    * join, the cdcChunkStream shape), and the island merge is row-local
+    * arithmetic over the ASCENDING hit-position array — hit j adds
+    * min(K, pos_j − pos_{j−1}) covered tokens and opens a new span iff
+    * the gap exceeds K−1, so no per-doc window or state store exists.
+    * Tokenization is q207's exact split-on-space. */
+  def exactSubstrScreenStream(docs: DataFrame, dupGrams: DataFrame,
+      k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val dupSet = broadcast(
+      dupGrams.agg(collect_set(col("gram")).as("dup_set")))
+    docs.withColumn("tk", split(col("text"), " "))
+      .crossJoin(dupSet)
+      // ascending 1-based positions whose K-gram is in the corpus set
+      .withColumn("ps", expr(
+        s"""filter(transform(gram_hash60(tk, $k),
+              (g, i) -> IF(array_contains(dup_set, g),
+                cast(i + 1 as bigint), cast(-1 as bigint))),
+              p -> p > 0)"""))
+      // guard: slice length must be >= 0, so fewer than 2 hits → no gaps
+      .withColumn("gaps", expr(
+        """IF(size(ps) < 2, cast(array() as array<bigint>),
+             zip_with(slice(ps, 2, size(ps)), slice(ps, 1, size(ps) - 1),
+               (b, a) -> b - a))"""))
+      .select(col("doc_id"), col("ts"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr(s"""IF(size(ps) = 0, 0L,
+             1L + aggregate(gaps, 0L, (acc, g) -> acc + IF(g > ${k - 1}, 1L, 0L)))""")
+          .as("n_spans"),
+        expr(s"""IF(size(ps) = 0, 0L,
+             $k + aggregate(gaps, 0L, (acc, g) -> acc + least(g, cast($k as bigint))))""")
+          .as("dup_tokens"))
+      .withColumn("flagged", col("n_spans") > 0L)
+  }
+
   /** Ingest-time CDC chunk dedup — the STREAM-STATIC twin of batch q111
     * (the dedup-at-ingest shape: decide keep/drop while the doc arrives,
     * not in a later batch sweep). Each arriving doc is chunked MAP-SIDE by

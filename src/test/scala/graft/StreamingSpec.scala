@@ -655,6 +655,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("exactSubstrScreenStream: corpus-gram hits merge into spans row-locally") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // static corpus doc: 15 tokens → six duplicated 10-gram fingerprints
+    val corpusWords = (0 until 15).map(i => "tok" + ('a' + i).toChar)
+    val dupGrams = Seq(corpusWords.mkString(" ")).toDF("text")
+      .select(explode(expr("gram_hash60(split(text, ' '), 10)")).as("gram"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, corpusWords.mkString(" "), ts(0)),                     // full copy
+      (2L, (corpusWords.take(10) :+ "zzz").mkString(" "), ts(1)), // 10-tok prefix
+      (3L, "totally unrelated clean text stream doc", ts(2)),     // clean, 6 toks
+      (4L, "short", ts(3)))                                       // < K tokens
+    val q = EventStreams.exactSubstrScreenStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), dupGrams)
+      .writeStream.format("memory").queryName("xsubstr_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val rows = spark.table("xsubstr_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, 15L, 1L, 15L, true),  // six overlapping hits → ONE span, all 15 covered
+      (2L, 11L, 1L, 10L, true),  // single hit → one K-token span
+      (3L, 6L, 0L, 0L, false),
+      (4L, 1L, 0L, 0L, false)))
+  }
+
   test("fenceMonitorStream: frozen fences score arrivals; stream == batch counts") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
