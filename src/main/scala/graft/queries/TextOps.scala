@@ -849,6 +849,88 @@ object TextOps {
         GROUP BY p.tok, p.n_exact
         ORDER BY n_exact DESC, tok""")),
 
+    // ---- mergeable cardinality REGISTERS: LogLog/HLL-style fixed-state
+    // distinct-token estimate per source — the union-algebra complement
+    // of q107's KMV: KMV's mergeable state is a k-sized SORTED SET
+    // (merge = union-then-truncate), these 256 registers merge by
+    // elementwise MAX, the shape that survives arbitrary shard unions
+    // at 100 TB with 256 counters per group, period. Register index =
+    // low 8 bits of the 32-bit md5 hash; rank = leading zeros of the
+    // remaining 24-bit field + 1, computed EXACTLY via binary-string
+    // length (bin(w) — integer/string ops, no log2 double rounding);
+    // the estimate's harmonic sum rides an exact integer
+    // S = Σ 2^(25 − M_j) (≤ 2^33), and the one double op is the final
+    // C / S division with C a shared 17-digit literal — bit-identical
+    // cross-engine. The gate pins the REGISTER STATE (m_hit, s_sum),
+    // the estimate, and its signed ‱ error against the exact distinct.
+    // The small-range linear-counting branch (ln — a libm-parity bet
+    // this repo takes only where pinned, q187/q191) is out of scope:
+    // fixture sources sit far above 2.5·m, and the raw components are
+    // shipped so a consumer can apply any correction downstream.
+    //
+    // Scale: the sketch is ONE corpus pass with map-side partial MAX
+    // into ≤ |sources|·256 cells — no token shuffle; only the exact
+    // comparison column (the gate's ground truth) pays a distinct, and
+    // a production run drops it.
+    ("q210_loglog_registers",
+      (s: SparkSession, dir: String) => {
+        val C = "1579498136381.3938" // 0.7213/(1+1.079/256) * 2^41
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val h = toks.select(col("source"), hash32(col("tok")).as("h"))
+          .select(col("source"), (col("h") % 256).as("reg"),
+            expr("h div 256").as("w"))
+          .select(col("source"), col("reg"),
+            when(col("w") === 0L, lit(25L))
+              .otherwise(lit(25L) - length(expr("bin(w)"))).as("rank"))
+        val regs = h.groupBy(col("source"), col("reg"))
+          .agg(max(col("rank")).as("r"))
+        val state = regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("m_hit"),
+            sum(expr("shiftleft(1L, cast(25 - r as int))")).as("s_hit"))
+          .select(col("source"), col("m_hit"),
+            (col("s_hit") + (lit(256L) - col("m_hit")) * lit(1L << 25))
+              .as("s_sum"))
+        val exact = toks.groupBy(col("source"))
+          .agg(countDistinct(col("tok")).as("n_exact"))
+        state.join(exact, Seq("source"))
+          .select(col("source"), col("n_exact"), col("m_hit"), col("s_sum"),
+            floor(lit(C).cast("double") / col("s_sum").cast("double") + 0.5)
+              .cast("long").as("ll_est"))
+          .withColumn("err4",
+            expr("(ll_est - n_exact) * 10000 div n_exact"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT source,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        h AS (SELECT source,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS reg,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT // 256 AS w
+          FROM toks),
+        rnk AS (SELECT source, reg,
+            CASE WHEN w = 0 THEN 25 ELSE 25 - len(bin(w)) END AS rank
+          FROM h),
+        regs AS (SELECT source, reg, MAX(rank) AS r
+          FROM rnk GROUP BY 1, 2),
+        state AS (SELECT source, COUNT(*) AS m_hit,
+            CAST(SUM(1::BIGINT << CAST(25 - r AS INTEGER)) AS BIGINT) AS s_hit
+          FROM regs GROUP BY source),
+        ex AS (SELECT source, COUNT(DISTINCT tok) AS n_exact
+          FROM toks GROUP BY source)
+        SELECT st.source, ex.n_exact,
+          CAST(st.m_hit AS BIGINT) AS m_hit,
+          CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS BIGINT)
+            AS s_sum,
+          CAST(floor(1579498136381.3938
+            / CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS DOUBLE)
+            + 0.5) AS BIGINT) AS ll_est,
+          (CAST(floor(1579498136381.3938
+            / CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS DOUBLE)
+            + 0.5) AS BIGINT) - ex.n_exact) * 10000 // ex.n_exact AS err4
+        FROM state st JOIN ex ON ex.source = st.source
+        ORDER BY st.source""")),
+
     // ---- tokenizer training primitive: one BPE learn step — the most
     // frequent adjacent character pairs across the corpus (the pair a BPE
     // trainer would merge next). Pair extraction is a map-only
