@@ -112,7 +112,7 @@ object DedupSim {
     * per-gram window) → fingerprint equi-join mark-back → bounded
     * per-doc island-merge windows. See q207's header for the full
     * scale argument and SCALING.md r17 for the A/Bs. */
-  private def exactSubstrSpans(toks: DataFrame, k: Int): DataFrame = {
+  private[graft] def exactSubstrSpans(toks: DataFrame, k: Int): DataFrame = {
     val grams = explodeLean(toks, Seq(col("doc_id")),
       expr(s"""transform(gram_hash60(tk, $k),
                  (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
