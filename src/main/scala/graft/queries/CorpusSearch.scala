@@ -1455,7 +1455,229 @@ object CorpusSearch {
             AS rank,
           title, ROUND(pr, 6) AS pr
         FROM pr WHERE iter = $it ORDER BY rank"""
-      })
+      }),
+
+    // ---- ANF / HyperBall NEIGHBORHOOD FUNCTION (Palmer et al. ANF,
+    // Boldi–Vigna HyperBall): |B(v, t)| — how many vertices lie within
+    // t hops of v — estimated for the WHOLE graph at once by giving
+    // every vertex a 64-register LogLog sketch (q210's register
+    // algebra) and max-MERGING sketches along edges each hop:
+    // R_{t+1}(v) = max(R_t(v), R_t(w)) over out-edges v→w. This is THE
+    // way distance distributions / effective diameter are computed on
+    // graphs too big for all-pairs BFS: per hop, one edge join + one
+    // combinable (v, register) MAX aggregate — state is |V|·64 cells,
+    // never |V|² pairs. Registers are md5-derived (q210's exact
+    // binary-string rank), the per-vertex harmonic sum is an exact
+    // integer, the one double op per vertex is C/S with a shared
+    // literal, and the per-hop total is an exact BIGINT sum of gridded
+    // estimates — bit-identical cross-engine. Estimates ride the
+    // corrected HLL estimator: linear counting m·ln(m/V) in the small
+    // range (a 1-element raw estimate is ~45× high, and |B(v,0)| = 1
+    // always sits there; ln parity is the pinned q187/q191
+    // discipline).
+    //
+    // Scale: per hop the sketch path shuffles |E|·(occupied registers)
+    // rows into a combinable max — linear in edges, constant in
+    // distance. The gate pins sketch PARITY (est_pairs + occupied
+    // registers per hop, bit-identical register algebra both
+    // engines); estimator ACCURACY against exact reachability is
+    // pinned by AnfSpec at sf0.001 — the exact path is the |V|²
+    // frontier the sketch replaces, so it must never ride the query
+    // itself (the first cut did, and was 15× the sketch's cost at
+    // sf0.1). The oracle unrolls the 3 hops as MATERIALIZED CTEs
+    // (the q189 lesson: chained CTEs referenced twice must pin).
+    ("q212_anf_hyperball",
+      (s: SparkSession, dir: String) => {
+        val C = "389776872046.59198" // alpha_64 = 0.709; C = a·64²·2^27
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 997).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+          .localCheckpoint()
+        val verts = edges.select(col("src").as("v"))
+          .union(edges.select(col("dst").as("v"))).distinct()
+          .localCheckpoint()
+        Scoped.releaseAfterUse(edges, verts)
+        // R_0: each vertex's own 32-bit md5 hash → (register, rank)
+        val init = verts
+          .select(col("v"), graft.core.Portable.hash32(col("v").cast("string")).as("h"))
+          .select(col("v"), (col("h") % 64).as("reg"), expr("h div 64").as("w"))
+          .select(col("v"), col("reg"),
+            when(col("w") === 0L, lit(27L))
+              .otherwise(lit(27L) - length(expr("bin(w)"))).as("r"))
+        // per-hop totals are 1-long driver pulls (the I3 pattern) —
+        // pulling eagerly lets each hop's superseded checkpoint be freed
+        // immediately; a lazy union over all four hops would read hop-0
+        // state after its blocks were released
+        // corrected HLL estimator, per vertex: raw C/S, switched to
+        // linear counting m·ln(m/V) in the small range (V = empty
+        // registers > 0 AND raw ≤ 2.5·m) — a 1-element sketch's raw
+        // estimate is ~45× high, and |B(v, 0)| = 1 ALWAYS sits there;
+        // ln cross-engine parity is the pinned q187/q191 discipline,
+        // and the branch condition compares bit-identical doubles
+        def estOf(state: DataFrame): Long = state
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("hit"),
+            sum(expr("shiftleft(1L, cast(27 - r as int))")).as("sh"))
+          .select(
+            (lit(C).cast("double")
+              / (col("sh") + (lit(64L) - col("hit")) * lit(1L << 27))
+                .cast("double")).as("raw"),
+            (lit(64L) - col("hit")).as("vz"))
+          .select(floor(
+            when(col("vz") > 0L && col("raw") <= 160.0,
+              lit(64.0) * log(lit(64.0) / col("vz").cast("double")))
+              .otherwise(col("raw")) + 0.5).cast("long").as("est"))
+          .agg(sum(col("est"))).head().getLong(0)
+        // (occupied cells, exact Σ 2^(27−r)) is a perfect state digest
+        // under max-merge monotonicity: cells are only ever added (occ
+        // fixed ⇒ same cell set) and each cell's 2^(27−r) term strictly
+        // decreases when its r rises (sum fixed over the same cells ⇒
+        // every cell unchanged) — so digest-equal ⇔ state-identical,
+        // with no bet on the estimate's floor grid masking a change.
+        def digestOf(state: DataFrame): (Long, Long) = {
+          val row = state.agg(count(lit(1)),
+            sum(expr("shiftleft(1L, cast(27 - r as int))"))).head()
+          (row.getLong(0), row.getLong(1))
+        }
+        import s.implicits._
+        // HyperBall's actual state shape: ONE 64-byte register vector
+        // per vertex (ranks fit a byte), merged bytewise in a typed
+        // reduceGroups — per hop the edge join emits |E| rows of 64
+        // BYTES instead of |E|·(occupied registers) rows of three
+        // longs, and the bytewise max is a combinable JVM reduce (the
+        // first cut used the row-per-register shape: 12.5 → 5.5 s at
+        // sf0.1, SCALING.md r17). Registers EXPLODE back to (v, reg, r)
+        // rows only for the per-hop estimate/digest (|V|·64 rows —
+        // trivial), so the double/ln arithmetic stays in Spark SQL,
+        // bit-matched to the oracle.
+        def mergeB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+          val out = a.clone()
+          var j = 0
+          while (j < 64) { if (b(j) > out(j)) out(j) = b(j); j += 1 }
+          out
+        }
+        def rowsOf(state: DataFrame): DataFrame = state
+          .as[(Long, Array[Byte])]
+          .flatMap { case (v, regs) =>
+            regs.iterator.zipWithIndex
+              .collect { case (r, j) if r != 0 => (v, j.toLong, r.toLong) }
+          }.toDF("v", "reg", "r")
+        var state = init.as[(Long, Long, Long)]
+          .map { case (v, reg, r) =>
+            val regs = new Array[Byte](64); regs(reg.toInt) = r.toByte
+            (v, regs)
+          }.toDF("v", "regs").localCheckpoint()
+        var rs = rowsOf(state).localCheckpoint()
+        var dig = digestOf(rs)
+        val rows = scala.collection.mutable.ArrayBuffer(
+          (0L, estOf(rs), dig._1))
+        Scoped.free(rs)
+        var tHop = 1
+        // max-merge is monotone: once the register state reaches its
+        // fixed point every later hop is identical, so the remaining
+        // |E|-wide joins are pure waste on graphs whose balls saturate
+        // early. The oracle computes every hop; at a fixed point the
+        // values are equal by definition, so parity holds.
+        var fixed = false
+        while (tHop <= 3 && !fixed) {
+          val nextState = state.union(
+            edges.join(state.withColumnRenamed("v", "dst"), Seq("dst"))
+              .select(col("src").as("v"), col("regs")))
+            .as[(Long, Array[Byte])]
+            .groupByKey(_._1)
+            .reduceGroups((x, y) => (x._1, mergeB(x._2, y._2)))
+            .map { case (v, (_, regs)) => (v, regs) }
+            .toDF("v", "regs")
+            .localCheckpoint()
+          Scoped.free(state); state = nextState
+          rs = rowsOf(state).localCheckpoint()
+          val nextDig = digestOf(rs)
+          rows += ((tHop.toLong, estOf(rs), nextDig._1))
+          Scoped.free(rs)
+          fixed = nextDig == dig
+          dig = nextDig
+          tHop += 1
+        }
+        while (tHop <= 3) { rows += ((tHop.toLong, rows.last._2, rows.last._3)); tHop += 1 }
+        Scoped.free(state)
+        rows.toSeq.toDF("t", "est_pairs", "occ_regs")
+          .orderBy(col("t"))
+      },
+      Some("""WITH edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997),
+        verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+          SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+        h AS (SELECT v,
+            ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM verts),
+        s0 AS MATERIALIZED (SELECT v, hv % 64 AS reg,
+            CASE WHEN hv // 64 = 0 THEN 27
+                 ELSE 27 - len(bin(hv // 64)) END AS r
+          FROM h),
+        s1 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s0
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s0 s ON s.v = e.dst)
+          GROUP BY 1, 2),
+        s2 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s1
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s1 s ON s.v = e.dst)
+          GROUP BY 1, 2),
+        s3 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s2
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s2 s ON s.v = e.dst)
+          GROUP BY 1, 2),
+        est0 AS (SELECT 0 AS t, CAST(SUM(e) AS BIGINT) AS est_pairs FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s0 GROUP BY v))),
+        est1 AS (SELECT 1 AS t, CAST(SUM(e) AS BIGINT) AS est_pairs FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s1 GROUP BY v))),
+        est2 AS (SELECT 2 AS t, CAST(SUM(e) AS BIGINT) AS est_pairs FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s2 GROUP BY v))),
+        est3 AS (SELECT 3 AS t, CAST(SUM(e) AS BIGINT) AS est_pairs FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s3 GROUP BY v))),
+        occ0 AS (SELECT 0 AS t, COUNT(*) AS occ_regs FROM s0),
+        occ1 AS (SELECT 1 AS t, COUNT(*) AS occ_regs FROM s1),
+        occ2 AS (SELECT 2 AS t, COUNT(*) AS occ_regs FROM s2),
+        occ3 AS (SELECT 3 AS t, COUNT(*) AS occ_regs FROM s3),
+        est AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+          UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3),
+        occ AS (SELECT * FROM occ0 UNION ALL SELECT * FROM occ1
+          UNION ALL SELECT * FROM occ2 UNION ALL SELECT * FROM occ3)
+        SELECT CAST(est.t AS BIGINT) AS t, est.est_pairs,
+          CAST(occ.occ_regs AS BIGINT) AS occ_regs
+        FROM est JOIN occ ON occ.t = est.t ORDER BY t"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side

@@ -2459,6 +2459,88 @@ object TextOps {
         SELECT c.k, c.t, c.n_docs, c.n_tokens, c.vocab, f.beta4, f.lnk4
         FROM curve c, fit f ORDER BY c.k""")),
 
+    // ---- ZIPF RANK-FREQUENCY FIT — q187's sibling on the other
+    // corpus-scaling law: ln(freq) vs ln(rank) over the top-100 terms,
+    // slope ≈ −1 for natural text (a corpus whose slope drifts is
+    // template-generated, deduplicated into distortion, or mis-tokenized
+    // — the smoke test before trusting token-budget extrapolations).
+    // Same integer-exact fit discipline as q187: 1e-6-nat ln grid, all
+    // sums exact integers, slope/intercept via the exact-remainder
+    // division both engines agree on.
+    //
+    // Scale/shape: term counting is one combinable fold; top-100 is a
+    // distributed TakeOrdered (never a corpus-wide window); RANK is
+    // assigned on the 100-row checkpointed head by a |top|² row-local
+    // self-join (the q202 bounded-relation pattern — the oracle uses
+    // row_number at fixture scale, same result, different cost class),
+    // so no unpartitioned window exists at any corpus size.
+    ("q211_zipf_fit",
+      (s: SparkSession, dir: String) => {
+        val tf = explodeLean(t(s, dir, "documents"), Seq(),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        val top = tf.orderBy(desc("f"), asc("tok")).limit(100)
+          .localCheckpoint()
+        Scoped.releaseAfterUse(top)
+        val ranked = top.as("a")
+          .join(top.as("b"),
+            col("b.f") > col("a.f") ||
+              (col("b.f") === col("a.f") && col("b.tok") < col("a.tok")),
+            "left")
+          .groupBy(col("a.tok").as("tok"), col("a.f").as("f"))
+          .agg((count(col("b.tok")) + 1L).as("rank"))
+        val fit = ranked
+          .select(
+            expr("cast(floor(ln(cast(rank as double)) * 1e6 + 0.5) as bigint)").as("x6"),
+            expr("cast(floor(ln(cast(f as double)) * 1e6 + 0.5) as bigint)").as("y6"))
+          .agg(count(lit(1)).as("m"), sum(col("x6")).as("sx"),
+            sum(col("y6")).as("sy"),
+            sum(expr("x6 * y6")).as("sxy"), sum(expr("x6 * x6")).as("sxx"))
+          // exact-remainder division (the q180/q187 lesson)
+          .withColumn("bn", expr("cast(m * sxy - sx * sy as decimal(38,0)) * 10000 " +
+            "+ (m * sxx - sx * sx) div 2"))
+          .withColumn("bd", expr("m * sxx - sx * sx"))
+          .select(expr("cast((bn - bn % bd) div bd as bigint)").as("zipf4"),
+            col("m"), col("sx"), col("sy"))
+          .withColumn("kn", expr("cast(sy as decimal(38,0)) * 10000 " +
+            "- cast(zipf4 as decimal(38,0)) * sx"))
+          .withColumn("kd", expr("m * 1000000"))
+          .select(col("zipf4"),
+            expr("cast((kn - kn % kd) div kd as bigint)").as("lnc4"))
+        ranked.crossJoin(broadcast(fit))
+          .select(col("rank"), col("tok"), col("f"), col("zipf4"), col("lnc4"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (SELECT
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        tf AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+        top AS (SELECT tok, f FROM tf ORDER BY f DESC, tok LIMIT 100),
+        ranked AS (SELECT tok, f,
+            CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS rank
+          FROM top),
+        pts AS (SELECT
+            CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x6,
+            CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y6
+          FROM ranked),
+        agg AS (SELECT COUNT(*) AS m, SUM(x6) AS sx, SUM(y6) AS sy,
+            SUM(x6 * y6) AS sxy, SUM(x6 * x6) AS sxx FROM pts),
+        fit0 AS (SELECT m, sx, sy,
+            CAST(m * sxx - sx * sx AS HUGEINT) AS bd,
+            CAST(m * sxy - sx * sy AS HUGEINT) * 10000
+              + (m * sxx - sx * sx) // 2 AS bn
+          FROM agg),
+        fit1 AS (SELECT m, sx, sy,
+            CAST((bn - bn % bd) // bd AS BIGINT) AS zipf4 FROM fit0),
+        fit2 AS (SELECT zipf4,
+            CAST(sy AS HUGEINT) * 10000 - CAST(zipf4 AS HUGEINT) * sx AS kn,
+            CAST(m * 1000000 AS HUGEINT) AS kd
+          FROM fit1),
+        fit AS (SELECT zipf4,
+            CAST((kn - kn % kd) // kd AS BIGINT) AS lnc4 FROM fit2)
+        SELECT r.rank, r.tok, r.f, f.zipf4, f.lnc4
+        FROM ranked r, fit f ORDER BY r.rank""")),
+
     // ---- TEMPERATURE-MIXTURE EPOCH PLANNER with cap-and-redistribute
     // waterfilling — the repeat-epochs dimension q91 (rate planning) and
     // q117 (mixture apply) lack: α = 0.5 temperature weights
