@@ -32,18 +32,28 @@ object Relational {
   /** Per-invocation scratch dir for the roundtrip/snapshot queries
     * (q85, q203). Unique per call — a fixed path would let concurrent
     * harness runs (Verify vs sbt test, two sf dirs) overwrite each
-    * other's input mid-read — and registered for recursive deletion at
-    * JVM exit so catalog sweeps that invoke every builder (the
+    * other's input mid-read — and queued for recursive deletion at JVM
+    * exit so catalog sweeps that invoke every builder (the
     * NoDecimalOutputSpec schema gate, PlanDump) don't leave snapshot
-    * directories behind (ADVICE r16). */
-  private[queries] def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * directories behind (ADVICE r16). ONE static shutdown hook drains a
+    * shared concurrent queue (ADVICE r17): a per-invocation hook would
+    * accumulate without bound in a long-lived session that rebuilds
+    * q85/q203/q208 repeatedly (bench loops, repeated catalog sweeps). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(p.toFile)
+      var p = scratchDirs.poll()
+      while (p != null) { rm(p.toFile); p = scratchDirs.poll() }
     }))
+  }
+  private[queries] def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 
