@@ -40,6 +40,60 @@ object Events {
 
   private val SessionGapUs = 1800000000L // 30 min
 
+  /** q202/q213 shared ECDF construction (ADVICE r17: one builder, two
+    * callers, so the next bin-edge or parity fix lands once, not four
+    * times). [[binnedEvents]] maps each event's value onto the sign-safe
+    * cents→bin grid — FLOOR division by the pmod construction: subtracting
+    * the nonnegative pmod remainder first makes the dividend an exact
+    * multiple of 100, so EVERY integer-division semantics (Spark `div`
+    * truncates; measured DuckDB `//` also truncates, e.g. -150//100 = -1)
+    * yields the same floor quotient for negative cents too. [[ecdfTable]]
+    * folds a binned frame into the bounded bin→(n, cum, pct4) table
+    * (midpoint-convention empirical CDF, (cum_below + cum_incl)/2 over 2n,
+    * kept exact on the ‱ grid). [[ecdfCtes]] is the verbatim DuckDB
+    * mirror — CTEs c/e/hist/cum/t/ecdf over `events`, carrying event_type
+    * through c/e (hist groups by bin alone, so q202's consumer is
+    * unaffected) so ONE string serves both oracles. */
+  private def binnedEvents(e: DataFrame, keep: String*): DataFrame = {
+    val ks = keep.map(col)
+    e.select(ks :+ expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"): _*)
+      .select(ks :+ expr("(cents - pmod(cents, 100)) div 100").as("bin"): _*)
+  }
+
+  private def ecdfTable(binned: DataFrame): DataFrame = {
+    // the cumulative count runs over OCCUPIED BINS (value-domain
+    // bounded, q172's argument) as a range self-join on the bounded
+    // bin table — |bins|² pairs of a BOUNDED relation — rather than
+    // an unpartitioned running-sum window (the PlanSpec whitelist
+    // keeps WindowExec's single-partition mode to its two sanctioned
+    // sites); hist is checkpointed once for its three consumers
+    // (cum both sides + total)
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    Scoped.releaseAfterUse(hist)
+    val cum = hist.as("a")
+      .join(hist.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(max(col("a.n")).as("n"), sum(col("b.n")).as("cum"))
+    cum.crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+      .select(col("bin"), col("n"), col("cum"),
+        expr("(2 * cum - n) * 10000 div (2 * total)").as("pct4"))
+  }
+
+  private val ecdfCtes =
+    """c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        e AS (SELECT event_type,
+            (cents - ((cents % 100 + 100) % 100)) // 100 AS bin FROM c),
+        hist AS (SELECT bin, COUNT(*) AS n FROM e GROUP BY bin),
+        cum AS (SELECT a.bin, MAX(a.n) AS n,
+            CAST(SUM(b.n) AS BIGINT) AS cum
+          FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+        ecdf AS (SELECT c2.bin, c2.n, c2.cum,
+            (2 * c2.cum - c2.n) * 10000 // (2 * t.total) AS pct4
+          FROM cum c2 CROSS JOIN t)"""
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- tumbling-window rollup (streaming: window($"ts","1 hour"))
@@ -747,51 +801,16 @@ object Events {
     // value-domain-bounded cent grid (the q172/q196 bounded-state
     // argument), one bin-ordered cumulative window over BINS (bounded),
     // output = occupied bins.
+    // Bin assignment, cumulative-over-bounded-bins shape and the pmod
+    // floor-division cross-engine argument live in [[binnedEvents]] /
+    // [[ecdfTable]] / [[ecdfCtes]] — shared verbatim with q213, the
+    // operator's map-side consumer.
     ("q202_ecdf_table",
       (s: SparkSession, dir: String) => {
-        val e = ev(s, dir)
-        // Bin assignment is FLOOR division of the cents grid, sign-safe
-        // by construction (ADVICE r16): subtracting the nonnegative
-        // pmod/positive-mod remainder first makes the dividend an exact
-        // multiple of 100, so EVERY integer-division semantics (Spark
-        // `div` truncates; measured DuckDB `//` also truncates, e.g.
-        // -150//100 = -1) yields the same floor quotient for negative
-        // cents too — no silent nonnegative-domain assumption, and no
-        // bet on either engine's rounding direction. Mirrored verbatim
-        // in the oracle SQL.
-        val hist = e
-          .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-          .select(expr("(cents - pmod(cents, 100)) div 100").as("bin"))
-          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-        // the cumulative count runs over OCCUPIED BINS (value-domain
-        // bounded, q172's argument) as a range self-join on the bounded
-        // bin table — |bins|² pairs of a BOUNDED relation — rather than
-        // an unpartitioned running-sum window (the PlanSpec whitelist
-        // keeps WindowExec's single-partition mode to its two
-        // sanctioned sites)
-        val bins = hist.localCheckpoint()
-        Scoped.releaseAfterUse(bins)
-        val cum = bins.as("a")
-          .join(bins.as("b"), col("b.bin") <= col("a.bin"))
-          .groupBy(col("a.bin").as("bin"))
-          .agg(max(col("a.n")).as("n"), sum(col("b.n")).as("cum"))
-        cum.crossJoin(broadcast(bins.agg(sum(col("n")).as("total"))))
-          .select(col("bin"), col("n"), col("cum"),
-            expr("(2 * cum - n) * 10000 div (2 * total)").as("pct4"))
-          .orderBy(col("bin"))
+        ecdfTable(binnedEvents(ev(s, dir))).orderBy(col("bin"))
       },
-      Some("""WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
-            AS cents FROM events),
-        e AS (SELECT (cents - ((cents % 100 + 100) % 100)) // 100
-            AS bin FROM c),
-        hist AS (SELECT bin, COUNT(*) AS n FROM e GROUP BY bin),
-        cum AS (SELECT a.bin, MAX(a.n) AS n,
-            CAST(SUM(b.n) AS BIGINT) AS cum
-          FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
-        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
-        SELECT c.bin, c.n, c.cum,
-          (2 * c.cum - c.n) * 10000 // (2 * t.total) AS pct4
-        FROM cum c CROSS JOIN t ORDER BY c.bin"""))
+      Some(s"""WITH $ecdfCtes
+        SELECT bin, n, cum, pct4 FROM ecdf ORDER BY bin"""))
   ,
 
     // ---- RANK-TRANSFORM, APPLIED (q202's promised consumer, made
@@ -809,42 +828,16 @@ object Events {
     ("q213_rank_normalize",
       (s: SparkSession, dir: String) => {
         val e = ev(s, dir)
-        // q202's bin + midpoint-pct4 table (floor-consistent sign-safe
-        // bin, the pmod construction)
-        val hist = e
-          .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-          .select(expr("(cents - pmod(cents, 100)) div 100").as("bin"))
-          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        Scoped.releaseAfterUse(hist)
-        val cum = hist.as("a")
-          .join(hist.as("b"), col("b.bin") <= col("a.bin"))
-          .groupBy(col("a.bin").as("bin"))
-          .agg(max(col("a.n")).as("n"), sum(col("b.n")).as("cum"))
-        val ecdf = cum.crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
-          .select(col("bin"),
-            expr("(2 * cum - n) * 10000 div (2 * total)").as("pct4"))
-        e.select(col("event_type"),
-            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-          .select(col("event_type"),
-            expr("(cents - pmod(cents, 100)) div 100").as("bin"))
+        // q202's table through the SAME shared builder (one bin edge,
+        // two callers), applied map-side as a broadcast join
+        val ecdf = ecdfTable(binnedEvents(e)).select(col("bin"), col("pct4"))
+        binnedEvents(e, "event_type")
           .join(broadcast(ecdf), Seq("bin"))
           .groupBy(col("event_type"), expr("pct4 div 1000").as("decile"))
           .agg(count(lit(1)).as("n_events"), sum(col("pct4")).as("sum_pct4"))
           .orderBy(col("event_type"), col("decile"))
       },
-      Some("""WITH c AS (SELECT event_type,
-            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        e AS (SELECT event_type,
-            (cents - ((cents % 100 + 100) % 100)) // 100 AS bin FROM c),
-        hist AS (SELECT bin, COUNT(*) AS n FROM e GROUP BY bin),
-        cum AS (SELECT a.bin, MAX(a.n) AS n,
-            CAST(SUM(b.n) AS BIGINT) AS cum
-          FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
-        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
-        ecdf AS (SELECT c2.bin,
-            (2 * c2.cum - c2.n) * 10000 // (2 * t.total) AS pct4
-          FROM cum c2 CROSS JOIN t)
+      Some(s"""WITH $ecdfCtes
         SELECT e.event_type, pct4 // 1000 AS decile,
           COUNT(*) AS n_events, CAST(SUM(pct4) AS BIGINT) AS sum_pct4
         FROM e JOIN ecdf ON ecdf.bin = e.bin
