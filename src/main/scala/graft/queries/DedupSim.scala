@@ -980,7 +980,15 @@ object DedupSim {
         FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1
         ORDER BY canonical_id""")),
 
-    // ---- exact n-gram Jaccard near-dup via shingle equi-join
+    // ---- n-gram Jaccard near-dup via shingle equi-join. Since the r17
+    // fingerprint switch the `jaccard` column is HASH-based Jaccard
+    // (ADVICE r17): shingles compare by 60-bit gram_hash60 equality, so
+    // a 2^-60-rate fingerprint collision merges two distinct shingle
+    // strings identically on BOTH engines — the gate cannot detect it,
+    // and the reported value can differ from true string-equality
+    // Jaccard at that rate. Accepted: at 2^-60 the expected error is
+    // zero for any feasible corpus, and the MinHash family (q32–q34)
+    // keeps string shingles where the signature contract demands them.
     ("q31_ngram_jaccard",
       (s: SparkSession, dir: String) => {
         // The shingle set feeds three consumers (self-join ×2 + sizes) —
