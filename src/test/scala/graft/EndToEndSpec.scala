@@ -140,6 +140,30 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("q208 rank order is float-noise-proof: nation pr gaps clear the 1e-6 grid") {
+    // q208's rank gate compares the CLI sink's (pr DESC, title) file
+    // order against the oracle's ORDER BY pr DESC — an EXACT-double
+    // cross-engine ordering, while q25 only pins parity at ROUND(pr, 6)
+    // (ADVICE r17). That is safe iff no two distinct pr values on the
+    // fixture sit within float-noise of each other: this pins the
+    // assumption, requiring every adjacent DISTINCT pr gap to exceed
+    // the 1e-6 rounding grid by 2× (measured min gap ~7e-4). Exactly
+    // EQUAL values would be fine — both engines tiebreak on title —
+    // but the fixture has none, so equality is asserted away too.
+    val rows = SparkEntry.queries("q25_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val prs = rows.map(_.getDouble(1)).sorted
+    assert(prs.length === prs.distinct.length,
+      "fixture pr values must be pairwise distinct for the title " +
+        "tiebreak assumption to be vacuous")
+    val minGap = prs.sliding(2).map { case Array(a, b) => b - a }.min
+    assert(minGap > 2e-6,
+      f"min adjacent pr gap $minGap%.3e is within float-noise of the " +
+        "1e-6 grid — q208's exact-double rank ordering is no longer " +
+        "safe; derive rank from ROUND(pr, 6) with title tiebreak on " +
+        "both sides")
+  }
+
   test("index at scale: common vocab dies at the reference cutoff, rare terms survive") {
     val full = InvertedIndex.build(docs, dfCutoff = Int.MaxValue).cache()
     val dfs = full.select("term", "df").collect()
