@@ -863,10 +863,14 @@ object TextOps {
     // C / S division with C a shared 17-digit literal — bit-identical
     // cross-engine. The gate pins the REGISTER STATE (m_hit, s_sum),
     // the estimate, and its signed ‱ error against the exact distinct.
-    // The small-range linear-counting branch (ln — a libm-parity bet
-    // this repo takes only where pinned, q187/q191) is out of scope:
-    // fixture sources sit far above 2.5·m, and the raw components are
-    // shipped so a consumer can apply any correction downstream.
+    // The estimate rides the SAME corrected estimator as q212's
+    // HyperBall registers (VERDICT r17 #2 — one sketch family, one
+    // estimator): linear counting m·ln(m/V) when empty registers V > 0
+    // and raw ≤ 2.5·m = 640 (ln cross-engine parity is the pinned
+    // q187/q191 discipline). Fixture sources sit far above the branch
+    // point, so on the gate the branch is dormant — LogLogSmallRangeSpec
+    // pins it live on a crafted small-cardinality corpus, where linear
+    // counting is EXACT for collision-free register sets.
     //
     // Scale: the sketch is ONE corpus pass with map-side partial MAX
     // into ≤ |sources|·256 cells — no token shuffle; only the exact
@@ -895,8 +899,12 @@ object TextOps {
           .agg(countDistinct(col("tok")).as("n_exact"))
         state.join(exact, Seq("source"))
           .select(col("source"), col("n_exact"), col("m_hit"), col("s_sum"),
-            floor(lit(C).cast("double") / col("s_sum").cast("double") + 0.5)
-              .cast("long").as("ll_est"))
+            (lit(C).cast("double") / col("s_sum").cast("double")).as("raw"),
+            (lit(256L) - col("m_hit")).as("vz"))
+          .select(col("source"), col("n_exact"), col("m_hit"), col("s_sum"),
+            floor(when(col("vz") > 0L && col("raw") <= 640.0,
+                lit(256.0) * log(lit(256.0) / col("vz").cast("double")))
+              .otherwise(col("raw")) + 0.5).cast("long").as("ll_est"))
           .withColumn("err4",
             expr("(ll_est - n_exact) * 10000 div n_exact"))
           .orderBy(col("source"))
@@ -917,19 +925,23 @@ object TextOps {
             CAST(SUM(1::BIGINT << CAST(25 - r AS INTEGER)) AS BIGINT) AS s_hit
           FROM regs GROUP BY source),
         ex AS (SELECT source, COUNT(DISTINCT tok) AS n_exact
-          FROM toks GROUP BY source)
-        SELECT st.source, ex.n_exact,
-          CAST(st.m_hit AS BIGINT) AS m_hit,
-          CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS BIGINT)
-            AS s_sum,
-          CAST(floor(1579498136381.3938
-            / CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS DOUBLE)
-            + 0.5) AS BIGINT) AS ll_est,
-          (CAST(floor(1579498136381.3938
-            / CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS DOUBLE)
-            + 0.5) AS BIGINT) - ex.n_exact) * 10000 // ex.n_exact AS err4
-        FROM state st JOIN ex ON ex.source = st.source
-        ORDER BY st.source""")),
+          FROM toks GROUP BY source),
+        est AS (SELECT st.source, ex.n_exact,
+            CAST(st.m_hit AS BIGINT) AS m_hit,
+            CAST(st.s_hit + (256 - st.m_hit) * (1::BIGINT << 25) AS BIGINT)
+              AS s_sum,
+            256 - st.m_hit AS vz,
+            1579498136381.3938 / CAST(st.s_hit
+              + (256 - st.m_hit) * (1::BIGINT << 25) AS DOUBLE) AS raw
+          FROM state st JOIN ex ON ex.source = st.source),
+        est2 AS (SELECT source, n_exact, m_hit, s_sum,
+            CAST(floor(CASE WHEN vz > 0 AND raw <= 640.0
+                THEN 256.0 * ln(256.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS ll_est
+          FROM est)
+        SELECT source, n_exact, m_hit, s_sum, ll_est,
+          (ll_est - n_exact) * 10000 // n_exact AS err4
+        FROM est2 ORDER BY source""")),
 
     // ---- tokenizer training primitive: one BPE learn step — the most
     // frequent adjacent character pairs across the corpus (the pair a BPE
