@@ -3956,7 +3956,156 @@ object DedupSim {
                 sp -> ix >= sp.s_tok AND ix <= sp.e_tok)) = 0),
             ix -> t.tk[ix]), ' '), '')) AS clean_hash
         FROM tks t LEFT JOIN pd ON pd.doc_id = t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---- NEAR-DUPLICATE SPAN ALIGNMENT (fuzzy ExactSubstr — VERDICT
+    // r17 #3): cross-doc aligned span PAIRS that match under bounded
+    // token-substitution tolerance — what production pipelines run
+    // after exact excision (q207), because one edited token defeats
+    // every exact K-gram it touches. The shape is seed-and-extend
+    // diagonal chaining (the public BLAST/MUMmer idea, re-expressed
+    // relationally): exact 5-gram fingerprint SEEDS (q207's
+    // gram_hash60 runs, extending the positional-fidelity contract of
+    // ref invertedIndex.scala:46,52 the same way q207 did) pair docs
+    // through a banded gram neighborhood — only grams with 2..8
+    // occurrences corpus-wide seed, so a hot slogan can never fan out
+    // |occ|² pairs — and seeds CHAIN per (pair, diagonal) when the
+    // uncovered run between them is <= 3 tokens. A substituted token
+    // kills exactly the 5 seeds overlapping it (gap = 1 uncovered
+    // token <= 3 → the chain rides through); an indel SHIFTS the
+    // diagonal and honestly starts a new span — this operator is
+    // k-mismatch-tolerant by construction, which the header declares
+    // rather than approximating edit distance. Reported per chain:
+    // both docs' token coordinates, seed count, covered tokens (exact,
+    // via the same gap-0 running-max fold), and the mismatch count
+    // span_tokens − covered. The gate would pass vacuously on a corpus
+    // with no near-identical-but-edited pairs, so the derivation
+    // PLANTS both tolerance classes (the q30 discipline, mirrored in
+    // the oracle): every 37th doc gets a copy with every 29th token
+    // substituted (diagonal 0, mismatched > 0) and every 53rd doc a
+    // copy with a 5-token prefix (diagonal −5).
+    //
+    // Scale: grams are one native map-side pass; the occurrence cap
+    // bounds the seed self-join at 8·|grams| pairs (linear in corpus
+    // tokens); chaining windows partition by (id_a, id_b, diagonal) —
+    // bounded by the shorter doc, never corpus-sized; output is spans,
+    // not pairs-of-everything. The all-pairs edit-distance formulation
+    // this replaces is quadratic in documents and never appears.
+    ("q214_neardup_span_align",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val K = 5    // seed gram width
+        val G = 3L   // max uncovered run between chained seeds
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val mut = base.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
+            expr("""array_join(transform(split(text, ' '),
+                (tok, ix) -> if((ix + 1) % 29 = 8, '@@', tok)), ' ')""")
+              .as("text"))
+        val pre = base.filter(col("doc_id") % 53 === 0)
+          .select((col("doc_id") + 3000000000000L).as("doc_id"),
+            concat(lit("pad pad pad pad pad "), col("text")).as("text"))
+        val aug = base.unionByName(mut).unionByName(pre)
+        val grams = explodeLean(
+          aug.select(col("doc_id"), split(col("text"), " ").as("tk")),
+          Seq(col("doc_id")),
+          expr(s"""transform(gram_hash60(tk, $K),
+                     (g, i) -> named_struct('i', cast(i + 1 as bigint), 'g', g))"""),
+          "gr")
+          .select(col("doc_id"), col("gr.i").as("i"), col("gr.g").as("g"))
+          .localCheckpoint()
+        // banded neighborhood: duplicated-but-not-hot grams only
+        val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("nocc"))
+          .filter(col("nocc") >= 2L && col("nocc") <= 8L)
+          .select(col("g"))
+        val seeds = grams.join(rare, Seq("g")).localCheckpoint()
+        // the seeds checkpoint just consumed grams' two readers (the
+        // nocc agg + the mark-back join) — free it now, q49's pattern
+        Scoped.free(grams)
+        Scoped.releaseAfterUse(seeds)
+        val pairs = seeds.select(col("doc_id").as("da"), col("i").as("ia"), col("g"))
+          .join(seeds.select(col("doc_id").as("db"), col("i").as("ib"), col("g")),
+            Seq("g"))
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db"), (col("ia") - col("ib")).as("d"),
+            col("ia"), (col("ia") + lit(K - 1).cast("long")).as("ea"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("da"), col("db"), col("d")).orderBy(col("ia"))
+        val up = org.apache.spark.sql.expressions.Window.unboundedPreceding
+        val marked = pairs
+          .withColumn("pmax", max(col("ea")).over(wd.rowsBetween(up, -1)))
+          .withColumn("ns",
+            when(col("pmax").isNull || col("ia") > col("pmax") + G + 1L, 1L)
+              .otherwise(0L))
+          .withColumn("cid", sum(col("ns")).over(wd.rowsBetween(up, 0)))
+          // fresh coverage of this seed past everything already covered:
+          // full K when disjoint from the running max, the overhang when
+          // overlapping, 0 when contained — summed per chain this is the
+          // exact union length, so mismatched is exact, not a bound
+          .withColumn("newcov",
+            when(col("pmax").isNull || col("ia") > col("pmax"),
+              lit(K.toLong))
+              .otherwise(greatest(col("ea") - col("pmax"), lit(0L))))
+        marked.groupBy(col("da"), col("db"), col("d"), col("cid"))
+          .agg(min(col("ia")).as("a_s"), max(col("ea")).as("a_e"),
+            count(lit(1)).as("n_seeds"), sum(col("newcov")).as("covered"))
+          .select(col("da").as("id_a"), col("db").as("id_b"), col("d"),
+            col("a_s"), col("a_e"),
+            (col("a_s") - col("d")).as("b_s"),
+            (col("a_e") - col("d")).as("b_e"),
+            (col("a_e") - col("a_s") + 1L).as("span_tokens"),
+            col("n_seeds"), col("covered"),
+            (col("a_e") - col("a_s") + 1L - col("covered")).as("mismatched"))
+          .filter(col("span_tokens") >= 15L)
+          .orderBy(col("id_a"), col("id_b"), col("d"), col("a_s"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+        mutsrc AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM base WHERE doc_id % 37 = 0),
+        mut AS (SELECT doc_id + 2000000000000 AS doc_id,
+            array_to_string(list_transform(
+              range(1, CAST(len(tk) AS BIGINT) + 1),
+              j -> CASE WHEN j % 29 = 8 THEN '@@' ELSE tk[j] END), ' ')
+              AS text
+          FROM mutsrc),
+        pre AS (SELECT doc_id + 3000000000000 AS doc_id,
+            'pad pad pad pad pad ' || text AS text
+          FROM base WHERE doc_id % 53 = 0),
+        aug AS (SELECT * FROM base UNION ALL SELECT * FROM mut
+          UNION ALL SELECT * FROM pre),
+        tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM aug),
+        g0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+            CAST(('0x' || substr(md5(array_to_string(
+              tk[CAST(u.i AS BIGINT):(CAST(u.i AS BIGINT) + 4)], ' ')),
+              1, 15)) AS BIGINT) AS g
+          FROM tks, UNNEST(range(1, CAST(len(tk) AS BIGINT) - 3)) AS u(i)),
+        rare AS (SELECT g FROM g0 GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 8),
+        sd AS (SELECT g0.doc_id, g0.i, g0.g FROM g0 JOIN rare USING (g)),
+        prs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i - b.i AS d,
+            a.i AS ia, a.i + 4 AS ea
+          FROM sd a JOIN sd b ON a.g = b.g AND a.doc_id < b.doc_id),
+        mk AS (SELECT *, max(ea) OVER (PARTITION BY da, db, d ORDER BY ia
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM prs),
+        mk2 AS (SELECT *,
+            CASE WHEN pmax IS NULL OR ia > pmax + 4 THEN 1 ELSE 0 END AS ns,
+            CASE WHEN pmax IS NULL OR ia > pmax THEN 5
+                 ELSE greatest(ea - pmax, 0) END AS newcov
+          FROM mk),
+        mk3 AS (SELECT *, SUM(ns) OVER (PARTITION BY da, db, d ORDER BY ia
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+          FROM mk2),
+        ch AS (SELECT da, db, d, cid, MIN(ia) AS a_s, MAX(ea) AS a_e,
+            CAST(COUNT(*) AS BIGINT) AS n_seeds,
+            CAST(SUM(newcov) AS BIGINT) AS covered
+          FROM mk3 GROUP BY 1, 2, 3, 4)
+        SELECT da AS id_a, db AS id_b, d, a_s, a_e,
+          a_s - d AS b_s, a_e - d AS b_e,
+          a_e - a_s + 1 AS span_tokens, n_seeds, covered,
+          a_e - a_s + 1 - covered AS mismatched
+        FROM ch WHERE a_e - a_s + 1 >= 15
+        ORDER BY id_a, id_b, d, a_s"""))
   )
 
 }
