@@ -65,11 +65,21 @@ object RankPages {
   * cutoff, written as the `ii` Parquet serving table
   * (ref invertedIndex.scala:101-123). */
 object BuildIndex {
+  /** The build chain, shared by `main` (the CLI surface) and the q215
+    * driver-gate entry (queries/CorpusSearch.scala) — the q208 pattern
+    * applied to the reference's second main
+    * (/root/reference/src/main/scala/invertedIndex.scala:101-123): the
+    * gate drives the CLI's OWN code path and reads back its OWN `ii`
+    * Parquet serving artifact, not a library replica. */
+  def pipeline(spark: SparkSession, input: String, out: String): Unit = {
+    val docs = WikiCorpus.ingest(spark, input)
+    InvertedIndex.build(docs).write.mode("overwrite").parquet(s"$out/ii")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(input, out) = args.take(2)
     val spark = Cli.session()
-    val docs = WikiCorpus.ingest(spark, input)
-    InvertedIndex.build(docs).write.mode("overwrite").parquet(s"$out/ii")
+    pipeline(spark, input, out)
     spark.stop()
   }
 }
