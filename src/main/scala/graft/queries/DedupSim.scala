@@ -43,6 +43,91 @@ object DedupSim {
       "shingle")
       .distinct()
 
+  /** Shared exact-integer covariance grid of q157 (diagnostics) and
+    * q217 (power iteration): upper-triangle (i ≤ j) covariance of the
+    * embedding table on the 1e-6 grid. Every sum rides an EXACT BIGINT
+    * numerator (per-row x_i·x_j quantized to the 1e-8 grid — the q150
+    * discipline), so partition order cannot move a bit; the final cov
+    * value is double ops over those exact integers in an identical
+    * shape to [[covGridCtes]]. d is read from the data
+    * (size(embedding)), never hard-coded. Scale argument lives on the
+    * q157 catalog comment. */
+  private def covGrid(s: SparkSession, dir: String): DataFrame =
+    covGridOf(t(s, dir, "embeddings"))
+
+  /** [[covGrid]] over an already-loaded embedding frame — the seam
+    * PcaPowerSpec uses to drive [[pcaPowerIteration]] on a crafted
+    * corpus with a known principal direction. */
+  private[graft] def covGridOf(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    // spread the vectors BEFORE the d²-per-row fan-out: the term
+    // stream is ~2080× the input bytes, so a narrow round-robin
+    // shuffle of the raw vectors (n × ~0.5 KB) buys full-cluster
+    // parallelism on the product map even when the table arrives as
+    // one splittable-but-small file (measured 18.6 → 4.8 s at the
+    // 20 k-row sf1 fixture, where the scan is otherwise ONE task)
+    val emb = emb0
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val pairTerms = explodeLean(emb, Seq(),
+      expr("""flatten(transform(sequence(1, size(embedding)), i ->
+               transform(sequence(i, size(embedding)), j ->
+                 named_struct('i', cast(i as bigint),
+                   'j', cast(j as bigint),
+                   'q', cast(floor(
+                     cast(element_at(embedding, i) as double) *
+                     cast(element_at(embedding, j) as double) * 1e8
+                     + 0.5) as bigint)))))"""), "pq")
+      .select(col("pq.i").as("i"), col("pq.j").as("j"),
+        col("pq.q").as("q"))
+    val sxy = pairTerms.groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val sx = explodeLean(emb, Seq(),
+      expr("""transform(sequence(1, size(embedding)), i ->
+               named_struct('i', cast(i as bigint),
+                 'q', cast(floor(
+                   cast(element_at(embedding, i) as double) * 1e8
+                   + 0.5) as bigint)))"""), "mq")
+      .select(col("mq.i").as("i"), col("mq.q").as("q"))
+      .groupBy(col("i")).agg(sum(col("q")).as("sx"))
+    sxy
+      .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        floor((col("sq").cast("double") / col("n") / lit(1e8) -
+          (col("sxi").cast("double") / col("n") / lit(1e8)) *
+          (col("sxj").cast("double") / col("n") / lit(1e8))) * lit(1e6)
+          + lit(0.5)).cast("long").as("cov6"))
+  }
+
+  /** The DuckDB twin of [[covGrid]] — CTE bodies (pt/sxy/mt/sx/cov)
+    * shared verbatim by the q157 and q217 oracles: one covariance
+    * arithmetic, two gated surfaces (the nationPrRecursiveCtes
+    * discipline from CorpusSearch). */
+  private val covGridCtes: String =
+    """pt AS (SELECT CAST(u.i AS BIGINT) AS i,
+            CAST(v.j AS BIGINT) AS j,
+            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) *
+              CAST(embedding[CAST(v.j AS BIGINT)] AS DOUBLE) * 1e8 + 0.5)
+              AS BIGINT) AS q
+          FROM embeddings,
+            UNNEST(range(1, len(embedding) + 1)) u(i),
+            UNNEST(range(1, len(embedding) + 1)) v(j)
+          WHERE v.j >= u.i),
+        sxy AS (SELECT i, j, SUM(q) AS sq, COUNT(*) AS n
+          FROM pt GROUP BY i, j),
+        mt AS (SELECT CAST(u.i AS BIGINT) AS i,
+            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) * 1e8
+              + 0.5) AS BIGINT) AS q
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+        sx AS (SELECT i, SUM(q) AS sx FROM mt GROUP BY i),
+        cov AS (SELECT s.i, s.j,
+            CAST(floor((CAST(s.sq AS DOUBLE) / s.n / 1e8 -
+              (CAST(xi.sx AS DOUBLE) / s.n / 1e8) *
+              (CAST(xj.sx AS DOUBLE) / s.n / 1e8)) * 1e6 + 0.5) AS BIGINT)
+              AS cov6
+          FROM sxy s JOIN sx xi ON s.i = xi.i JOIN sx xj ON s.j = xj.i)"""
+
   /** Winnowed fingerprint array (MOSS: 4-token grams, 4-hash windows,
     * rightmost-min tie-break via min over hash·4+(3−o)) from a bound
     * token-array column `ws` — ONE definition shared by batch q181 and
@@ -950,6 +1035,42 @@ object DedupSim {
           (SELECT COUNT(*) FROM hit) AS n_hit,
           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
             / (SELECT COUNT(*) FROM ex) AS recall"""
+
+  /** The DuckDB twin of [[pcaPowerIteration]] — q217's recursive-CTE
+    * replay over [[covGridCtes]], walking the identical integer grid. */
+  private val pcaPowerSql: String =
+    s"""WITH RECURSIVE $covGridCtes,
+        fullcov AS (SELECT i, j, cov6 FROM cov
+          UNION ALL SELECT j AS i, i AS j, cov6 FROM cov WHERE i <> j),
+        dims AS (SELECT DISTINCT i FROM fullcov),
+        it AS (
+          SELECT 0 AS t, i, CAST(1000000 AS BIGINT) AS vq,
+            CAST(0 AS BIGINT) AS mxw
+          FROM dims
+          UNION ALL
+          SELECT * FROM (
+            SELECT w.t, w.i,
+              CAST(floor(CAST(w.w AS DOUBLE) / (MAX(abs(w.w)) OVER ()) * 1e6
+                + 0.5) AS BIGINT) AS vq,
+              MAX(abs(w.w)) OVER () AS mxw
+            FROM (SELECT v.t + 1 AS t, f.i, SUM(f.cov6 * v.vq) AS w
+                  FROM it v JOIN fullcov f ON f.j = v.i
+                  WHERE v.t < 12 GROUP BY 1, 2) w) x),
+        tr AS (SELECT CAST(SUM(cov6) AS BIGINT) AS trace6 FROM cov
+          WHERE i = j),
+        lam AS (SELECT mxw // 1000000 AS eigen6 FROM it
+          WHERE t = 12 AND i = (SELECT MIN(i) FROM dims)),
+        res AS (
+          SELECT 'pc1' AS kind, i, vq AS v FROM it WHERE t = 12
+          UNION ALL SELECT 'eigen6', CAST(0 AS BIGINT), eigen6 FROM lam
+          UNION ALL SELECT 'trace6', CAST(0 AS BIGINT), trace6 FROM tr
+          UNION ALL SELECT 'evr4', CAST(0 AS BIGINT),
+            eigen6 * 10000 // trace6 FROM lam, tr
+          UNION ALL SELECT 'delta', CAST(0 AS BIGINT),
+            (SELECT CAST(SUM(abs(a.vq - b.vq)) AS BIGINT) FROM it a
+             JOIN it b ON a.i = b.i AND b.t = 11 WHERE a.t = 12))
+        SELECT kind, i, v FROM res ORDER BY kind, i"""
+
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
@@ -2863,7 +2984,9 @@ object DedupSim {
     // grid, the q150 discipline), so partition order cannot move a bit;
     // the final cov lands on a 1e-6 grid from integer inputs via
     // identical */÷ shapes in both engines. d is read from the data
-    // (size(embedding)), never hard-coded.
+    // (size(embedding)), never hard-coded. The covariance construction
+    // itself is [[covGrid]]/[[covGridCtes]], shared with q217's power
+    // iteration — one arithmetic, two surfaces.
     //
     // Scale: per-row work is the inherent d(d+1)/2 product terms,
     // map-side; ONE combinable (i,j)-keyed aggregate ⇒ wire cost is
@@ -2873,44 +2996,7 @@ object DedupSim {
     // arrays only). Top-10 off-diag is TakeOrdered, no global sort.
     ("q157_embedding_covariance",
       (s: SparkSession, dir: String) => {
-        // spread the vectors BEFORE the d²-per-row fan-out: the term
-        // stream is ~2080× the input bytes, so a narrow round-robin
-        // shuffle of the raw vectors (n × ~0.5 KB) buys full-cluster
-        // parallelism on the product map even when the table arrives as
-        // one splittable-but-small file (measured 18.6 → 4.8 s at the
-        // 20 k-row sf1 fixture, where the scan is otherwise ONE task)
-        val emb = t(s, dir, "embeddings")
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val pairTerms = explodeLean(emb, Seq(),
-          expr("""flatten(transform(sequence(1, size(embedding)), i ->
-                   transform(sequence(i, size(embedding)), j ->
-                     named_struct('i', cast(i as bigint),
-                       'j', cast(j as bigint),
-                       'q', cast(floor(
-                         cast(element_at(embedding, i) as double) *
-                         cast(element_at(embedding, j) as double) * 1e8
-                         + 0.5) as bigint)))))"""), "pq")
-          .select(col("pq.i").as("i"), col("pq.j").as("j"),
-            col("pq.q").as("q"))
-        val sxy = pairTerms.groupBy(col("i"), col("j"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        val sx = explodeLean(emb, Seq(),
-          expr("""transform(sequence(1, size(embedding)), i ->
-                   named_struct('i', cast(i as bigint),
-                     'q', cast(floor(
-                       cast(element_at(embedding, i) as double) * 1e8
-                       + 0.5) as bigint)))"""), "mq")
-          .select(col("mq.i").as("i"), col("mq.q").as("q"))
-          .groupBy(col("i")).agg(sum(col("q")).as("sx"))
-        val cov = sxy
-          .join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), Seq("i"))
-          .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))),
-            Seq("j"))
-          .select(col("i"), col("j"),
-            floor((col("sq").cast("double") / col("n") / lit(1e8) -
-              (col("sxi").cast("double") / col("n") / lit(1e8)) *
-              (col("sxj").cast("double") / col("n") / lit(1e8))) * lit(1e6)
-              + lit(0.5)).cast("long").as("cov6"))
+        val cov = covGrid(s, dir)
         val diag = cov.filter(col("i") === col("j"))
           .select(lit("diag").as("kind"), col("i"), col("j"), col("cov6"))
         val offTop = cov.filter(col("i") =!= col("j"))
@@ -2919,33 +3005,44 @@ object DedupSim {
             col("cov6"))
         diag.unionByName(offTop).orderBy(col("kind"), col("i"), col("j"))
       },
-      Some("""WITH pt AS (SELECT CAST(u.i AS BIGINT) AS i,
-            CAST(v.j AS BIGINT) AS j,
-            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) *
-              CAST(embedding[CAST(v.j AS BIGINT)] AS DOUBLE) * 1e8 + 0.5)
-              AS BIGINT) AS q
-          FROM embeddings,
-            UNNEST(range(1, len(embedding) + 1)) u(i),
-            UNNEST(range(1, len(embedding) + 1)) v(j)
-          WHERE v.j >= u.i),
-        sxy AS (SELECT i, j, SUM(q) AS sq, COUNT(*) AS n
-          FROM pt GROUP BY i, j),
-        mt AS (SELECT CAST(u.i AS BIGINT) AS i,
-            CAST(floor(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) * 1e8
-              + 0.5) AS BIGINT) AS q
-          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
-        sx AS (SELECT i, SUM(q) AS sx FROM mt GROUP BY i),
-        cov AS (SELECT s.i, s.j,
-            CAST(floor((CAST(s.sq AS DOUBLE) / s.n / 1e8 -
-              (CAST(xi.sx AS DOUBLE) / s.n / 1e8) *
-              (CAST(xj.sx AS DOUBLE) / s.n / 1e8)) * 1e6 + 0.5) AS BIGINT)
-              AS cov6
-          FROM sxy s JOIN sx xi ON s.i = xi.i JOIN sx xj ON s.j = xj.i),
+      Some(s"""WITH $covGridCtes,
         diag AS (SELECT 'diag' AS kind, i, j, cov6 FROM cov WHERE i = j),
         offtop AS (SELECT 'offdiag_top' AS kind, i, j, cov6 FROM cov
           WHERE i <> j ORDER BY abs(cov6) DESC, i, j LIMIT 10)
         SELECT * FROM (SELECT * FROM diag UNION ALL SELECT * FROM offtop)
         ORDER BY kind, i, j"""))
+  ,
+
+    // ---- PCA TOP COMPONENT by power iteration (distributed linear
+    // algebra over the covariance grid): the first principal direction,
+    // leading eigenvalue, and explained-variance share of the embedding
+    // space — what a whitening/dimension-drop decision actually wants
+    // after q157's raw diagnostics. Twelve fixed power iterations
+    // v ← C·v over q217's L∞-normalized integer state: the matvec
+    // numerator Σ cov6·vq is an EXACT BIGINT sum (≤ d·5e12, order-free),
+    // and the per-step renormalization floor(w/max|w|·1e6 + 0.5) is
+    // per-ELEMENT IEEE ops from exactly-representable integers — no
+    // float summation anywhere, so both engines walk bit-identical
+    // grids (the q29 fixed-iteration discipline, applied to a vector
+    // instead of a rank). λ falls out of the L∞ normalization itself
+    // (at a fixed point max|C·v| = λ when max|v| = 1): eigen6 =
+    // max|w| div 1e12·1e6 — integer floor division, no Rayleigh
+    // quotient float fold. Output is ALL integer: the component on the
+    // 1e-6 grid, eigen6, trace6, evr4 = eigen6·10⁴ div trace6, and the
+    // last-step L1 delta (convergence evidence on the gate itself).
+    // PcaPowerSpec pins accuracy on a crafted anisotropic corpus where
+    // the top direction is known analytically.
+    //
+    // Scale: the corpus-sized work is ONE covariance pass (covGrid's
+    // d²-bounded shape); the iteration state is d rows and the matrix
+    // d² rows REGARDLESS of corpus size — checkpointed once and reused,
+    // each step a broadcast join + combinable d-keyed sum. At 100 TB
+    // the twelve steps cost twelve trivial jobs over 4096 rows; nothing
+    // re-reads the table.
+    ("q217_pca_power_iteration",
+      (s: SparkSession, dir: String) =>
+        pcaPowerIteration(t(s, dir, "embeddings")),
+      Some(pcaPowerSql))
   ,
 
     // ---- kNN LABEL PROPAGATION eval (semi-supervised labeling over the
@@ -4107,5 +4204,70 @@ object DedupSim {
         FROM ch WHERE a_e - a_s + 1 >= 15
         ORDER BY id_a, id_b, d, a_s"""))
   )
+
+
+  /** q217's full pipeline over an already-loaded embedding frame
+    * (12 fixed power iterations over [[covGridOf]]'s exact grid) — the
+    * seam PcaPowerSpec drives with a crafted exactly-diagonal corpus.
+    * See the q217 catalog comment for semantics and the scale story. */
+  private[graft] def pcaPowerIteration(emb: DataFrame): DataFrame = {
+    val ITERS = 12
+    val covUp = covGridOf(emb)
+    val full = covUp.unionByName(covUp.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov6")))
+      .localCheckpoint()
+    var v = full.select(col("i")).distinct()
+      .select(col("i"), lit(1000000L).as("vq")).localCheckpoint()
+    var prev: DataFrame = null
+    var lastW: DataFrame = null
+    // ONE checkpoint barrier per iteration, not three: v is cut every
+    // step, so the double read of `w` inside a step (once under the
+    // 1-row max subtree, once on the main path) re-runs only a d²-row
+    // join+agg over checkpointed inputs — cheaper than two extra job
+    // barriers per step (A/B'd: 6.38 → 5.07 s sf0.1 / 13.20 → 9.38 sf1
+    // 3-run medians; the sf0.1 windows differ — cpu sentinel 0.289
+    // before vs 0.178 after — but the sf1 pair is clean at 0.248/0.193
+    // and 24 fewer job barriers is structural).
+    for (_ <- 1 to ITERS) {
+      val w = full
+        .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("cov6") * col("vq")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      val nv = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          floor(col("w").cast("double") / col("mx") * lit(1e6) + lit(0.5))
+            .cast("long").as("vq"))
+        .localCheckpoint()
+      lastW = w
+      if (prev != null) Scoped.free(prev)
+      prev = v
+      v = nv
+    }
+    val trace = covUp.filter(col("i") === col("j"))
+      .agg(sum(col("cov6")).as("trace6"))
+    val eigen = lastW.agg(max(abs(col("w"))).as("mx"))
+      .select(expr("mx div 1000000").as("eigen6"))
+      .crossJoin(trace)
+    val comp = v.select(lit("pc1").as("kind"), col("i"), col("vq").as("v"))
+    val delta = v.select(col("i"), col("vq"))
+      .join(prev.select(col("i"), col("vq").as("pvq")), Seq("i"))
+      .agg(sum(abs(col("vq") - col("pvq"))).as("d"))
+      .select(lit("delta").as("kind"), lit(0L).as("i"), col("d").as("v"))
+    val summary = eigen.select(
+        array(
+          struct(lit("eigen6").as("kind"), lit(0L).as("i"),
+            col("eigen6").as("v")),
+          struct(lit("trace6").as("kind"), lit(0L).as("i"),
+            col("trace6").as("v")),
+          struct(lit("evr4").as("kind"), lit(0L).as("i"),
+            expr("eigen6 * 10000 div trace6").as("v"))).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.kind").as("kind"), col("r.i").as("i"),
+        col("r.v").as("v"))
+    val out = comp.unionByName(summary).unionByName(delta)
+      .orderBy(col("kind"), col("i"))
+    Scoped.releaseAfterUse(full, prev, v)
+    out
+  }
 
 }

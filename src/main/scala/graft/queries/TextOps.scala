@@ -3409,7 +3409,165 @@ object TextOps {
           card.n_quality_pass * 10000 // card.n_docs AS quality4
         FROM card CROSS JOIN tot
         ORDER BY source"""
-      })
+      }),
+
+    // ---- KMV SET-OPERATION estimates (Beyer et al., SIGMOD'07): the
+    // sketch completion of the KMV family — q107 estimates per-group
+    // cardinality, q137 pins shard-merge exactness, and this estimates
+    // pairwise source UNION / INTERSECTION / Jaccard from the same ≤ k
+    // mergeable value sketches, with the exact answers beside them so
+    // the gate pins the estimator's accuracy contract. q205 is the
+    // EXACT twin of this question (gram-level, all-pairs from bounded
+    // per-gram source sets); this is the 100 TB path when even those
+    // distinct sets are too big to carry: |sources| sketches of k longs
+    // answer every pairwise overlap question at once. Estimator: U =
+    // k smallest of Va ∪ Vb; union_est = (k−1)·2^32/kth (exact when
+    // |U| < k); ρ = |U ∩ Va ∩ Vb|; jaccard_est = ρ/|U|; inter_est =
+    // jaccard_est · union_est. All arithmetic integer until the three
+    // final single-IEEE-op divisions (identical shape both engines).
+    //
+    // Scale: the sketch side is ONE corpus hash pass into |sources|
+    // map-side-combined k-long buffers, then |sources|²/2 row-local
+    // array folds over 64-long arrays — nothing pair-keyed ever
+    // shuffles. The exact columns (distinct self-join) are the gate's
+    // ground truth; a production run drops them.
+    ("q216_kmv_intersection",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val hv = toks.select(col("source"), hash32(col("tok")).as("h"))
+        val sk = hv.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.functions.KmvSketchValues(64).toColumn.name("v"))
+          .toDF("source", "v")
+          .select(col("source"), expr("array_sort(v.vs)").as("vs"))
+        val sx = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            col("a.vs").as("va"), col("b.vs").as("vb"))
+          .withColumn("u",
+            expr("slice(array_sort(array_distinct(concat(va, vb))), 1, 64)"))
+          .select(col("src_a"), col("src_b"),
+            size(col("u")).cast("long").as("ku"),
+            element_at(col("u"), size(col("u"))).as("kth"),
+            size(expr("array_intersect(u, array_intersect(va, vb))"))
+              .cast("long").as("rho"))
+        val dt = toks.select(col("source"), col("tok")).distinct()
+        val ns = dt.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val ie = dt.as("x")
+          .join(dt.as("y"),
+            col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("ie"))
+        sx.join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))),
+            Seq("src_a"))
+          .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))),
+            Seq("src_b"))
+          .join(broadcast(ie), Seq("src_a", "src_b"), "left")
+          .withColumn("inter_exact", coalesce(col("ie"), lit(0L)))
+          .withColumn("union_est",
+            when(col("ku") < 64, col("ku").cast("double"))
+              .otherwise(lit(63.0 * 4294967296.0) / col("kth")))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("inter_exact"),
+            expr("inter_exact * 10000 div (n_a + n_b - inter_exact)")
+              .as("jacc4_exact"),
+            col("ku"), col("kth"), col("rho"), col("union_est"),
+            (col("rho").cast("double") / col("ku")).as("jacc_est"),
+            (col("rho").cast("double") / col("ku") * col("union_est"))
+              .as("inter_est"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (SELECT source,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        hv AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        rk AS (SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM hv),
+        sk AS (SELECT source, list_sort(array_agg(h)) AS vs
+          FROM rk WHERE rk <= 64 GROUP BY source),
+        pr AS (SELECT a.source AS src_a, b.source AS src_b,
+            a.vs AS va, b.vs AS vb,
+            list_slice(list_sort(list_distinct(list_concat(a.vs, b.vs))), 1, 64) AS u
+          FROM sk a JOIN sk b ON a.source < b.source),
+        sx AS (SELECT src_a, src_b,
+            CAST(len(u) AS BIGINT) AS ku,
+            u[len(u)] AS kth,
+            CAST(len(list_intersect(u, list_intersect(va, vb))) AS BIGINT) AS rho
+          FROM pr),
+        dt AS (SELECT DISTINCT source, tok FROM toks),
+        ns AS (SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
+        ie AS (SELECT x.source AS src_a, y.source AS src_b,
+            COUNT(*) AS ie
+          FROM dt x JOIN dt y ON x.tok = y.tok AND x.source < y.source
+          GROUP BY 1, 2)
+        SELECT s.src_a, s.src_b, na.n AS n_a, nb.n AS n_b,
+          COALESCE(ie.ie, 0) AS inter_exact,
+          COALESCE(ie.ie, 0) * 10000
+            // (na.n + nb.n - COALESCE(ie.ie, 0)) AS jacc4_exact,
+          s.ku, s.kth, s.rho,
+          CASE WHEN s.ku < 64 THEN CAST(s.ku AS DOUBLE)
+               ELSE 63.0 * 4294967296.0 / s.kth END AS union_est,
+          CAST(s.rho AS DOUBLE) / s.ku AS jacc_est,
+          CAST(s.rho AS DOUBLE) / s.ku *
+            (CASE WHEN s.ku < 64 THEN CAST(s.ku AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / s.kth END) AS inter_est
+        FROM sx s
+        JOIN ns na ON na.source = s.src_a
+        JOIN ns nb ON nb.source = s.src_b
+        LEFT JOIN ie ON ie.src_a = s.src_a AND ie.src_b = s.src_b
+        ORDER BY s.src_a, s.src_b""")),
+
+    // ---- GOOD–TURING coverage / missing mass (Gale & Sampson's simple
+    // Good–Turing front end, Chao1 richness): per language — total
+    // tokens N, types V, hapax count N1, dis legomena N2; the
+    // Good–Turing estimate of UNSEEN-type probability mass P0 = N1/N
+    // (the probability the next token drawn is a type never seen —
+    // the statistic that says whether a corpus slice is saturated or
+    // still yielding vocabulary, the decision behind "do we need more
+    // of this source"), its complement coverage, and the Chao1
+    // bias-corrected richness floor V + N1(N1−1)/(2(N2+1)). The
+    // vocabulary-growth complement of q187 (Heaps' law fits V(N)
+    // forward; Good–Turing prices the next draw) and q211 (Zipf prices
+    // the head; this prices the unseen tail). Every output value is
+    // integer (counts + ‱-grid floor divisions) — nothing to drift.
+    //
+    // Scale: one tokenize pass → ONE combinable (lang, tok) count →
+    // one |types|-sized count-of-counts fold; both shuffles shrink,
+    // nothing is corpus-sized after the first aggregate.
+    ("q218_good_turing",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("v_types"),
+            count(when(col("c") === 1L, 1)).as("n1"),
+            count(when(col("c") === 2L, 1)).as("n2"))
+          .select(col("lang"), col("n_tokens"), col("v_types"),
+            col("n1"), col("n2"),
+            expr("n1 * 10000 div n_tokens").as("p0_4"),
+            expr("10000 - n1 * 10000 div n_tokens").as("coverage4"),
+            (col("v_types") + expr("n1 * (n1 - 1) div (2 * (n2 + 1))"))
+              .as("chao1"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        tf AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT lang,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(*) AS v_types,
+            COUNT(CASE WHEN c = 1 THEN 1 END) AS n1,
+            COUNT(CASE WHEN c = 2 THEN 1 END) AS n2
+          FROM tf GROUP BY lang)
+        SELECT lang, n_tokens, v_types, n1, n2,
+          n1 * 10000 // n_tokens AS p0_4,
+          10000 - n1 * 10000 // n_tokens AS coverage4,
+          v_types + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1
+        FROM st ORDER BY lang"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
