@@ -1071,6 +1071,70 @@ object DedupSim {
              JOIN it b ON a.i = b.i AND b.t = 11 WHERE a.t = 12))
         SELECT kind, i, v FROM res ORDER BY kind, i"""
 
+  /** The DuckDB twin of [[pcaDeflation]] — two recursive walks in one
+    * WITH RECURSIVE; the shared stages are MATERIALIZED so the second
+    * recursion cannot re-expand the covariance chain per hop (the q189
+    * CTE-inlining lesson). */
+  private val pcaDeflationSql: String =
+    s"""WITH RECURSIVE $covGridCtes,
+        fullcov AS MATERIALIZED (SELECT i, j, cov6 FROM cov
+          UNION ALL SELECT j AS i, i AS j, cov6 FROM cov WHERE i <> j),
+        dims AS (SELECT DISTINCT i FROM fullcov),
+        it AS (
+          SELECT 0 AS t, i, CAST(1000000 AS BIGINT) AS vq,
+            CAST(0 AS BIGINT) AS mxw
+          FROM dims
+          UNION ALL
+          SELECT * FROM (
+            SELECT w.t, w.i,
+              CAST(floor(CAST(w.w AS DOUBLE) / (MAX(abs(w.w)) OVER ()) * 1e6
+                + 0.5) AS BIGINT) AS vq,
+              MAX(abs(w.w)) OVER () AS mxw
+            FROM (SELECT v.t + 1 AS t, f.i, SUM(f.cov6 * v.vq) AS w
+                  FROM it v JOIN fullcov f ON f.j = v.i
+                  WHERE v.t < 12 GROUP BY 1, 2) w) x),
+        v1 AS MATERIALIZED (SELECT i, vq FROM it WHERE t = 12),
+        lam1 AS MATERIALIZED (SELECT mxw // 1000000 AS eigen6 FROM it
+          WHERE t = 12 AND i = (SELECT MIN(i) FROM dims)),
+        defl AS MATERIALIZED (SELECT f.i, f.j,
+            f.cov6 - CAST(floor(CAST(l.eigen6 AS DOUBLE)
+              * CAST(a.vq AS DOUBLE) / 1e6
+              * CAST(b.vq AS DOUBLE) / 1e6 + 0.5) AS BIGINT) AS cov6
+          FROM fullcov f
+          JOIN v1 a ON a.i = f.i
+          JOIN v1 b ON b.i = f.j, lam1 l),
+        it2 AS (
+          SELECT 0 AS t, i, CAST(1000000 AS BIGINT) AS vq,
+            CAST(0 AS BIGINT) AS mxw
+          FROM dims
+          UNION ALL
+          SELECT * FROM (
+            SELECT w.t, w.i,
+              CAST(floor(CAST(w.w AS DOUBLE) / (MAX(abs(w.w)) OVER ()) * 1e6
+                + 0.5) AS BIGINT) AS vq,
+              MAX(abs(w.w)) OVER () AS mxw
+            FROM (SELECT v.t + 1 AS t, f.i, SUM(f.cov6 * v.vq) AS w
+                  FROM it2 v JOIN defl f ON f.j = v.i
+                  WHERE v.t < 12 GROUP BY 1, 2) w) x),
+        v2 AS (SELECT i, vq FROM it2 WHERE t = 12),
+        lam2 AS (SELECT mxw // 1000000 AS eigen6_2 FROM it2
+          WHERE t = 12 AND i = (SELECT MIN(i) FROM dims)),
+        tr AS (SELECT CAST(SUM(cov6) AS BIGINT) AS trace6 FROM cov
+          WHERE i = j),
+        dot AS (SELECT CAST(SUM(a.vq * b.vq) AS BIGINT) AS dot12
+          FROM v1 a JOIN v2 b ON a.i = b.i),
+        res AS (
+          SELECT 'pc2' AS kind, i, vq AS v FROM v2
+          UNION ALL SELECT 'eigen6_1', CAST(0 AS BIGINT), eigen6 FROM lam1
+          UNION ALL SELECT 'eigen6_2', CAST(0 AS BIGINT), eigen6_2 FROM lam2
+          UNION ALL SELECT 'trace6', CAST(0 AS BIGINT), trace6 FROM tr
+          UNION ALL SELECT 'evr4_1', CAST(0 AS BIGINT),
+            eigen6 * 10000 // trace6 FROM lam1, tr
+          UNION ALL SELECT 'evr4_2', CAST(0 AS BIGINT),
+            eigen6_2 * 10000 // trace6 FROM lam2, tr
+          UNION ALL SELECT 'dot12', CAST(0 AS BIGINT), dot12 FROM dot)
+        SELECT kind, i, v FROM res ORDER BY kind, i"""
+
 
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
@@ -3045,6 +3109,31 @@ object DedupSim {
       Some(pcaPowerSql))
   ,
 
+    // ---- PCA SECOND component by DEFLATION (Hotelling): subtract the
+    // rank-one term λ₁v₁v₁ᵀ from the covariance and power-iterate the
+    // residual — the top-2 subspace a dimension-drop or anisotropy-
+    // correction decision actually wants (is the space effectively
+    // 1-D, or does a second direction carry comparable mass?). The
+    // deflation term rides PER-ELEMENT IEEE ops from exactly-
+    // representable integers (λ6·vq_i/1e6·vq_j/1e6, every intermediate
+    // < 2^53), then floors back onto cov6's 1e-6 grid, so the residual
+    // matrix is integer-identical cross-engine and the second walk is
+    // the SAME powerLoop as q217's first — one engine, two components.
+    // Gate carries both eigenvalues, pc2 on the grid, evr4 of each,
+    // and the v₁·v₂ dot (orthogonality evidence on the gate: exact
+    // BIGINT, bounded by d·1e12 — near-0 means the deflation worked;
+    // rounding residue keeps it from being exactly 0, which also keeps
+    // the column non-vacuous).
+    //
+    // Scale: q217's argument twice — ONE corpus-sized covariance pass,
+    // then 24 d²-row iteration steps whose cost is independent of
+    // corpus size.
+    ("q219_pca_deflation",
+      (s: SparkSession, dir: String) =>
+        pcaDeflation(t(s, dir, "embeddings")),
+      Some(pcaDeflationSql))
+  ,
+
     // ---- kNN LABEL PROPAGATION eval (semi-supervised labeling over the
     // ANN machinery): new unlabeled points — planted as perturbed copies
     // of every 5th vector (first coordinate halved, id + 1e12), so the
@@ -4211,38 +4300,9 @@ object DedupSim {
     * seam PcaPowerSpec drives with a crafted exactly-diagonal corpus.
     * See the q217 catalog comment for semantics and the scale story. */
   private[graft] def pcaPowerIteration(emb: DataFrame): DataFrame = {
-    val ITERS = 12
     val covUp = covGridOf(emb)
-    val full = covUp.unionByName(covUp.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov6")))
-      .localCheckpoint()
-    var v = full.select(col("i")).distinct()
-      .select(col("i"), lit(1000000L).as("vq")).localCheckpoint()
-    var prev: DataFrame = null
-    var lastW: DataFrame = null
-    // ONE checkpoint barrier per iteration, not three: v is cut every
-    // step, so the double read of `w` inside a step (once under the
-    // 1-row max subtree, once on the main path) re-runs only a d²-row
-    // join+agg over checkpointed inputs — cheaper than two extra job
-    // barriers per step (A/B'd: 6.38 → 5.07 s sf0.1 / 13.20 → 9.38 sf1
-    // 3-run medians; the sf0.1 windows differ — cpu sentinel 0.289
-    // before vs 0.178 after — but the sf1 pair is clean at 0.248/0.193
-    // and 24 fewer job barriers is structural).
-    for (_ <- 1 to ITERS) {
-      val w = full
-        .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("cov6") * col("vq")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      val nv = w.crossJoin(broadcast(mx))
-        .select(col("i"),
-          floor(col("w").cast("double") / col("mx") * lit(1e6) + lit(0.5))
-            .cast("long").as("vq"))
-        .localCheckpoint()
-      lastW = w
-      if (prev != null) Scoped.free(prev)
-      prev = v
-      v = nv
-    }
+    val full = fullCovOf(covUp).localCheckpoint()
+    val (v, prev, lastW) = powerLoop(full)
     val trace = covUp.filter(col("i") === col("j"))
       .agg(sum(col("cov6")).as("trace6"))
     val eigen = lastW.agg(max(abs(col("w"))).as("mx"))
@@ -4267,6 +4327,101 @@ object DedupSim {
     val out = comp.unionByName(summary).unionByName(delta)
       .orderBy(col("kind"), col("i"))
     Scoped.releaseAfterUse(full, prev, v)
+    out
+  }
+
+  /** The symmetric full matrix of an upper-triangle covariance grid. */
+  private def fullCovOf(covUp: DataFrame): DataFrame =
+    covUp.unionByName(covUp.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov6")))
+
+  /** Twelve L∞-normalized power iterations over a CHECKPOINTED full
+    * matrix (i, j, cov6) — the shared engine of q217 (top component)
+    * and q219 (deflated second component). Returns (v_12, v_11, final
+    * w plan); the caller owns the storage lifecycle of the two
+    * checkpointed vectors.
+    *
+    * ONE checkpoint barrier per iteration, not three: v is cut every
+    * step, so the double read of `w` inside a step (once under the
+    * 1-row max subtree, once on the main path) re-runs only a d²-row
+    * join+agg over checkpointed inputs — cheaper than two extra job
+    * barriers per step (A/B'd: 6.38 → 5.07 s sf0.1 / 13.20 → 9.38 sf1
+    * 3-run medians; the sf0.1 windows differ — cpu sentinel 0.289
+    * before vs 0.178 after — but the sf1 pair is clean at 0.248/0.193
+    * and 24 fewer job barriers is structural). */
+  private def powerLoop(full: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    var v = full.select(col("i")).distinct()
+      .select(col("i"), lit(1000000L).as("vq")).localCheckpoint()
+    var prev: DataFrame = null
+    var lastW: DataFrame = null
+    for (_ <- 1 to 12) {
+      val w = full
+        .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("cov6") * col("vq")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      val nv = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          floor(col("w").cast("double") / col("mx") * lit(1e6) + lit(0.5))
+            .cast("long").as("vq"))
+        .localCheckpoint()
+      lastW = w
+      if (prev != null) Scoped.free(prev)
+      prev = v
+      v = nv
+    }
+    (v, prev, lastW)
+  }
+
+  /** q219's pipeline — deflate λ₁v₁v₁ᵀ out of the covariance on the
+    * exact cov6 grid, then run the SAME [[powerLoop]] on the residual.
+    * See the q219 catalog comment for semantics and grid arguments. */
+  private[graft] def pcaDeflation(emb: DataFrame): DataFrame = {
+    val covUp = covGridOf(emb)
+    val full1 = fullCovOf(covUp).localCheckpoint()
+    // prev1/prev2 stay live until the output is consumed: the final-step
+    // w plans (eig1/eig2) read them on every re-evaluation
+    val (v1, prev1, w1) = powerLoop(full1)
+    val eig1 = w1.agg(max(abs(col("w"))).as("mx"))
+      .select(expr("mx div 1000000").as("eigen6"))
+    val full2 = full1
+      .join(broadcast(v1.select(col("i"), col("vq").as("vqi"))), Seq("i"))
+      .join(broadcast(v1.select(col("i").as("j"), col("vq").as("vqj"))),
+        Seq("j"))
+      .crossJoin(broadcast(eig1))
+      .select(col("i"), col("j"),
+        (col("cov6") - floor(col("eigen6").cast("double") *
+          col("vqi").cast("double") / lit(1e6) *
+          col("vqj").cast("double") / lit(1e6) + lit(0.5)).cast("long"))
+          .as("cov6"))
+      .localCheckpoint()
+    val (v2, prev2, w2) = powerLoop(full2)
+    val trace = covUp.filter(col("i") === col("j"))
+      .agg(sum(col("cov6")).as("trace6"))
+    val eig2 = w2.agg(max(abs(col("w"))).as("mx"))
+      .select(expr("mx div 1000000").as("eigen6_2"))
+    val dot = v1.select(col("i"), col("vq").as("vq1"))
+      .join(v2.select(col("i"), col("vq").as("vq2")), Seq("i"))
+      .agg(sum(col("vq1") * col("vq2")).as("dot12"))
+    val comp2 = v2.select(lit("pc2").as("kind"), col("i"), col("vq").as("v"))
+    val summary = eig1.crossJoin(eig2).crossJoin(trace).crossJoin(dot)
+      .select(array(
+          struct(lit("eigen6_1").as("kind"), lit(0L).as("i"),
+            col("eigen6").as("v")),
+          struct(lit("eigen6_2").as("kind"), lit(0L).as("i"),
+            col("eigen6_2").as("v")),
+          struct(lit("trace6").as("kind"), lit(0L).as("i"),
+            col("trace6").as("v")),
+          struct(lit("evr4_1").as("kind"), lit(0L).as("i"),
+            expr("eigen6 * 10000 div trace6").as("v")),
+          struct(lit("evr4_2").as("kind"), lit(0L).as("i"),
+            expr("eigen6_2 * 10000 div trace6").as("v")),
+          struct(lit("dot12").as("kind"), lit(0L).as("i"),
+            col("dot12").as("v"))).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.kind").as("kind"), col("r.i").as("i"),
+        col("r.v").as("v"))
+    val out = comp2.unionByName(summary).orderBy(col("kind"), col("i"))
+    Scoped.releaseAfterUse(full1, full2, v1, v2, prev1, prev2)
     out
   }
 

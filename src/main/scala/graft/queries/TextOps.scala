@@ -3567,7 +3567,54 @@ object TextOps {
           n1 * 10000 // n_tokens AS p0_4,
           10000 - n1 * 10000 // n_tokens AS coverage4,
           v_types + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1
-        FROM st ORDER BY lang"""))
+        FROM st ORDER BY lang""")),
+
+    // ---- ORDER-INVARIANT dataset checksum (reproducibility audit):
+    // per source and for the whole table, a content fingerprint that is
+    // identical under ANY row order or file layout — the verification
+    // step after every maintenance operation the catalog models
+    // (compaction q159, Z-order q87, CDC upsert q86, GDPR erasure
+    // q153, snapshot diff q160): "same bytes, different layout" must be
+    // checkable without a sort. Row canonical form = doc_id : md5(text)
+    // : lang hashed to 32 bits; the per-group state is four commutative
+    // + associative folds (SUM, XOR, MIN, MAX of row hashes) plus the
+    // count — SUM and XOR catch complementary corruption classes (XOR
+    // misses even-multiplicity duplication, SUM misses compensating
+    // swaps; together with count they pin multiset equality to hash
+    // strength). All integer; at fixture scales Σh < 2^63 with room (a
+    // 100 TB deployment sums mod 2^61 — noted, not needed here).
+    //
+    // Scale: ONE map-side combinable pass; state is O(|sources|) rows
+    // of five longs, the cheapest audit in the catalog. ROLLUP gives
+    // the table-level row in the same pass.
+    ("q220_dataset_checksum",
+      (s: SparkSession, dir: String) => {
+        val rows = t(s, dir, "documents").select(col("source"),
+          hash32(concat_ws(":", col("doc_id").cast("string"),
+            md5(col("text")), col("lang"))).as("h"))
+        rows.rollup(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h")).as("sum_h"),
+            expr("bit_xor(h)").as("xor_h"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"))
+          .select(coalesce(col("source"), lit("ALL")).as("source"),
+            col("n_rows"), col("sum_h"), col("xor_h"),
+            col("min_h"), col("max_h"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (SELECT source,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              md5(text) || ':' || lang), 1, 8))::BIGINT AS h
+          FROM documents),
+        g AS (SELECT source, COUNT(*) AS n_rows,
+            CAST(SUM(h) AS BIGINT) AS sum_h,
+            bit_xor(h) AS xor_h,
+            MIN(h) AS min_h, MAX(h) AS max_h
+          FROM r GROUP BY ROLLUP(source))
+        SELECT COALESCE(source, 'ALL') AS source, n_rows, sum_h, xor_h,
+          min_h, max_h
+        FROM g ORDER BY source"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin

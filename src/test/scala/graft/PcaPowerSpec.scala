@@ -33,4 +33,26 @@ class PcaPowerSpec extends SparkSpec {
     assert(rows(("evr4", 0L)) === 8000L) // λ/tr = 0.8 on the ‱ grid
     assert(rows(("delta", 0L)) === 0L, "twelve steps must reach the fixed point")
   }
+
+  test("q219 deflation recovers the known second eigenpair") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(-2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.queries.DedupSim.pcaDeflation(emb)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // deflating λ₁v₁v₁ᵀ = 2·e₁e₁ᵀ off diag(2, 0.5) leaves exactly
+    // diag(0, 0.5): pc2 = e₂, λ₂ = 0.5, v₁·v₂ = 0 exactly
+    assert(rows(("eigen6_1", 0L)) === 2000000L)
+    assert(rows(("pc2", 1L)) === 0L, "pc2 must be orthogonal to e1")
+    assert(rows(("pc2", 2L)) === 1000000L, "pc2 must align with e2")
+    assert(rows(("eigen6_2", 0L)) === 500000L) // λ₂ = 0.5
+    assert(rows(("evr4_1", 0L)) === 8000L)
+    assert(rows(("evr4_2", 0L)) === 2000L) // 0.5/2.5 on the ‱ grid
+    assert(rows(("dot12", 0L)) === 0L)
+  }
 }
