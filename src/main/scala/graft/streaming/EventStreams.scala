@@ -507,6 +507,31 @@ object EventStreams {
     * md5-derived [[graft.core.Portable.hash32]] family as the batch
     * sketch, so stream and batch counters are bit-identical on the same
     * data (pinned by StreamingSpec). */
+  /** Streaming dataset checksum — q220 at ingest: per (window, source)
+    * the SAME order-invariant content fingerprint the batch audit
+    * computes (count + SUM/XOR/MIN/MAX of canonical row hashes — ONE
+    * shared hash definition, [[graft.queries.TextOps.checksumHash]]),
+    * maintained as a watermarked windowed aggregate. Every fold is
+    * commutative + associative, so late arrivals merge into their
+    * window and per-shard stream states union at 100 TB exactly like
+    * the batch ones; a drift between the stream-maintained checksum
+    * and a batch recompute localizes corruption to a (window, source)
+    * cell without re-reading anything else. State is windows-in-flight
+    * × |sources| five-long rows. StreamingSpec pins stream == batch
+    * (including out-of-order arrival) on a shared fixture. */
+  def checksumStream(docs: DataFrame, window: String = "1 hour",
+      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .select(col("ts"), col("source"),
+        graft.queries.TextOps.checksumHash(
+          col("doc_id"), col("text"), col("lang")).as("h"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("sum_h"),
+        expr("bit_xor(h)").as("xor_h"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+
   def cmSketchStream(docs: DataFrame, window: String = "1 hour",
       horizon: String = "1 hour"): DataFrame =
     docs

@@ -408,5 +408,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- q220: the checksum is ORDER-INVARIANT by construction — any
+  // row order, any partitioning, any file layout must fingerprint
+  // identically (that invariance is the operator's whole point; a
+  // non-commutative fold sneaking into the agg list breaks this first)
+  test("q220 checksum: invariant under shuffle and repartitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, s"text body $i ${"x" * (i % 7).toInt}",
+        if (i % 3 == 0) "de" else "en",
+        if (i % 2 == 0) "web" else "wiki"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = SparkEntry.queries("q220_dataset_checksum")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // rewrite the same rows hash-scrambled and highly fragmented: the
+    // fingerprint must not move
+    docs.orderBy(md5(col("doc_id").cast("string"))).repartition(17)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scrambled = SparkEntry.queries("q220_dataset_checksum")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(scrambled === base,
+      "checksum must be identical under any row order / file layout")
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }

@@ -320,6 +320,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (d, c, _) => d >= 0 && d < 4 && c >= 0 && c < 256 })
   }
 
+  test("checksumStream: windowed fingerprints equal the batch audit, out-of-order safe") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "en", "web", ts(0)),
+      (2L, "gamma delta", "en", "web", ts(10)),
+      (3L, "epsilon", "de", "wiki", ts(20)),
+      (4L, "zeta eta theta", "en", "web", ts(5))) // arrives LAST, lands in-window
+    val mem = MemoryStream[(Long, String, String, String, Timestamp)]
+    mem.addData(docs.take(3): _*)
+    mem.addData(docs.drop(3): _*)
+    val q = EventStreams.checksumStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "ts"))
+      .writeStream.format("memory").queryName("checksum_stream")
+      .outputMode(OutputMode.Update()).start()
+    runToCompletion(q)
+    // latest update per (window, source) is the final state
+    val streamed = spark.table("checksum_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window"), col("source"))
+          .orderBy(desc("n_rows"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_rows"), col("sum_h"), col("xor_h"),
+        col("min_h"), col("max_h"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = docs.toDF("doc_id", "text", "lang", "source", "ts")
+      .select(col("source"), graft.queries.TextOps.checksumHash(
+        col("doc_id"), col("text"), col("lang")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("sum_h"),
+        expr("bit_xor(h)").as("xor_h"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed === batch,
+      "stream-maintained checksums must equal the batch audit per source")
+  }
+
   test("cdcChunkStream: ingest-time chunk dedup matches the batch chunker") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
