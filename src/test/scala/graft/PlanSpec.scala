@@ -158,6 +158,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q108_cm_heavy_hitters").contains("BroadcastHashJoin"))
   }
 
+  test("q108: the depth-4 fan-out reads the pre-aggregated term table, not the corpus") {
+    // the r18 shape: ONE tokenize pass into a checkpointed (tok, cnt)
+    // table; the sketch build explodes THAT (vocab-sized) and the probe
+    // ranks from it — a corpus parquet scan inside this plan means the
+    // per-token ×4 fan-out regressed (sf1: 2.8 s vs 10.7 s shapes)
+    val p = plan("q108_cm_heavy_hitters")
+    assert(!p.contains("Scan parquet"),
+      "corpus re-scan inside the q108 plan:\n" + p.take(1200))
+    assert("ExistingRDD".r.findAllIn(p).size >= 2,
+      "both consumers must read the checkpointed term table:\n" + p.take(1200))
+  }
+
   test("q126: widened simhash pairing keeps q34's fused-hamming bucket join") {
     val p = plan("q126_simhash_pairs_w64")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
