@@ -416,6 +416,84 @@ object CorpusSearch {
         SELECT CAST(len(links) AS BIGINT) AS degree, COUNT(*) AS n_pages
         FROM g GROUP BY 1 ORDER BY degree""")),
 
+    // ---- degree ASSORTATIVITY + reciprocity (Newman 2002): does the
+    // link graph wire hubs to hubs (assortative, r > 0) or hubs to leaves
+    // (disassortative, r < 0), and how often is a directed edge
+    // reciprocated — the two structural coefficients a graph-shape audit
+    // reads next after q73's degree histogram (same edge semantics:
+    // distinct, dead-link-rejected). r is the Pearson correlation of
+    // (outdeg(src), indeg(dst)) over edges, computed from SIX exact
+    // BIGINT moments (the covariance-numerator trick: M·Σjk − Σj·Σk —
+    // partition order cannot move a bit) with ONE final IEEE
+    // division/sqrt onto the ‱ grid; reciprocity is an integer ratio.
+    // At fixture scales every moment fits BIGINT with headroom (max term
+    // M·Σj² ≈ 2e18 at sf1); a 100 TB run moves the final moment products
+    // to double after the same exact per-group folds.
+    //
+    // Scale: degrees are two shrinking combinable aggregates; the
+    // moments are ONE combinable fold over edges joined to two
+    // broadcast-able degree tables; reciprocity is a self-semi-join on
+    // the edge key (co-partitioned with edges) — nothing super-linear.
+    ("q222_degree_assortativity",
+      (s: SparkSession, dir: String) => {
+        val raw = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst"))
+        val titles = raw.select(col("src").as("v")).distinct().localCheckpoint()
+        val edges = raw
+          .join(titles.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).distinct().localCheckpoint()
+        val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("j"))
+        val ind = edges.groupBy(col("dst")).agg(count(lit(1)).as("k"))
+        val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+        val mutual = edges.join(rev, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("mutual"))
+        val mo = edges.join(outd, Seq("src")).join(ind, Seq("dst"))
+          .agg(count(lit(1)).as("m_edges"),
+            sum(col("j")).as("sum_j"), sum(col("k")).as("sum_k"),
+            sum(col("j") * col("k")).as("sum_jk"),
+            sum(col("j") * col("j")).as("sum_j2"),
+            sum(col("k") * col("k")).as("sum_k2"))
+        val out = mo.crossJoin(mutual)
+          .select(col("m_edges"), col("sum_j"), col("sum_k"), col("sum_jk"),
+            col("sum_j2"), col("sum_k2"), col("mutual"),
+            floor((col("m_edges") * col("sum_jk") - col("sum_j") * col("sum_k"))
+                .cast("double")
+              / sqrt((col("m_edges") * col("sum_j2") - col("sum_j") * col("sum_j"))
+                  .cast("double")
+                * (col("m_edges") * col("sum_k2") - col("sum_k") * col("sum_k"))
+                  .cast("double")) * lit(1e4) + lit(0.5))
+              .cast("long").as("assort4"),
+            expr("mutual * 10000 div m_edges").as("recip4"))
+        Scoped.releaseAfterUse(titles, edges)
+        out
+      },
+      Some("""WITH raw AS (SELECT l_orderkey % 997 AS src,
+            l_partkey % 1200 AS dst FROM lineitem),
+        titles AS (SELECT DISTINCT src AS v FROM raw),
+        edges AS (SELECT DISTINCT src, dst FROM raw
+          WHERE dst IN (SELECT v FROM titles)),
+        outd AS (SELECT src, COUNT(*) AS j FROM edges GROUP BY src),
+        ind AS (SELECT dst, COUNT(*) AS k FROM edges GROUP BY dst),
+        ej AS (SELECT e.src, e.dst, o.j, i.k FROM edges e
+          JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst),
+        mo AS (SELECT COUNT(*) AS m_edges,
+            CAST(SUM(j) AS BIGINT) AS sum_j, CAST(SUM(k) AS BIGINT) AS sum_k,
+            CAST(SUM(j * k) AS BIGINT) AS sum_jk,
+            CAST(SUM(j * j) AS BIGINT) AS sum_j2,
+            CAST(SUM(k * k) AS BIGINT) AS sum_k2
+          FROM ej),
+        mu AS (SELECT COUNT(*) AS mutual FROM edges e
+          WHERE EXISTS (SELECT 1 FROM edges r
+            WHERE r.src = e.dst AND r.dst = e.src))
+        SELECT m_edges, sum_j, sum_k, sum_jk, sum_j2, sum_k2, mutual,
+          CAST(floor(CAST(m_edges * sum_jk - sum_j * sum_k AS DOUBLE)
+            / sqrt(CAST(m_edges * sum_j2 - sum_j * sum_j AS DOUBLE)
+              * CAST(m_edges * sum_k2 - sum_k * sum_k AS DOUBLE))
+            * 1e4 + 0.5) AS BIGINT) AS assort4,
+          mutual * 10000 // m_edges AS recip4
+        FROM mo, mu""")),
+
     // ---- hash-checked iterative PageRank: exactly 10 power iterations
     // (the reference's minimum, which is also where this graph converges)
     // with per-iteration 1e-9 quantization so both engines stay on the
@@ -542,6 +620,157 @@ object CorpusSearch {
         s"""$nationPrRecursiveCtes
         SELECT title, ROUND(pr, 6) AS pr, CAST($it AS BIGINT) AS iterations
         FROM pr WHERE iter = $it ORDER BY title"""
+      }),
+
+    // ---- INCREMENTAL PageRank (warm-start re-rank after an edge
+    // delta): the production shape of the reference's flagship — a
+    // daily crawl adds links; re-ranking from the PREVIOUS converged
+    // ranks reaches a settled state in a fraction of the from-scratch
+    // iterations, because the perturbation is local and the old ranks
+    // are already near the new fixed point. Two new edges (n3→n17,
+    // n11→n5 — absent from the base adjacency by construction, targets
+    // existing) are injected into the nation fixture; the warm walk
+    // runs EXACTLY 4 quantized iterations (the q29 1e-9-grid
+    // discipline) from the 1e-9-quantized q25 base ranks, and a cold
+    // walk runs the same 4 iterations from the uniform init. The gate
+    // carries the warm ranks (1e-6 grid) AND both walks' settle
+    // counters Σ⌊|pr₄ − pr₃|·10⁹⌋ — warm ≪ cold is the measured claim,
+    // on the gate itself, not in prose. Oracle: THREE recursive walks
+    // in one WITH RECURSIVE (the q25 base chain verbatim, then the
+    // delta graph rebuilt through the same CTE shapes, then
+    // warm + cold quantized walks — the q219 multi-recursion pattern).
+    //
+    // Scale: at 100 TB the delta graph is built by patching the
+    // adjacency of TOUCHED vertices only (here the fixture rebuild is
+    // fixture-sized); each warm iteration is the same one-shuffle step
+    // as q25/q29, and the win is ITERATION COUNT — the warm walk stops
+    // at the convergence gate several rounds earlier, which is the
+    // whole-cluster cost that matters.
+    ("q221_incremental_pagerank",
+      (s: SparkSession, dir: String) => {
+        val g1 = GraphBuilder.build(nationGraphDocs(s, dir))
+        val base = PageRank.run(g1)
+        val baseQ = base.graph
+          .select(col("title"), (floor(col("pr") * 1e9 + 0.5) / 1e9).as("pr"))
+          .localCheckpoint()
+        base.release()
+        val docs2 = nationGraphDocs(s, dir).withColumn("links",
+          when(col("title") === "n3", concat(col("links"), array(lit("n17"))))
+            .when(col("title") === "n11", concat(col("links"), array(lit("n5"))))
+            .otherwise(col("links")))
+        val g2 = GraphBuilder.build(docs2).localCheckpoint()
+        val n = g2.count()
+        val edges = g2.select(col("title").as("src"),
+          explode(col("links")).as("dst"), size(col("links")).as("outdeg"))
+          .localCheckpoint()
+        // 4 fixed iterations on the 1e-9 grid (q29's step shape); returns
+        // (pr after 4, pr after 3) for the settle counter
+        def walk(init: DataFrame): (DataFrame, DataFrame) = {
+          var pr = init
+          var pr3: DataFrame = null
+          for (i <- 1 to 4) {
+            val mass = edges.join(pr.withColumnRenamed("title", "src"), Seq("src"))
+              .groupBy(col("dst").as("title"))
+              .agg(sum(col("pr") / col("outdeg")).as("mass"))
+            val next = g2.select(col("title"))
+              .join(mass, Seq("title"), "left_outer")
+              .select(col("title"),
+                (floor((lit(0.15) / n + lit(0.85) * coalesce(col("mass"), lit(0.0)))
+                  * 1e9 + 0.5) / 1e9).as("pr"))
+              .localCheckpoint()
+            if (i >= 2 && (pr ne pr3) && (pr ne init)) Scoped.free(pr)
+            if (i == 3) pr3 = next
+            pr = next
+          }
+          (pr, pr3)
+        }
+        val (w4, w3) = walk(baseQ)
+        val (c4, c3) = walk(g2.select(col("title"), lit(1.0).as("pr")))
+        def settle(a: DataFrame, b: DataFrame, kind: String) = a
+          .join(b.select(col("title"), col("pr").as("prev")), Seq("title"))
+          .agg(sum(floor(abs(col("pr") - col("prev")) * 1e9 + 0.5).cast("long"))
+            .as("v"))
+          .select(lit(kind).as("kind"), lit("ALL").as("title"), col("v"))
+        val warmRows = w4.select(lit("warm").as("kind"), col("title"),
+          floor(col("pr") * 1e6 + 0.5).cast("long").as("v"))
+        val out = warmRows
+          .unionByName(settle(w4, w3, "warm_settle"))
+          .unionByName(settle(c4, c3, "cold_settle"))
+          .orderBy(col("kind"), col("title"))
+        Scoped.releaseAfterUse(baseQ, g2, edges, w4, w3, c4, c3)
+        out
+      },
+      Some {
+        val it = NationFixtureIterations
+        s"""$nationPrRecursiveCtes,
+        docs2 AS (SELECT title,
+            CASE WHEN title = 'n3' THEN list_append(links, 'n17')
+                 WHEN title = 'n11' THEN list_append(links, 'n5')
+                 ELSE links END AS links
+          FROM docs),
+        rawedges2 AS (SELECT title AS src, unnest(links) AS dst FROM docs2),
+        realedges2 AS (SELECT DISTINCT src, dst FROM rawedges2
+                       WHERE dst IN (SELECT title FROM titles)),
+        adj2 AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                 FROM realedges2 GROUP BY 1),
+        g2 AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj2 a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        verts2 AS (SELECT title FROM g2),
+        nn2 AS (SELECT COUNT(*) AS n FROM g2),
+        edges2b AS (SELECT title AS src, unnest(links) AS dst,
+            len(links) AS outdeg FROM g2),
+        wzero AS (SELECT title, floor(pr * 1e9 + 0.5) / 1e9 AS pr
+          FROM pr WHERE iter = $it),
+        wpr AS (
+          SELECT 0 AS t, title, pr FROM wzero
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.t, MAX(m.t) OVER ()) AS INT) AS t,
+              v.title,
+              floor((0.15 / (SELECT n FROM nn2)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1e9 + 0.5)
+                / 1e9 AS pr
+            FROM verts2 v LEFT JOIN (
+              SELECT p.t + 1 AS t, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM wpr p JOIN edges2b e ON p.title = e.src
+              WHERE p.t < 4 GROUP BY 1, 2) m
+            ON v.title = m.title) x
+          WHERE x.t IS NOT NULL),
+        cpr AS (
+          SELECT 0 AS t, title, CAST(1.0 AS DOUBLE) AS pr FROM g2
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.t, MAX(m.t) OVER ()) AS INT) AS t,
+              v.title,
+              floor((0.15 / (SELECT n FROM nn2)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE))) * 1e9 + 0.5)
+                / 1e9 AS pr
+            FROM verts2 v LEFT JOIN (
+              SELECT p.t + 1 AS t, e.dst AS title, SUM(p.pr / e.outdeg) AS mass
+              FROM cpr p JOIN edges2b e ON p.title = e.src
+              WHERE p.t < 4 GROUP BY 1, 2) m
+            ON v.title = m.title) x
+          WHERE x.t IS NOT NULL),
+        res AS (
+          SELECT 'warm' AS kind, title,
+            CAST(floor(pr * 1e6 + 0.5) AS BIGINT) AS v FROM wpr WHERE t = 4
+          UNION ALL
+          SELECT 'warm_settle', 'ALL',
+            CAST(SUM(CAST(floor(abs(a.pr - b.pr) * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT)
+          FROM wpr a JOIN wpr b ON a.title = b.title AND b.t = 3
+          WHERE a.t = 4
+          UNION ALL
+          SELECT 'cold_settle', 'ALL',
+            CAST(SUM(CAST(floor(abs(a.pr - b.pr) * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT)
+          FROM cpr a JOIN cpr b ON a.title = b.title AND b.t = 3
+          WHERE a.t = 4)
+        SELECT kind, title, v FROM res ORDER BY kind, title"""
       }),
 
     // ---- PERSONALIZED PageRank: teleport mass lands only on a seed set
