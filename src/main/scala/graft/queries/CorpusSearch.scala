@@ -151,6 +151,147 @@ object CorpusSearch {
           WHERE x.iter IS NOT NULL)
         SELECT title, pr FROM pr WHERE iter = 10 ORDER BY title"""
 
+  /** HyperBall register walk over the key graph — q212's pinned byte-
+    * vector shape (see the q212 catalog header for the A/B record): one
+    * 64-byte register vector per vertex, max-merged along edges per hop
+    * in a typed reduceGroups, exploded to (v, reg, r) rows per hop for
+    * the SQL-side estimator arithmetic. Monotone fixed-point early-stop
+    * via the (occupied cells, exact Σ 2^(27−r)) digest: once the state
+    * saturates, later hop entries are the SAME DataFrame handle (values
+    * equal by definition — the oracle computes every hop explicitly, so
+    * parity holds). Returns the four per-hop row tables s0..s3, each
+    * localCheckpoint'ed — the CALLER owns their release (over distinct
+    * handles only) — paired with its (occupied cells, Σ 2^(27−r))
+    * digest so consumers read occupancy without re-aggregating. Shared
+    * by q212 (neighborhood function) and q223 (harmonic centrality):
+    * one walk, two gated surfaces. */
+  private def hyperballHopRows(s: SparkSession, dir: String)
+      : IndexedSeq[(DataFrame, (Long, Long))] = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val edges = li.select((col("l_orderkey") % 997).as("src"),
+      (col("l_partkey") % 997).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val verts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    Scoped.releaseAfterUse(edges, verts)
+    // R_0: each vertex's own 32-bit md5 hash → (register, rank)
+    val init = verts
+      .select(col("v"), graft.core.Portable.hash32(col("v").cast("string")).as("h"))
+      .select(col("v"), (col("h") % 64).as("reg"), expr("h div 64").as("w"))
+      .select(col("v"), col("reg"),
+        when(col("w") === 0L, lit(27L))
+          .otherwise(lit(27L) - length(expr("bin(w)"))).as("r"))
+    def mergeB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = a.clone()
+      var j = 0
+      while (j < 64) { if (b(j) > out(j)) out(j) = b(j); j += 1 }
+      out
+    }
+    def rowsOf(state: DataFrame): DataFrame = state
+      .as[(Long, Array[Byte])]
+      .flatMap { case (v, regs) =>
+        regs.iterator.zipWithIndex
+          .collect { case (r, j) if r != 0 => (v, j.toLong, r.toLong) }
+      }.toDF("v", "reg", "r")
+    // (occupied cells, exact Σ 2^(27−r)) is a perfect state digest
+    // under max-merge monotonicity: cells are only ever added (occ
+    // fixed ⇒ same cell set) and each cell's 2^(27−r) term strictly
+    // decreases when its r rises (sum fixed over the same cells ⇒
+    // every cell unchanged) — so digest-equal ⇔ state-identical.
+    def digestOf(rs: DataFrame): (Long, Long) = {
+      val row = rs.agg(count(lit(1)),
+        sum(expr("shiftleft(1L, cast(27 - r as int))"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var state = init.as[(Long, Long, Long)]
+      .map { case (v, reg, r) =>
+        val regs = new Array[Byte](64); regs(reg.toInt) = r.toByte
+        (v, regs)
+      }.toDF("v", "regs").localCheckpoint()
+    val r0 = rowsOf(state).localCheckpoint()
+    val hops = scala.collection.mutable.ArrayBuffer((r0, digestOf(r0)))
+    var fixed = false
+    for (_ <- 1 to 3) {
+      if (!fixed) {
+        val nextState = state.union(
+          edges.join(state.withColumnRenamed("v", "dst"), Seq("dst"))
+            .select(col("src").as("v"), col("regs")))
+          .as[(Long, Array[Byte])]
+          .groupByKey(_._1)
+          .reduceGroups((x, y) => (x._1, mergeB(x._2, y._2)))
+          .map { case (v, (_, regs)) => (v, regs) }
+          .toDF("v", "regs")
+          .localCheckpoint()
+        Scoped.free(state); state = nextState
+        val rn = rowsOf(state).localCheckpoint()
+        val nextDig = digestOf(rn)
+        fixed = nextDig == hops.last._2
+        hops += ((rn, nextDig))
+      } else hops += hops.last
+    }
+    Scoped.free(state)
+    hops.toIndexedSeq
+  }
+
+  /** Shared constant of the hyperball estimator: alpha_64 = 0.709;
+    * C = a·64²·2^27 (17-digit literal, bit-identical cross-engine). */
+  private val HyperballC = "389776872046.59198"
+
+  /** Per-vertex corrected-HLL estimate of a hop's (v, reg, r) row
+    * table — raw C/S switched to linear counting m·ln(m/V) in the
+    * small range (|B(v,0)| = 1 always sits there; ln parity is the
+    * pinned q187/q191 discipline); one estimate column named `name`. */
+  private def hyperballEstCol(rs: DataFrame, name: String): DataFrame = rs
+    .groupBy(col("v"))
+    .agg(count(lit(1)).as("hit"),
+      sum(expr("shiftleft(1L, cast(27 - r as int))")).as("sh"))
+    .select(col("v"),
+      (lit(HyperballC).cast("double")
+        / (col("sh") + (lit(64L) - col("hit")) * lit(1L << 27))
+          .cast("double")).as("raw"),
+      (lit(64L) - col("hit")).as("vz"))
+    .select(col("v"), floor(
+      when(col("vz") > 0L && col("raw") <= 160.0,
+        lit(64.0) * log(lit(64.0) / col("vz").cast("double")))
+        .otherwise(col("raw")) + 0.5).cast("long").as(name))
+
+  /** DuckDB CTE prefix shared by the q212 and q223 oracles: the key
+    * graph (edges/verts), the hash init, and the four unrolled
+    * MATERIALIZED register-state hops s0..s3 (the q189 lesson: chained
+    * CTEs referenced twice must pin). */
+  private val hyperballCtes: String =
+    """edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997),
+        verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+          SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+        h AS (SELECT v,
+            ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM verts),
+        s0 AS MATERIALIZED (SELECT v, hv % 64 AS reg,
+            CASE WHEN hv // 64 = 0 THEN 27
+                 ELSE 27 - len(bin(hv // 64)) END AS r
+          FROM h),
+        s1 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s0
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s0 s ON s.v = e.dst)
+          GROUP BY 1, 2),
+        s2 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s1
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s1 s ON s.v = e.dst)
+          GROUP BY 1, 2),
+        s3 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
+            SELECT * FROM s2
+            UNION ALL
+            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s2 s ON s.v = e.dst)
+          GROUP BY 1, 2)"""
+
+
   val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- flagship: tf-idf search over the document corpus (ref
@@ -1717,149 +1858,21 @@ object CorpusSearch {
     // (the q189 lesson: chained CTEs referenced twice must pin).
     ("q212_anf_hyperball",
       (s: SparkSession, dir: String) => {
-        val C = "389776872046.59198" // alpha_64 = 0.709; C = a·64²·2^27
-        val li = t(s, dir, "lineitem")
-        val edges = li.select((col("l_orderkey") % 997).as("src"),
-          (col("l_partkey") % 997).as("dst"))
-          .filter(col("src") =!= col("dst")).distinct()
-          .localCheckpoint()
-        val verts = edges.select(col("src").as("v"))
-          .union(edges.select(col("dst").as("v"))).distinct()
-          .localCheckpoint()
-        Scoped.releaseAfterUse(edges, verts)
-        // R_0: each vertex's own 32-bit md5 hash → (register, rank)
-        val init = verts
-          .select(col("v"), graft.core.Portable.hash32(col("v").cast("string")).as("h"))
-          .select(col("v"), (col("h") % 64).as("reg"), expr("h div 64").as("w"))
-          .select(col("v"), col("reg"),
-            when(col("w") === 0L, lit(27L))
-              .otherwise(lit(27L) - length(expr("bin(w)"))).as("r"))
-        // per-hop totals are 1-long driver pulls (the I3 pattern) —
-        // pulling eagerly lets each hop's superseded checkpoint be freed
-        // immediately; a lazy union over all four hops would read hop-0
-        // state after its blocks were released
-        // corrected HLL estimator, per vertex: raw C/S, switched to
-        // linear counting m·ln(m/V) in the small range (V = empty
-        // registers > 0 AND raw ≤ 2.5·m) — a 1-element sketch's raw
-        // estimate is ~45× high, and |B(v, 0)| = 1 ALWAYS sits there;
-        // ln cross-engine parity is the pinned q187/q191 discipline,
-        // and the branch condition compares bit-identical doubles
-        def estOf(state: DataFrame): Long = state
-          .groupBy(col("v"))
-          .agg(count(lit(1)).as("hit"),
-            sum(expr("shiftleft(1L, cast(27 - r as int))")).as("sh"))
-          .select(
-            (lit(C).cast("double")
-              / (col("sh") + (lit(64L) - col("hit")) * lit(1L << 27))
-                .cast("double")).as("raw"),
-            (lit(64L) - col("hit")).as("vz"))
-          .select(floor(
-            when(col("vz") > 0L && col("raw") <= 160.0,
-              lit(64.0) * log(lit(64.0) / col("vz").cast("double")))
-              .otherwise(col("raw")) + 0.5).cast("long").as("est"))
-          .agg(sum(col("est"))).head().getLong(0)
-        // (occupied cells, exact Σ 2^(27−r)) is a perfect state digest
-        // under max-merge monotonicity: cells are only ever added (occ
-        // fixed ⇒ same cell set) and each cell's 2^(27−r) term strictly
-        // decreases when its r rises (sum fixed over the same cells ⇒
-        // every cell unchanged) — so digest-equal ⇔ state-identical,
-        // with no bet on the estimate's floor grid masking a change.
-        def digestOf(state: DataFrame): (Long, Long) = {
-          val row = state.agg(count(lit(1)),
-            sum(expr("shiftleft(1L, cast(27 - r as int))"))).head()
-          (row.getLong(0), row.getLong(1))
-        }
         import s.implicits._
-        // HyperBall's actual state shape: ONE 64-byte register vector
-        // per vertex (ranks fit a byte), merged bytewise in a typed
-        // reduceGroups — per hop the edge join emits |E| rows of 64
-        // BYTES instead of |E|·(occupied registers) rows of three
-        // longs, and the bytewise max is a combinable JVM reduce (the
-        // first cut used the row-per-register shape: 12.5 → 5.5 s at
-        // sf0.1, SCALING.md r17). Registers EXPLODE back to (v, reg, r)
-        // rows only for the per-hop estimate/digest (|V|·64 rows —
-        // trivial), so the double/ln arithmetic stays in Spark SQL,
-        // bit-matched to the oracle.
-        def mergeB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-          val out = a.clone()
-          var j = 0
-          while (j < 64) { if (b(j) > out(j)) out(j) = b(j); j += 1 }
-          out
+        // the walk, byte-vector state, per-hop row tables + fixed-point
+        // padding all live in [[hyperballHopRows]] (shared with q223)
+        val hops = hyperballHopRows(s, dir)
+        // per-hop totals are 1-long driver pulls (the I3 pattern);
+        // occupancy comes free with the walk's own digest
+        val rows = hops.zipWithIndex.map { case ((rs, dig), tHop) =>
+          val est = hyperballEstCol(rs, "est")
+            .agg(sum(col("est"))).head().getLong(0)
+          (tHop.toLong, est, dig._1)
         }
-        def rowsOf(state: DataFrame): DataFrame = state
-          .as[(Long, Array[Byte])]
-          .flatMap { case (v, regs) =>
-            regs.iterator.zipWithIndex
-              .collect { case (r, j) if r != 0 => (v, j.toLong, r.toLong) }
-          }.toDF("v", "reg", "r")
-        var state = init.as[(Long, Long, Long)]
-          .map { case (v, reg, r) =>
-            val regs = new Array[Byte](64); regs(reg.toInt) = r.toByte
-            (v, regs)
-          }.toDF("v", "regs").localCheckpoint()
-        var rs = rowsOf(state).localCheckpoint()
-        var dig = digestOf(rs)
-        val rows = scala.collection.mutable.ArrayBuffer(
-          (0L, estOf(rs), dig._1))
-        Scoped.free(rs)
-        var tHop = 1
-        // max-merge is monotone: once the register state reaches its
-        // fixed point every later hop is identical, so the remaining
-        // |E|-wide joins are pure waste on graphs whose balls saturate
-        // early. The oracle computes every hop; at a fixed point the
-        // values are equal by definition, so parity holds.
-        var fixed = false
-        while (tHop <= 3 && !fixed) {
-          val nextState = state.union(
-            edges.join(state.withColumnRenamed("v", "dst"), Seq("dst"))
-              .select(col("src").as("v"), col("regs")))
-            .as[(Long, Array[Byte])]
-            .groupByKey(_._1)
-            .reduceGroups((x, y) => (x._1, mergeB(x._2, y._2)))
-            .map { case (v, (_, regs)) => (v, regs) }
-            .toDF("v", "regs")
-            .localCheckpoint()
-          Scoped.free(state); state = nextState
-          rs = rowsOf(state).localCheckpoint()
-          val nextDig = digestOf(rs)
-          rows += ((tHop.toLong, estOf(rs), nextDig._1))
-          Scoped.free(rs)
-          fixed = nextDig == dig
-          dig = nextDig
-          tHop += 1
-        }
-        while (tHop <= 3) { rows += ((tHop.toLong, rows.last._2, rows.last._3)); tHop += 1 }
-        Scoped.free(state)
-        rows.toSeq.toDF("t", "est_pairs", "occ_regs")
-          .orderBy(col("t"))
+        hops.map(_._1).distinct.foreach(Scoped.free(_))
+        rows.toDF("t", "est_pairs", "occ_regs").orderBy(col("t"))
       },
-      Some("""WITH edges AS MATERIALIZED (
-          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
-          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997),
-        verts AS MATERIALIZED (SELECT DISTINCT v FROM (
-          SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
-        h AS (SELECT v,
-            ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS hv
-          FROM verts),
-        s0 AS MATERIALIZED (SELECT v, hv % 64 AS reg,
-            CASE WHEN hv // 64 = 0 THEN 27
-                 ELSE 27 - len(bin(hv // 64)) END AS r
-          FROM h),
-        s1 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
-            SELECT * FROM s0
-            UNION ALL
-            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s0 s ON s.v = e.dst)
-          GROUP BY 1, 2),
-        s2 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
-            SELECT * FROM s1
-            UNION ALL
-            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s1 s ON s.v = e.dst)
-          GROUP BY 1, 2),
-        s3 AS MATERIALIZED (SELECT v, reg, MAX(r) AS r FROM (
-            SELECT * FROM s2
-            UNION ALL
-            SELECT e.src AS v, s.reg, s.r FROM edges e JOIN s2 s ON s.v = e.dst)
-          GROUP BY 1, 2),
+      Some(s"""WITH $hyperballCtes,
         est0 AS (SELECT 0 AS t, CAST(SUM(e) AS BIGINT) AS est_pairs FROM (
           SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
               THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
@@ -1907,6 +1920,79 @@ object CorpusSearch {
         SELECT CAST(est.t AS BIGINT) AS t, est.est_pairs,
           CAST(occ.occ_regs AS BIGINT) AS occ_regs
         FROM est JOIN occ ON occ.t = est.t ORDER BY t"""))
+  ,
+
+    // ---- HARMONIC CENTRALITY from the same HyperBall walk (Boldi &
+    // Vigna, "Axioms for centrality" / the HyperBall paper's headline
+    // application): H(v) = Σ_{t≥1} |B(v,t) − B(v,t−1)| / t — how close
+    // a vertex is to EVERYTHING, computed for the whole graph at once
+    // from the per-vertex register states q212 already maintains. The
+    // hop weights 1/t for t ∈ {1,2,3} ride an EXACT integer encoding:
+    // hc6 = 6·d₁ + 3·d₂ + 2·d₃ (6/t is integral for every t ≤ 3), so
+    // the output is pure BIGINT arithmetic over the gridded per-vertex
+    // estimates — no division anywhere. Top-20 by hc6 is a distributed
+    // TakeOrdered. Ball-size deltas can dip slightly negative where the
+    // estimator crosses its linear-counting branch point; the signed
+    // arithmetic keeps that visible rather than clamping it.
+    //
+    // Scale: the walk is q212's (|E|-linear per hop, |V|·64 bytes of
+    // state); the estimates are four combinable |V|·64-row aggregates;
+    // the fold + top-k never touches anything corpus-sized.
+    ("q223_harmonic_centrality",
+      (s: SparkSession, dir: String) => {
+        val hops = hyperballHopRows(s, dir).map(_._1)
+        val e = hyperballEstCol(hops(0), "e0")
+          .join(hyperballEstCol(hops(1), "e1"), Seq("v"))
+          .join(hyperballEstCol(hops(2), "e2"), Seq("v"))
+          .join(hyperballEstCol(hops(3), "e3"), Seq("v"))
+        val out = e.select(col("v"), col("e0"), col("e1"), col("e2"), col("e3"),
+            (lit(6L) * (col("e1") - col("e0"))
+              + lit(3L) * (col("e2") - col("e1"))
+              + lit(2L) * (col("e3") - col("e2"))).as("hc6"))
+          .orderBy(desc("hc6"), asc("v")).limit(20)
+        hops.distinct.foreach(Scoped.releaseAfterUse(_))
+        out
+      },
+      Some(s"""WITH $hyperballCtes,
+        ev0 AS (SELECT v, CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT v, 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s0 GROUP BY v)),
+        ev1 AS (SELECT v, CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT v, 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s1 GROUP BY v)),
+        ev2 AS (SELECT v, CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT v, 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s2 GROUP BY v)),
+        ev3 AS (SELECT v, CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT v, 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s3 GROUP BY v))
+        SELECT e0.v, e0.e AS e0, e1.e AS e1, e2.e AS e2, e3.e AS e3,
+          6 * (e1.e - e0.e) + 3 * (e2.e - e1.e) + 2 * (e3.e - e2.e) AS hc6
+        FROM ev0 e0
+        JOIN ev1 e1 ON e1.v = e0.v
+        JOIN ev2 e2 ON e2.v = e0.v
+        JOIN ev3 e3 ON e3.v = e0.v
+        ORDER BY hc6 DESC, e0.v LIMIT 20"""))
   ,
 
     // ---- CLI surface #2, end-to-end (VERDICT r17 #5 — the q208
