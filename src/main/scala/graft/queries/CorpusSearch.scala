@@ -1645,6 +1645,95 @@ object CorpusSearch {
         FROM fin f JOIN sz ON sz.label = f.label
         ORDER BY title""")),
 
+    // ---- k-TRUSS peel (Cohen 2008): the EDGE-based sibling of q189's
+    // vertex k-core — keep an edge only while it closes ≥ k−2 = 2
+    // triangles with surviving edges, iterating to the fixed point. A
+    // 4-truss is the standard cohesive-subgraph certificate (every
+    // edge in it has two common-neighbor witnesses), one notch
+    // stronger than core number. Rides q67's deterministic 1/16
+    // md5-Bernoulli edge sample (the documented scale bound for the
+    // dense key graph — the oracle applies the identical predicate).
+    // Per round: support = one wedge join (edges fanned by undirected
+    // adjacency, combinable count per edge), then an inner join keeps
+    // edges at support ≥ 2 — an edge with NO wedge is absent from the
+    // support table and drops, as it must. Fixed-point rounds are
+    // filled driver-side exactly like q189 (the oracle unrolls all 4
+    // rounds as MATERIALIZED CTEs; at a fixed point the values are
+    // equal by definition).
+    //
+    // Scale: wedge volume is Σ_b deg(b)² over the SAMPLED graph — the
+    // sample is what bounds it (q67's argument); each round's state is
+    // the shrinking edge set, checkpointed, predecessor freed.
+    ("q224_ktruss_peel",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val rounds = 4
+        var edges = t(s, dir, "lineitem").select(
+          least(col("l_orderkey") % 997, col("l_partkey") % 997).as("u"),
+          greatest(col("l_orderkey") % 997, col("l_partkey") % 997).as("w"))
+          .filter(col("u") =!= col("w")).distinct()
+          .filter(graft.core.Portable.hash32(
+            concat(lit("e"), col("u"), lit("_"), col("w"))) % 16 === 0)
+          .localCheckpoint()
+        var prev = edges
+        val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var before = edges.count()
+        var r = 1
+        while (r <= rounds && (curve.isEmpty || curve.last._3 > 0L)) {
+          val und = edges.select(col("u").as("a"), col("w").as("b"))
+            .unionByName(edges.select(col("w").as("a"), col("u").as("b")))
+          val sup = edges
+            .join(und.select(col("a").as("u"), col("b")), Seq("u"))
+            .join(und.select(col("a").as("w"), col("b")), Seq("w", "b"))
+            .groupBy(col("u"), col("w")).agg(count(lit(1)).as("sup"))
+          val next = edges.join(sup.filter(col("sup") >= 2)
+              .select(col("u"), col("w")), Seq("u", "w"), "left_semi")
+            .localCheckpoint()
+          Scoped.free(prev)
+          prev = next
+          edges = next
+          val kept = next.count()
+          curve += ((r.toLong, kept, before - kept))
+          before = kept
+          r += 1
+        }
+        Scoped.free(prev)
+        val fp = curve.last
+        while (curve.length < rounds)
+          curve += ((curve.length + 1L, fp._2, 0L))
+        curve.toSeq.toDF("round", "n_edges", "n_removed")
+          .orderBy(col("round"))
+      },
+      Some {
+        val peels = (1 to 4).map { r =>
+          val (p, c) = (s"t${r - 1}", s"t$r")
+          s"""u$r AS MATERIALIZED (SELECT u AS a, w AS b FROM $p
+               UNION ALL SELECT w AS a, u AS b FROM $p),
+             s$r AS MATERIALIZED (SELECT e.u, e.w, COUNT(*) AS sup
+               FROM $p e JOIN u$r x ON x.a = e.u
+               JOIN u$r y ON y.a = e.w AND y.b = x.b
+               GROUP BY e.u, e.w),
+             $c AS MATERIALIZED (SELECT e.u, e.w FROM $p e
+               JOIN s$r ON s$r.u = e.u AND s$r.w = e.w AND s$r.sup >= 2)"""
+        }.mkString(",\n")
+        val curveRows = (1 to 4).map { r =>
+          s"""SELECT $r AS round,
+               (SELECT COUNT(*) FROM t$r) AS n_edges,
+               (SELECT COUNT(*) FROM t${r - 1})
+                 - (SELECT COUNT(*) FROM t$r) AS n_removed"""
+        }.mkString("\n          UNION ALL ")
+        s"""WITH t0 AS MATERIALIZED (
+          SELECT u, w FROM (
+            SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS u,
+                   greatest(l_orderkey % 997, l_partkey % 997) AS w
+            FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997)
+          WHERE ('0x' || substr(md5('e' || u || '_' || w), 1, 8))::BIGINT % 16 = 0),
+        $peels,
+        curve AS ($curveRows)
+        SELECT CAST(round AS BIGINT) AS round, n_edges, n_removed
+        FROM curve ORDER BY round"""
+      }),
+
     // ---- k-CORE PEELING CURVE (k = 3): iteratively remove vertices of
     // degree < k with their edges until the 3-core remains, reporting the
     // per-round (vertices kept, edges kept, vertices removed) — the
