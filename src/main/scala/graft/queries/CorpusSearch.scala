@@ -2084,6 +2084,109 @@ object CorpusSearch {
         ORDER BY hc6 DESC, e0.v LIMIT 20"""))
   ,
 
+    // ---- EFFECTIVE DIAMETER from the same walk (the ANF paper's other
+    // headline statistic): the smallest hop count t at which the
+    // estimated reachable-pair total N(t) covers 90%% of N(t_max),
+    // linearly interpolated between the bracketing hops — the one
+    // number that says "how far apart is this graph, really" without
+    // any all-pairs BFS. Everything derives from the four gridded
+    // BIGINT hop totals q212 gates (bit-identical both engines); the
+    // interpolation is three IEEE ops from those exact integers onto
+    // the ‱ grid, mirrored operation-for-operation in the oracle.
+    // t=0 covering the target (a degenerate graph) short-circuits to 0
+    // via the same CASE in both engines.
+    //
+    // Scale: q212's walk + four combinable estimates; the diameter
+    // fold runs on FOUR rows.
+    ("q225_effective_diameter",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val hops = hyperballHopRows(s, dir)
+        val ests = hops.zipWithIndex.map { case ((rs, _), tHop) =>
+          (tHop.toLong,
+            hyperballEstCol(rs, "est").agg(sum(col("est"))).head().getLong(0))
+        }
+        hops.map(_._1).distinct.foreach(Scoped.free(_))
+        val e = ests.toDF("t", "n") // four exact-integer rows
+        val wide = e.groupBy().pivot("t", Seq(0, 1, 2, 3)).agg(first(col("n")))
+          .toDF("n0", "n1", "n2", "n3")
+        wide.select(col("n0"), col("n1"), col("n2"), col("n3"),
+            (col("n3").cast("double") * lit(0.9)).as("tgt"))
+          .select(col("n0"), col("n1"), col("n2"), col("n3"),
+            when(col("n0").cast("double") >= col("tgt"), lit(0L))
+              .when(col("n1").cast("double") >= col("tgt"), lit(1L))
+              .when(col("n2").cast("double") >= col("tgt"), lit(2L))
+              .otherwise(lit(3L)).as("t_hit"), col("tgt"))
+          .select(col("n0"), col("n1"), col("n2"), col("n3"), col("t_hit"),
+            when(col("t_hit") === 0L, lit(0L)).otherwise(
+              floor((col("t_hit").cast("double") - lit(1.0)
+                + (col("tgt") - element_at(
+                    array(col("n0"), col("n1"), col("n2"), col("n3")),
+                    col("t_hit").cast("int")).cast("double"))
+                  / (element_at(
+                      array(col("n0"), col("n1"), col("n2"), col("n3")),
+                      col("t_hit").cast("int") + 1).cast("double")
+                    - element_at(
+                        array(col("n0"), col("n1"), col("n2"), col("n3")),
+                        col("t_hit").cast("int")).cast("double")))
+                * lit(1e4) + lit(0.5)).cast("long")).as("effdiam4"))
+      },
+      Some(s"""WITH $hyperballCtes,
+        est0 AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s0 GROUP BY v))),
+        est1 AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s1 GROUP BY v))),
+        est2 AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s2 GROUP BY v))),
+        est3 AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM (
+          SELECT CAST(floor(CASE WHEN vz > 0 AND raw <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(vz AS DOUBLE)) ELSE raw END
+              + 0.5) AS BIGINT) AS e
+          FROM (SELECT 389776872046.59198 / CAST(
+              SUM(1::BIGINT << CAST(27 - r AS INTEGER))
+              + (64 - COUNT(*)) * (1::BIGINT << 27) AS DOUBLE) AS raw,
+              64 - COUNT(*) AS vz
+            FROM s3 GROUP BY v))),
+        wide AS (SELECT est0.n AS n0, est1.n AS n1, est2.n AS n2,
+            est3.n AS n3, CAST(est3.n AS DOUBLE) * 0.9 AS tgt
+          FROM est0, est1, est2, est3),
+        hit AS (SELECT n0, n1, n2, n3, tgt,
+            CASE WHEN CAST(n0 AS DOUBLE) >= tgt THEN 0
+                 WHEN CAST(n1 AS DOUBLE) >= tgt THEN 1
+                 WHEN CAST(n2 AS DOUBLE) >= tgt THEN 2
+                 ELSE 3 END AS t_hit
+          FROM wide)
+        SELECT n0, n1, n2, n3, CAST(t_hit AS BIGINT) AS t_hit,
+          CASE WHEN t_hit = 0 THEN 0
+               ELSE CAST(floor((CAST(t_hit AS DOUBLE) - 1.0
+                 + (tgt - CAST([n0, n1, n2, n3][t_hit] AS DOUBLE))
+                   / (CAST([n0, n1, n2, n3][t_hit + 1] AS DOUBLE)
+                     - CAST([n0, n1, n2, n3][t_hit] AS DOUBLE)))
+                 * 1e4 + 0.5) AS BIGINT) END AS effdiam4
+        FROM hit"""))
+  ,
+
     // ---- CLI surface #2, end-to-end (VERDICT r17 #5 — the q208
     // pattern applied to the reference's OTHER two mains): the full
     // reference workflow `RankPages` → `BuildIndex`
