@@ -841,6 +841,76 @@ object Events {
         SELECT e.event_type, pct4 // 1000 AS decile,
           COUNT(*) AS n_events, CAST(SUM(pct4) AS BIGINT) AS sum_pct4
         FROM e JOIN ecdf ON ecdf.bin = e.bin
-        GROUP BY 1, 2 ORDER BY event_type, decile"""))
+        GROUP BY 1, 2 ORDER BY event_type, decile""")),
+
+    // ---- INTER-ARRIVAL burstiness (Goh & Barabási 2008): per event
+    // type, the burstiness index B = (σ−μ)/(σ+μ) of the inter-arrival
+    // time distribution — B→−1 for a metronome, 0 for Poisson, →+1 for
+    // extreme bursts. The temporal-shape statistic a feed audit reads
+    // before trusting rate-based anomaly thresholds (q75's z-scores
+    // assume a rate regime; B says whether one exists). Deltas are LAG
+    // over the (type)-partitioned (us, event_id) order (the catalog's
+    // tie rule), floored to ms; the second moment accumulates in
+    // decimal(38,0) — exact and order-free where Σd² would overflow
+    // BIGINT — and every derived double (μ, σ², σ, CV, B) is the same
+    // IEEE op chain from the same exact integers in both engines, with
+    // σ² clamped at 0.0 before sqrt so a float-rounding hair below zero
+    // cannot NaN one engine. Output: counts + exact sums + the ‱-grid
+    // cv4/b4.
+    //
+    // Scale: one type-partitioned window (co-partitioned with the
+    // shuffle the aggregate needs anyway) + ONE combinable aggregate;
+    // state is |types| rows of five cells.
+    ("q226_interarrival_burstiness",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val d = ev(s, dir)
+          .select(col("event_type"), col("us"), col("event_id"))
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            ((col("us") - col("prev")) / 1000).cast("long").as("d_ms"))
+        d.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("d_ms")).as("sum_ms"),
+            sum(col("d_ms").cast("decimal(38,0)") * col("d_ms")).as("s2dec"))
+          .select(col("event_type"), col("n_gaps"), col("sum_ms"),
+            (col("sum_ms").cast("double") / col("n_gaps")).as("m"),
+            greatest(
+              col("s2dec").cast("double") / col("n_gaps")
+                - (col("sum_ms").cast("double") / col("n_gaps"))
+                * (col("sum_ms").cast("double") / col("n_gaps")),
+              lit(0.0)).as("v"))
+          .select(col("event_type"), col("n_gaps"), col("sum_ms"),
+            floor(col("m") + lit(0.5)).cast("long").as("mean_ms"),
+            floor(sqrt(col("v")) / col("m") * lit(1e4) + lit(0.5))
+              .cast("long").as("cv4"),
+            floor((sqrt(col("v")) - col("m")) / (sqrt(col("v")) + col("m"))
+              * lit(1e4) + lit(0.5)).cast("long").as("b4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+            epoch_us(ts) AS us FROM events),
+        d AS (SELECT event_type,
+            CAST((us - lag(us, 1) OVER (PARTITION BY event_type
+              ORDER BY us, event_id)) // 1000 AS BIGINT) AS d_ms
+          FROM e),
+        g AS (SELECT event_type, COUNT(*) AS n_gaps,
+            CAST(SUM(d_ms) AS BIGINT) AS sum_ms,
+            SUM(CAST(d_ms AS HUGEINT) * d_ms) AS s2
+          FROM d WHERE d_ms IS NOT NULL GROUP BY event_type),
+        m AS (SELECT event_type, n_gaps, sum_ms,
+            CAST(sum_ms AS DOUBLE) / n_gaps AS m,
+            greatest(CAST(s2 AS DOUBLE) / n_gaps
+              - (CAST(sum_ms AS DOUBLE) / n_gaps)
+              * (CAST(sum_ms AS DOUBLE) / n_gaps), 0.0) AS v
+          FROM g)
+        SELECT event_type, n_gaps, sum_ms,
+          CAST(floor(m + 0.5) AS BIGINT) AS mean_ms,
+          CAST(floor(sqrt(v) / m * 1e4 + 0.5) AS BIGINT) AS cv4,
+          CAST(floor((sqrt(v) - m) / (sqrt(v) + m) * 1e4 + 0.5) AS BIGINT)
+            AS b4
+        FROM m ORDER BY event_type"""))
   )
 }
