@@ -3588,6 +3588,61 @@ object TextOps {
           v_types + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1
         FROM st ORDER BY lang""")),
 
+    // ---- token-frequency GINI coefficient per language: the
+    // inequality measure that completes the distribution-shape family
+    // (q187 Heaps fits V(N), q211 Zipf prices the head, q218
+    // Good–Turing prices the unseen tail; Gini summarizes the WHOLE
+    // concentration in one number — near-0 = uniform usage, near-1 =
+    // a few types carry everything, the template/boilerplate smell at
+    // a glance). G = 2·Σᵢ i·fᵢ / (n·Σfᵢ) − (n+1)/n over frequencies
+    // ranked ascending (ties broken by token, so the rank is
+    // deterministic); Σ i·fᵢ is an exact BIGINT and the final G is one
+    // identical IEEE chain both engines onto the ‱ grid.
+    //
+    // Scale: the rank window runs over the (lang, type)-COUNT table —
+    // |types| rows per language, already shrunk by the combinable
+    // count — partitioned by lang (co-partitioned with the final
+    // fold), never over the token stream.
+    ("q227_token_gini",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(t(s, dir, "documents"), Seq(col("lang")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val tf = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("c"), col("tok"))
+        tf.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(col("c")).as("n_tokens"),
+            sum(col("i") * col("c")).as("sum_irank"))
+          .select(col("lang"), col("n_types"), col("n_tokens"),
+            col("sum_irank"),
+            floor((lit(2.0) * col("sum_irank").cast("double")
+              / (col("n_types") * col("n_tokens")).cast("double")
+              - (col("n_types") + lit(1L)).cast("double")
+                / col("n_types").cast("double")) * lit(1e4) + lit(0.5))
+              .cast("long").as("gini4"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        tf AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        rk AS (SELECT lang, c,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY c, tok)
+              AS BIGINT) AS i
+          FROM tf),
+        g AS (SELECT lang, COUNT(*) AS n_types,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            CAST(SUM(i * c) AS BIGINT) AS sum_irank
+          FROM rk GROUP BY lang)
+        SELECT lang, n_types, n_tokens, sum_irank,
+          CAST(floor((2.0 * CAST(sum_irank AS DOUBLE)
+            / CAST(n_types * n_tokens AS DOUBLE)
+            - CAST(n_types + 1 AS DOUBLE) / CAST(n_types AS DOUBLE))
+            * 1e4 + 0.5) AS BIGINT) AS gini4
+        FROM g ORDER BY lang""")),
+
     // ---- ORDER-INVARIANT dataset checksum (reproducibility audit):
     // per source and for the whole table, a content fingerprint that is
     // identical under ANY row order or file layout — the verification
