@@ -258,6 +258,22 @@ object CorpusSearch {
         lit(64.0) * log(lit(64.0) / col("vz").cast("double")))
         .otherwise(col("raw")) + 0.5).cast("long").as(name))
 
+  /** Σ estimate per hop for q212/q225, memoized over DISTINCT DataFrame
+    * handles: fixed-point padding repeats the LAST hop's handle, so the
+    * aggregation must run once per distinct state, not once per hop row
+    * (ADVICE r18). SUM over an empty key graph is NULL → 0, never NPE. */
+  private def hyperballHopSums(hops: IndexedSeq[(DataFrame, (Long, Long))])
+      : IndexedSeq[Long] = {
+    val memo = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+    hops.map { case (rs, _) =>
+      memo.computeIfAbsent(rs, (k: DataFrame) => {
+        val v = hyperballEstCol(k, "est").agg(sum(col("est"))).head()
+          .getAs[java.lang.Long](0)
+        if (v == null) java.lang.Long.valueOf(0L) else v
+      }).longValue()
+    }
+  }
+
   /** DuckDB CTE prefix shared by the q212 and q223 oracles: the key
     * graph (edges/verts), the hash init, and the four unrolled
     * MATERIALIZED register-state hops s0..s3 (the q189 lesson: chained
@@ -598,14 +614,24 @@ object CorpusSearch {
         val out = mo.crossJoin(mutual)
           .select(col("m_edges"), col("sum_j"), col("sum_k"), col("sum_jk"),
             col("sum_j2"), col("sum_k2"), col("mutual"),
-            floor((col("m_edges") * col("sum_jk") - col("sum_j") * col("sum_k"))
-                .cast("double")
-              / sqrt((col("m_edges") * col("sum_j2") - col("sum_j") * col("sum_j"))
-                  .cast("double")
-                * (col("m_edges") * col("sum_k2") - col("sum_k") * col("sum_k"))
-                  .cast("double")) * lit(1e4) + lit(0.5))
-              .cast("long").as("assort4"),
-            expr("mutual * 10000 div m_edges").as("recip4"))
+            // a regular graph (zero degree variance) zeroes a sqrt factor
+            // and an empty edge set zeroes m_edges — both would NaN/÷0
+            // with Spark-silent-0 vs DuckDB-error asymmetry; short-circuit
+            // to the same -1 sentinel in both engines (ADVICE r18).
+            when((col("m_edges") * col("sum_j2")
+                  - col("sum_j") * col("sum_j")) <= 0L
+                || (col("m_edges") * col("sum_k2")
+                  - col("sum_k") * col("sum_k")) <= 0L, lit(-1L))
+              .otherwise(
+                floor((col("m_edges") * col("sum_jk") - col("sum_j") * col("sum_k"))
+                    .cast("double")
+                  / sqrt((col("m_edges") * col("sum_j2") - col("sum_j") * col("sum_j"))
+                      .cast("double")
+                    * (col("m_edges") * col("sum_k2") - col("sum_k") * col("sum_k"))
+                      .cast("double")) * lit(1e4) + lit(0.5))
+                  .cast("long")).as("assort4"),
+            when(col("m_edges") === 0L, lit(-1L))
+              .otherwise(expr("mutual * 10000 div m_edges")).as("recip4"))
         Scoped.releaseAfterUse(titles, edges)
         out
       },
@@ -628,11 +654,14 @@ object CorpusSearch {
           WHERE EXISTS (SELECT 1 FROM edges r
             WHERE r.src = e.dst AND r.dst = e.src))
         SELECT m_edges, sum_j, sum_k, sum_jk, sum_j2, sum_k2, mutual,
-          CAST(floor(CAST(m_edges * sum_jk - sum_j * sum_k AS DOUBLE)
-            / sqrt(CAST(m_edges * sum_j2 - sum_j * sum_j AS DOUBLE)
-              * CAST(m_edges * sum_k2 - sum_k * sum_k AS DOUBLE))
-            * 1e4 + 0.5) AS BIGINT) AS assort4,
-          mutual * 10000 // m_edges AS recip4
+          CASE WHEN m_edges * sum_j2 - sum_j * sum_j <= 0
+                 OR m_edges * sum_k2 - sum_k * sum_k <= 0 THEN -1
+            ELSE CAST(floor(CAST(m_edges * sum_jk - sum_j * sum_k AS DOUBLE)
+              / sqrt(CAST(m_edges * sum_j2 - sum_j * sum_j AS DOUBLE)
+                * CAST(m_edges * sum_k2 - sum_k * sum_k AS DOUBLE))
+              * 1e4 + 0.5) AS BIGINT) END AS assort4,
+          CASE WHEN m_edges = 0 THEN -1
+            ELSE mutual * 10000 // m_edges END AS recip4
         FROM mo, mu""")),
 
     // ---- hash-checked iterative PageRank: exactly 10 power iterations
@@ -1951,12 +1980,12 @@ object CorpusSearch {
         // the walk, byte-vector state, per-hop row tables + fixed-point
         // padding all live in [[hyperballHopRows]] (shared with q223)
         val hops = hyperballHopRows(s, dir)
-        // per-hop totals are 1-long driver pulls (the I3 pattern);
+        // per-hop totals are 1-long driver pulls (the I3 pattern),
+        // memoized over distinct state handles by hyperballHopSums;
         // occupancy comes free with the walk's own digest
-        val rows = hops.zipWithIndex.map { case ((rs, dig), tHop) =>
-          val est = hyperballEstCol(rs, "est")
-            .agg(sum(col("est"))).head().getLong(0)
-          (tHop.toLong, est, dig._1)
+        val sums = hyperballHopSums(hops)
+        val rows = hops.zipWithIndex.map { case ((_, dig), tHop) =>
+          (tHop.toLong, sums(tHop), dig._1)
         }
         hops.map(_._1).distinct.foreach(Scoped.free(_))
         rows.toDF("t", "est_pairs", "occ_regs").orderBy(col("t"))
@@ -2102,10 +2131,8 @@ object CorpusSearch {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val hops = hyperballHopRows(s, dir)
-        val ests = hops.zipWithIndex.map { case ((rs, _), tHop) =>
-          (tHop.toLong,
-            hyperballEstCol(rs, "est").agg(sum(col("est"))).head().getLong(0))
-        }
+        val sums = hyperballHopSums(hops)
+        val ests = hops.indices.map(tHop => (tHop.toLong, sums(tHop)))
         hops.map(_._1).distinct.foreach(Scoped.free(_))
         val e = ests.toDF("t", "n") // four exact-integer rows
         val wide = e.groupBy().pivot("t", Seq(0, 1, 2, 3)).agg(first(col("n")))

@@ -884,10 +884,17 @@ object Events {
               lit(0.0)).as("v"))
           .select(col("event_type"), col("n_gaps"), col("sum_ms"),
             floor(col("m") + lit(0.5)).cast("long").as("mean_ms"),
-            floor(sqrt(col("v")) / col("m") * lit(1e4) + lit(0.5))
-              .cast("long").as("cv4"),
-            floor((sqrt(col("v")) - col("m")) / (sqrt(col("v")) + col("m"))
-              * lit(1e4) + lit(0.5)).cast("long").as("b4"))
+            // μ = 0 (all gaps sub-ms) makes cv4/b4 0/0 — Spark silently
+            // casts NaN→0 where DuckDB errors on CAST(floor(NaN)); the
+            // degenerate case short-circuits to the same -1 sentinel in
+            // both engines BEFORE the sqrt/division chain (ADVICE r18).
+            when(col("sum_ms") === 0L, lit(-1L))
+              .otherwise(floor(sqrt(col("v")) / col("m") * lit(1e4) + lit(0.5))
+                .cast("long")).as("cv4"),
+            when(col("sum_ms") === 0L, lit(-1L))
+              .otherwise(floor((sqrt(col("v")) - col("m"))
+                / (sqrt(col("v")) + col("m"))
+                * lit(1e4) + lit(0.5)).cast("long")).as("b4"))
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (SELECT event_type, event_id,
@@ -908,9 +915,11 @@ object Events {
           FROM g)
         SELECT event_type, n_gaps, sum_ms,
           CAST(floor(m + 0.5) AS BIGINT) AS mean_ms,
-          CAST(floor(sqrt(v) / m * 1e4 + 0.5) AS BIGINT) AS cv4,
-          CAST(floor((sqrt(v) - m) / (sqrt(v) + m) * 1e4 + 0.5) AS BIGINT)
-            AS b4
+          CASE WHEN sum_ms = 0 THEN -1
+            ELSE CAST(floor(sqrt(v) / m * 1e4 + 0.5) AS BIGINT) END AS cv4,
+          CASE WHEN sum_ms = 0 THEN -1
+            ELSE CAST(floor((sqrt(v) - m) / (sqrt(v) + m) * 1e4 + 0.5)
+              AS BIGINT) END AS b4
         FROM m ORDER BY event_type"""))
   )
 }

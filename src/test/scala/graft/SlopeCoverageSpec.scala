@@ -21,8 +21,19 @@ class SlopeCoverageSpec extends AnyFunSuite {
     val scaling = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SCALING.md")),
       java.nio.charset.StandardCharsets.UTF_8)
+    // Line-anchored ledger-row match (ADVICE r18): a query id appearing
+    // in PROSE (a cross-reference like "q225 derives from q212's walk")
+    // must not satisfy the gate — only a real measured row of the shape
+    // `| qNNN name | <number>` counts, in either the raw-key or the
+    // first-underscore-to-space ledger spelling.
     val missing = SparkEntry.queries.keySet.toSeq.sorted.filterNot { k =>
-      scaling.contains(k) || scaling.contains(k.replaceFirst("_", " "))
+      val spellings = Seq(k, k.replaceFirst("_", " "))
+        .map(java.util.regex.Pattern.quote)
+      // an optional annotation may follow the name inside the cell
+      // (e.g. "| q126 simhash_pairs_w64 (64-bit, 262,144 buckets) |")
+      val re = ("(?m)^\\| (" + spellings.mkString("|") +
+        ")[^|]* \\| *[0-9]").r
+      re.findFirstIn(scaling).isDefined
     }
     assert(missing.isEmpty,
       "catalog queries with no SCALING.md slope row (measure sf0.1 vs " +
