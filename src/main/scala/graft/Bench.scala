@@ -221,6 +221,32 @@ object Bench {
     (median(kept.map(_._2)), mn, dropped)
   }
 
+  /** Total per-query outlier drops the gate would record for a set of
+    * passes — the retry trigger reads this BEFORE the final adjudication
+    * (it ignores whole-pass sentinel exclusion: a sentinel-noisy pass
+    * also inflates this count, and the remedy — one more clean pass —
+    * is the same). */
+  private[graft] def exclusionCount(
+      passes: Seq[Seq[(String, Double, Option[String])]]): Int = {
+    val names = passes.headOption.map(_.map(_._1)).getOrElse(Seq.empty)
+    names.iterator.map { name =>
+      val vals = passes.zipWithIndex.flatMap { case (p, i) =>
+        p.collectFirst { case (`name`, sec, None) => (i, sec) }
+      }
+      if (vals.isEmpty) 0 else gateQuery(vals)._3.size
+    }.sum
+  }
+
+  /** Exclusion-count alarm threshold (VERDICT r18 #5): >5% of the
+    * catalog's queries needing a per-query outlier drop means the
+    * window itself was noisy (the r18 driver final carried 49/227 ≈
+    * 22%; clean builder windows carry ≤1), so the bench self-heals by
+    * running a REPLACEMENT pass instead of publishing medians that
+    * lean on a contaminated window — the same re-run-when-degraded
+    * discipline the committed round-record windows follow by hand. */
+  private[graft] def retryNeeded(excl: Int, catalog: Int): Boolean =
+    excl * 20 > catalog
+
   /** The headline's DESIGNED reported set (VERDICT r14 #5): the top-K
     * slowest queries ride the printed line; everything else is by-design
     * in BENCH_DETAIL.json, not budget-elided. 40 entries render well
@@ -471,7 +497,29 @@ object Bench {
     // A query that errored in ANY pass appears ONLY under "errors" — never
     // in "queries" or the headline total — so a crash can't be disguised
     // as a fast clean run (the single-pass invariant, kept under medians).
-    val passesFull = (1 to runs).map(i => runOnePass(sfDir, s"pass$i"))
+    //
+    // Exclusion-driven retry (VERDICT r18 #5): when the per-query outlier
+    // gate would drop more than 5% of the catalog (`retryNeeded`), the
+    // window was contaminated — up to SPARK_GRAFT_RETRY_PASSES (default 1)
+    // replacement passes are appended and the adjudication below runs over
+    // the widened pool, so every query's median leans on more clean
+    // observations instead of on whichever two passes happened to escape
+    // the contention. The retry count rides the headline ("retry") so a
+    // window that needed healing is visible in the round record.
+    var passesFull = (1 to runs).map(i => runOnePass(sfDir, s"pass$i")).toVector
+    val retryMax = math.max(0, sys.env.get("SPARK_GRAFT_RETRY_PASSES")
+      .flatMap(_.toIntOption).getOrElse(1))
+    var retries = 0
+    while (retries < retryMax && runs > 1 &&
+        retryNeeded(exclusionCount(passesFull.map(_._1)),
+          passesFull.head._1.size)) {
+      retries += 1
+      System.err.println(s"[bench] exclusion count " +
+        s"${exclusionCount(passesFull.map(_._1))} over 5% of " +
+        s"${passesFull.head._1.size} queries - noisy window, running " +
+        s"replacement pass${runs + retries}")
+      passesFull :+= runOnePass(sfDir, s"pass${runs + retries}")
+    }
     val passes = passesFull.map(_._1)
     val names = passes.head.map(_._1)
 
@@ -617,7 +665,7 @@ object Bench {
         .mkString("[", ",", "]")
       val jvm2 = fmt(pass2Jvm)
       val noisyJson = noisyTags.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"sf":"$sfDir","runs":$runs,"pass_mode":"$passMode","noisy_passes":$noisyJson,"median":$med,"best":$bests,"excluded":$excluded,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
+      s"""{"sf":"$sfDir","runs":$runs,"retry_passes":$retries,"pass_mode":"$passMode","noisy_passes":$noisyJson,"median":$med,"best":$bests,"excluded":$excluded,"errors":$medErrs,"per_run":${fmt(perRun)},"pass_jvm":$jvm,"sf2":"$sf2Dir","sf2_queries":$sf2Qs,"sf2_errors":$sf2Errs,"sf2_jvm":$jvm2}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -644,7 +692,7 @@ object Bench {
     // outgrow the driver's last-2000-chars capture). The full 172-query
     // map is in the committed BENCH_DETAIL.json.
     def lineWith(qsJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","q_top":$HeadlineTopK,"queries":$qsJson,"q_omitted":$omitted,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","q_top":$HeadlineTopK,"queries":$qsJson,"q_omitted":$omitted,"errors":$errs,"warn_gate":$gate,"noisy":$noisy,"excl":${exclusions.size},"retry":$retries,"sent_cpu":${best(sentinels ++ sentinelsPost)},"sent_sh":${best(sentinelsSh ++ sentinelsShPost)},"sf":"$sfDir","runs":$runs,"sf2":"$sf2Dir","sf2_total":${sec3(total2)},"sf2_errors":$errs2n,"detail":"BENCH_DETAIL.json"}"""
     val qTop = qItems.sortBy { case (n, v) => (-v, n) }.take(HeadlineTopK)
     val scaffold = lineWith("{}", qTop.size).length
     val (qsBudgeted, qOmitted) = budgetedQueries(qTop, 1600 - scaffold)

@@ -95,4 +95,29 @@ class BenchSpec extends AnyFunSuite {
     assert(dropped.isEmpty)
     assert(med == 1.5)
   }
+
+  test("retry trigger: >5% of catalog excluded means the window retries (r18 #5)") {
+    // the r18 driver final: 49 exclusions over 227 queries → retry;
+    // a clean builder window: 1 over 227 → no retry; the boundary is
+    // strict (exactly 5% stays put)
+    assert(Bench.retryNeeded(49, 227))
+    assert(!Bench.retryNeeded(1, 227))
+    assert(!Bench.retryNeeded(11, 227)) // 11*20 = 220 <= 227
+    assert(Bench.retryNeeded(12, 227))
+    assert(!Bench.retryNeeded(5, 100)) // exactly 5%: no retry
+    assert(Bench.retryNeeded(6, 100))
+  }
+
+  test("exclusionCount: counts per-query gate drops across passes") {
+    // q_a clean spread, q_b one contaminated pass, q_c errored in pass 2
+    // (error rows never feed the gate)
+    val p1 = Seq(("q_a", 1.0, None), ("q_b", 1.0, None),
+      ("q_c", 1.0, Option.empty[String]))
+    val p2 = Seq(("q_a", 1.1, None), ("q_b", 9.0, None),
+      ("q_c", 0.0, Some("Boom")))
+    val p3 = Seq(("q_a", 1.05, None), ("q_b", 1.2, None),
+      ("q_c", 1.0, Option.empty[String]))
+    assert(Bench.exclusionCount(Seq(p1, p2, p3)) == 1)
+    assert(Bench.exclusionCount(Seq.empty) == 0)
+  }
 }
