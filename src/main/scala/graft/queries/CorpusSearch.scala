@@ -943,6 +943,374 @@ object CorpusSearch {
         SELECT kind, title, v FROM res ORDER BY kind, title"""
       }),
 
+    // ---- TOPIC-SENSITIVE PageRank (Haveliwala, WWW'02): T personalized
+    // rank vectors — one per topic seed set — computed in ONE batched
+    // walk, plus the query-time linear blend that is the whole point of
+    // the construction (precompute per-topic vectors offline, mix them
+    // per query with topic weights at serving time — no walk at query
+    // time). Extends q95 (single seed set) exactly the way the
+    // reference's update rule generalizes (pageRank.scala:294,310 —
+    // VERDICT r18 #3): the uniform α/N teleport becomes α·s_t(v), here
+    // s_t(v) = 1/|S_t| iff topic(v) = t with topic(v) = hash32(title)%3
+    // (md5-derived, so the oracle partitions the identical sets). The
+    // walk is 4 fixed iterations on the per-iteration 1e-9 grid (the
+    // q29/q221 discipline), rank state keyed (topic, title), uniform-1.0
+    // init per topic (q95's convention). Output: the three 1e-6-grid
+    // vectors pivoted per title plus blend6 = (0.5·p0 + 0.3·p1) + 0.2·p2
+    // — the parenthesization is written identically in both engines so
+    // the single IEEE chain is bit-equal. Oracle: one recursive CTE over
+    // (iter, topic, title).
+    //
+    // Scale: the batched walk is the 100 TB design — each iteration is
+    // ONE edge-scan join (edges ⋈ rank on src) no matter how many topic
+    // vectors ride it; topics multiply only the aggregate state
+    // (T·|V| rank rows, or T-wide arrays per vertex on a real cluster),
+    // never the graph traffic. The per-topic seed shares are a 3-row
+    // driver pull (the I3 pattern).
+    ("q228_topic_sensitive_pagerank",
+      (s: SparkSession, dir: String) => {
+        val g0 = GraphBuilder.build(keyGraphDocs(s, dir)).localCheckpoint()
+        val edges = g0.select(col("title").as("src"),
+          explode(col("links")).as("dst"), size(col("links")).as("outdeg"))
+          .localCheckpoint()
+        val topicOf = graft.core.Portable.hash32(col("title")) % 3
+        // 3-row bounded pull: |S_t| per topic → α/|S_t| literals, the
+        // q95 ns-pull generalized (both engines divide 0.15 by the same
+        // integer once)
+        val shares: Map[Long, Double] = g0
+          .select(topicOf.as("vt"))
+          .groupBy(col("vt")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> 0.15 / r.getLong(1)).toMap
+        val shareCol =
+          when(col("topic") === 0L, lit(shares(0L)))
+            .when(col("topic") === 1L, lit(shares(1L)))
+            .otherwise(lit(shares(2L)))
+        // the (topic × vertex) frame every iteration re-joins against —
+        // built once, checkpointed once
+        val vt3 = g0.select(col("title"), topicOf.as("vt"))
+          .crossJoin(s.range(3).select(col("id").as("topic")))
+          .localCheckpoint()
+        var pr = vt3.select(col("topic"), col("title"), lit(1.0).as("pr"))
+        var prev: DataFrame = null
+        for (_ <- 1 to 4) {
+          val mass = edges
+            .join(pr.withColumnRenamed("title", "src"), Seq("src"))
+            .groupBy(col("topic"), col("dst").as("title"))
+            .agg(sum(col("pr") / col("outdeg")).as("mass"))
+          val next = vt3
+            .join(mass, Seq("topic", "title"), "left_outer")
+            .select(col("topic"), col("title"),
+              (floor((when(col("vt") === col("topic"), shareCol)
+                .otherwise(lit(0.0))
+                + lit(0.85) * coalesce(col("mass"), lit(0.0)))
+                * 1e9 + 0.5) / 1e9).as("pr"))
+            .localCheckpoint()
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          pr = next
+        }
+        val out = pr.groupBy(col("title"))
+          .agg(max(when(col("topic") === 0L, col("pr"))).as("p0"),
+            max(when(col("topic") === 1L, col("pr"))).as("p1"),
+            max(when(col("topic") === 2L, col("pr"))).as("p2"))
+          .select(col("title"),
+            floor(col("p0") * 1e6 + 0.5).cast("long").as("pr6_t0"),
+            floor(col("p1") * 1e6 + 0.5).cast("long").as("pr6_t1"),
+            floor(col("p2") * 1e6 + 0.5).cast("long").as("pr6_t2"),
+            floor(((lit(0.5) * col("p0") + lit(0.3) * col("p1"))
+              + lit(0.2) * col("p2")) * 1e6 + 0.5).cast("long").as("blend6"))
+          .orderBy(col("title"))
+        Scoped.releaseAfterUse(g0, edges, vt3, prev)
+        out
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT 'v' || CAST(l_orderkey % 997 AS VARCHAR) AS title,
+                 array_agg(DISTINCT 'v' || CAST(l_partkey % 1200 AS VARCHAR)) AS links
+          FROM lineitem GROUP BY 1),
+        titles AS (SELECT DISTINCT title FROM docs),
+        rawedges AS (SELECT title AS src, unnest(links) AS dst FROM docs),
+        realedges AS (SELECT DISTINCT src, dst FROM rawedges
+                      WHERE dst IN (SELECT title FROM titles)),
+        adj AS (SELECT src AS title, list_sort(array_agg(dst)) AS links
+                FROM realedges GROUP BY 1),
+        g AS (
+          SELECT t.title, COALESCE(a.links, ['NULL']) AS links
+          FROM titles t LEFT JOIN adj a ON t.title = a.title
+          UNION ALL
+          SELECT 'NULL' AS title,
+                 (SELECT list_sort(array_agg(title)) FROM titles) AS links),
+        tv AS (SELECT title,
+            ('0x' || substr(md5(title), 1, 8))::BIGINT % 3 AS vt FROM g),
+        shares AS (SELECT vt AS topic, 0.15 / COUNT(*) AS share
+          FROM tv GROUP BY vt),
+        vt3 AS (SELECT t.title, t.vt, s.topic, s.share
+          FROM tv t CROSS JOIN shares s),
+        edges2 AS (SELECT title AS src, unnest(links) AS dst,
+          len(links) AS outdeg FROM g),
+        pr AS (
+          SELECT 0 AS iter, topic, title, CAST(1.0 AS DOUBLE) AS pr FROM vt3
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              v.topic, v.title,
+              floor(((CASE WHEN v.vt = v.topic THEN v.share ELSE 0.0 END)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)))
+                * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+            FROM vt3 v LEFT JOIN (
+              SELECT p.iter + 1 AS iter, p.topic, e.dst AS title,
+                SUM(p.pr / e.outdeg) AS mass
+              FROM pr p JOIN edges2 e ON p.title = e.src
+              WHERE p.iter < 4
+              GROUP BY 1, 2, 3) m
+            ON v.title = m.title AND v.topic = m.topic) x
+          WHERE x.iter IS NOT NULL)
+        SELECT title,
+          CAST(floor(MAX(CASE WHEN topic = 0 THEN pr END) * 1e6 + 0.5)
+            AS BIGINT) AS pr6_t0,
+          CAST(floor(MAX(CASE WHEN topic = 1 THEN pr END) * 1e6 + 0.5)
+            AS BIGINT) AS pr6_t1,
+          CAST(floor(MAX(CASE WHEN topic = 2 THEN pr END) * 1e6 + 0.5)
+            AS BIGINT) AS pr6_t2,
+          CAST(floor(((0.5 * MAX(CASE WHEN topic = 0 THEN pr END)
+            + 0.3 * MAX(CASE WHEN topic = 1 THEN pr END))
+            + 0.2 * MAX(CASE WHEN topic = 2 THEN pr END)) * 1e6 + 0.5)
+            AS BIGINT) AS blend6
+        FROM pr WHERE iter = 4 GROUP BY title ORDER BY title""")),
+
+    // ---- EIGENVECTOR centrality (Bonacich 1972): the pure power-method
+    // member of the centrality family — x ← A·x with L∞ normalization,
+    // no teleport, over the UNDIRECTED key graph — completing the set the
+    // catalog already gates (degree q73, PageRank q25/q29, HITS q180,
+    // harmonic q223): eigenvector is what hub-quality converges to when
+    // damping is removed, and the walk is exactly q217's power iteration
+    // applied to the adjacency operator instead of a covariance grid.
+    // Six iterations; each normalizes by the iterate's max (computed
+    // IN-PLAN via a broadcast 1-row aggregate, no driver pull) and lands
+    // on the 1e-9 grid (the q29 discipline). A zero iterate (empty edge
+    // set) short-circuits to 0.0 via the same CASE in both engines —
+    // this round's degenerate-input rule applied at birth.
+    //
+    // Scale: each iteration is ONE co-partitioned equi-join of the
+    // checkpointed edge list with the |V|-row iterate + one combinable
+    // max — the q25/q29 one-shuffle step; state never exceeds |V| rows.
+    ("q231_eigenvector_centrality",
+      (s: SparkSession, dir: String) => {
+        val raw = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("a"), (col("l_partkey") % 1200).as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = raw.select(least(col("a"), col("b")).as("w1"),
+          greatest(col("a"), col("b")).as("w2")).distinct()
+        val edges = und.select(col("w1").as("src"), col("w2").as("dst"))
+          .unionByName(und.select(col("w2").as("src"), col("w1").as("dst")))
+          .localCheckpoint()
+        val verts = edges.select(col("src").as("v")).distinct()
+          .localCheckpoint()
+        var x = verts.select(col("v"), lit(1.0).as("x"))
+        var prev: DataFrame = null
+        for (_ <- 1 to 6) {
+          val y = verts.join(
+            edges.join(x.select(col("v").as("src"), col("x").as("xs")),
+              Seq("src"))
+              .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("ys")),
+            Seq("v"), "left_outer")
+            .select(col("v"), coalesce(col("ys"), lit(0.0)).as("y"))
+            .localCheckpoint()
+          val next = y.crossJoin(broadcast(y.agg(max(col("y")).as("my"))))
+            .select(col("v"),
+              when(col("my") === 0.0, lit(0.0))
+                .otherwise(floor(col("y") / col("my") * 1e9 + 0.5) / 1e9)
+                .as("x"))
+            .localCheckpoint()
+          Scoped.free(y)
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          x = next
+        }
+        val out = x.select(col("v"),
+          floor(col("x") * 1e6 + 0.5).cast("long").as("x6"))
+          .orderBy(col("v"))
+        Scoped.releaseAfterUse(edges, verts, prev)
+        out
+      },
+      Some("""WITH RECURSIVE raw AS (
+          SELECT l_orderkey % 997 AS a, l_partkey % 1200 AS b
+          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 1200),
+        und AS (SELECT DISTINCT least(a, b) AS w1, greatest(a, b) AS w2
+          FROM raw),
+        edges AS (
+          SELECT w1 AS src, w2 AS dst FROM und
+          UNION ALL
+          SELECT w2 AS src, w1 AS dst FROM und),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        xr AS (
+          SELECT 0 AS iter, v, CAST(1.0 AS DOUBLE) AS x FROM verts
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.v,
+              CASE WHEN MAX(COALESCE(m.y, 0.0)) OVER () = 0.0 THEN 0.0
+                ELSE floor(COALESCE(m.y, 0.0)
+                  / MAX(COALESCE(m.y, 0.0)) OVER ()
+                  * 1000000000.0 + 0.5) / 1000000000.0 END AS x
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS v, SUM(p.x) AS y
+              FROM xr p JOIN edges e ON p.v = e.src
+              WHERE p.iter < 6
+              GROUP BY 1, 2) m
+            ON t.v = m.v) q
+          WHERE q.iter IS NOT NULL)
+        SELECT v, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS x6
+        FROM xr WHERE iter = 6 ORDER BY v""")),
+
+    // ---- RICH-CLUB coefficient (Zhou & Mondragón 2004): for degree
+    // thresholds k ∈ {1,2,4,8,16}, the edge density φ(k) among vertices
+    // of degree > k — "do the hubs wire to each other?", the
+    // whole-distribution sibling of q222's single assortativity number
+    // (r can be ~0 while the top decile is a near-clique; φ(k) sees it).
+    // All INTEGER: n_k and e_k are conditional counts, φ4 =
+    // 2·e_k·10⁴ div (n_k·(n_k−1)) with the n_k ≤ 1 degenerate case
+    // short-circuited to -1 identically in both engines.
+    //
+    // Scale: degree is one combinable count; the threshold table is 5
+    // literal rows cross-joined to BOUNDED relations (deg: |V| rows,
+    // edges + both endpoint degrees: |E| rows, broadcast degree lookups)
+    // — nothing super-linear, corpus touched once through the edge build.
+    ("q232_rich_club",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val raw = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("a"), (col("l_partkey") % 1200).as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = raw.select(least(col("a"), col("b")).as("w1"),
+          greatest(col("a"), col("b")).as("w2")).distinct()
+          .localCheckpoint()
+        val deg = und.select(col("w1").as("v"))
+          .unionByName(und.select(col("w2").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val ks = Seq(1L, 2L, 4L, 8L, 16L).toDF("k")
+        val nk = ks.crossJoin(deg).filter(col("deg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+        val dund = und
+          .join(broadcast(deg.select(col("v").as("w1"), col("deg").as("d1"))),
+            Seq("w1"))
+          .join(broadcast(deg.select(col("v").as("w2"), col("deg").as("d2"))),
+            Seq("w2"))
+        val ek = ks.crossJoin(dund)
+          .filter(col("d1") > col("k") && col("d2") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+        val out = ks.join(nk, Seq("k"), "left_outer")
+          .join(ek, Seq("k"), "left_outer")
+          .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+            coalesce(col("e_k"), lit(0L)).as("e_k"))
+          .select(col("k"), col("n_k"), col("e_k"),
+            when(col("n_k") <= 1L, lit(-1L))
+              .otherwise(expr("2 * e_k * 10000 div (n_k * (n_k - 1))"))
+              .as("phi4"))
+          .orderBy(col("k"))
+        Scoped.releaseAfterUse(und, deg)
+        out
+      },
+      Some("""WITH raw AS (
+          SELECT l_orderkey % 997 AS a, l_partkey % 1200 AS b
+          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 1200),
+        und AS (SELECT DISTINCT least(a, b) AS w1, greatest(a, b) AS w2
+          FROM raw),
+        deg AS (SELECT v, COUNT(*) AS deg FROM (
+            SELECT w1 AS v FROM und UNION ALL SELECT w2 AS v FROM und)
+          GROUP BY v),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        nk AS (SELECT k, COUNT(*) AS n_k FROM ks JOIN deg ON deg.deg > ks.k
+          GROUP BY k),
+        ek AS (SELECT k, COUNT(*) AS e_k
+          FROM ks JOIN und ON TRUE
+          JOIN deg a1 ON a1.v = und.w1 JOIN deg a2 ON a2.v = und.w2
+          WHERE a1.deg > ks.k AND a2.deg > ks.k
+          GROUP BY k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+          COALESCE(nk.n_k, 0) AS n_k, COALESCE(ek.e_k, 0) AS e_k,
+          CASE WHEN COALESCE(nk.n_k, 0) <= 1 THEN -1
+            ELSE 2 * COALESCE(ek.e_k, 0) * 10000
+              // (nk.n_k * (nk.n_k - 1)) END AS phi4
+        FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+        ORDER BY k""")),
+
+    // ---- LOCAL clustering coefficient (Watts & Strogatz 1998): per
+    // vertex, what fraction of its neighbor pairs are themselves
+    // connected — C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the micro-scale
+    // cohesion profile that complements q67's global triangle estimate
+    // and q224's k-truss (same sampled graph, so the three statistics
+    // describe ONE object). T(v) counts closed wedges centered at v:
+    // wedge pairs (u < w) from v's adjacency, closed iff (u, w) is a
+    // surviving edge — a semi-join against the canonical edge set, each
+    // incident triangle counted exactly once per center. All INTEGER;
+    // c4 = 2·T·10⁴ div (d·(d−1)) with d ≤ 1 short-circuited to -1 in
+    // both engines (degree-1 vertices have no wedge to close).
+    //
+    // Scale: rides q67's deterministic 1/16 md5-Bernoulli edge sample —
+    // the documented bound that keeps Σ deg² wedge volume affordable on
+    // the near-complete key graph (q224's argument); the wedge build is
+    // one self-join of the sampled adjacency + one semi-join, both
+    // co-partitioned, state |V| rows.
+    ("q233_clustering_coeff",
+      (s: SparkSession, dir: String) => {
+        val se = t(s, dir, "lineitem")
+          .select(least(col("l_orderkey") % 997, col("l_partkey") % 997).as("u"),
+            greatest(col("l_orderkey") % 997, col("l_partkey") % 997).as("v"))
+          .filter(col("u") =!= col("v"))
+          .filter(graft.core.Portable.hash32(
+            concat(lit("e"), col("u"), lit("_"), col("v"))) % 16 === 0)
+          .distinct()
+          .localCheckpoint()
+        val edges = se.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(se.select(col("v").as("src"), col("u").as("dst")))
+        val deg = edges.groupBy(col("src").as("v0"))
+          .agg(count(lit(1)).as("deg"))
+        val wedges = edges.as("e1")
+          .join(edges.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+          .select(col("e1.src").as("ctr"), col("e1.dst").as("u"),
+            col("e2.dst").as("w"))
+        val closed = wedges
+          .join(se.select(col("u"), col("v").as("w")), Seq("u", "w"),
+            "left_semi")
+          .groupBy(col("ctr")).agg(count(lit(1)).as("t"))
+        val out = deg
+          .join(closed, col("v0") === col("ctr"), "left_outer")
+          .select(col("v0").as("v"), col("deg"),
+            coalesce(col("t"), lit(0L)).as("tri"))
+          .select(col("v"), col("deg"), col("tri"),
+            when(col("deg") <= 1L, lit(-1L))
+              .otherwise(expr("2 * tri * 10000 div (deg * (deg - 1))"))
+              .as("c4"))
+          .orderBy(col("v"))
+        Scoped.releaseAfterUse(se)
+        out
+      },
+      Some("""WITH re AS (
+          SELECT DISTINCT least(l_orderkey%997, l_partkey%997) AS u,
+                          greatest(l_orderkey%997, l_partkey%997) AS v
+          FROM lineitem WHERE l_orderkey%997 <> l_partkey%997),
+        se AS (SELECT u, v FROM re
+          WHERE ('0x' || substr(md5('e' || u || '_' || v), 1, 8))::BIGINT
+            % 16 = 0),
+        edges AS (SELECT u AS src, v AS dst FROM se
+          UNION ALL SELECT v AS src, u AS dst FROM se),
+        deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+        wedges AS (SELECT e1.src AS ctr, e1.dst AS u, e2.dst AS w
+          FROM edges e1 JOIN edges e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+        closed AS (SELECT ctr, COUNT(*) AS t FROM wedges
+          WHERE EXISTS (SELECT 1 FROM se
+            WHERE se.u = wedges.u AND se.v = wedges.w)
+          GROUP BY ctr),
+        j AS (SELECT deg.v, deg.deg, COALESCE(closed.t, 0) AS tri
+          FROM deg LEFT JOIN closed ON closed.ctr = deg.v)
+        SELECT v, deg, tri,
+          CASE WHEN deg <= 1 THEN -1
+            ELSE 2 * tri * 10000 // (deg * (deg - 1)) END AS c4
+        FROM j ORDER BY v""")),
+
     // ---- PERSONALIZED PageRank: teleport mass lands only on a seed set
     // (titles with hash32 % 10 == 0 — ~10% of pages, md5-derived so the
     // oracle selects the identical set) instead of uniformly — the

@@ -920,6 +920,102 @@ object Events {
           CASE WHEN sum_ms = 0 THEN -1
             ELSE CAST(floor((sqrt(v) - m) / (sqrt(v) + m) * 1e4 + 0.5)
               AS BIGINT) END AS b4
-        FROM m ORDER BY event_type"""))
+        FROM m ORDER BY event_type""")),
+
+    // ---- two-sample KOLMOGOROV–SMIRNOV distance per event-type pair:
+    // D = max over the shared bin grid of |F_a − F_b|, the
+    // distribution-shift test that complements q150's PSI (which needs
+    // a binning choice and saturates on disjoint support) and q191's KL
+    // (asymmetric, undefined on zero bins) — KS is the metric a
+    // train/serve drift monitor alarms on. Everything stays INTEGER
+    // until the final ‱ division: F comparisons run on raw cumulative
+    // counts cross-multiplied by the opposite total (|cum_a·n_b −
+    // cum_b·n_a|, order-free), so no float ever enters the max; the
+    // tie-broken argmax bin (lowest bin achieving D) rides along via a
+    // single max(struct(diff, −bin)) combinable fold, mirrored by a
+    // MAX + filtered MIN pair in the oracle. Bins are q202's sign-safe
+    // cents→unit grid ([[binnedEvents]] — the shared builder, third
+    // consumer). At fixture scales diff·10⁴ ≤ n_a·n_b·10⁴ < 2⁶³ with
+    // headroom; a 100 TB run moves the final cross-products to double
+    // after the same exact per-type folds (q222's note).
+    //
+    // Scale: one combinable (type, bin) count, then everything runs on
+    // the VALUE-DOMAIN-BOUNDED bin table — the cumulative range join is
+    // |bins|² over a bounded relation (q202's argument), the pair join
+    // |types|²·|bins| over bounded sides; the event stream is touched
+    // exactly once.
+    ("q229_ks_two_sample",
+      (s: SparkSession, dir: String) => {
+        val binned = binnedEvents(ev(s, dir), "event_type")
+        val hist = binned.groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        Scoped.releaseAfterUse(hist)
+        val bins = hist.select(col("bin")).distinct()
+        val tot = hist.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("tot"))
+        // F_t evaluated on the UNION grid: types × bins, zero-filled
+        // where a type has no mass at or below a bin
+        val cum = hist.as("h")
+          .join(bins.as("gb"), col("h.bin") <= col("gb.bin"))
+          .groupBy(col("h.event_type").as("event_type"),
+            col("gb.bin").as("bin"))
+          .agg(sum(col("h.n")).as("cum"))
+        val grid = hist.select(col("event_type")).distinct()
+          .crossJoin(bins)
+        val f = grid.join(cum, Seq("event_type", "bin"), "left_outer")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("cum"), lit(0L)).as("cum"))
+        val fa = f.select(col("event_type").as("type_a"), col("bin"),
+          col("cum").as("ca"))
+        val fb = f.select(col("event_type").as("type_b"), col("bin"),
+          col("cum").as("cb"))
+        fa.join(fb, Seq("bin")).filter(col("type_a") < col("type_b"))
+          .join(broadcast(tot.select(col("event_type").as("type_a"),
+            col("tot").as("n_a"))), Seq("type_a"))
+          .join(broadcast(tot.select(col("event_type").as("type_b"),
+            col("tot").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("bin"),
+            abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("diff"))
+          .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+          .agg(max(struct(col("diff"), (-col("bin")).as("nb"))).as("m"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            expr("m.diff * 10000 div (n_a * n_b)").as("d4"),
+            (-col("m.nb")).as("ks_bin"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        e AS (SELECT event_type,
+            (cents - ((cents % 100 + 100) % 100)) // 100 AS bin FROM c),
+        hist AS (SELECT event_type, bin, COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+        bins AS (SELECT DISTINCT bin FROM hist),
+        tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+          FROM hist GROUP BY 1),
+        cum AS (SELECT h.event_type, gb.bin, CAST(SUM(h.n) AS BIGINT) AS cum
+          FROM hist h JOIN bins gb ON h.bin <= gb.bin GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, b.bin
+          FROM (SELECT DISTINCT event_type FROM hist) t CROSS JOIN bins b),
+        f AS (SELECT g.event_type, g.bin, COALESCE(c2.cum, 0) AS cum
+          FROM grid g LEFT JOIN cum c2
+            ON c2.event_type = g.event_type AND c2.bin = g.bin),
+        d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            ta.tot AS n_a, tb.tot AS n_b, a.bin,
+            abs(a.cum * tb.tot - b.cum * ta.tot) AS diff
+          FROM f a JOIN f b ON a.bin = b.bin AND a.event_type < b.event_type
+          JOIN tot ta ON ta.event_type = a.event_type
+          JOIN tot tb ON tb.event_type = b.event_type),
+        dm AS (SELECT type_a, type_b, n_a, n_b, MAX(diff) AS dnum
+          FROM d GROUP BY 1, 2, 3, 4),
+        arg AS (SELECT d.type_a, d.type_b, MIN(d.bin) AS ks_bin
+          FROM d JOIN dm ON dm.type_a = d.type_a AND dm.type_b = d.type_b
+            AND d.diff = dm.dnum
+          GROUP BY 1, 2)
+        SELECT dm.type_a, dm.type_b, dm.n_a, dm.n_b,
+          CAST(dm.dnum * 10000 // (dm.n_a * dm.n_b) AS BIGINT) AS d4,
+          arg.ks_bin
+        FROM dm JOIN arg ON arg.type_a = dm.type_a AND arg.type_b = dm.type_b
+        ORDER BY dm.type_a, dm.type_b"""))
   )
 }

@@ -3700,7 +3700,111 @@ object TextOps {
           FROM r GROUP BY ROLLUP(source))
         SELECT is_total, COALESCE(source, 'ALL') AS source, n_rows, sum_h,
           xor_h, min_h, max_h
-        FROM g ORDER BY is_total, source"""))
+        FROM g ORDER BY is_total, source""")),
+
+    // ---- TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    // PageRank over the word CO-OCCURRENCE graph — adjacent-token pairs
+    // across the whole corpus, undirected, weighted by pair frequency —
+    // surfacing the corpus's central vocabulary; the unsupervised
+    // keyword signal a data card (q200) or a mixture planner reads next
+    // after raw frequency (q72), because centrality rewards words that
+    // CONNECT contexts, not merely frequent ones. Walk: 4 fixed
+    // iterations of pr(v) = 0.15/N + 0.85·Σ_u w_uv/wdeg_u·pr_u on the
+    // per-iteration 1e-9 grid (the q29 discipline: cross-engine
+    // double-sum drift cannot accumulate); uniform-1.0 init; top-20 by
+    // (grid pr DESC, word) so the reported set is deterministic in both
+    // engines. Oracle: one recursive CTE over the same pair build
+    // (DuckDB list_zip is indexed numerically — v1.0.0 structs from
+    // list_zip are unnamed).
+    //
+    // Scale: tokenization touches the corpus ONCE map-side (zip_with
+    // over sliced arrays — the q111 lesson: lambdas bind element
+    // values, never element_at re-evaluation); everything after the
+    // (w1, w2) count is VOCABULARY-bounded — the walk's state is
+    // |vocab| rows and each iteration is one broadcast-sized join, so
+    // corpus growth only deepens the first combinable count.
+    ("q230_textrank_keywords",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents")
+          .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+          .filter(size(col("ts")) >= 2)
+        val pairs = explodeLean(toks, Seq.empty,
+          expr("zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+            " (a, b) -> struct(a, b))"), "p")
+          .select(least(col("p.a"), col("p.b")).as("w1"),
+            greatest(col("p.a"), col("p.b")).as("w2"))
+          .filter(col("w1") =!= col("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
+        val edges = pairs
+          .select(col("w1").as("src"), col("w2").as("dst"), col("w"))
+          .unionByName(pairs.select(col("w2").as("src"),
+            col("w1").as("dst"), col("w")))
+          .localCheckpoint()
+        val wdeg = edges.groupBy(col("src"))
+          .agg(sum(col("w")).as("wd")).localCheckpoint()
+        val verts = wdeg.select(col("src").as("word")).localCheckpoint()
+        val n = verts.count()
+        var pr = verts.select(col("word"), lit(1.0).as("pr"))
+        var prev: DataFrame = null
+        for (_ <- 1 to 4) {
+          val mass = edges.join(wdeg, Seq("src"))
+            .join(pr.withColumnRenamed("word", "src"), Seq("src"))
+            .groupBy(col("dst").as("word"))
+            .agg(sum(col("pr") * col("w") / col("wd")).as("mass"))
+          val next = verts
+            .join(mass, Seq("word"), "left_outer")
+            .select(col("word"),
+              (floor((lit(0.15 / n) + lit(0.85)
+                * coalesce(col("mass"), lit(0.0))) * 1e9 + 0.5) / 1e9).as("pr"))
+            .localCheckpoint()
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          pr = next
+        }
+        val out = pr.orderBy(col("pr").desc, col("word")).limit(20)
+          .select(col("word"), floor(col("pr") * 1e6 + 0.5).cast("long").as("pr6"))
+          .orderBy(col("word"))
+        Scoped.releaseAfterUse(edges, wdeg, verts, prev)
+        out
+      },
+      Some("""WITH RECURSIVE tok AS (
+          SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+          FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2),
+        p0 AS (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+          FROM tok),
+        pairs AS (SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2,
+            COUNT(*) AS w
+          FROM p0 WHERE p[1] <> p[2] GROUP BY 1, 2),
+        edges AS (
+          SELECT w1 AS src, w2 AS dst, w FROM pairs
+          UNION ALL
+          SELECT w2 AS src, w1 AS dst, w FROM pairs),
+        wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd
+          FROM edges GROUP BY src),
+        verts AS (SELECT src AS word FROM wdeg),
+        nn AS (SELECT COUNT(*) AS n FROM verts),
+        pr AS (
+          SELECT 0 AS iter, word, CAST(1.0 AS DOUBLE) AS pr FROM verts
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              v.word,
+              floor((0.15 / (SELECT n FROM nn)
+                + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)))
+                * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+            FROM verts v LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS word,
+                SUM(p.pr * e.w / d.wd) AS mass
+              FROM pr p JOIN edges e ON p.word = e.src
+              JOIN wdeg d ON d.src = e.src
+              WHERE p.iter < 4
+              GROUP BY 1, 2) m
+            ON v.word = m.word) x
+          WHERE x.iter IS NOT NULL),
+        top AS (SELECT word, pr FROM pr WHERE iter = 4
+          ORDER BY pr DESC, word LIMIT 20)
+        SELECT word, CAST(floor(pr * 1e6 + 0.5) AS BIGINT) AS pr6
+        FROM top ORDER BY word"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
