@@ -360,6 +360,56 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained checksums must equal the batch audit per source")
   }
 
+  test("coverageStream: chained windowed count-of-counts equals the batch q218 fold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // repeated tokens pin n1 vs n2 vs higher; the doc at ts(5) arrives
+    // LAST (out of order, in-window); ts(200) is the flush sentinel that
+    // closes the first window through BOTH chained aggregations and is
+    // excluded from the compare
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en", ts(0)),
+      (2L, "beta gamma", "en", ts(10)),
+      (3L, "delta delta", "de", ts(20)),
+      (4L, "epsilon beta", "en", ts(5)))
+    val flush = (9L, "omega", "en", ts(200))
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    mem.addData(docs.take(3): _*)
+    mem.addData(docs.drop(3): _*)
+    mem.addData(flush)
+    val q = EventStreams.coverageStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "ts"))
+      .writeStream.format("memory").queryName("coverage_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val streamed = spark.table("coverage_stream")
+      .filter(col("window.start") === ts(0)) // the flushed first window
+      .select(col("lang"), col("n_tokens"), col("v_types"), col("n1"),
+        col("n2"), col("p0_4"), col("coverage4"), col("chao1"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val batch = docs.toDF("doc_id", "text", "lang", "ts")
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v_types"),
+        count(when(col("c") === 1L, 1)).as("n1"),
+        count(when(col("c") === 2L, 1)).as("n2"))
+      .select(col("lang"), col("n_tokens"), col("v_types"), col("n1"),
+        col("n2"),
+        expr("n1 * 10000 div n_tokens").as("p0_4"),
+        expr("10000 - n1 * 10000 div n_tokens").as("coverage4"),
+        (col("v_types") + expr("n1 * (n1 - 1) div (2 * (n2 + 1))"))
+          .as("chao1"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(streamed === batch,
+      "chained stream coverage fold must equal the batch q218 fold per lang")
+  }
+
   test("cdcChunkStream: ingest-time chunk dedup matches the batch chunker") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
