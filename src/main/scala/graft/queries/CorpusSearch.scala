@@ -1162,6 +1162,78 @@ object CorpusSearch {
         SELECT v, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS x6
         FROM xr WHERE iter = 6 ORDER BY v""")),
 
+    // ---- KATZ centrality (Katz 1953): x(v) = 1 + β·Σ_{u→v} x(u) over
+    // the DIRECTED key graph — the attenuated-walk member between
+    // q231's undamped eigenvector and q25's teleporting PageRank: every
+    // inbound path contributes, discounted β^length, and dangling/
+    // source vertices need no NULL wiring (the +1 base term keeps the
+    // series anchored). β = 1/1024 — an EXACT power of two, chosen
+    // under 1/λ_max of the near-complete key graph so the series
+    // converges; written as the identical 1.0/1024.0 division in both
+    // engines, with each of the 6 iterations quantized to the 1e-9
+    // grid (the q29 discipline). Six iterations bound walk length 6 —
+    // at β^6 = 2⁻⁶⁰ the truncated tail sits far below the grid.
+    //
+    // Scale: the q25/q29 one-shuffle step on the checkpointed distinct
+    // edge list; state is |V| rows; no normalization pass needed
+    // (attenuation bounds the iterate analytically).
+    ("q238_katz_centrality",
+      (s: SparkSession, dir: String) => {
+        val edges = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 997).as("src"),
+          (col("l_partkey") % 1200).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+          .localCheckpoint()
+        val verts = edges.select(col("src").as("v"))
+          .unionByName(edges.select(col("dst").as("v"))).distinct()
+          .localCheckpoint()
+        val beta = lit(1.0) / lit(1024.0)
+        var x = verts.select(col("v"), lit(1.0).as("x"))
+        var prev: DataFrame = null
+        for (_ <- 1 to 6) {
+          val next = verts.join(
+            edges.join(x.select(col("v").as("src"), col("x").as("xs")),
+              Seq("src"))
+              .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("mass")),
+            Seq("v"), "left_outer")
+            .select(col("v"),
+              (floor((lit(1.0) + beta * coalesce(col("mass"), lit(0.0)))
+                * 1e9 + 0.5) / 1e9).as("x"))
+            .localCheckpoint()
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          x = next
+        }
+        val out = x.select(col("v"),
+          floor(col("x") * 1e6 + 0.5).cast("long").as("katz6"))
+          .orderBy(col("v"))
+        Scoped.releaseAfterUse(edges, verts, prev)
+        out
+      },
+      Some("""WITH RECURSIVE edges AS (
+          SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 1200 AS dst
+          FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 1200),
+        verts AS (SELECT DISTINCT v FROM (
+          SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+        xr AS (
+          SELECT 0 AS iter, v, CAST(1.0 AS DOUBLE) AS x FROM verts
+          UNION ALL
+          SELECT * FROM (
+            SELECT CAST(COALESCE(m.iter, MAX(m.iter) OVER ()) AS INT) AS iter,
+              t.v,
+              floor((1.0 + (1.0 / 1024.0)
+                * COALESCE(m.mass, CAST(0.0 AS DOUBLE)))
+                * 1000000000.0 + 0.5) / 1000000000.0 AS x
+            FROM verts t LEFT JOIN (
+              SELECT p.iter + 1 AS iter, e.dst AS v, SUM(p.x) AS mass
+              FROM xr p JOIN edges e ON p.v = e.src
+              WHERE p.iter < 6
+              GROUP BY 1, 2) m
+            ON t.v = m.v) q
+          WHERE q.iter IS NOT NULL)
+        SELECT v, CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS katz6
+        FROM xr WHERE iter = 6 ORDER BY v""")),
+
     // ---- RICH-CLUB coefficient (Zhou & Mondragón 2004): for degree
     // thresholds k ∈ {1,2,4,8,16}, the edge density φ(k) among vertices
     // of degree > k — "do the hubs wire to each other?", the

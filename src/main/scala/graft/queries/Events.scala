@@ -1016,6 +1016,85 @@ object Events {
           CAST(dm.dnum * 10000 // (dm.n_a * dm.n_b) AS BIGINT) AS d4,
           arg.ks_bin
         FROM dm JOIN arg ON arg.type_a = dm.type_a AND arg.type_b = dm.type_b
-        ORDER BY dm.type_a, dm.type_b"""))
+        ORDER BY dm.type_a, dm.type_b""")),
+
+    // ---- hour-of-day SEASONALITY profile + χ² uniformity audit per
+    // event type: does this event type have a load shape, and how far
+    // from flat is it — the regime check behind every rate-based
+    // monitor the catalog carries (q75's z-scores and q172's fences
+    // assume a stationary rate; a strongly diurnal type needs
+    // per-hour baselines, and χ² against uniform is the standard
+    // decision statistic, df = 23 fixed). The numerator is EXACT
+    // BIGINT: χ² = Σ_h (O_h − n/24)² / (n/24) is computed as
+    // Σ(24·O_h − n)² / (24·n) so no fraction ever materializes —
+    // one integer division onto the centi-grid at the very end. The
+    // hour is derived from the µs epoch by integer arithmetic
+    // (us div 3600s % 24) — no timestamp rendering, no timezone
+    // surface. Peak hour rides the q229 max(struct) fold (lowest hour
+    // wins ties in both engines). Zero-traffic hours are grid-filled
+    // so all 24 cells enter the fold. At fixture scales (24·O)²·24
+    // ·100 < 2⁶³ with headroom; a 100 TB run moves the final scaled
+    // division to double after the same exact per-hour folds.
+    //
+    // Scale: ONE combinable (type, hour) count; everything after runs
+    // on |types|·24 rows.
+    ("q234_seasonality_chisq",
+      (s: SparkSession, dir: String) => {
+        val oh = ev(s, dir)
+          .select(col("event_type"), expr("(us div 3600000000) % 24").as("h"))
+          .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("o"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(oh)
+        val hours = s.range(24).select(col("id").as("h"))
+        val grid = oh.select(col("event_type")).distinct().crossJoin(hours)
+          .join(oh, Seq("event_type", "h"), "left_outer")
+          .select(col("event_type"), col("h"),
+            coalesce(col("o"), lit(0L)).as("o"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(grid)
+        val agg1 = grid.groupBy(col("event_type"))
+          .agg(sum(col("o")).as("n"),
+            max(struct(col("o"), (-col("h")).as("nh"))).as("pk"))
+        grid.join(broadcast(agg1), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("pk"),
+            ((lit(24L) * col("o") - col("n"))
+              * (lit(24L) * col("o") - col("n"))).as("sq"))
+          .groupBy(col("event_type"), col("n"), col("pk"))
+          .agg(sum(col("sq")).as("ssq"))
+          .select(col("event_type"), col("n"),
+            (-col("pk.nh")).as("peak_hour"),
+            expr("pk.o * 10000 div n").as("peak_share4"),
+            expr("ssq * 100 div (24 * n)").as("chi2c"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            (epoch_us(ts) // 3600000000) % 24 AS h FROM events),
+        oh AS (SELECT event_type, h, COUNT(*) AS o FROM e GROUP BY 1, 2),
+        hours AS (SELECT unnest(range(24)) AS h),
+        grid AS (SELECT t.event_type, hours.h,
+            COALESCE(oh.o, 0) AS o
+          FROM (SELECT DISTINCT event_type FROM oh) t
+          CROSS JOIN hours
+          LEFT JOIN oh ON oh.event_type = t.event_type AND oh.h = hours.h),
+        agg AS (SELECT event_type,
+            CAST(SUM(o) AS BIGINT) AS n,
+            MAX(o) AS peak_o
+          FROM grid GROUP BY event_type),
+        pk AS (SELECT g.event_type, MIN(g.h) AS peak_hour
+          FROM grid g JOIN agg ON agg.event_type = g.event_type
+            AND g.o = agg.peak_o
+          GROUP BY g.event_type),
+        sq AS (SELECT g.event_type,
+            CAST(SUM((24 * g.o - agg.n) * (24 * g.o - agg.n)) AS BIGINT)
+              AS ssq
+          FROM grid g JOIN agg ON agg.event_type = g.event_type
+          GROUP BY g.event_type)
+        SELECT agg.event_type, agg.n, CAST(pk.peak_hour AS BIGINT)
+            AS peak_hour,
+          agg.peak_o * 10000 // agg.n AS peak_share4,
+          sq.ssq * 100 // (24 * agg.n) AS chi2c
+        FROM agg JOIN pk ON pk.event_type = agg.event_type
+        JOIN sq ON sq.event_type = agg.event_type
+        ORDER BY agg.event_type"""))
   )
 }

@@ -1290,6 +1290,64 @@ object Relational {
         $rows"""
       }),
 
+    // ---- BENFORD first-digit audit (Newcomb 1881 / Benford 1938): the
+    // classic fabricated-or-truncated-data smell test on a monetary
+    // column — naturally-grown multiplicative amounts follow
+    // P(d) = log₁₀(1 + 1/d); a synthetic-uniform or clipped feed
+    // deviates loudly. The profile family's forensic sibling (q139
+    // checks contract, q143 checks drift, this checks PLAUSIBILITY).
+    // The first significant digit is taken from the exact cents-grid
+    // integer (floor(x·100 + 0.5), positive amounts) via its decimal
+    // string — integer-to-string never enters scientific notation in
+    // either engine, killing the 1e7-rendering hazard q140 designs
+    // around. Observed shares are integer ‱; the expected share is the
+    // ONE gridded transcendental, floor(log10(1 + 1/d)·10⁴ + 0.5),
+    // written as the identical expression in both engines (every value
+    // sits ≥ 0.07 grid-units from a boundary — ulp-level log10
+    // disagreement cannot move it). Zero-count digits are grid-filled.
+    //
+    // Scale: ONE combinable (digit) count over the scan; everything
+    // after runs on 9 rows.
+    ("q236_benford_audit",
+      (s: SparkSession, dir: String) => {
+        val dc = t(s, dir, "lineitem")
+          .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            .as("c"))
+          .filter(col("c") > 0L)
+          .select(substring(col("c").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        val digits = s.range(1, 10).select(col("id").as("digit"))
+        val grid = digits.join(dc, Seq("digit"), "left_outer")
+          .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        grid.crossJoin(broadcast(grid.agg(sum(col("cnt")).as("n"))))
+          .select(col("digit"), col("cnt"), col("n"),
+            expr("cnt * 10000 div n").as("obs4"),
+            floor(log10(lit(1.0) + lit(1.0) / col("digit"))
+              * 1e4 + 0.5).cast("long").as("exp4"))
+          .select(col("digit"), col("cnt"), col("n"), col("obs4"),
+            col("exp4"), (col("obs4") - col("exp4")).as("dev4"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+            AS BIGINT) AS c
+          FROM lineitem WHERE floor(l_extendedprice * 100 + 0.5) > 0),
+        dc AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit, COUNT(*) AS cnt
+          FROM c GROUP BY 1),
+        digits AS (SELECT unnest(range(1, 10)) AS digit),
+        grid AS (SELECT digits.digit, COALESCE(dc.cnt, 0) AS cnt
+          FROM digits LEFT JOIN dc ON dc.digit = digits.digit),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid)
+        SELECT CAST(grid.digit AS BIGINT) AS digit, grid.cnt, tot.n,
+          grid.cnt * 10000 // tot.n AS obs4,
+          CAST(floor(log10(1.0 + 1.0 / grid.digit) * 1e4 + 0.5) AS BIGINT)
+            AS exp4,
+          grid.cnt * 10000 // tot.n
+            - CAST(floor(log10(1.0 + 1.0 / grid.digit) * 1e4 + 0.5)
+              AS BIGINT) AS dev4
+        FROM grid CROSS JOIN tot ORDER BY digit""")),
+
     // ---- schema/distribution DRIFT report: profile the trusted BASE
     // table and an incoming CANDIDATE drop ([[liProfile]] twice — the
     // operator the q139 contract check exists to feed), diff per column,
@@ -2408,6 +2466,87 @@ object Relational {
           n < 5 AS at_risk, n_coarse,
           n < 5 AND n_coarse >= 5 AS rescued_by_bal5
         FROM r ORDER BY nation, segment, bal_bucket"""))
+    ,
+
+    // ---- t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07):
+    // the third member of the release-privacy trio — q182 checks group
+    // SIZE (k-anonymity) and sensitive-value VARIETY (l-diversity);
+    // t-closeness checks the sensitive DISTRIBUTION: a group whose
+    // balance histogram diverges from the table's is re-identifiable
+    // by its skew even when k and l pass. Distance = total variation
+    // between the group's $1000-bucket distribution and the global one
+    // (the standard categorical instantiation), kept EXACT by integer
+    // cross-multiplication: tv4 = ⌊Σ_v |n_gv·N − N_v·n_g| · 10⁴ /
+    // (2·n_g·N)⌋ — no float ratio ever materializes. QI = (nation,
+    // segment); buckets a group never touches still contribute
+    // (grid-filled, |n_gv| = 0 ⇒ term N_v·n_g). Flag at the paper's
+    // working threshold t = 0.2.
+    //
+    // Scale: one combinable (group, bucket) count; the audit then runs
+    // on the |groups| × |buckets| grid — QI-domain-bounded, never
+    // row-bounded; global totals ride broadcast 1-row/|buckets|-row
+    // sides. Products n·N ≤ rows² fit BIGINT with headroom at every
+    // fixture sf (a 100 TB run moves the final fold to double after
+    // the same exact counts).
+    ("q235_t_closeness",
+      (s: SparkSession, dir: String) => {
+        val rows = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            (floor(col("c_acctbal") / 1000.0).cast("long") * 1000L).as("v"))
+        val ngv = rows.groupBy(col("nation"), col("segment"), col("v"))
+          .agg(count(lit(1)).as("n_gv")).localCheckpoint()
+        Scoped.releaseAfterUse(ngv)
+        val nv = ngv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
+        val ng = ngv.groupBy(col("nation"), col("segment"))
+          .agg(sum(col("n_gv")).as("n_g"))
+        val grid = ng.select(col("nation"), col("segment"))
+          .crossJoin(nv)
+          .join(ngv, Seq("nation", "segment", "v"), "left_outer")
+          .select(col("nation"), col("segment"), col("v"), col("n_v"),
+            coalesce(col("n_gv"), lit(0L)).as("n_gv"))
+        grid
+          .join(broadcast(ng), Seq("nation", "segment"))
+          .crossJoin(broadcast(nv.agg(sum(col("n_v")).as("nn"))))
+          .select(col("nation"), col("segment"), col("n_g"), col("nn"),
+            abs(col("n_gv") * col("nn") - col("n_v") * col("n_g")).as("d"))
+          .groupBy(col("nation"), col("segment"), col("n_g"), col("nn"))
+          .agg(sum(col("d")).as("sd"))
+          .select(col("nation"), col("segment"), col("n_g"),
+            expr("sd * 10000 div (2 * n_g * nn)").as("tv4"))
+          .select(col("nation"), col("segment"), col("n_g"), col("tv4"),
+            (col("tv4") > 2000L).as("breaches_t02"))
+          .orderBy(col("nation"), col("segment"))
+      },
+      Some("""WITH rows_ AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nation,
+            c_mktsegment AS segment,
+            CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS v
+          FROM customer),
+        ngv AS (SELECT nation, segment, v, COUNT(*) AS n_gv
+          FROM rows_ GROUP BY 1, 2, 3),
+        nv AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS n_v
+          FROM ngv GROUP BY v),
+        ng AS (SELECT nation, segment, CAST(SUM(n_gv) AS BIGINT) AS n_g
+          FROM ngv GROUP BY 1, 2),
+        nn AS (SELECT CAST(SUM(n_v) AS BIGINT) AS nn FROM nv),
+        grid AS (SELECT g.nation, g.segment, nv.v, nv.n_v,
+            COALESCE(ngv.n_gv, 0) AS n_gv
+          FROM (SELECT nation, segment FROM ng) g
+          CROSS JOIN nv
+          LEFT JOIN ngv ON ngv.nation = g.nation
+            AND ngv.segment = g.segment AND ngv.v = nv.v),
+        fold AS (SELECT grid.nation, grid.segment, ng.n_g, nn.nn,
+            CAST(SUM(abs(grid.n_gv * nn.nn - grid.n_v * ng.n_g)) AS BIGINT)
+              AS sd
+          FROM grid
+          JOIN ng ON ng.nation = grid.nation AND ng.segment = grid.segment
+          CROSS JOIN nn
+          GROUP BY 1, 2, 3, 4)
+        SELECT nation, segment, n_g,
+          sd * 10000 // (2 * n_g * nn) AS tv4,
+          sd * 10000 // (2 * n_g * nn) > 2000 AS breaches_t02
+        FROM fold ORDER BY nation, segment"""))
     ,
 
     // ---- JOIN-SIZE estimation by count-min inner product (AMS-style):

@@ -3804,7 +3804,110 @@ object TextOps {
         top AS (SELECT word, pr FROM pr WHERE iter = 4
           ORDER BY pr DESC, word LIMIT 20)
         SELECT word, CAST(floor(pr * 1e6 + 0.5) AS BIGINT) AS pr6
-        FROM top ORDER BY word"""))
+        FROM top ORDER BY word""")),
+
+    // ---- pairwise JENSEN–SHANNON divergence between source unigram
+    // distributions: the symmetric, bounded ([0, ln 2]) corpus-distance
+    // matrix a mixture planner reads when deciding whether two sources
+    // are redundant or complementary — q191's KL is one-vs-corpus and
+    // asymmetric; JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, is the
+    // pairwise completion. Per shared token the two log terms reduce to
+    // INTEGER-argument logs: p·ln(p/m) with p = c_a/n_a, m the mixture
+    // collapses to ln(2·c_a·n_b) − ln(c_a·n_b + c_b·n_a) — gridded to
+    // 1e-6 per term (the q191 ln-parity discipline), then accumulated
+    // exactly in decimal(38,0) where the c-weighted sum overflows
+    // BIGINT. Tokens PRIVATE to one source contribute exactly
+    // c·⌊ln 2·10⁶ + 0.5⌋, so the full-outer union of types folds into
+    // the shared-token sum plus (n − shared_c)·ln2-grid — no outer join
+    // ever materializes. Final: two divisions and a halving, the same
+    // IEEE chain both engines, onto the 1e-6 grid.
+    //
+    // Scale: the only corpus-sized work is q191's (source, tok) count;
+    // the pair join is per-token with |sources|²-bounded fan-out over
+    // the VOCABULARY-bounded distinct-type table (q205's argument —
+    // per-token source sets are |sources|-capped), and the result is
+    // |sources|²/2 rows.
+    ("q237_js_divergence",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val st = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        Scoped.releaseAfterUse(st)
+        val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val ln2g = floor(log(lit(2.0)) * 1e6 + 0.5).cast("long")
+        val sh = st.as("a")
+          .join(st.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .join(broadcast(ns.select(col("source").as("sa"), col("n").as("n_a"))),
+            col("a.source") === col("sa"))
+          .join(broadcast(ns.select(col("source").as("sb"), col("n").as("n_b"))),
+            col("b.source") === col("sb"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            col("n_a"), col("n_b"), col("a.c").as("ca"), col("b.c").as("cb"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("ca"), col("cb"),
+            (col("ca") * floor((log(lit(2.0) * col("ca") * col("n_b"))
+              - log((col("ca") * col("n_b") + col("cb") * col("n_a"))
+                .cast("double"))) * 1e6 + 0.5).cast("long"))
+              .cast("decimal(38,0)").as("term_a"),
+            (col("cb") * floor((log(lit(2.0) * col("cb") * col("n_a"))
+              - log((col("ca") * col("n_b") + col("cb") * col("n_a"))
+                .cast("double"))) * 1e6 + 0.5).cast("long"))
+              .cast("decimal(38,0)").as("term_b"))
+          .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+          .agg(sum(col("term_a")).as("sa"), sum(col("term_b")).as("sb"),
+            sum(col("ca")).as("shc_a"), sum(col("cb")).as("shc_b"))
+        sh.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            (Relational.decimalToLongChecked(col("sa"))
+              + (col("n_a") - col("shc_a")) * ln2g).as("num_a"),
+            (Relational.decimalToLongChecked(col("sb"))
+              + (col("n_b") - col("shc_b")) * ln2g).as("num_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            floor((col("num_a").cast("double") / col("n_a").cast("double")
+              + col("num_b").cast("double") / col("n_b").cast("double"))
+              / 2.0 + 0.5).cast("long").as("jsd6"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS tok
+          FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+          FROM st GROUP BY source),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+            na.n AS n_a, nb.n AS n_b,
+            CAST(SUM(a.c) AS BIGINT) AS shc_a,
+            CAST(SUM(b.c) AS BIGINT) AS shc_b,
+            SUM(CAST(a.c AS HUGEINT)
+              * CAST(floor((ln(2.0 * a.c * nb.n)
+                - ln(CAST(a.c * nb.n + b.c * na.n AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT)) AS sa,
+            SUM(CAST(b.c AS HUGEINT)
+              * CAST(floor((ln(2.0 * b.c * na.n)
+                - ln(CAST(a.c * nb.n + b.c * na.n AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT)) AS sb
+          FROM st a JOIN st b
+            ON a.tok = b.tok AND a.source < b.source
+          JOIN ns na ON na.source = a.source
+          JOIN ns nb ON nb.source = b.source
+          GROUP BY 1, 2, 3, 4),
+        g AS (SELECT src_a, src_b, n_a, n_b,
+            CAST(sa AS BIGINT)
+              + (n_a - shc_a)
+                * CAST(floor(ln(2.0) * 1e6 + 0.5) AS BIGINT) AS num_a,
+            CAST(sb AS BIGINT)
+              + (n_b - shc_b)
+                * CAST(floor(ln(2.0) * 1e6 + 0.5) AS BIGINT) AS num_b
+          FROM sh)
+        SELECT src_a, src_b, n_a, n_b,
+          CAST(floor((CAST(num_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            + CAST(num_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0 + 0.5)
+            AS BIGINT) AS jsd6
+        FROM g ORDER BY src_a, src_b"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
