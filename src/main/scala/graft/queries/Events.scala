@@ -1096,5 +1096,96 @@ object Events {
         FROM agg JOIN pk ON pk.event_type = agg.event_type
         JOIN sq ON sq.event_type = agg.event_type
         ORDER BY agg.event_type"""))
+  ,
+
+    // ---- THEIL–SEN robust daily-volume trend per event type, with the
+    // OLS slope beside it: is this feed growing, shrinking, or being
+    // dragged by a handful of outlier days — the robust statistic
+    // (breakdown point 29%) next to the classical one, so the audit
+    // itself shows when outliers are steering (the q148/q177 robustness
+    // theme applied to TREND). Daily counts come from integer µs
+    // arithmetic (us div 86400s); the pairwise slope set is
+    // |days|²-bounded (day-domain, never row count — q70's argument).
+    // Slopes are EXACT-integer-ratio doubles (dy/dx of BIGINTs, the
+    // same single IEEE division both engines, no truncation-direction
+    // hazard on negative dy); the median is the LOWER median picked by
+    // a deterministic (slope, day_i, day_j) rank inside a type-
+    // partitioned window. OLS rides the six-moment integer fold
+    // (q222's covariance trick, one final IEEE division).
+    //
+    // Scale: one combinable (type, day) count; pairs and windows run
+    // on |types|·|days|² bounded rows.
+    ("q240_theil_sen_trend",
+      (s: SparkSession, dir: String) => {
+        val daily = ev(s, dir)
+          .select(col("event_type"), expr("us div 86400000000").as("d"))
+          .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("y"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(daily)
+        val pairs = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.d").as("di"), col("b.d").as("dj"),
+            ((col("b.y") - col("a.y")).cast("double")
+              / (col("b.d") - col("a.d")).cast("double")).as("sl"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("sl"), col("di"), col("dj"))
+        val med = pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("np", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("np").as("n_pairs"),
+            floor(col("sl") * 1e4 + 0.5).cast("long").as("ts_slope4"))
+        val mo = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nd"), sum(col("d")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("d") * col("y")).as("sxy"),
+            sum(col("d") * col("d")).as("sx2"))
+          .select(col("event_type"), col("nd"),
+            when(col("nd") * col("sx2") - col("sx") * col("sx") === 0L,
+              lit(-1L))
+              .otherwise(floor((col("nd") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / (col("nd") * col("sx2") - col("sx") * col("sx"))
+                  .cast("double") * 1e4 + 0.5).cast("long"))
+              .as("ols_slope4"))
+        mo.join(med, Seq("event_type"))
+          .select(col("event_type"), col("nd").as("n_days"), col("n_pairs"),
+            col("ts_slope4"), col("ols_slope4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d FROM events),
+        daily AS (SELECT event_type, d, COUNT(*) AS y
+          FROM e GROUP BY 1, 2),
+        pairs AS (SELECT a.event_type, a.d AS di, b.d AS dj,
+            CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS sl
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d),
+        rk AS (SELECT event_type, sl,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY sl, di, dj) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS np
+          FROM pairs),
+        med AS (SELECT event_type, np AS n_pairs,
+            CAST(floor(sl * 1e4 + 0.5) AS BIGINT) AS ts_slope4
+          FROM rk WHERE rn = (np + 1) // 2),
+        mo AS (SELECT event_type, COUNT(*) AS nd,
+            CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(d * y) AS BIGINT) AS sxy,
+            CAST(SUM(d * d) AS BIGINT) AS sx2
+          FROM daily GROUP BY event_type),
+        ols AS (SELECT event_type, nd,
+            CASE WHEN nd * sx2 - sx * sx = 0 THEN -1
+              ELSE CAST(floor(CAST(nd * sxy - sx * sy AS DOUBLE)
+                / CAST(nd * sx2 - sx * sx AS DOUBLE) * 1e4 + 0.5)
+                AS BIGINT) END AS ols_slope4
+          FROM mo)
+        SELECT ols.event_type, ols.nd AS n_days, med.n_pairs,
+          med.ts_slope4, ols.ols_slope4
+        FROM ols JOIN med ON med.event_type = ols.event_type
+        ORDER BY ols.event_type"""))
   )
 }

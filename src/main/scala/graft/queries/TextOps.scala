@@ -3907,7 +3907,90 @@ object TextOps {
           CAST(floor((CAST(num_a AS DOUBLE) / CAST(n_a AS DOUBLE)
             + CAST(num_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0 + 0.5)
             AS BIGINT) AS jsd6
-        FROM g ORDER BY src_a, src_b"""))
+        FROM g ORDER BY src_a, src_b""")),
+
+    // ---- language-ID CONFUSION audit: q45's trigram classifier
+    // evaluated against the declared `lang` column — the labeling-
+    // quality check a pipeline runs before TRUSTING either signal
+    // (a high-confusion cell means mislabeled ingest or a classifier
+    // blind spot; routing decisions like q141/q206 read lang as
+    // ground truth). Output: the full (lang, pred) confusion matrix
+    // plus precision / recall / F1 of the 'en' class, ALL INTEGER —
+    // F1 avoids the float p·r/(p+r) entirely via the exact algebraic
+    // form 2·tp·10⁴ div (2·tp + fp + fn). The classifier expression is
+    // q45's verbatim (same trigram list, same 0.18 threshold), so the
+    // two queries can never drift apart silently.
+    //
+    // Scale: one map-side classification pass + one combinable
+    // (lang, pred) count; metrics fold over the ≤ |langs|·2 matrix.
+    ("q239_langid_confusion",
+      (s: SparkSession, dir: String) => {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") div 3")
+        val preds = t(s, dir, "documents")
+          .withColumn("lt", lower(col("text")))
+          .withColumn("n_tg", greatest(length(col("lt")) - 2, lit(0)).cast("long"))
+          .withColumn("n_hit", expr(hitSum).cast("long"))
+          .withColumn("pred_lang",
+            when(floor(col("n_hit").cast("double")
+              / greatest(col("n_tg"), lit(1L)) * 1e4 + 0.5) / 1e4 >= 0.18,
+              lit("en")).otherwise(lit("other")))
+        val conf = preds.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        Scoped.releaseAfterUse(conf)
+        val m = conf.agg(
+          sum(when(col("lang") === "en" && col("pred_lang") === "en",
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("lang") =!= "en" && col("pred_lang") === "en",
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("lang") === "en" && col("pred_lang") === "other",
+            col("n")).otherwise(0L)).as("fn"))
+        conf.crossJoin(broadcast(m))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            when(col("tp") + col("fp") === 0L, lit(-1L))
+              .otherwise(expr("tp * 10000 div (tp + fp)")).as("prec4"),
+            when(col("tp") + col("fn") === 0L, lit(-1L))
+              .otherwise(expr("tp * 10000 div (tp + fn)")).as("rec4"),
+            when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(-1L))
+              .otherwise(expr("2 * tp * 10000 div (2 * tp + fp + fn)"))
+              .as("f14"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") // 3")
+        s"""WITH d AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+          e AS (SELECT lang,
+              CAST(greatest(length(lt) - 2, 0) AS BIGINT) AS n_tg,
+              CAST($hitSum AS BIGINT) AS n_hit
+            FROM d),
+          p AS (SELECT lang,
+              CASE WHEN floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1)
+                  * 10000.0 + 0.5) / 10000.0 >= 0.18
+                THEN 'en' ELSE 'other' END AS pred_lang
+            FROM e),
+          conf AS (SELECT lang, pred_lang, COUNT(*) AS n
+            FROM p GROUP BY 1, 2),
+          m AS (SELECT
+              CAST(SUM(CASE WHEN lang = 'en' AND pred_lang = 'en'
+                THEN n ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN lang <> 'en' AND pred_lang = 'en'
+                THEN n ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN lang = 'en' AND pred_lang = 'other'
+                THEN n ELSE 0 END) AS BIGINT) AS fn
+            FROM conf)
+          SELECT conf.lang, conf.pred_lang, conf.n,
+            CASE WHEN m.tp + m.fp = 0 THEN -1
+              ELSE m.tp * 10000 // (m.tp + m.fp) END AS prec4,
+            CASE WHEN m.tp + m.fn = 0 THEN -1
+              ELSE m.tp * 10000 // (m.tp + m.fn) END AS rec4,
+            CASE WHEN 2 * m.tp + m.fp + m.fn = 0 THEN -1
+              ELSE 2 * m.tp * 10000 // (2 * m.tp + m.fp + m.fn) END AS f14
+          FROM conf CROSS JOIN m
+          ORDER BY conf.lang, conf.pred_lang"""
+      })
   )
 
   /** q190's rule evaluation, shared with the streaming twin
