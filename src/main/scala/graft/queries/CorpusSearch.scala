@@ -274,6 +274,70 @@ object CorpusSearch {
     }
   }
 
+  /** q231's power-method core, extracted so CentralityWalkSpec can pin
+    * it against analytic eigenvectors (the LogLogSmallRangeSpec
+    * pattern): x ← A·x over the given directed edge rows (symmetrize
+    * before calling for an undirected graph), L∞-normalized IN-PLAN via
+    * a broadcast 1-row max (no driver pull), every iterate quantized to
+    * the 1e-9 grid; a zero iterate short-circuits to 0.0. Vertices are
+    * src ∪ dst. Returns (v, x) with x the final normalized iterate. */
+  private[graft] def eigenWalk(edges: DataFrame, iters: Int): DataFrame = {
+    val verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    var x = verts.select(col("v"), lit(1.0).as("x"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val y = verts.join(
+        edges.join(x.select(col("v").as("src"), col("x").as("xs")),
+          Seq("src"))
+          .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("ys")),
+        Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("ys"), lit(0.0)).as("y"))
+        .localCheckpoint()
+      val next = y.crossJoin(broadcast(y.agg(max(col("y")).as("my"))))
+        .select(col("v"),
+          when(col("my") === 0.0, lit(0.0))
+            .otherwise(floor(col("y") / col("my") * 1e9 + 0.5) / 1e9)
+            .as("x"))
+        .localCheckpoint()
+      Scoped.free(y)
+      if (prev != null) Scoped.free(prev)
+      prev = next
+      x = next
+    }
+    Scoped.releaseAfterUse(verts, prev)
+    x
+  }
+
+  /** q238's attenuated-walk core (same extraction rationale):
+    * x ← 1 + β·Aᵀx with β = 1/1024 exact, each iterate on the 1e-9
+    * grid; dangling vertices need no wiring (the +1 anchor). */
+  private[graft] def katzWalk(edges: DataFrame, iters: Int): DataFrame = {
+    val verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    val beta = lit(1.0) / lit(1024.0)
+    var x = verts.select(col("v"), lit(1.0).as("x"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val next = verts.join(
+        edges.join(x.select(col("v").as("src"), col("x").as("xs")),
+          Seq("src"))
+          .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("mass")),
+        Seq("v"), "left_outer")
+        .select(col("v"),
+          (floor((lit(1.0) + beta * coalesce(col("mass"), lit(0.0)))
+            * 1e9 + 0.5) / 1e9).as("x"))
+        .localCheckpoint()
+      if (prev != null) Scoped.free(prev)
+      prev = next
+      x = next
+    }
+    Scoped.releaseAfterUse(verts, prev)
+    x
+  }
+
   /** DuckDB CTE prefix shared by the q212 and q223 oracles: the key
     * graph (edges/verts), the hash init, and the four unrolled
     * MATERIALIZED register-state hops s0..s3 (the q189 lesson: chained
@@ -1103,33 +1167,11 @@ object CorpusSearch {
         val edges = und.select(col("w1").as("src"), col("w2").as("dst"))
           .unionByName(und.select(col("w2").as("src"), col("w1").as("dst")))
           .localCheckpoint()
-        val verts = edges.select(col("src").as("v")).distinct()
-          .localCheckpoint()
-        var x = verts.select(col("v"), lit(1.0).as("x"))
-        var prev: DataFrame = null
-        for (_ <- 1 to 6) {
-          val y = verts.join(
-            edges.join(x.select(col("v").as("src"), col("x").as("xs")),
-              Seq("src"))
-              .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("ys")),
-            Seq("v"), "left_outer")
-            .select(col("v"), coalesce(col("ys"), lit(0.0)).as("y"))
-            .localCheckpoint()
-          val next = y.crossJoin(broadcast(y.agg(max(col("y")).as("my"))))
-            .select(col("v"),
-              when(col("my") === 0.0, lit(0.0))
-                .otherwise(floor(col("y") / col("my") * 1e9 + 0.5) / 1e9)
-                .as("x"))
-            .localCheckpoint()
-          Scoped.free(y)
-          if (prev != null) Scoped.free(prev)
-          prev = next
-          x = next
-        }
-        val out = x.select(col("v"),
-          floor(col("x") * 1e6 + 0.5).cast("long").as("x6"))
+        val out = eigenWalk(edges, 6)
+          .select(col("v"),
+            floor(col("x") * 1e6 + 0.5).cast("long").as("x6"))
           .orderBy(col("v"))
-        Scoped.releaseAfterUse(edges, verts, prev)
+        Scoped.releaseAfterUse(edges)
         out
       },
       Some("""WITH RECURSIVE raw AS (
@@ -1184,30 +1226,11 @@ object CorpusSearch {
           (col("l_partkey") % 1200).as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
           .localCheckpoint()
-        val verts = edges.select(col("src").as("v"))
-          .unionByName(edges.select(col("dst").as("v"))).distinct()
-          .localCheckpoint()
-        val beta = lit(1.0) / lit(1024.0)
-        var x = verts.select(col("v"), lit(1.0).as("x"))
-        var prev: DataFrame = null
-        for (_ <- 1 to 6) {
-          val next = verts.join(
-            edges.join(x.select(col("v").as("src"), col("x").as("xs")),
-              Seq("src"))
-              .groupBy(col("dst").as("v")).agg(sum(col("xs")).as("mass")),
-            Seq("v"), "left_outer")
-            .select(col("v"),
-              (floor((lit(1.0) + beta * coalesce(col("mass"), lit(0.0)))
-                * 1e9 + 0.5) / 1e9).as("x"))
-            .localCheckpoint()
-          if (prev != null) Scoped.free(prev)
-          prev = next
-          x = next
-        }
-        val out = x.select(col("v"),
-          floor(col("x") * 1e6 + 0.5).cast("long").as("katz6"))
+        val out = katzWalk(edges, 6)
+          .select(col("v"),
+            floor(col("x") * 1e6 + 0.5).cast("long").as("katz6"))
           .orderBy(col("v"))
-        Scoped.releaseAfterUse(edges, verts, prev)
+        Scoped.releaseAfterUse(edges)
         out
       },
       Some("""WITH RECURSIVE edges AS (
