@@ -310,6 +310,36 @@ object CorpusSearch {
     x
   }
 
+  /** q184's label-propagation core, extracted (the eigenWalk/katzWalk
+    * rationale) so q241 can score the SAME labeling it gates: from
+    * self-labels, `iters` rounds of most-frequent-neighbor-label with
+    * the deterministic (count, lowest-label) tiebreak packed into one
+    * max() key; per-round checkpoint, predecessor freed. Input is the
+    * directed-expanded (contact, target) row set; returns (v, label).
+    * The final state is released after its consumer's first action. */
+  private[graft] def lpaLabels(dedges: DataFrame, iters: Int): DataFrame = {
+    var state = dedges.select(col("target").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val next = dedges
+        .join(broadcast(state.withColumnRenamed("v", "contact")),
+          Seq("contact"))
+        .groupBy(col("target").as("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(col("cnt") * 1048576L + (lit(1048575L) - col("label")))
+          .as("key"))
+        .select(col("v"), (lit(1048575L) - col("key") % 1048576L).as("label"))
+        .localCheckpoint()
+      if (prev != null) Scoped.free(prev)
+      prev = next
+      state = next
+    }
+    Scoped.releaseAfterUse(prev)
+    state
+  }
+
   /** q238's attenuated-walk core (same extraction rationale):
     * x ← 1 + β·Aᵀx with β = 1/1024 exact, each iterate on the 1e-9
     * grid; dangling vertices need no wiring (the +1 anchor). */
@@ -2084,26 +2114,9 @@ object CorpusSearch {
           .unionByName(edges.select(col("dst").as("contact"),
             col("src").as("target")))
           .localCheckpoint()
-        var state = dedges.select(col("target").as("v")).distinct()
-          .select(col("v"), col("v").as("label"))
-        var prev: DataFrame = null
-        for (i <- 1 to 5) {
-          val next = dedges
-            .join(broadcast(state.withColumnRenamed("v", "contact")),
-              Seq("contact"))
-            .groupBy(col("target").as("v"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-            .groupBy(col("v"))
-            .agg(max(col("cnt") * 1048576L + (lit(1048575L) - col("label")))
-              .as("key"))
-            .select(col("v"), (lit(1048575L) - col("key") % 1048576L).as("label"))
-            .localCheckpoint()
-          if (prev != null) Scoped.free(prev)
-          prev = next
-          state = next
-        }
+        val state = lpaLabels(dedges, 5)
         val sizes = state.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
-        Scoped.releaseAfterUse(dedges, prev)
+        Scoped.releaseAfterUse(dedges)
         state.join(broadcast(sizes), Seq("label"))
           .select(concat(lit("v"), col("v")).as("title"),
             col("label").as("community"), col("comm_size"))
@@ -2136,6 +2149,123 @@ object CorpusSearch {
           sz.comm_size
         FROM fin f JOIN sz ON sz.label = f.label
         ORDER BY title""")),
+
+    // ---- COMMUNITY QUALITY: Newman–Girvan modularity + per-community
+    // conductance OF q184's OWN labeling — the operator-evaluating-
+    // operator pattern (q118 scores the ANN index, q114 the LSH recall;
+    // this scores the community detector): Q says whether the labels
+    // beat chance, φ_c names which communities leak. The labeling is
+    // the SAME extracted lpaLabels walk q184 gates (5 rounds, identical
+    // tiebreak), so the score can never drift from the gated operator.
+    // Everything is exact: over the directed-expanded row set
+    // (M = 2m rows), Q = Σ_c (in_c·M − d_c²) / M² with the numerator a
+    // BIGINT fold (|num| ≤ M² ≤ 5.8e12 at sf1 — double-exact), the ONE
+    // division done on doubles identically in both engines (num·10⁶
+    // would overflow BIGINT headroom at sf1; num/M² stays exact-input
+    // IEEE); conductance cut_c div min(d_c, M−d_c) is a nonnegative
+    // integer ratio (no floor-direction hazard), min = 0 short-circuits
+    // to −1 both engines. Oracle: q184's recursive LPA CTE verbatim +
+    // the same integer folds.
+    //
+    // Scale: labels are a |V|-row broadcast against the edge rows; the
+    // folds are one combinable pass each; M² arithmetic moves to double
+    // after the exact per-community sums at 100 TB (q222's note).
+    ("q241_community_quality",
+      (s: SparkSession, dir: String) => {
+        // q67's deterministic 1/16-sampled undirected key graph (the
+        // q233/q224 object): the UNSAMPLED key graph is near-complete and
+        // LPA collapses it to ONE community (Q = 0 identically — a
+        // vacuous gate); the sampled graph fragments into real structure,
+        // so modularity and conductance discriminate
+        val edges = t(s, dir, "lineitem")
+          .select(least(col("l_orderkey") % 997, col("l_partkey") % 997).as("src"),
+            greatest(col("l_orderkey") % 997, col("l_partkey") % 997).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .filter(graft.core.Portable.hash32(
+            concat(lit("e"), col("src"), lit("_"), col("dst"))) % 16 === 0)
+          .distinct()
+        val dedges = edges
+          .select(col("src").as("contact"), col("dst").as("target"))
+          .unionByName(edges.select(col("dst").as("contact"),
+            col("src").as("target")))
+          .localCheckpoint()
+        val labels = lpaLabels(dedges, 5)
+        val m2 = dedges.count() // M = 2m, a 1-value driver pull (I3)
+        Scoped.releaseAfterUse(dedges)
+        val le = dedges
+          .join(broadcast(labels.select(col("v").as("contact"),
+            col("label").as("lc"))), Seq("contact"))
+          .join(broadcast(labels.select(col("v").as("target"),
+            col("label").as("lt"))), Seq("target"))
+        val perC = le.groupBy(col("lc").as("community"))
+          .agg(count(lit(1)).as("d_c"),
+            sum(when(col("lc") === col("lt"), 1L).otherwise(0L)).as("in_c"))
+          .join(broadcast(labels.groupBy(col("label").as("community"))
+            .agg(count(lit(1)).as("n_v"))), Seq("community"))
+        val qnum = perC
+          .agg(sum(col("in_c") * lit(m2) - col("d_c") * col("d_c")).as("num"))
+          .select((floor(col("num").cast("double")
+            / lit((m2 * m2).toDouble) * 1e6 + 0.5)).cast("long").as("q6"))
+        perC.crossJoin(broadcast(qnum))
+          .select(col("community"), col("n_v"), col("d_c"), col("in_c"),
+            (col("d_c") - col("in_c")).as("cut_c"),
+            when(least(col("d_c"), lit(m2) - col("d_c")) === 0L, lit(-1L))
+              .otherwise(expr(s"(d_c - in_c) * 10000 div " +
+                s"least(d_c, ${m2} - d_c)")).as("phi4"),
+            col("q6"))
+          .orderBy(col("community"))
+      },
+      Some("""WITH RECURSIVE re AS (
+          SELECT DISTINCT least(l_orderkey%997, l_partkey%997) AS src,
+                          greatest(l_orderkey%997, l_partkey%997) AS dst
+          FROM lineitem WHERE l_orderkey%997 <> l_partkey%997),
+        edges AS (SELECT src, dst FROM re
+          WHERE ('0x' || substr(md5('e' || src || '_' || dst), 1, 8))::BIGINT
+            % 16 = 0),
+        dedges AS (
+          SELECT src AS contact, dst AS target FROM edges
+          UNION ALL
+          SELECT dst AS contact, src AS target FROM edges),
+        verts AS (SELECT DISTINCT target AS v FROM dedges),
+        state AS (
+          SELECT 0 AS iter, v, v AS label FROM verts
+          UNION ALL
+          SELECT iter, v, 1048575 - key % 1048576 AS label
+          FROM (
+            SELECT iter, v, MAX(cnt * 1048576 + (1048575 - label)) AS key
+            FROM (
+              SELECT p.iter + 1 AS iter, e.target AS v, p.label,
+                COUNT(*) AS cnt
+              FROM state p JOIN dedges e ON p.v = e.contact
+              WHERE p.iter < 5
+              GROUP BY 1, 2, 3) c
+            GROUP BY 1, 2) m),
+        fin AS MATERIALIZED (SELECT v, label FROM state WHERE iter = 5),
+        mm AS (SELECT COUNT(*) AS m2 FROM dedges),
+        le AS MATERIALIZED (SELECT lc.label AS lc, lt.label AS lt
+          FROM dedges d
+          JOIN fin lc ON lc.v = d.contact
+          JOIN fin lt ON lt.v = d.target),
+        perc AS (SELECT le.lc AS community,
+            COUNT(*) AS d_c,
+            CAST(SUM(CASE WHEN le.lc = le.lt THEN 1 ELSE 0 END) AS BIGINT)
+              AS in_c
+          FROM le GROUP BY 1),
+        sz AS (SELECT label AS community, COUNT(*) AS n_v
+          FROM fin GROUP BY 1),
+        qn AS (SELECT CAST(floor(
+            CAST(SUM(in_c * mm.m2 - d_c * d_c) AS DOUBLE)
+            / CAST(mm.m2 * mm.m2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q6
+          FROM perc CROSS JOIN mm GROUP BY mm.m2)
+        SELECT perc.community, sz.n_v, perc.d_c, perc.in_c,
+          perc.d_c - perc.in_c AS cut_c,
+          CASE WHEN least(perc.d_c, mm.m2 - perc.d_c) = 0 THEN -1
+            ELSE (perc.d_c - perc.in_c) * 10000
+              // least(perc.d_c, mm.m2 - perc.d_c) END AS phi4,
+          qn.q6
+        FROM perc JOIN sz ON sz.community = perc.community
+        CROSS JOIN mm CROSS JOIN qn
+        ORDER BY perc.community""")),
 
     // ---- k-TRUSS peel (Cohen 2008): the EDGE-based sibling of q189's
     // vertex k-core — keep an edge only while it closes ≥ k−2 = 2
