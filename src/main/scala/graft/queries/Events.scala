@@ -1187,5 +1187,187 @@ object Events {
           med.ts_slope4, ols.ols_slope4
         FROM ols JOIN med ON med.event_type = ols.event_type
         ORDER BY ols.event_type"""))
+  ,
+
+    // ---- KAPLAN–MEIER time-to-purchase survival (Kaplan & Meier 1958):
+    // per user, days from first activity to first purchase, RIGHT-
+    // CENSORED at the observation horizon for users who never convert —
+    // the survival family's entry into the catalog (q56's retention
+    // matrix counts returns; KM answers "what fraction survives
+    // unconverted past day t" without the bias of dropping censored
+    // users). Exactness discipline: the survival product Π(1 − d/n)
+    // is carried as the SUM of per-failure-day gridded log terms
+    // ⌊(ln(n−d) − ln n)·10⁶ + 0.5⌋ — integer-argument logs (the q191
+    // ln-parity rule), exact integer accumulation (order-free), ONE
+    // exp at the end mirrored op-for-op. A day where the whole risk
+    // set fails (ln 0) short-circuits to the −13815511 sentinel
+    // (= ln(10⁻⁶)·10⁶ — survival pinned to the grid floor) in both
+    // engines. Both cumulatives (risk set = Σ_{s ≥ t} m_s, log-
+    // survival = Σ_{s ≤ t}) run as range self-joins on the DAY-DOMAIN-
+    // bounded duration table — never an unpartitioned window (the
+    // PlanSpec rule; q202's pattern).
+    //
+    // Scale: two combinable per-user aggregates + one (duration) count;
+    // everything after is |days|²-bounded range joins.
+    ("q242_kaplan_meier",
+      (s: SparkSession, dir: String) => {
+        val e = ev(s, dir).select(col("user_id"), col("event_type"),
+          expr("us div 86400000000").as("day"))
+        val t0 = e.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+        val tp = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("day")).as("dp"))
+        val horizon = e.agg(max(col("day")).as("dmax"))
+        val byT = t0.join(tp, Seq("user_id"), "left_outer")
+          .crossJoin(broadcast(horizon))
+          .select(
+            when(col("dp").isNotNull, col("dp") - col("d0"))
+              .otherwise(col("dmax") - col("d0")).as("t"),
+            col("dp").isNotNull.as("failed"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("failed"), 1L).otherwise(0L)).as("d"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(byT)
+        // risk set at t: everyone whose duration (failure OR censor) >= t
+        val risk = byT.as("a")
+          .join(byT.as("b"), col("b.t") >= col("a.t"))
+          .groupBy(col("a.t").as("t"), col("a.d").as("d"))
+          .agg(sum(col("b.m")).as("n_risk"))
+          .filter(col("d") > 0L)
+        val terms = risk.select(col("t"), col("d"), col("n_risk"),
+          when(col("d") === col("n_risk"), lit(-13815511L))
+            .otherwise(floor((log((col("n_risk") - col("d")).cast("double"))
+              - log(col("n_risk").cast("double"))) * 1e6 + 0.5).cast("long"))
+            .as("l6"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(terms)
+        terms.as("x")
+          .join(terms.select(col("t").as("t2"), col("l6").as("l62")).as("y"),
+            col("t2") <= col("x.t"))
+          .groupBy(col("x.t").as("t"), col("x.d").as("d_fail"),
+            col("x.n_risk").as("n_risk"))
+          .agg(sum(col("l62")).as("ls6"))
+          .select(col("t"), col("n_risk"), col("d_fail"), col("ls6"),
+            floor(exp(col("ls6").cast("double") / 1e6) * 1e6 + 0.5)
+              .cast("long").as("s6"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        t0 AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+        tp AS (SELECT user_id, MIN(day) AS dp FROM e
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        hz AS (SELECT MAX(day) AS dmax FROM e),
+        byt AS (SELECT
+            CASE WHEN tp.dp IS NOT NULL THEN tp.dp - t0.d0
+              ELSE hz.dmax - t0.d0 END AS t,
+            COUNT(*) AS m,
+            CAST(SUM(CASE WHEN tp.dp IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM t0 LEFT JOIN tp ON tp.user_id = t0.user_id
+          CROSS JOIN hz
+          GROUP BY 1),
+        risk AS (SELECT a.t, a.d, CAST(SUM(b.m) AS BIGINT) AS n_risk
+          FROM byt a JOIN byt b ON b.t >= a.t
+          GROUP BY a.t, a.d
+          HAVING a.d > 0),
+        terms AS (SELECT t, d, n_risk,
+            CASE WHEN d = n_risk THEN -13815511
+              ELSE CAST(floor((ln(CAST(n_risk - d AS DOUBLE))
+                - ln(CAST(n_risk AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+              END AS l6
+          FROM risk)
+        SELECT x.t, x.n_risk, x.d AS d_fail,
+          CAST(SUM(y.l6) AS BIGINT) AS ls6,
+          CAST(floor(exp(CAST(SUM(y.l6) AS BIGINT) / 1e6) * 1e6 + 0.5)
+            AS BIGINT) AS s6
+        FROM terms x JOIN terms y ON y.t <= x.t
+        GROUP BY x.t, x.n_risk, x.d
+        ORDER BY x.t""")),
+
+    // ---- MARKOV ENTROPY RATE of the event-transition chain: how
+    // predictable is the next event given the current one — the
+    // one-number summary of q163's transition matrix (H ≈ 0 bits means
+    // journeys are deterministic templates; H near ln|types| means the
+    // matrix carries no signal and a sequence model won't help). Per
+    // state a: conditional entropy H_a = −Σ_b (c_ab/c_a)·ln(c_ab/c_a);
+    // global rate H = Σ_a (c_a/C)·H_a, both reduced to the q191
+    // integer-log discipline — term_ab = c_ab·⌊(ln c_ab − ln c_a)·10⁶
+    // + 0.5⌋ accumulated exactly, ONE division per output row. The
+    // global row rides an is_total flag (the q220 rollup rule: no
+    // string sentinel can collide with a real event type). Transitions
+    // are per-user (us, event_id)-ordered lags, the q226 window
+    // co-partitioned with its aggregate.
+    //
+    // Scale: one user-partitioned lag window + one combinable (a, b)
+    // count; every fold after runs on the ≤ |types|² transition table.
+    ("q243_markov_entropy",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val tr = ev(s, dir)
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(tr)
+        val ca = tr.groupBy(col("a"))
+          .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("fanout"))
+        val terms = tr.join(broadcast(ca), Seq("a"))
+          .select(col("a"), col("c_a"), col("fanout"),
+            (col("c_ab") * floor((log(col("c_ab").cast("double"))
+              - log(col("c_a").cast("double"))) * 1e6 + 0.5).cast("long"))
+              .as("term"))
+          .groupBy(col("a"), col("c_a"), col("fanout"))
+          .agg(sum(col("term")).as("tsum"))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(terms)
+        val perState = terms.select(lit(0L).as("is_total"), col("a"),
+          col("c_a").as("n_trans"), col("fanout"),
+          floor((-col("tsum")).cast("double") / col("c_a").cast("double")
+            + 0.5).cast("long").as("h6"))
+        val global = terms
+          .agg(sum(col("tsum")).as("gsum"), sum(col("c_a")).as("cc"),
+            sum(col("fanout")).as("gf"))
+          .select(lit(1L).as("is_total"), lit("ALL").as("a"),
+            col("cc").as("n_trans"), col("gf").as("fanout"),
+            floor((-col("gsum")).cast("double") / col("cc").cast("double")
+              + 0.5).cast("long").as("h6"))
+        perState.unionByName(global).orderBy(col("is_total"), col("a"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+            epoch_us(ts) AS us FROM events),
+        seq_ AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS next_type
+          FROM e),
+        tr AS (SELECT event_type AS a, next_type AS b, COUNT(*) AS c_ab
+          FROM seq_ WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+            COUNT(*) AS fanout
+          FROM tr GROUP BY a),
+        terms AS (SELECT tr.a, ca.c_a, ca.fanout,
+            CAST(SUM(tr.c_ab
+              * CAST(floor((ln(CAST(tr.c_ab AS DOUBLE))
+                - ln(CAST(ca.c_a AS DOUBLE))) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS tsum
+          FROM tr JOIN ca ON ca.a = tr.a
+          GROUP BY 1, 2, 3),
+        per_state AS (SELECT 0 AS is_total, a, c_a AS n_trans, fanout,
+            CAST(floor(CAST(-tsum AS DOUBLE) / CAST(c_a AS DOUBLE) + 0.5)
+              AS BIGINT) AS h6
+          FROM terms),
+        gtot AS (SELECT 1 AS is_total, 'ALL' AS a,
+            CAST(SUM(c_a) AS BIGINT) AS n_trans,
+            CAST(SUM(fanout) AS BIGINT) AS fanout,
+            CAST(floor(CAST(-SUM(tsum) AS DOUBLE)
+              / CAST(SUM(c_a) AS DOUBLE) + 0.5) AS BIGINT) AS h6
+          FROM terms)
+        SELECT CAST(is_total AS BIGINT) AS is_total, a, n_trans,
+          CAST(fanout AS BIGINT) AS fanout, h6
+        FROM (SELECT * FROM per_state UNION ALL SELECT * FROM gtot)
+        ORDER BY is_total, a"""))
   )
 }
