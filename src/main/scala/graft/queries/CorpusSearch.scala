@@ -1075,10 +1075,13 @@ object CorpusSearch {
           .select(topicOf.as("vt"))
           .groupBy(col("vt")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getLong(0) -> 0.15 / r.getLong(1)).toMap
+        // getOrElse(0.0): an empty hash%3 topic class contributes zero
+        // teleport mass (the DuckDB oracle degrades the same way), rather
+        // than throwing NoSuchElementException on the driver (ADVICE r19)
         val shareCol =
-          when(col("topic") === 0L, lit(shares(0L)))
-            .when(col("topic") === 1L, lit(shares(1L)))
-            .otherwise(lit(shares(2L)))
+          when(col("topic") === 0L, lit(shares.getOrElse(0L, 0.0)))
+            .when(col("topic") === 1L, lit(shares.getOrElse(1L, 0.0)))
+            .otherwise(lit(shares.getOrElse(2L, 0.0)))
         // the (topic × vertex) frame every iteration re-joins against —
         // built once, checkpointed once
         val vt3 = g0.select(col("title"), topicOf.as("vt"))

@@ -1151,9 +1151,16 @@ object Events {
                 / (col("nd") * col("sx2") - col("sx") * col("sx"))
                   .cast("double") * 1e4 + 0.5).cast("long"))
               .as("ols_slope4"))
-        mo.join(med, Seq("event_type"))
-          .select(col("event_type"), col("nd").as("n_days"), col("n_pairs"),
-            col("ts_slope4"), col("ols_slope4"))
+        // LEFT join (ADVICE r19): a type with a single active day has no
+        // pairwise slopes — the inner join silently dropped exactly the
+        // sparse types a volume audit should surface. Emit n_pairs=0,
+        // ts_slope4=-1 (the catalog's degenerate sentinel), mirrored in
+        // the oracle.
+        mo.join(med, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("nd").as("n_days"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("ts_slope4"), lit(-1L)).as("ts_slope4"),
+            col("ols_slope4"))
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (SELECT event_type,
@@ -1183,9 +1190,10 @@ object Events {
                 / CAST(nd * sx2 - sx * sx AS DOUBLE) * 1e4 + 0.5)
                 AS BIGINT) END AS ols_slope4
           FROM mo)
-        SELECT ols.event_type, ols.nd AS n_days, med.n_pairs,
-          med.ts_slope4, ols.ols_slope4
-        FROM ols JOIN med ON med.event_type = ols.event_type
+        SELECT ols.event_type, ols.nd AS n_days,
+          COALESCE(med.n_pairs, 0) AS n_pairs,
+          COALESCE(med.ts_slope4, -1) AS ts_slope4, ols.ols_slope4
+        FROM ols LEFT JOIN med ON med.event_type = ols.event_type
         ORDER BY ols.event_type"""))
   ,
 

@@ -3849,11 +3849,13 @@ object TextOps {
             col("n_a"), col("n_b"), col("a.c").as("ca"), col("b.c").as("cb"))
           .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
             col("ca"), col("cb"),
-            (col("ca") * floor((log(lit(2.0) * col("ca") * col("n_b"))
+            (col("ca") * floor((log((lit(2L) * col("ca") * col("n_b"))
+              .cast("double"))
               - log((col("ca") * col("n_b") + col("cb") * col("n_a"))
                 .cast("double"))) * 1e6 + 0.5).cast("long"))
               .cast("decimal(38,0)").as("term_a"),
-            (col("cb") * floor((log(lit(2.0) * col("cb") * col("n_a"))
+            (col("cb") * floor((log((lit(2L) * col("cb") * col("n_a"))
+              .cast("double"))
               - log((col("ca") * col("n_b") + col("cb") * col("n_a"))
                 .cast("double"))) * 1e6 + 0.5).cast("long"))
               .cast("decimal(38,0)").as("term_b"))

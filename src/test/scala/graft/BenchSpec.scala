@@ -120,4 +120,21 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.exclusionCount(Seq(p1, p2, p3)) == 1)
     assert(Bench.exclusionCount(Seq.empty) == 0)
   }
+
+  test("interiorStats: median/p90/n fold for the in-pass sentinel (r19 #1)") {
+    // robust median: one GC-pause spike among clean samples doesn't move it
+    val (med, p90, n) = Bench.interiorStats(Seq(0.06, 0.06, 0.07, 0.06, 1.5))
+    assert(med == 0.06)
+    assert(p90 == 0.07) // index (4*9)/10 = 3 of sorted — the spike is past p90...
+    assert(n == 5)
+    // the r19 blind spot, as numbers: bracket-clean but interior-hot is
+    // now visible because the interior median IS the hot value
+    val (hot, _, _) = Bench.interiorStats(Seq(0.35, 0.39, 0.36, 0.34, 0.38))
+    assert(hot > 2 * 0.06 * 1.5) // reads >2x a clean window's interior
+    // empty window (pass shorter than one probe period): NaN-marked, n=0
+    val (e1, e2, en) = Bench.interiorStats(Seq.empty)
+    assert(e1.isNaN && e2.isNaN && en == 0)
+    // single sample: median = p90 = the sample
+    assert(Bench.interiorStats(Seq(0.08)) == ((0.08, 0.08, 1)))
+  }
 }
