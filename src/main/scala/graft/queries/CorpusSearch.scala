@@ -2917,7 +2917,187 @@ object CorpusSearch {
         JOIN pr6 p ON p.title = h.title
         CROSS JOIN nd
         ORDER BY h.term_idx, h.title"""
-      })
+      }),
+
+    // ---- Source-sampled k-bounded betweenness centrality (Brandes 2001,
+    // "A faster algorithm for betweenness centrality"; the horizon-capped
+    // variant is Brandes 2008's k-betweenness) — the one classic
+    // centrality the family still lacked (degree q73, PageRank
+    // q25/q29/q95/q221/q228, HITS q180, harmonic q223, eigenvector q231,
+    // Katz q238). Two phases over a 1/16-sparsified directed key graph
+    // (the dense fixture saturates BFS by level 2 — q168's note — which
+    // would make every shortest path trivial): (1) forward multi-source
+    // BFS from the 8 smallest out-vertices, carrying per-(source,vertex)
+    // shortest-path COUNTS σ (q168's frontier expansion + a σ-sum instead
+    // of a min-level), horizon 4; (2) Brandes' dependency back-propagation
+    // δ(v) = Σ_{w∈succ_DAG(v)} σ(v)·(1+δ(w))/σ(w), run deepest-level-first
+    // as 3 level-keyed joins over the shortest-path DAG.
+    //
+    // Cross-engine exactness is by CONSTRUCTION (the q180 discipline):
+    // δ lives on a 1e-6 integer grid — each term is the BIGINT floor
+    // division σ_v·(10⁶+δ'(w)) div σ_w and every accumulation is an exact
+    // order-independent integer SUM, so both engines produce identical
+    // bits with no float anywhere. Overflow is structurally impossible:
+    // the key graph caps at 997·1200/16 ≈ 75k edges (so σ ≤ 75⁴ ≈ 3.2e7,
+    // δ' ≤ 75·(10⁶+75·10⁶·75) < 6e9, max product < 2e17 ≪ 2⁶³) — the cap
+    // is the fixture's modulus, not the scale factor.
+    //
+    // Scale: phase 1 is the q228 batched-walk shape — 4 rounds of ONE
+    // frontier-keyed equi-join, graph traffic independent of source count
+    // (sources multiply only the (s,v) state, ≤ |S|·|V| rows); the DAG is
+    // one 3-way equi-join bounded by |S|·|E|; back-prop is 3 joins keyed
+    // on (s,v). Per-round localCheckpoint + free is the PageRank cadence.
+    // Source sampling (|S|=8, deterministic smallest-id rule shared with
+    // the oracle) is the published scaling lever (Bader et al. 2007): on a
+    // real cluster |S| grows with budget while each BFS round stays one
+    // co-partitioned shuffle. Oracle: unrolled MATERIALIZED level CTEs
+    // (the q189/q224 pattern), NOT EXISTS against prior levels, and the
+    // same integer-grid back-prop as three chained CTEs.
+    ("q244_betweenness_brandes",
+      (s: SparkSession, dir: String) => {
+        val edges = t(s, dir, "lineitem").select(
+            (col("l_orderkey") % 997).as("u"),
+            (col("l_partkey") % 1200).as("w"))
+          .filter(col("u") =!= col("w") &&
+            (col("u") * 31 + col("w")) % 16 === 0)
+          .distinct().localCheckpoint()
+        val srcs = edges.select(col("u")).distinct()
+          .orderBy(col("u")).limit(8).select(col("u").as("s"))
+        var bfs = srcs.select(col("s"), col("s").as("v"),
+          lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+        var frontier = bfs
+        for (i <- 1 to 4) {
+          val next = edges
+            .join(frontier.select(col("s"), col("v").as("u"), col("sigma")),
+              Seq("u"))
+            .groupBy(col("s"), col("w").as("v"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .join(bfs.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+            .select(col("s"), col("v"), lit(i).as("dist"), col("sigma"))
+            .localCheckpoint()
+          val prevBfs = bfs
+          bfs = prevBfs.unionByName(next).localCheckpoint()
+          if (frontier ne prevBfs) Scoped.free(frontier)
+          Scoped.free(prevBfs)
+          frontier = next
+        }
+        Scoped.free(frontier)
+        // shortest-path DAG restricted to the horizon: edge (v→w) is a
+        // DAG edge for source s iff dist_s(w) = dist_s(v) + 1
+        val dag = bfs.as("a")
+          .join(edges, col("a.v") === col("u"))
+          .join(bfs.as("b"),
+            col("b.s") === col("a.s") && col("b.v") === col("w") &&
+              col("b.dist") === col("a.dist") + 1)
+          .select(col("a.s").as("s"), col("a.v").as("pv"),
+            col("a.sigma").as("psig"), col("b.v").as("wv"),
+            col("b.sigma").as("wsig"), col("b.dist").as("wdist"))
+          .localCheckpoint()
+        Scoped.free(bfs)
+        Scoped.free(edges)
+        // δ' back-prop, deepest first: dist-4 vertices have δ'=0 (no
+        // successors inside the horizon), so d3 folds the bare 10⁶ grid
+        // unit; each level is checkpointed because it feeds TWO consumers
+        // (the next level's join + the final union)
+        val d3 = dag.filter(col("wdist") === 4)
+          .groupBy(col("s"), col("pv").as("v"))
+          .agg(sum(expr("(psig * 1000000) div wsig")).as("delta"))
+          .localCheckpoint()
+        val d2 = dag.filter(col("wdist") === 3)
+          .join(d3.select(col("s"), col("v").as("wv"),
+            col("delta").as("wdelta")), Seq("s", "wv"), "left_outer")
+          .groupBy(col("s"), col("pv").as("v"))
+          .agg(sum(expr(
+            "(psig * (1000000 + coalesce(wdelta, 0L))) div wsig"))
+            .as("delta"))
+          .localCheckpoint()
+        val d1 = dag.filter(col("wdist") === 2)
+          .join(d2.select(col("s"), col("v").as("wv"),
+            col("delta").as("wdelta")), Seq("s", "wv"), "left_outer")
+          .groupBy(col("s"), col("pv").as("v"))
+          .agg(sum(expr(
+            "(psig * (1000000 + coalesce(wdelta, 0L))) div wsig"))
+            .as("delta"))
+        Scoped.releaseAfterUse(dag, d3, d2)
+        d1.unionByName(d2).unionByName(d3)
+          .groupBy(col("v")).agg(sum(col("delta")).as("bc6"))
+          .filter(col("bc6") > 0L)
+          .orderBy(col("bc6").desc, col("v"))
+          .limit(20)
+      },
+      Some("""WITH edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 997 AS u, l_partkey % 1200 AS w
+          FROM lineitem
+          WHERE l_orderkey % 997 <> l_partkey % 1200
+            AND ((l_orderkey % 997) * 31 + (l_partkey % 1200)) % 16 = 0),
+        srcs AS (SELECT u AS s FROM (SELECT DISTINCT u FROM edges)
+          ORDER BY u LIMIT 8),
+        b0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist,
+          CAST(1 AS BIGINT) AS sigma FROM srcs),
+        b1 AS MATERIALIZED (
+          SELECT c.s, c.v, 1 AS dist, c.sigma FROM (
+            SELECT b.s, e.w AS v, CAST(SUM(b.sigma) AS BIGINT) AS sigma
+            FROM b0 b JOIN edges e ON e.u = b.v GROUP BY 1, 2) c
+          WHERE NOT EXISTS (SELECT 1 FROM b0 p
+            WHERE p.s = c.s AND p.v = c.v)),
+        b2 AS MATERIALIZED (
+          SELECT c.s, c.v, 2 AS dist, c.sigma FROM (
+            SELECT b.s, e.w AS v, CAST(SUM(b.sigma) AS BIGINT) AS sigma
+            FROM b1 b JOIN edges e ON e.u = b.v GROUP BY 1, 2) c
+          WHERE NOT EXISTS (SELECT 1 FROM b0 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b1 p
+              WHERE p.s = c.s AND p.v = c.v)),
+        b3 AS MATERIALIZED (
+          SELECT c.s, c.v, 3 AS dist, c.sigma FROM (
+            SELECT b.s, e.w AS v, CAST(SUM(b.sigma) AS BIGINT) AS sigma
+            FROM b2 b JOIN edges e ON e.u = b.v GROUP BY 1, 2) c
+          WHERE NOT EXISTS (SELECT 1 FROM b0 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b1 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b2 p
+              WHERE p.s = c.s AND p.v = c.v)),
+        b4 AS MATERIALIZED (
+          SELECT c.s, c.v, 4 AS dist, c.sigma FROM (
+            SELECT b.s, e.w AS v, CAST(SUM(b.sigma) AS BIGINT) AS sigma
+            FROM b3 b JOIN edges e ON e.u = b.v GROUP BY 1, 2) c
+          WHERE NOT EXISTS (SELECT 1 FROM b0 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b1 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b2 p
+              WHERE p.s = c.s AND p.v = c.v)
+            AND NOT EXISTS (SELECT 1 FROM b3 p
+              WHERE p.s = c.s AND p.v = c.v)),
+        bfs AS MATERIALIZED (
+          SELECT * FROM b0 UNION ALL SELECT * FROM b1
+          UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+          UNION ALL SELECT * FROM b4),
+        dag AS MATERIALIZED (
+          SELECT a.s, a.v AS pv, a.sigma AS psig,
+            b.v AS wv, b.sigma AS wsig, b.dist AS wdist
+          FROM bfs a
+          JOIN edges e ON e.u = a.v
+          JOIN bfs b ON b.s = a.s AND b.v = e.w AND b.dist = a.dist + 1),
+        d3 AS MATERIALIZED (SELECT s, pv AS v,
+            CAST(SUM((psig * 1000000) // wsig) AS BIGINT) AS delta
+          FROM dag WHERE wdist = 4 GROUP BY 1, 2),
+        d2 AS MATERIALIZED (SELECT g.s, g.pv AS v,
+            CAST(SUM((g.psig * (1000000 + COALESCE(dd.delta, 0)))
+              // g.wsig) AS BIGINT) AS delta
+          FROM dag g LEFT JOIN d3 dd ON dd.s = g.s AND dd.v = g.wv
+          WHERE g.wdist = 3 GROUP BY 1, 2),
+        d1 AS (SELECT g.s, g.pv AS v,
+            CAST(SUM((g.psig * (1000000 + COALESCE(dd.delta, 0)))
+              // g.wsig) AS BIGINT) AS delta
+          FROM dag g LEFT JOIN d2 dd ON dd.s = g.s AND dd.v = g.wv
+          WHERE g.wdist = 2 GROUP BY 1, 2)
+        SELECT v, CAST(SUM(delta) AS BIGINT) AS bc6
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+          UNION ALL SELECT * FROM d3)
+        GROUP BY v HAVING SUM(delta) > 0
+        ORDER BY bc6 DESC, v LIMIT 20"""))
   )
 
   /** q113's core, parameterized by per-retriever depth `topK`: each side
