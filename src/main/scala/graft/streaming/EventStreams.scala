@@ -568,6 +568,119 @@ object EventStreams {
           .as("chao1"))
   }
 
+  /** Streaming hour-of-day seasonality + χ² uniformity — q234 at ingest
+    * (VERDICT r19 #5): per (window, event_type) the traffic count, peak
+    * hour/share, and the χ² statistic against a flat 24-hour shape, as
+    * TWO CHAINED watermarked windowed aggregates (the q218/coverageStream
+    * trick): (window, type, hour) counts first, then the χ² fold over
+    * `window_time()` of the FINALIZED level — Append mode means level 2
+    * only ever sees watermark-closed hour counts, so the statistic is
+    * exact, never provisional.
+    *
+    * The batch query grid-fills the 24 cells so zero-traffic hours enter
+    * the fold; a stream can't cross-join a grid into a watermarked agg,
+    * but the zero cells fold ANALYTICALLY (the q237 private-token move):
+    * Σ_{h=0..23}(24·O_h − n)² = 576·ΣO² − 48n·ΣO + 24n² and ΣO = n, so
+    * ssq = 576·ΣO²_present − 24n² — zero cells contribute exactly their
+    * n² through the closed form, and the integer is BIT-IDENTICAL to the
+    * batch grid fold (StreamingSpec pins it). The peak can never be a
+    * zero cell (any emitted group has n ≥ 1), so max(struct(o, −h)) over
+    * present cells matches the batch grid's tie rule.
+    *
+    * Scale: both levels are combinable folds; state is windows-in-flight
+    * × |types|·24 counters (level 1) + × |types| 4-long rows (level 2),
+    * watermark-evicted. */
+  def seasonalityStream(events: DataFrame, window: String = "1 hour",
+      horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{window => fwindow, window_time}
+    events.withWatermark("ts", horizon)
+      .select(col("ts"), col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("h"))
+      .groupBy(fwindow(col("ts"), window), col("event_type"), col("h"))
+      .agg(count(lit(1)).as("o"))
+      .groupBy(fwindow(window_time(col("window")), window),
+        col("event_type"))
+      .agg(sum(col("o")).as("n"),
+        sum(col("o") * col("o")).as("so2"),
+        max(struct(col("o"), (-col("h")).as("nh"))).as("pk"))
+      .select(col("window"), col("event_type"), col("n"),
+        (-col("pk.nh")).as("peak_hour"),
+        expr("pk.o * 10000 div n").as("peak_share4"),
+        expr("(576 * so2 - 24 * n * n) * 100 div (24 * n)").as("chi2c"))
+  }
+
+  /** A [[Transition]] stamped with the DESTINATION event's event time, so
+    * the downstream windowed aggregation can watermark on it. */
+  final case class TransitionAt(user_id: Long, a: String, b: String,
+      ts: Timestamp)
+
+  /** Streaming Markov per-state conditional entropy — q243 at ingest
+    * (VERDICT r19 #5): per (window, state a) the transition mass c_a, the
+    * fanout, and H_a on the 1e-6 grid, EXACTLY q243's per-term integer-log
+    * fold. Three chained stateful stages: (1) [[transitionStream]]'s
+    * per-user keyed-state lag (same (us, event_id) disorder contract),
+    * each transition stamped with its destination event time and
+    * re-watermarked; (2) a windowed (window, a, b) count — finalized c_ab;
+    * (3) the entropy fold over `window_time()` of the closed level. Stage
+    * 3 needs the PER-TERM grid c_ab·⌊(ln c_ab − ln c_a)·10⁶ + 0.5⌋ with
+    * c_a the group's own sum, which no distributive agg can see — but the
+    * group is fanout-bounded (≤ |types| rows), so it collect_lists the
+    * closed c_ab values and folds them with `aggregate()` post-agg:
+    * bit-identical to the batch query, state bounded by |types|² per
+    * window. `nts6` (= −Σ term) rides the output so a consumer derives
+    * the window's GLOBAL rate exactly: ⌊Σ nts6 / Σ n_trans + 0.5⌋ — the
+    * q243 rollup without a fourth stateful stage.
+    *
+    * Scale: keyed-state is 1 row/user (O(1) forever); level-2 state is
+    * windows-in-flight × |types|²; level-3 × |types| short arrays — all
+    * watermark-evicted. */
+  def entropyRateStream(spark: SparkSession, events: Dataset[Event],
+      window: String = "1 hour", horizon: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{window => fwindow, window_time}
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[LastEv]): Iterator[TransitionAt] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[TransitionAt]
+      var last = state.getOption
+      sorted.foreach { e =>
+        val newer = last.forall(l =>
+          e.ts.getTime > l.us ||
+            (e.ts.getTime == l.us && e.event_id > l.event_id))
+        if (newer) {
+          last.foreach { l =>
+            out += TransitionAt(userId, l.event_type, e.event_type, e.ts)
+          }
+          last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+        }
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .withWatermark("ts", horizon)
+      .groupBy(fwindow(col("ts"), window), col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .groupBy(fwindow(window_time(col("window")), window), col("a"))
+      .agg(sum(col("c_ab")).as("n_trans"),
+        count(lit(1)).as("fanout"),
+        collect_list(col("c_ab")).as("cs"))
+      .select(col("window"), col("a"), col("n_trans"), col("fanout"),
+        expr("""aggregate(cs, 0L, (acc, c) -> acc - c *
+            CAST(floor((ln(CAST(c AS DOUBLE)) - ln(CAST(n_trans AS DOUBLE)))
+              * 1e6 + 0.5) AS BIGINT))""").as("nts6"))
+      .select(col("window"), col("a"), col("n_trans"), col("fanout"),
+        col("nts6"),
+        floor(col("nts6").cast("double") / col("n_trans").cast("double")
+          + 0.5).cast("long").as("h6"))
+  }
+
   def cmSketchStream(docs: DataFrame, window: String = "1 hour",
       horizon: String = "1 hour"): DataFrame =
     docs

@@ -360,6 +360,146 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained checksums must equal the batch audit per source")
   }
 
+  test("seasonalityStream: chained windowed chi-squared equals the batch q234 grid fold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // hours 10/11/12 inside one 24h window; 'view' has a clear peak
+    // (h10), 'purchase' a tie (h11 vs h12 — lowest hour must win);
+    // the ts(8) view arrives LAST (out of order, in-window); the far-
+    // future pair is the flush that closes the window through BOTH
+    // chained aggregations and is excluded from the compare
+    val events = Seq(
+      Event(1, 1, "view", 1.0, ts(5)),       // h10
+      Event(2, 1, "view", 1.0, ts(15)),      // h10
+      Event(3, 2, "view", 1.0, ts(65)),      // h11
+      Event(4, 2, "purchase", 5.0, ts(70)),  // h11
+      Event(5, 1, "purchase", 5.0, ts(130))) // h12
+    val late = Event(6, 3, "view", 1.0, ts(8)) // h10, out of order
+    val flush = Event(9, 99, "view", 0.0, ts(200000))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    mem.addData(late)
+    mem.addData(flush)
+    val q = EventStreams.seasonalityStream(mem.toDF(), window = "24 hours")
+      .writeStream.format("memory").queryName("seasonality_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val streamed = spark.table("seasonality_stream")
+      .filter(col("window.start") < ts(200000))
+      .select(col("event_type"), col("n"), col("peak_hour"),
+        col("peak_share4"), col("chi2c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // batch reference: q234's own grid-filled fold on the same fixture
+    val oh = (events :+ late).toDF()
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("o"))
+    val grid = oh.select(col("event_type")).distinct()
+      .crossJoin(spark.range(24).select(col("id").as("h")))
+      .join(oh, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val agg1 = grid.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n"),
+        max(struct(col("o"), (-col("h")).as("nh"))).as("pk"))
+    val batch = grid.join(agg1, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("pk"),
+        ((lit(24L) * col("o") - col("n"))
+          * (lit(24L) * col("o") - col("n"))).as("sq"))
+      .groupBy(col("event_type"), col("n"), col("pk"))
+      .agg(sum(col("sq")).as("ssq"))
+      .select(col("event_type"), col("n"), (-col("pk.nh")).as("peak_hour"),
+        expr("pk.o * 10000 div n").as("peak_share4"),
+        expr("ssq * 100 div (24 * n)").as("chi2c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed === batch,
+      "analytic zero-cell chi2 fold must equal the batch grid fold per type")
+    assert(streamed("purchase")._2 === 11L,
+      "peak tie must resolve to the lowest hour, matching the batch grid rule")
+  }
+
+  test("entropyRateStream: keyed-state lag + chained windowed entropy equals the batch q243 fold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // user 1's purchase crosses the micro-batch boundary (keyed state
+    // carries the lag); event 4 for user 2 arrives out of order WITHIN
+    // its micro-batch (the intra-batch sort sequences it); the far-
+    // future PAIR is the flush — a single event emits no transition, so
+    // the flush must itself be a transition to advance the downstream
+    // watermark through both chained aggregations
+    val batch1 = Seq(
+      Event(1, 1, "view", 1.0, ts(0)),
+      Event(2, 1, "click", 1.0, ts(1)),
+      Event(5, 2, "view", 1.0, ts(4)),   // out of order in-batch
+      Event(3, 2, "view", 1.0, ts(0)),
+      Event(4, 2, "view", 1.0, ts(2)))
+    val batch2 = Seq(
+      Event(6, 1, "view", 1.0, ts(2)),
+      Event(7, 1, "purchase", 5.0, ts(3)),
+      Event(8, 2, "click", 1.0, ts(6)))
+    val flush = Seq(
+      Event(90, 99, "view", 0.0, ts(200000)),
+      Event(91, 99, "click", 0.0, ts(200001)))
+    val mem = MemoryStream[Event]
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    mem.addData(flush: _*)
+    val q = EventStreams.entropyRateStream(spark, mem.toDS(),
+      window = "24 hours")
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode(OutputMode.Append()).start()
+    runToCompletion(q)
+    val streamRows = spark.table("entropy_stream")
+      .filter(col("window.start") < ts(200000))
+    val streamed = streamRows
+      .select(col("a"), col("n_trans"), col("fanout"), col("h6"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch reference: q243's own per-state fold on the same fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = (batch1 ++ batch2).toDF()
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = tr.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("fanout"))
+    val batchMap = tr.join(ca, Seq("a"))
+      .select(col("a"), col("c_a"), col("fanout"),
+        (col("c_ab") * floor((log(col("c_ab").cast("double"))
+          - log(col("c_a").cast("double"))) * 1e6 + 0.5).cast("long"))
+          .as("term"))
+      .groupBy(col("a"), col("c_a"), col("fanout"))
+      .agg(sum(col("term")).as("tsum"))
+      .select(col("a"), col("c_a"), col("fanout"),
+        floor((-col("tsum")).cast("double") / col("c_a").cast("double")
+          + 0.5).cast("long").as("h6"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed === batchMap,
+      "per-state windowed entropy must equal the batch q243 per-term grid fold")
+    // the global rate derives EXACTLY from the emitted ingredients
+    val g = streamRows.agg(sum(col("nts6")).as("gn"), sum(col("n_trans")).as("cc"))
+      .select(floor(col("gn").cast("double") / col("cc").cast("double") + 0.5))
+      .collect().head.getLong(0)
+    val gBatch = {
+      val vals = streamed.values.toSeq
+      // recompute from the batch side to make the pin independent
+      val bt = tr.join(ca, Seq("a"))
+        .select((col("c_ab") * floor((log(col("c_ab").cast("double"))
+          - log(col("c_a").cast("double"))) * 1e6 + 0.5).cast("long"))
+          .as("term"), col("c_ab"))
+        .agg((-sum(col("term"))).as("gn"), sum(col("c_ab")).as("cc"))
+        .select(floor(col("gn").cast("double") / col("cc").cast("double") + 0.5))
+        .collect().head.getLong(0)
+      assert(vals.nonEmpty); bt
+    }
+    assert(g === gBatch, "consumer-derived global rate == batch q243 rollup")
+  }
+
   test("coverageStream: chained windowed count-of-counts equals the batch q218 fold") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
