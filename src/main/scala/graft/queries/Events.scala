@@ -1377,5 +1377,303 @@ object Events {
           CAST(fanout AS BIGINT) AS fanout, h6
         FROM (SELECT * FROM per_state UNION ALL SELECT * FROM gtot)
         ORDER BY is_total, a"""))
+  ,
+
+    // ---- MANN–KENDALL trend test (Mann 1945, Kendall's S) on the daily
+    // volume series — the nonparametric significance companion to q240's
+    // Theil–Sen slope (the two are textbook partners: Theil–Sen says HOW
+    // steep, Mann–Kendall says WHETHER the monotone trend is real): per
+    // event type S = Σ_{i<j} sign(y_j − y_i) over day-ordered daily
+    // counts, plus the concordant/discordant/tie decomposition and
+    // Kendall's tau-a. ENTIRELY integer — sign sums and one ‱ division
+    // — so cross-engine parity is by construction, no grid needed.
+    // Single-active-day types surface with n_pairs = 0 and tau4 = −1
+    // (the q240 left-join rule; a REAL tau of −1 ‱ always carries
+    // n_pairs > 0, so the sentinel is unambiguous).
+    //
+    // Scale: one combinable (type, day) count; the pair set is
+    // |days|²-bounded per type (day-domain, never row count — q240's
+    // argument).
+    ("q245_mann_kendall",
+      (s: SparkSession, dir: String) => {
+        val daily = ev(s, dir)
+          .select(col("event_type"), expr("us div 86400000000").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("y")).localCheckpoint()
+        Scoped.releaseAfterUse(daily)
+        val mk = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            signum(col("b.y") - col("a.y")).cast("long").as("sg"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("sg")).as("s_stat"),
+            count(lit(1)).as("n_pairs"),
+            count(when(col("sg") === 1L, 1)).as("n_conc"),
+            count(when(col("sg") === -1L, 1)).as("n_disc"),
+            count(when(col("sg") === 0L, 1)).as("n_tie"))
+        daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+          .join(mk, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n_days"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+            coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+            coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+            coalesce(col("n_tie"), lit(0L)).as("n_tie"),
+            // tau can be negative: `div` truncates toward zero in Spark
+            // but `//` floors in DuckDB, so the ratio goes through one
+            // exact-integer-ratio IEEE division + floor (q240's slope
+            // rule), identical in both engines
+            when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(-1L))
+              .otherwise(floor((col("s_stat") * lit(10000L)).cast("double")
+                / col("n_pairs").cast("double") + 0.5).cast("long"))
+              .as("tau4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d FROM events),
+        daily AS (SELECT event_type, d, COUNT(*) AS y
+          FROM e GROUP BY 1, 2),
+        mk AS (SELECT a.event_type,
+            CAST(SUM(sign(b.y - a.y)) AS BIGINT) AS s_stat,
+            COUNT(*) AS n_pairs,
+            CAST(COUNT(*) FILTER (WHERE b.y > a.y) AS BIGINT) AS n_conc,
+            CAST(COUNT(*) FILTER (WHERE b.y < a.y) AS BIGINT) AS n_disc,
+            CAST(COUNT(*) FILTER (WHERE b.y = a.y) AS BIGINT) AS n_tie
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+          GROUP BY a.event_type),
+        nd AS (SELECT event_type, COUNT(*) AS n_days
+          FROM daily GROUP BY event_type)
+        SELECT nd.event_type, nd.n_days,
+          COALESCE(mk.n_pairs, 0) AS n_pairs,
+          COALESCE(mk.s_stat, 0) AS s_stat,
+          COALESCE(mk.n_conc, 0) AS n_conc,
+          COALESCE(mk.n_disc, 0) AS n_disc,
+          COALESCE(mk.n_tie, 0) AS n_tie,
+          CASE WHEN COALESCE(mk.n_pairs, 0) = 0 THEN -1
+            ELSE CAST(floor(CAST(mk.s_stat * 10000 AS DOUBLE)
+              / CAST(mk.n_pairs AS DOUBLE) + 0.5) AS BIGINT) END AS tau4
+        FROM nd LEFT JOIN mk ON mk.event_type = nd.event_type
+        ORDER BY nd.event_type"""))
+  ,
+
+    // ---- HILL TAIL-INDEX estimator (Hill 1975) on the monetary amounts
+    // — the extreme-value-theory audit the fence/outlier family lacks:
+    // q172's Tukey fences and q148's MAD assume a light tail; the Hill
+    // estimator measures HOW heavy the upper tail actually is (α ≈ 1-2:
+    // heavy, variance may not exist; α large: light — fences are
+    // trustworthy). Per event type, over the k = 32 largest positive
+    // cents values x₁ ≥ … ≥ x_k and the threshold x_{k+1}:
+    // H = (1/k)·Σ ln(x_i / x_{k+1}), α = 1/H. Exactness discipline:
+    // values enter on the exact cents grid, each log term is the
+    // integer-argument gridded difference ⌊(ln xc_i − ln xc_{k+1})·10⁶
+    // + 0.5⌋ (the q191/q243 pattern — 1-ulp libm drift dies at the
+    // grid), the sum is an exact integer add, and both outputs are one
+    // integer division each. Types with fewer than k+1 positive values
+    // sentinel to −1 in both engines (too few order statistics for a
+    // tail estimate); a zero/negative term sum (all top values tied with
+    // the threshold) sentinels alpha4 to −1 too (H = 0 ⇒ α undefined).
+    //
+    // Scale: the per-type top-(k+1) rank filter is the q08 topk shape —
+    // Spark plans a WindowGroupLimit, so only k+1 rows per type survive
+    // the shuffle; everything after runs on |types|·(k+1) rows. The
+    // rank tie-break (cents DESC, event_id) is total, so the threshold
+    // row is deterministic in both engines.
+    ("q246_hill_tail_index",
+      (s: SparkSession, dir: String) => {
+        val k = 32
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("xc").desc, col("event_id"))
+        val top = ev(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("xc"))
+          .filter(col("xc") > 0L)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k + 1)
+          .localCheckpoint()
+        Scoped.releaseAfterUse(top)
+        val thr = top.filter(col("rk") === k + 1)
+          .select(col("event_type"), col("xc").as("xk1"))
+        top.filter(col("rk") <= k)
+          .join(thr, Seq("event_type"), "left_outer")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_top"), max(col("xk1")).as("xk1"),
+            sum(when(col("xk1").isNull, lit(0L))
+              .otherwise(floor((log(col("xc").cast("double"))
+                - log(col("xk1").cast("double"))) * 1e6 + 0.5)
+                .cast("long"))).as("lsum6"))
+          .select(col("event_type"), col("n_top"),
+            coalesce(col("xk1"), lit(-1L)).as("xk1_cents"),
+            when(col("xk1").isNull || col("n_top") < k, lit(-1L))
+              .otherwise(col("lsum6")).as("lsum6"),
+            when(col("xk1").isNull || col("n_top") < k, lit(-1L))
+              .otherwise(expr(s"lsum6 div $k")).as("hill_h6"),
+            when(col("xk1").isNull || col("n_top") < k
+                || col("lsum6") <= 0L, lit(-1L))
+              .otherwise(expr(s"${k}L * 10000000000 div lsum6"))
+              .as("alpha4"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH c AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events
+          WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+        rk AS (SELECT event_type, xc,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY xc DESC, event_id) AS rk
+          FROM c),
+        thr AS (SELECT event_type, xc AS xk1 FROM rk WHERE rk = 33),
+        f AS (SELECT r.event_type, COUNT(*) AS n_top,
+            MAX(t.xk1) AS xk1,
+            CAST(SUM(CASE WHEN t.xk1 IS NULL THEN 0
+              ELSE CAST(floor((ln(CAST(r.xc AS DOUBLE))
+                - ln(CAST(t.xk1 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+              END) AS BIGINT) AS lsum6
+          FROM rk r LEFT JOIN thr t ON t.event_type = r.event_type
+          WHERE r.rk <= 32
+          GROUP BY r.event_type)
+        SELECT event_type, n_top,
+          COALESCE(xk1, -1) AS xk1_cents,
+          CASE WHEN xk1 IS NULL OR n_top < 32 THEN -1
+            ELSE lsum6 END AS lsum6,
+          CASE WHEN xk1 IS NULL OR n_top < 32 THEN -1
+            ELSE lsum6 // 32 END AS hill_h6,
+          CASE WHEN xk1 IS NULL OR n_top < 32 OR lsum6 <= 0 THEN -1
+            ELSE 32 * 10000000000 // lsum6 END AS alpha4
+        FROM f
+        ORDER BY event_type"""))
+  ,
+
+    // ---- ABSORBING-CHAIN expected steps to purchase (the fundamental-
+    // matrix quantity N·1, computed by horizon-capped value iteration)
+    // — the model-based completion of the Markov family: q163 estimates
+    // the transition matrix, q243 scores its predictability, q242
+    // measures time-to-purchase EMPIRICALLY (calendar days, censored);
+    // this query asks the MODEL the same question in steps: from state
+    // a, how many transitions until absorption at 'purchase'?
+    // v ← 1 + P·v with v(purchase) ≡ 0, iterated H = 8 times from
+    // v₀ = 0 — v_H is EXACTLY the expected number of steps among paths
+    // absorbed within the horizon, with unabsorbed mass contributing H
+    // (the k-bounded truncated expectation; chains that rarely convert
+    // saturate toward H, which is the honest report for a horizon-H
+    // question). Exactness by construction: v lives on a 1e-6 integer
+    // grid and each update is v'(a) = 10⁶ + (Σ_b c_ab·v(b)) div c_a —
+    // BIGINT multiply-add and ONE floor division per state per step, so
+    // both engines produce identical bits with no float anywhere (the
+    // q244 discipline). Overflow is structural: v ≤ H·10⁶, c_ab sums ≤
+    // |rows|, product ≤ 8·10⁶·|rows| ≪ 2⁶³.
+    //
+    // Scale: the transition table is ≤ |types|² rows (one user-
+    // partitioned lag window builds it — q243's shape); each of the 8
+    // value steps is one broadcast-sized join + fold on that table.
+    // Oracle: 8 unrolled MATERIALIZED CTEs (the q189/q224 pattern).
+    ("q247_absorbing_steps",
+      (s: SparkSession, dir: String) => {
+        val horizon = 8
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val tr = ev(s, dir)
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .localCheckpoint()
+        val ca = tr.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+          .localCheckpoint()
+        // transient (non-absorbing) states: everything but 'purchase'
+        val states = ca.filter(col("a") =!= "purchase")
+        var v = states.select(col("a"), lit(0L).as("v6"))
+        // q228's release cadence: `prev` only ever holds a CHECKPOINTED
+        // step (freeing the initial lazy frame would walk through to
+        // ca's checkpoint, which `states` still reads every iteration)
+        var prev: DataFrame = null
+        for (_ <- 1 to horizon) {
+          val next = states
+            .join(tr, Seq("a"))
+            .join(v.select(col("a").as("b"), col("v6").as("vb6")),
+              Seq("b"), "left_outer")
+            .groupBy(col("a"), col("c_a"))
+            // absorbing successor ('purchase') and truly terminal
+            // successors contribute v = 0, exactly the left-join null
+            .agg(sum(col("c_ab") * coalesce(col("vb6"), lit(0L)))
+              .as("num"))
+            .select(col("a"),
+              (lit(1000000L) + expr("num div c_a")).as("v6"))
+            .localCheckpoint()
+          if (prev != null) Scoped.free(prev)
+          prev = next
+          v = next
+        }
+        Scoped.free(tr)
+        Scoped.free(ca)
+        Scoped.releaseAfterUse(v)
+        v.select(col("a"), col("v6").as("exp_steps6"))
+          .orderBy(col("a"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+            epoch_us(ts) AS us FROM events),
+        seq_ AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS next_type
+          FROM e),
+        tr AS MATERIALIZED (SELECT event_type AS a, next_type AS b,
+            COUNT(*) AS c_ab
+          FROM seq_ WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        ca AS MATERIALIZED (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+          FROM tr GROUP BY a),
+        st AS MATERIALIZED (SELECT a, c_a FROM ca
+          WHERE a <> 'purchase'),
+        v0 AS MATERIALIZED (SELECT a, CAST(0 AS BIGINT) AS v6 FROM st),
+        v1 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v0 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v2 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v1 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v3 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v2 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v4 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v3 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v5 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v4 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v6_ AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v5 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v7 AS MATERIALIZED (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v6_ p ON p.a = tr.b
+          GROUP BY st.a, st.c_a),
+        v8 AS (SELECT st.a,
+            1000000 + CAST(SUM(tr.c_ab * COALESCE(p.v6, 0)) AS BIGINT)
+              // st.c_a AS v6
+          FROM st JOIN tr ON tr.a = st.a
+          LEFT JOIN v7 p ON p.a = tr.b
+          GROUP BY st.a, st.c_a)
+        SELECT a, v6 AS exp_steps6 FROM v8 ORDER BY a"""))
   )
 }
