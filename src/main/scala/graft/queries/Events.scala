@@ -1675,5 +1675,134 @@ object Events {
           LEFT JOIN v7 p ON p.a = tr.b
           GROUP BY st.a, st.c_a)
         SELECT a, v6 AS exp_steps6 FROM v8 ORDER BY a"""))
+  ,
+
+    // ---- TRIMMED + WINSORIZED means (k = 16 each tail) of the monetary
+    // amounts per event type — the robust-location pair that completes
+    // the robust-statistics family (q148 MAD = robust scale, q240
+    // Theil–Sen = robust trend, q246 Hill = tail weight; this is robust
+    // LEVEL, the number a spend dashboard should print when q246 says
+    // the tail is heavy): drop the k smallest and k largest (trimmed),
+    // or clamp them to the trim boundaries (winsorized — Tukey's
+    // compromise that keeps n). ENTIRELY integer on the exact cents
+    // grid: order statistics via a deterministic (cents, event_id) rank,
+    // sums exact, one ‱ division per output; types with n ≤ 2k sentinel
+    // every derived column to −1 in both engines (no interior left).
+    // The kept-set min/max ARE the trim boundaries (rank k+1 and n−k),
+    // so one aggregate over the kept rows yields both means.
+    //
+    // Scale: one partitioned rank window co-partitioned with its
+    // aggregate (the q226 shape); everything after runs on |types| rows.
+    ("q248_trimmed_winsorized",
+      (s: SparkSession, dir: String) => {
+        val k = 16
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("xc"), col("event_id"))
+        val ranked = ev(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("xc"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .localCheckpoint()
+        Scoped.releaseAfterUse(ranked)
+        val kept = ranked
+          .filter(col("rk") > k && col("rk") <= col("n") - k)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("xc")).as("ksum"),
+            min(col("xc")).as("lo"), max(col("xc")).as("hi"))
+        ranked.select(col("event_type"), col("n")).distinct()
+          .join(kept, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            when(col("n_kept").isNull, lit(-1L))
+              .otherwise(expr("ksum * 10000 div n_kept")).as("tmean4"),
+            when(col("n_kept").isNull, lit(-1L))
+              .otherwise(expr(
+                s"(ksum + $k * (lo + hi)) * 10000 div n")).as("wmean4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events),
+        rked AS (SELECT event_type, xc,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY xc, event_id) AS rk,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+        kept AS (SELECT event_type,
+            COUNT(*) AS n_kept, CAST(SUM(xc) AS BIGINT) AS ksum,
+            MIN(xc) AS lo, MAX(xc) AS hi
+          FROM rked WHERE rk > 16 AND rk <= n - 16
+          GROUP BY event_type),
+        nd AS (SELECT DISTINCT event_type, CAST(n AS BIGINT) AS n
+          FROM rked)
+        SELECT nd.event_type, nd.n,
+          COALESCE(kept.n_kept, 0) AS n_kept,
+          CASE WHEN kept.n_kept IS NULL THEN -1
+            ELSE ksum * 10000 // kept.n_kept END AS tmean4,
+          CASE WHEN kept.n_kept IS NULL THEN -1
+            ELSE (ksum + 16 * (lo + hi)) * 10000 // nd.n END AS wmean4
+        FROM nd LEFT JOIN kept ON kept.event_type = nd.event_type
+        ORDER BY nd.event_type"""))
+  ,
+
+    // ---- AUDIENCE-OVERLAP Jaccard matrix between event types: which
+    // behaviors share users — the user-set sibling of q163's transition
+    // matrix (transitions say what follows what WITHIN a journey; this
+    // says which behaviors co-occur in the same PEOPLE, the signal
+    // behind "viewers who also purchase") and the set-similarity
+    // family's (q31/q34/q74) application to behavioral cohorts.
+    // |A∩B| via one self-join of the DISTINCT (type, user) audience
+    // table on user_id; |A∪B| = n_a + n_b − inter; all INTEGER with one
+    // ‱ division, and the pair grid is filled so disjoint audiences
+    // surface with j4 = 0 instead of vanishing (the q240 left-join
+    // rule; the union is ≥ max(n_a, n_b) ≥ 1, so no zero-division
+    // sentinel is ever needed).
+    //
+    // Scale: the audience table is ≤ |types|·|users| rows but the
+    // self-join keys on user_id and each user carries ≤ |types| rows,
+    // so the pair fan-out is |users|·|types|²-bounded — never
+    // row-count² (q205's per-key cap argument); the output is the
+    // |types|² matrix.
+    ("q249_audience_jaccard",
+      (s: SparkSession, dir: String) => {
+        val au = ev(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint()
+        Scoped.releaseAfterUse(au)
+        val na = au.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+        val inter = au.as("a")
+          .join(au.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        na.select(col("event_type").as("type_a"), col("na").as("n_a"))
+          .join(na.select(col("event_type").as("type_b"),
+            col("na").as("n_b")), col("type_a") < col("type_b"))
+          .join(inter, Seq("type_a", "type_b"), "left_outer")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            expr("coalesce(n_inter, 0L) * 10000 div (n_a + n_b - coalesce(n_inter, 0L))")
+              .as("j4"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+        na AS (SELECT event_type, COUNT(*) AS na FROM au GROUP BY 1),
+        inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_inter
+          FROM au a JOIN au b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+          x.na AS n_a, y.na AS n_b,
+          COALESCE(i.n_inter, 0) AS n_inter,
+          COALESCE(i.n_inter, 0) * 10000
+            // (x.na + y.na - COALESCE(i.n_inter, 0)) AS j4
+        FROM na x JOIN na y ON x.event_type < y.event_type
+        LEFT JOIN inter i ON i.type_a = x.event_type
+          AND i.type_b = y.event_type
+        ORDER BY type_a, type_b"""))
   )
 }

@@ -3992,7 +3992,79 @@ object TextOps {
               ELSE 2 * m.tp * 10000 // (2 * m.tp + m.fp + m.fn) END AS f14
           FROM conf CROSS JOIN m
           ORDER BY conf.lang, conf.pred_lang"""
-      })
+      }),
+
+    // ---- MILLER–MADOW bias-corrected unigram entropy per source
+    // (Miller 1955) — the estimator audit the diversity family needs:
+    // the plug-in (MLE) entropy q191/q243 compute is biased LOW by
+    // ≈ (V−1)/2n nats on finite samples (a 50k-token source with 8k
+    // types under-reads by ~0.08 nats — material when entropy gates a
+    // diversity threshold), and Miller–Madow is the standard first-order
+    // correction; the sample-coverage line (q218's Good–Turing C) rides
+    // along so a reader sees WHY the correction is small or large.
+    // Exactness: H_MLE is q243's per-term integer-log fold (c·⌊(ln c −
+    // ln n)·10⁶ + 0.5⌋, accumulated in decimal(38,0) because a corpus-
+    // wide Σ c·grid can exceed int64 at 100 TB — q191's width argument),
+    // exiting through decimalToLongChecked; the correction is the exact
+    // integer (V−1)·10⁶ div 2n; coverage is q218's integer expression
+    // verbatim. Everything is one (source, tok) count — one combinable
+    // shuffle — then |sources|-bounded folds.
+    ("q250_miller_madow_entropy",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        val st = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        Scoped.releaseAfterUse(st)
+        val ns = st.groupBy(col("source"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("v_types"),
+            count(when(col("c") === 1L, 1)).as("n1"))
+        st.join(broadcast(ns), Seq("source"))
+          .select(col("source"), col("n"), col("v_types"), col("n1"),
+            (col("c") * floor((log(col("c").cast("double"))
+              - log(col("n").cast("double"))) * 1e6 + 0.5).cast("long"))
+              .cast("decimal(38,0)").as("term"))
+          .groupBy(col("source"), col("n"), col("v_types"), col("n1"))
+          .agg(sum(col("term")).as("tsum"))
+          .select(col("source"), col("n").as("n_tokens"), col("v_types"),
+            col("n1"),
+            expr("10000 - n1 * 10000 div n").as("coverage4"),
+            floor((-Relational.decimalToLongChecked(col("tsum")))
+              .cast("double") / col("n").cast("double") + 0.5)
+              .cast("long").as("h6"),
+            (floor((-Relational.decimalToLongChecked(col("tsum")))
+              .cast("double") / col("n").cast("double") + 0.5)
+              .cast("long")
+              + expr("(v_types - 1) * 1000000 div (2 * n)")).as("mm6"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS tok FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+            COUNT(*) AS v_types,
+            CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n1
+          FROM st GROUP BY source),
+        terms AS (SELECT st.source,
+            CAST(st.c AS HUGEINT)
+              * CAST(floor((ln(CAST(st.c AS DOUBLE))
+                - ln(CAST(ns.n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+              AS term
+          FROM st JOIN ns ON ns.source = st.source),
+        ts AS (SELECT source, CAST(SUM(term) AS BIGINT) AS tsum
+          FROM terms GROUP BY source)
+        SELECT ns.source, ns.n AS n_tokens, ns.v_types, ns.n1,
+          10000 - ns.n1 * 10000 // ns.n AS coverage4,
+          CAST(floor(CAST(-ts.tsum AS DOUBLE) / CAST(ns.n AS DOUBLE)
+            + 0.5) AS BIGINT) AS h6,
+          CAST(floor(CAST(-ts.tsum AS DOUBLE) / CAST(ns.n AS DOUBLE)
+            + 0.5) AS BIGINT)
+            + (ns.v_types - 1) * 1000000 // (2 * ns.n) AS mm6
+        FROM ns JOIN ts ON ts.source = ns.source
+        ORDER BY ns.source"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
