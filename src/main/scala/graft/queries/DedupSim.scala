@@ -4292,6 +4292,78 @@ object DedupSim {
           a_e - a_s + 1 - covered AS mismatched
         FROM ch WHERE a_e - a_s + 1 >= 15
         ORDER BY id_a, id_b, d, a_s"""))
+  ,
+
+    // ---- SOURCE-pair shingle CONTAINMENT matrix: how much of source
+    // a's 5-gram vocabulary appears in source b — the corpus-level
+    // lift of q178's per-doc containment (a doc-level dup detector
+    // can't see that an entire FEED is a re-crawl or subset of another;
+    // this matrix does, and it is the number a data-mixing decision
+    // reads before weighting sources). Directional by design:
+    // cont(a→b) = |S_a ∩ S_b| / |S_a| — a small feed fully contained
+    // in a large one reads 100% one way and small the other, exactly
+    // the asymmetry resemblance hides (q178's argument, at source
+    // grain). All INTEGER: distinct hash60 shingle sets per source,
+    // one equi self-join on shingle for the intersections, one ‱
+    // division; the pair grid is filled so disjoint sources surface
+    // with cont4 = 0 (the q240 left-join rule; |S_a| ≥ 1 for any
+    // source that emitted a shingle, so no zero division).
+    //
+    // Scale: shingles are built map-side per doc (gram_hash60 inside
+    // the row — q178's zero-text-shuffle build), reduced to the
+    // DISTINCT (source, shingle) table once; the self-join keys on
+    // shingle with ≤ |sources| rows per key, so pair fan-out is
+    // |shingles|·|sources|²-bounded (q205's per-key cap), and the
+    // output is the |sources|² matrix.
+    ("q252_source_containment",
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val ssh = t(s, dir, "documents")
+          .select(col("source"),
+            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("source"),
+            explode(expr("array_distinct(gram_hash60(ws, 5))")).as("sh"))
+          .distinct().localCheckpoint()
+        Scoped.releaseAfterUse(ssh)
+        val na = ssh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val inter = ssh.as("a")
+          .join(ssh.as("b"),
+            col("a.sh") === col("b.sh")
+              && col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        na.select(col("source").as("src_a"), col("n_sh").as("n_a"))
+          .join(na.select(col("source").as("src_b"), col("n_sh").as("n_b")),
+            col("src_a") =!= col("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left_outer")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            expr("coalesce(n_inter, 0L) * 10000 div n_a").as("cont4"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (SELECT source,
+            regexp_extract_all(text, '[a-zA-Z]+') AS ws
+          FROM documents WHERE len(regexp_extract_all(text, '[a-zA-Z]+')) >= 5),
+        ssh AS (SELECT DISTINCT source, sh FROM (
+          SELECT source,
+            unnest(list_transform(range(0, greatest(len(ws) - 4, 0)),
+              i -> CAST(('0x' || substr(md5(array_to_string(
+                list_slice(ws, i + 1, i + 5), ' ')), 1, 15)) AS BIGINT)))
+              AS sh
+          FROM toks)),
+        na AS (SELECT source, COUNT(*) AS n_sh FROM ssh GROUP BY source),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+            COUNT(*) AS n_inter
+          FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source <> b.source
+          GROUP BY 1, 2)
+        SELECT x.source AS src_a, y.source AS src_b,
+          x.n_sh AS n_a, y.n_sh AS n_b,
+          COALESCE(i.n_inter, 0) AS n_inter,
+          COALESCE(i.n_inter, 0) * 10000 // x.n_sh AS cont4
+        FROM na x JOIN na y ON x.source <> y.source
+        LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+        ORDER BY src_a, src_b"""))
   )
 
 

@@ -1804,5 +1804,96 @@ object Events {
         LEFT JOIN inter i ON i.type_a = x.event_type
           AND i.type_b = y.event_type
         ORDER BY type_a, type_b"""))
+  ,
+
+    // ---- DAILY-VOLUME AUTOCORRELATION at lags 1–3 per event type —
+    // the memory check completing the time-series audit trio (q234:
+    // is there an hour-of-day shape; q240/q245: is there a trend;
+    // this: does yesterday predict today once you're past both): the
+    // Pearson correlation of (y_d, y_{d+k}) over calendar-day lag
+    // pairs (absent days simply don't pair — lag is CALENDAR days,
+    // not row adjacency). Exactness is q222's assortativity
+    // discipline verbatim: the five moment sums are exact BIGINT
+    // folds, the correlation is formed as (n·Σab − Σa·Σb) /
+    // (√(n·Σa²−Σa²̂) · √(n·Σb²−Σb²̂)) with each variance cast to
+    // double separately (their PRODUCT can exceed int64 — the q222
+    // shape avoids it) — IEEE sqrt is correctly rounded, so the chain
+    // is bit-identical across engines. r can be negative and −1 ‱ is
+    // a legal value, so degenerate cases (no pairs, or zero variance
+    // on either side) sentinel acf4 to −20001, outside [−10⁴, 10⁴]
+    // (the q251 convention).
+    //
+    // Scale: one combinable (type, day) count; lag pairs are
+    // |days|-bounded per (type, lag); folds run on |types|·3 rows.
+    ("q253_volume_autocorr",
+      (s: SparkSession, dir: String) => {
+        val daily = ev(s, dir)
+          .select(col("event_type"), expr("us div 86400000000").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("y")).localCheckpoint()
+        Scoped.releaseAfterUse(daily)
+        val lags = s.range(1, 4).select(col("id").as("lag"))
+        val pairs = lags.crossJoin(daily.as("a"))
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("b.d") === col("a.d") + col("lag"))
+          .select(col("a.event_type").as("event_type"), col("lag"),
+            col("a.y").as("ya"), col("b.y").as("yb"))
+        val mo = pairs.groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("ya")).as("sa"),
+            sum(col("yb")).as("sb"), sum(col("ya") * col("yb")).as("sab"),
+            sum(col("ya") * col("ya")).as("sa2"),
+            sum(col("yb") * col("yb")).as("sb2"))
+        daily.select(col("event_type")).distinct().crossJoin(lags)
+          .join(mo, Seq("event_type", "lag"), "left_outer")
+          .select(col("event_type"), col("lag"),
+            coalesce(col("n"), lit(0L)).as("n_pairs"),
+            when(col("n").isNull
+                || col("n") * col("sa2") - col("sa") * col("sa") === 0L
+                || col("n") * col("sb2") - col("sb") * col("sb") === 0L,
+              lit(-20001L))
+              .otherwise(floor(
+                (col("n") * col("sab") - col("sa") * col("sb"))
+                  .cast("double") * 1e4
+                  / sqrt((col("n") * col("sa2") - col("sa") * col("sa"))
+                    .cast("double"))
+                  / sqrt((col("n") * col("sb2") - col("sb") * col("sb"))
+                    .cast("double"))
+                  + 0.5).cast("long")).as("acf4"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d FROM events),
+        daily AS (SELECT event_type, d, COUNT(*) AS y
+          FROM e GROUP BY 1, 2),
+        lags AS (SELECT unnest(range(1, 4)) AS lag),
+        pairs AS (SELECT a.event_type, l.lag,
+            a.y AS ya, b.y AS yb
+          FROM lags l
+          CROSS JOIN daily a
+          JOIN daily b ON b.event_type = a.event_type
+            AND b.d = a.d + l.lag),
+        mo AS (SELECT event_type, lag, COUNT(*) AS n,
+            CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+            CAST(SUM(ya * yb) AS BIGINT) AS sab,
+            CAST(SUM(ya * ya) AS BIGINT) AS sa2,
+            CAST(SUM(yb * yb) AS BIGINT) AS sb2
+          FROM pairs GROUP BY 1, 2),
+        grid AS (SELECT t.event_type, CAST(l.lag AS BIGINT) AS lag
+          FROM (SELECT DISTINCT event_type FROM daily) t
+          CROSS JOIN lags l)
+        SELECT g.event_type, g.lag,
+          COALESCE(mo.n, 0) AS n_pairs,
+          CASE WHEN mo.n IS NULL
+              OR mo.n * mo.sa2 - mo.sa * mo.sa = 0
+              OR mo.n * mo.sb2 - mo.sb * mo.sb = 0 THEN -20001
+            ELSE CAST(floor(CAST(mo.n * mo.sab - mo.sa * mo.sb AS DOUBLE)
+              * 1e4
+              / sqrt(CAST(mo.n * mo.sa2 - mo.sa * mo.sa AS DOUBLE))
+              / sqrt(CAST(mo.n * mo.sb2 - mo.sb * mo.sb AS DOUBLE))
+              + 0.5) AS BIGINT) END AS acf4
+        FROM grid g LEFT JOIN mo ON mo.event_type = g.event_type
+          AND mo.lag = g.lag
+        ORDER BY g.event_type, g.lag"""))
   )
 }

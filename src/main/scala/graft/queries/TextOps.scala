@@ -4065,6 +4065,100 @@ object TextOps {
             + (ns.v_types - 1) * 1000000 // (2 * ns.n) AS mm6
         FROM ns JOIN ts ON ts.source = ns.source
         ORDER BY ns.source"""))
+  ,
+
+    // ---- COHEN'S KAPPA (Cohen 1960) between q45's trigram language-ID
+    // and the declared lang column — the chance-corrected agreement
+    // number q239's confusion/PRF audit stops short of: precision/recall
+    // reward a classifier that exploits class imbalance (predict the
+    // majority, look great); κ subtracts the agreement two independent
+    // raters with these marginals would reach by luck, so it is the one
+    // number to gate "is the labeling signal real". Binary (en vs
+    // other): p_o = (tp+tn)/N, p_e from the marginal products, κ =
+    // (p_o − p_e)/(1 − p_e). The classifier expression is q45/q239's
+    // VERBATIM (same trigram list, same 0.18 threshold) so the three
+    // can never drift apart silently. Exactness: all four cells are one
+    // combinable count; p_o/p_e are positive integer ‱ divisions; κ can
+    // be NEGATIVE, so its ratio goes through the q245 exact-integer-
+    // ratio double path (cross-engine-identical long→double casts, one
+    // IEEE division + floor — `div` truncation vs `//` flooring never
+    // enters). Degenerate p_e = 1 (both raters constant) sentinels
+    // kappa4 to −20001, outside κ's [−10⁴, 10⁴] range so it can never
+    // collide with a real value (the q245 lesson: −1 IS a legal κ).
+    //
+    // Scale: one map-side classification pass + one 4-cell count.
+    ("q251_cohens_kappa",
+      (s: SparkSession, dir: String) => {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") div 3")
+        val m = t(s, dir, "documents")
+          .withColumn("lt", lower(col("text")))
+          .withColumn("n_tg", greatest(length(col("lt")) - 2, lit(0)).cast("long"))
+          .withColumn("n_hit", expr(hitSum).cast("long"))
+          .withColumn("pred_en",
+            floor(col("n_hit").cast("double")
+              / greatest(col("n_tg"), lit(1L)) * 1e4 + 0.5) / 1e4 >= 0.18)
+          .agg(
+            sum(when(col("lang") === "en" && col("pred_en"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("lang") =!= "en" && col("pred_en"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("lang") === "en" && !col("pred_en"), 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("lang") =!= "en" && !col("pred_en"), 1L)
+              .otherwise(0L)).as("tn"))
+        m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+            (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+            // pe numerator over N²: (tp+fp)(tp+fn) + (fn+tn)(fp+tn)
+            ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+              + (col("fn") + col("tn")) * (col("fp") + col("tn")))
+              .as("pe_num"))
+          .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("(tp + tn) * 10000 div n").as("po4"),
+            expr("pe_num * 10000 div (n * n)").as("pe4"),
+            when(col("n") * col("n") - col("pe_num") === 0L, lit(-20001L))
+              .otherwise(floor(
+                ((col("tp") + col("tn")) * col("n") - col("pe_num"))
+                  .cast("double") * 1e4
+                  / (col("n") * col("n") - col("pe_num")).cast("double")
+                  + 0.5).cast("long")).as("kappa4"))
+      },
+      Some {
+        val hitSum = enTrigrams
+          .map(g => s"(length(lt) - length(replace(lt, '$g', '')))")
+          .mkString("(", " + ", ") // 3")
+        s"""WITH d AS (SELECT lang, lower(text) AS lt FROM documents),
+          e AS (SELECT lang,
+              CAST(greatest(length(lt) - 2, 0) AS BIGINT) AS n_tg,
+              CAST($hitSum AS BIGINT) AS n_hit
+            FROM d),
+        p AS (SELECT lang,
+            floor(CAST(n_hit AS DOUBLE) / greatest(n_tg, 1)
+              * 10000.0 + 0.5) / 10000.0 >= 0.18 AS pred_en
+          FROM e),
+        m AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE lang = 'en' AND pred_en)
+              AS BIGINT) AS tp,
+            CAST(COUNT(*) FILTER (WHERE lang <> 'en' AND pred_en)
+              AS BIGINT) AS fp,
+            CAST(COUNT(*) FILTER (WHERE lang = 'en' AND NOT pred_en)
+              AS BIGINT) AS fn,
+            CAST(COUNT(*) FILTER (WHERE lang <> 'en' AND NOT pred_en)
+              AS BIGINT) AS tn
+          FROM p),
+        k AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+            (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS pe_num
+          FROM m)
+        SELECT n, tp, fp, fn, tn,
+          (tp + tn) * 10000 // n AS po4,
+          pe_num * 10000 // (n * n) AS pe4,
+          CASE WHEN n * n - pe_num = 0 THEN -20001
+            ELSE CAST(floor(CAST((tp + tn) * n - pe_num AS DOUBLE) * 1e4
+              / CAST(n * n - pe_num AS DOUBLE) + 0.5) AS BIGINT)
+            END AS kappa4
+        FROM k"""
+      })
   )
 
   /** q190's rule evaluation, shared with the streaming twin
