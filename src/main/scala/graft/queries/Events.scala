@@ -1895,5 +1895,76 @@ object Events {
         FROM grid g LEFT JOIN mo ON mo.event_type = g.event_type
           AND mo.lag = g.lag
         ORDER BY g.event_type, g.lag"""))
+  ,
+
+    // ---- SEQUENCE-level novelty per day: what fraction of today's
+    // event-type 3-grams (per-user consecutive triples) was never seen
+    // on ANY earlier day — drift detection one level above the
+    // marginals the catalog already watches (q191/q237 watch token
+    // distributions, q163/q243 the 1-step transitions; a feed whose
+    // per-type volumes and transition matrix look stationary can still
+    // shift its JOURNEY shapes, and the 3-gram vocabulary is the
+    // cheapest sequence fingerprint that sees it). The 3-grams come
+    // from two leads over the per-user (us, event_id) order (the q243
+    // lag co-partitioned with nothing global); novelty is one
+    // left-anti self-join of the DISTINCT (day, gram) table against
+    // strictly-earlier days — |days|²·|grams|-bounded, never
+    // row-scale². Day 0 is 100% novel by definition (no history), the
+    // honest report. All INTEGER with one ‱ division (n_grams ≥ 1 for
+    // any emitted day).
+    //
+    // Scale: one user-partitioned double-lag window + one distinct on
+    // the (day, gram) pairs (grams ≤ |types|³, days calendar-bounded);
+    // everything after runs on that bounded table.
+    ("q254_sequence_novelty",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val dg = ev(s, dir)
+          .select(col("user_id"), col("event_type"), col("us"),
+            col("event_id"), expr("us div 86400000000").as("d"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(col("d"),
+            concat_ws(">", col("event_type"), col("t2"), col("t3"))
+              .as("gram"))
+          .distinct().localCheckpoint()
+        Scoped.releaseAfterUse(dg)
+        val novel = dg.as("a")
+          .join(dg.as("b"),
+            col("a.gram") === col("b.gram") && col("b.d") < col("a.d"),
+            "left_anti")
+          .groupBy(col("d")).agg(count(lit(1)).as("n_novel"))
+        dg.groupBy(col("d")).agg(count(lit(1)).as("n_grams"))
+          .join(novel, Seq("d"), "left_outer")
+          .select(col("d"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            expr("coalesce(n_novel, 0L) * 10000 div n_grams").as("novel4"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+            epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS d
+          FROM events),
+        sq AS (SELECT d, event_type,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS t2,
+            lead(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS t3
+          FROM e),
+        dg AS (SELECT DISTINCT d,
+            event_type || '>' || t2 || '>' || t3 AS gram
+          FROM sq WHERE t3 IS NOT NULL),
+        novel AS (SELECT a.d, COUNT(*) AS n_novel
+          FROM dg a
+          WHERE NOT EXISTS (SELECT 1 FROM dg b
+            WHERE b.gram = a.gram AND b.d < a.d)
+          GROUP BY a.d),
+        ng AS (SELECT d, COUNT(*) AS n_grams FROM dg GROUP BY d)
+        SELECT ng.d, ng.n_grams,
+          COALESCE(novel.n_novel, 0) AS n_novel,
+          COALESCE(novel.n_novel, 0) * 10000 // ng.n_grams AS novel4
+        FROM ng LEFT JOIN novel ON novel.d = ng.d
+        ORDER BY ng.d"""))
   )
 }

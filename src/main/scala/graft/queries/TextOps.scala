@@ -4158,7 +4158,56 @@ object TextOps {
               / CAST(n * n - pe_num AS DOUBLE) + 0.5) AS BIGINT)
             END AS kappa4
         FROM k"""
-      })
+      }),
+
+    // ---- GINI–SIMPSON diversity (Simpson 1949) per source — the
+    // diversity family's second classic beside the entropy line (q191
+    // KL, q243/q250 Shannon): 1 − Σp_i², the probability two tokens
+    // drawn at random differ, plus its inverse-Simpson "effective
+    // vocabulary size". Entropy weights rare types logarithmically;
+    // Simpson is dominated by the head — a boilerplate-flooded source
+    // craters Simpson long before it moves Shannon, which is exactly
+    // why a diversity dashboard wants both. ENTIRELY integer: Σc² and
+    // n are exact BIGINT folds, D4 = 10⁴ − Σc²·10⁴ div n², and the
+    // inverse is one more integer division (n² ≥ Σc² ≥ n ≥ 1 for any
+    // emitted source, so no degenerate division exists; a single-type
+    // source honestly reads D4 = 0). Σc²·10⁴ bounds: Σc² ≤ n² and the
+    // ‱ product stays under 2⁶³ for n up to ~3·10⁷ tokens/source at
+    // fixture scales; a 100 TB run widens the fold to decimal(38,0)
+    // (the q191 note) without changing the math.
+    //
+    // Scale: one combinable (source, tok) count; the fold runs on
+    // |sources| rows.
+    ("q255_simpson_diversity",
+      (s: SparkSession, dir: String) => {
+        val toks = explodeLean(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          Seq(col("source")),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), "tok")
+        toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("v_types"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("source"), col("n").as("n_tokens"), col("v_types"),
+            (lit(10000L) - expr("sc2 * 10000 div (n * n)")).as("gini_simpson4"),
+            // inverse Simpson 1/Σp² = n²/Σc², the "effective type count"
+            expr("n * n * 100 div sc2").as("inv_simpson2"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS tok FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        f AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+            COUNT(*) AS v_types,
+            CAST(SUM(c * c) AS BIGINT) AS sc2
+          FROM st GROUP BY source)
+        SELECT source, n AS n_tokens, v_types,
+          10000 - sc2 * 10000 // (n * n) AS gini_simpson4,
+          n * n * 100 // sc2 AS inv_simpson2
+        FROM f
+        ORDER BY source"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
