@@ -1966,5 +1966,64 @@ object Events {
           COALESCE(novel.n_novel, 0) * 10000 // ng.n_grams AS novel4
         FROM ng LEFT JOIN novel ON novel.d = ng.d
         ORDER BY ng.d"""))
+  ,
+
+    // ---- GINI COEFFICIENT of per-event spend per type (the Lorenz
+    // inequality number, Gini 1912): how concentrated is each type's
+    // monetary mass across its events — q255's Simpson measures TYPE
+    // concentration of tokens; this measures VALUE concentration
+    // within a type (a purchase stream where 1% of transactions carry
+    // 90% of revenue needs whale-aware sampling and fences — q172's
+    // assumptions again). Exact integer via the rank formulation
+    // G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the per-type
+    // (cents, event_id)-ranked values: the rank window is PARTITIONED
+    // by type (never an unpartitioned window), both folds are exact
+    // BIGINT, one ‱ division at the end. Σx = 0 (all-zero values)
+    // sentinels to −1 in both engines; G ≥ 0 here (values are
+    // non-negative cents), so −1 cannot collide. Bounds: Σ i·x ≤
+    // n·n·max_cents ≈ 6e6·6e6·5e4 would overflow — but per TYPE n ≤
+    // ~1.2e6 at sf1 and i·x ≤ 1.2e6·5e4 = 6e10, Σ ≤ 7e16 < 2⁶³; the
+    // ‱ multiply rides the double path (q245's rule is not needed —
+    // numerator non-negative — but the product 2Σix·10⁴ can pass
+    // 2⁶³, so the division is one exact-integer-ratio IEEE divide).
+    //
+    // Scale: one partitioned rank window co-partitioned with its
+    // folds; output |types| rows.
+    ("q257_spend_gini",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("xc"), col("event_id"))
+        val ranked = ev(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("xc"))
+          .withColumn("rk", row_number().over(w))
+        ranked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+            sum(col("rk") * col("xc")).as("six"))
+          .select(col("event_type"), col("n"), col("sx"),
+            when(col("sx") === 0L, lit(-1L))
+              .otherwise(floor(
+                (lit(2L) * col("six") - (col("n") + 1L) * col("sx"))
+                  .cast("double") * 1e4
+                  / (col("n") * col("sx")).cast("double") + 0.5)
+                .cast("long")).as("gini4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type, event_id,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events),
+        rked AS (SELECT event_type, xc,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY xc, event_id) AS rk
+          FROM c),
+        f AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(xc) AS BIGINT) AS sx,
+            CAST(SUM(rk * xc) AS BIGINT) AS six
+          FROM rked GROUP BY event_type)
+        SELECT event_type, n, sx,
+          CASE WHEN sx = 0 THEN -1
+            ELSE CAST(floor(CAST(2 * six - (n + 1) * sx AS DOUBLE) * 1e4
+              / CAST(n * sx AS DOUBLE) + 0.5) AS BIGINT) END AS gini4
+        FROM f
+        ORDER BY event_type"""))
   )
 }

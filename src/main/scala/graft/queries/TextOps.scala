@@ -4208,6 +4208,53 @@ object TextOps {
           n * n * 100 // sc2 AS inv_simpson2
         FROM f
         ORDER BY source"""))
+  ,
+
+    // ---- PER-SOURCE exact-duplicate rate: the share of each source's
+    // documents whose exact text (md5) appears more than once WITHIN
+    // that source — q30's corpus-global exact dedup re-cut to the
+    // grain a feed decision is made at (a 30%-self-duplicated source
+    // is a re-crawl or a pagination bug regardless of how the global
+    // pass dedups it; the per-source number is what gets a feed
+    // paused). All INTEGER: one (source, hash) count, duplicate mass
+    // folded per source, two ‱ divisions (n_docs ≥ 1 structurally).
+    // dup_docs counts members of multi-copy groups; surplus counts
+    // only the copies a within-source dedup would delete.
+    //
+    // Scale: one combinable (source, md5) count — the hash is
+    // computed map-side so no shuffle carries text; folds run on
+    // |sources| rows.
+    ("q256_source_dup_rate",
+      (s: SparkSession, dir: String) => {
+        t(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h"))
+          .groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_docs"),
+            sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("dup_docs"),
+            sum(when(col("c") > 1L, col("c") - 1L).otherwise(0L))
+              .as("surplus_docs"))
+          .select(col("source"), col("n_docs"), col("dup_docs"),
+            col("surplus_docs"),
+            expr("dup_docs * 10000 div n_docs").as("dup_rate4"),
+            expr("surplus_docs * 10000 div n_docs").as("surplus_rate4"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH h AS (SELECT source, md5(text) AS h FROM documents),
+        g AS (SELECT source, h, COUNT(*) AS c FROM h GROUP BY 1, 2),
+        f AS (SELECT source,
+            CAST(SUM(c) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              AS dup_docs,
+            CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+              AS surplus_docs
+          FROM g GROUP BY source)
+        SELECT source, n_docs, dup_docs, surplus_docs,
+          dup_docs * 10000 // n_docs AS dup_rate4,
+          surplus_docs * 10000 // n_docs AS surplus_rate4
+        FROM f
+        ORDER BY source"""))
   )
 
   /** q190's rule evaluation, shared with the streaming twin
