@@ -588,8 +588,10 @@ object Bench {
     // passes only. A fast clean replacement pass lowers cross-pass minima
     // and can CREATE new >2x drops in the widened pool — re-evaluating
     // there let a healing pass re-trigger the alarm, bounded only by
-    // retryMax. The original-window count is fixed, so the loop appends
-    // at most retryMax passes for one contaminated window and stops.
+    // retryMax. The original-window count is fixed, so once it trips the
+    // loop appends EXACTLY retryMax replacement passes (it cannot stop
+    // early on a clean replacement — acceptable: retryMax defaults to 1,
+    // and a wider healed pool only adds clean observations; ADVICE r20).
     val originalExcl = exclusionCount(passesFull.take(runs).map(_._1))
     var retries = 0
     while (retries < retryMax && runs > 1 &&

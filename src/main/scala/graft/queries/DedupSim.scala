@@ -4318,12 +4318,19 @@ object DedupSim {
     ("q252_source_containment",
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
-        val ssh = t(s, dir, "documents")
-          .select(col("source"),
-            expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
-          .filter(size(col("ws")) >= 5)
-          .select(col("source"),
-            explode(expr("array_distinct(gram_hash60(ws, 5))")).as("sh"))
+        // explodeLean (ADVICE r20): a plain explode over the COMPUTED
+        // array would let InferFiltersFromGenerate duplicate the
+        // regexp_extract_all+gram_hash60+array_distinct chain into an
+        // inferred pre-Generate filter (the q111 hazard this file's
+        // header documents) — the helper's explode_outer shape is exempt
+        // from that rule and the arrays are null-element-free
+        val ssh = explodeLean(
+          t(s, dir, "documents")
+            .select(col("source"),
+              expr("regexp_extract_all(text, '[a-zA-Z]+', 0)").as("ws"))
+            .filter(size(col("ws")) >= 5),
+          Seq(col("source")),
+          expr("array_distinct(gram_hash60(ws, 5))"), "sh")
           .distinct().localCheckpoint()
         Scoped.releaseAfterUse(ssh)
         val na = ssh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))

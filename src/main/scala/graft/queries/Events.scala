@@ -858,19 +858,43 @@ object Events {
     // cannot NaN one engine. Output: counts + exact sums + the ‱-grid
     // cv4/b4.
     //
-    // Scale: one type-partitioned window (co-partitioned with the
-    // shuffle the aggregate needs anyway) + ONE combinable aggregate;
-    // state is |types| rows of five cells.
+    // Scale (r21 rewrite, VERDICT r20 #2): the r20 shape lagged over ONE
+    // per-type sort window — every event row of a type in a single task
+    // at 100 TB (the aggregate's shuffle carries map-side partials, the
+    // window's carried ALL rows to one partition; the old "co-partitioned
+    // with the shuffle the aggregate needs anyway" note overstated).
+    // Adjacency is LOCAL in time, so the lag splits by TIME BAND: rows
+    // hash by (type, band) where band = us div W — intra-band gaps come
+    // from a (type, band)-partitioned lag (parallelism = |types|·|bands|,
+    // scale-adaptive via spark.graft.q226.bandUs, local default 1 h —
+    // the gap multiset is identical for ANY W, so the knob cannot change
+    // results), and the one gap that straddles each band boundary is
+    // reconstructed from the per-band min/max us (a combinable aggregate;
+    // ties on us share a band, so the boundary gap needs no event_id
+    // tie-break) lagged over the |types|·|bands|-bounded band table.
+    // Union of the two gap sets = exactly the global adjacent-pair set.
     ("q226_interarrival_burstiness",
       (s: SparkSession, dir: String) => {
-        val w = Window.partitionBy(col("event_type"))
+        val bandUs = s.conf.getOption("spark.graft.q226.bandUs")
+          .flatMap(_.toLongOption).getOrElse(3600000000L)
+        val e = ev(s, dir)
+          .select(col("event_type"), col("us"), col("event_id"),
+            expr(s"us div ${bandUs}L").as("band"))
+        val wIn = Window.partitionBy(col("event_type"), col("band"))
           .orderBy(col("us"), col("event_id"))
-        val d = ev(s, dir)
-          .select(col("event_type"), col("us"), col("event_id"))
-          .withColumn("prev", lag(col("us"), 1).over(w))
+        val intra = e
+          .withColumn("prev", lag(col("us"), 1).over(wIn))
           .filter(col("prev").isNotNull)
           .select(col("event_type"),
             ((col("us") - col("prev")) / 1000).cast("long").as("d_ms"))
+        val wBand = Window.partitionBy(col("event_type")).orderBy(col("band"))
+        val cross = e.groupBy(col("event_type"), col("band"))
+          .agg(min(col("us")).as("fu"), max(col("us")).as("lu"))
+          .withColumn("plu", lag(col("lu"), 1).over(wBand))
+          .filter(col("plu").isNotNull)
+          .select(col("event_type"),
+            ((col("fu") - col("plu")) / 1000).cast("long").as("d_ms"))
+        val d = intra.unionByName(cross)
         d.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_gaps"),
             sum(col("d_ms")).as("sum_ms"),
@@ -1421,10 +1445,13 @@ object Events {
             coalesce(col("n_conc"), lit(0L)).as("n_conc"),
             coalesce(col("n_disc"), lit(0L)).as("n_disc"),
             coalesce(col("n_tie"), lit(0L)).as("n_tie"),
-            // tau can be negative: `div` truncates toward zero in Spark
-            // but `//` floors in DuckDB, so the ratio goes through one
+            // tau can be negative: measured (ADVICE r20), BOTH engines
+            // truncate integer division toward zero (DuckDB -150//100 =
+            // -1, same as Spark `div`) — the q202 builder's note is the
+            // correct one. The ratio still goes through one
             // exact-integer-ratio IEEE division + floor (q240's slope
-            // rule), identical in both engines
+            // rule) as defense-in-depth: it is independent of either
+            // engine's integer-division convention
             when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(-1L))
               .otherwise(floor((col("s_stat") * lit(10000L)).cast("double")
                 / col("n_pairs").cast("double") + 0.5).cast("long"))
@@ -1691,35 +1718,58 @@ object Events {
     // The kept-set min/max ARE the trim boundaries (rank k+1 and n−k),
     // so one aggregate over the kept rows yields both means.
     //
-    // Scale: one partitioned rank window co-partitioned with its
-    // aggregate (the q226 shape); everything after runs on |types| rows.
+    // Scale (r21 rewrite, VERDICT r20 #2): the r20 shape ranked EVERY
+    // event row of a type in one per-type sort window — a single-reducer
+    // skew pattern at 100 TB with a low-cardinality type column. Values
+    // live on the exact CENTS grid, so every order statistic is
+    // recoverable from the (type, cents) HISTOGRAM + running offset: a
+    // value run of count c at cumulative offset o owns ranks (o, o+c],
+    // its kept mass is |(max(o,k), min(o+c, n−k)]|, and the kept-set
+    // min/max are the min/max cents with kept mass > 0. The histogram is
+    // ONE combinable partial aggregate (the shuffle carries |types|·
+    // |distinct cents| rows, never the event stream); the cumsum window
+    // runs over the value-DOMAIN-bounded histogram (q202's argument —
+    // ≤ ~|cents domain| rows per type, q246's WindowGroupLimit instinct
+    // applied to the whole distribution); the final fold is |types| rows.
+    // No per-type WindowExec ever sees raw event rows.
     ("q248_trimmed_winsorized",
       (s: SparkSession, dir: String) => {
         val k = 16
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("xc"), col("event_id"))
-        val ranked = ev(s, dir)
-          .select(col("event_type"), col("event_id"),
+        val hist = ev(s, dir)
+          .select(col("event_type"),
             expr("cast(floor(value * 100 + 0.5) as bigint)").as("xc"))
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("event_type"))))
-          .localCheckpoint()
-        Scoped.releaseAfterUse(ranked)
-        val kept = ranked
-          .filter(col("rk") > k && col("rk") <= col("n") - k)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_kept"), sum(col("xc")).as("ksum"),
-            min(col("xc")).as("lo"), max(col("xc")).as("hi"))
-        ranked.select(col("event_type"), col("n")).distinct()
-          .join(kept, Seq("event_type"), "left_outer")
-          .select(col("event_type"), col("n"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            when(col("n_kept").isNull, lit(-1L))
-              .otherwise(expr("ksum * 10000 div n_kept")).as("tmean4"),
-            when(col("n_kept").isNull, lit(-1L))
+          .groupBy(col("event_type"), col("xc"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("xc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(col("event_type"))
+        val runs = hist
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wN))
+          // ranks (o, o+c] ∩ kept ranks (k, n−k]
+          .withColumn("kept_c", greatest(lit(0L),
+            least(col("cum"), col("n") - k)
+              - greatest(col("cum") - col("c"), lit(k.toLong))))
+        runs.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            sum(col("kept_c")).as("n_kept"),
+            sum(col("xc") * col("kept_c")).as("ksum"),
+            min(when(col("kept_c") > 0L, col("xc"))).as("lo"),
+            max(when(col("kept_c") > 0L, col("xc"))).as("hi"))
+          .select(col("event_type"), col("n"), col("n_kept"),
+            // ksum·10⁴ ≤ max_cents·n·10⁴ breaches int64 near 2e13 rows
+            // of one type — the ‱ multiply crosses decimal(38,0); `div`
+            // on a decimal dividend is the same truncating
+            // IntegralDivide, so in-range results are bit-identical
+            // (r21 fold sweep, VERDICT r20 #4)
+            when(col("n_kept") === 0L, lit(-1L))
               .otherwise(expr(
-                s"(ksum + $k * (lo + hi)) * 10000 div n")).as("wmean4"))
+                "cast(ksum as decimal(38,0)) * 10000 div n_kept"))
+              .as("tmean4"),
+            when(col("n_kept") === 0L, lit(-1L))
+              .otherwise(expr(
+                s"(cast(ksum as decimal(38,0)) + $k * (lo + hi)) " +
+                  "* 10000 div n")).as("wmean4"))
           .orderBy(col("event_type"))
       },
       Some("""WITH c AS (SELECT event_type, event_id,
@@ -1839,25 +1889,38 @@ object Events {
               && col("b.d") === col("a.d") + col("lag"))
           .select(col("a.event_type").as("event_type"), col("lag"),
             col("a.y").as("ya"), col("b.y").as("yb"))
+        // second-moment folds born decimal(38,0) (r21 fold sweep,
+        // VERDICT r20 #4): ya·yb ≈ (rows/day/type)² breaches int64 near
+        // 1.5e9 rows/day/type (well inside 100 TB), where Spark
+        // non-ANSI wraps silently while DuckDB's HUGEINT errors loudly;
+        // the fold input is the |types|·|days| daily table, so the
+        // widening is free at any scale. The n·s and s·s products below
+        // cross the same decimal path before their double casts.
         val mo = pairs.groupBy(col("event_type"), col("lag"))
           .agg(count(lit(1)).as("n"), sum(col("ya")).as("sa"),
-            sum(col("yb")).as("sb"), sum(col("ya") * col("yb")).as("sab"),
-            sum(col("ya") * col("ya")).as("sa2"),
-            sum(col("yb") * col("yb")).as("sb2"))
+            sum(col("yb")).as("sb"),
+            sum(expr("cast(ya as decimal(38,0)) * yb")).as("sab"),
+            sum(expr("cast(ya as decimal(38,0)) * ya")).as("sa2"),
+            sum(expr("cast(yb as decimal(38,0)) * yb")).as("sb2"))
         daily.select(col("event_type")).distinct().crossJoin(lags)
           .join(mo, Seq("event_type", "lag"), "left_outer")
           .select(col("event_type"), col("lag"),
             coalesce(col("n"), lit(0L)).as("n_pairs"),
             when(col("n").isNull
-                || col("n") * col("sa2") - col("sa") * col("sa") === 0L
-                || col("n") * col("sb2") - col("sb") * col("sb") === 0L,
+                || col("n") * col("sa2")
+                  - col("sa").cast("decimal(38,0)") * col("sa") === 0L
+                || col("n") * col("sb2")
+                  - col("sb").cast("decimal(38,0)") * col("sb") === 0L,
               lit(-20001L))
               .otherwise(floor(
-                (col("n") * col("sab") - col("sa") * col("sb"))
+                (col("n") * col("sab")
+                  - col("sa").cast("decimal(38,0)") * col("sb"))
                   .cast("double") * 1e4
-                  / sqrt((col("n") * col("sa2") - col("sa") * col("sa"))
+                  / sqrt((col("n") * col("sa2")
+                    - col("sa").cast("decimal(38,0)") * col("sa"))
                     .cast("double"))
-                  / sqrt((col("n") * col("sb2") - col("sb") * col("sb"))
+                  / sqrt((col("n") * col("sb2")
+                    - col("sb").cast("decimal(38,0)") * col("sb"))
                     .cast("double"))
                   + 0.5).cast("long")).as("acf4"))
           .orderBy(col("event_type"), col("lag"))
@@ -1975,37 +2038,56 @@ object Events {
     // within a type (a purchase stream where 1% of transactions carry
     // 90% of revenue needs whale-aware sampling and fences — q172's
     // assumptions again). Exact integer via the rank formulation
-    // G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the per-type
-    // (cents, event_id)-ranked values: the rank window is PARTITIONED
-    // by type (never an unpartitioned window), both folds are exact
-    // BIGINT, one ‱ division at the end. Σx = 0 (all-zero values)
-    // sentinels to −1 in both engines; G ≥ 0 here (values are
-    // non-negative cents), so −1 cannot collide. Bounds: Σ i·x ≤
-    // n·n·max_cents ≈ 6e6·6e6·5e4 would overflow — but per TYPE n ≤
-    // ~1.2e6 at sf1 and i·x ≤ 1.2e6·5e4 = 6e10, Σ ≤ 7e16 < 2⁶³; the
-    // ‱ multiply rides the double path (q245's rule is not needed —
-    // numerator non-negative — but the product 2Σix·10⁴ can pass
-    // 2⁶³, so the division is one exact-integer-ratio IEEE divide).
+    // G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx). The ranks only ever enter
+    // through Σᵢ i·x₍ᵢ₎, and x is constant within a tie run, so the
+    // fold collapses onto the (type, cents) HISTOGRAM (r21 rewrite,
+    // VERDICT r20 #2+#3): a run of value v with count c at cumulative
+    // count cum owns ranks (cum−c, cum], whose rank-sum is the
+    // arithmetic series c·(2·cum−c+1)/2 — so 2·Σi·x = Σ_runs v·c·
+    // (2·cum−c+1), computed WITHOUT the row-scale per-type rank window
+    // (the r20 single-reducer-per-type skew shape) and WITHOUT the /2
+    // (c·(2·cum−c+1) is always even, and folding the DOUBLED series
+    // keeps the term integral with no integer-division step). The fold
+    // is born decimal(38,0) (q226's s2dec convention), which removes
+    // the r20 silent-int64-wrap hazard (Σ2ix ≤ 2n²·max_cents breaches
+    // 2⁶³ around sf30–100 where Spark non-ANSI wraps silently while
+    // DuckDB errors loudly); (n+1)·sx and n·sx also cross through
+    // decimal(38,0) before their correctly-rounded double casts, so
+    // every derived double is the same IEEE op chain as before on the
+    // same exact integers. Σx = 0 sentinels to −1 in both engines;
+    // negative-total guard extended to sx < 0 (ADVICE r20: the fixture
+    // has min 0.01 ≥ 0, but the invariant is the fixture's, not the
+    // schema's — a negative-cents fixture would make n·sx negative
+    // with only sx == 0 guarded).
     //
-    // Scale: one partitioned rank window co-partitioned with its
-    // folds; output |types| rows.
+    // Scale: one combinable (type, cents) count; the cumsum window
+    // runs over the value-domain-bounded histogram (≤ |cents domain|
+    // rows per type — q202's argument); folds run on histogram rows,
+    // output |types| rows. No per-type WindowExec over raw event rows.
     ("q257_spend_gini",
       (s: SparkSession, dir: String) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("xc"), col("event_id"))
-        val ranked = ev(s, dir)
-          .select(col("event_type"), col("event_id"),
+        val hist = ev(s, dir)
+          .select(col("event_type"),
             expr("cast(floor(value * 100 + 0.5) as bigint)").as("xc"))
-          .withColumn("rk", row_number().over(w))
-        ranked.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
-            sum(col("rk") * col("xc")).as("six"))
+          .groupBy(col("event_type"), col("xc"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("xc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("c")).over(wCum))
+          .groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n"), sum(col("xc") * col("c")).as("sx"),
+            // 2·Σi·x, exactly — decimal(38,0) per q226's s2dec rule
+            sum(expr(
+              "cast(xc as decimal(38,0)) * c * (2 * cum - c + 1)"))
+              .as("six2"))
           .select(col("event_type"), col("n"), col("sx"),
-            when(col("sx") === 0L, lit(-1L))
+            when(col("sx") <= 0L, lit(-1L))
               .otherwise(floor(
-                (lit(2L) * col("six") - (col("n") + 1L) * col("sx"))
+                (col("six2")
+                  - ((col("n") + 1L).cast("decimal(38,0)") * col("sx")))
                   .cast("double") * 1e4
-                  / (col("n") * col("sx")).cast("double") + 0.5)
+                  / (col("n").cast("decimal(38,0)") * col("sx"))
+                    .cast("double") + 0.5)
                 .cast("long")).as("gini4"))
           .orderBy(col("event_type"))
       },
@@ -2020,7 +2102,7 @@ object Events {
             CAST(SUM(rk * xc) AS BIGINT) AS six
           FROM rked GROUP BY event_type)
         SELECT event_type, n, sx,
-          CASE WHEN sx = 0 THEN -1
+          CASE WHEN sx <= 0 THEN -1
             ELSE CAST(floor(CAST(2 * six - (n + 1) * sx AS DOUBLE) * 1e4
               / CAST(n * sx AS DOUBLE) + 0.5) AS BIGINT) END AS gini4
         FROM f

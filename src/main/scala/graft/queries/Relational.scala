@@ -1605,8 +1605,9 @@ object Relational {
     // (broadcast 4-row fence table into a map-side conditional count).
     // Exactness is engineered: bins are floor(v/W) on cent integers via
     // double division (exact for |v| < 2^53; floor — not integer div —
-    // because Spark's `div` truncates toward zero while DuckDB's `//`
-    // floors, and the planted l_discount stripe is negative); the
+    // because integer division truncates toward zero in BOTH engines
+    // (measured, ADVICE r20) while the bin function must FLOOR, and the
+    // planted l_discount stripe is negative); the
     // quartile is the smallest bin with 4·cum > k·(n−1) — the bin
     // holding the LOWER order statistic of q148's type-7 interpolation
     // index k(n−1)/4 + 1, so the two paths read the same neighborhood
@@ -2421,9 +2422,10 @@ object Relational {
     // Scale: one combinable groupBy of |rows| → |QI combos| (bounded by
     // the QI domain product, NOT the row count); the rescue window is
     // partitioned by the coarse key over the already-aggregated groups.
-    // Balance buckets via double floor() — floor-division on negative
-    // INTEGERS diverges between engines (Spark div truncates toward
-    // zero, DuckDB // floors), double floor() agrees everywhere.
+    // Balance buckets via double floor() — integer division truncates
+    // toward zero in BOTH engines (measured, ADVICE r20) but the bucket
+    // function must FLOOR on negatives; double floor() agrees everywhere
+    // and is independent of either engine's integer-division convention.
     ("q182_k_anonymity",
       (s: SparkSession, dir: String) => {
         val k = 5L

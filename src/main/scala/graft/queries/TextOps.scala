@@ -2435,8 +2435,10 @@ object TextOps {
             sum(expr("x6 * y6")).as("sxy"), sum(expr("x6 * x6")).as("sxx"))
           // exact-remainder division (the q180 lesson, on BOTH engines):
           // Spark's decimal div rounds its intermediate quotient at scale
-          // 6 and DuckDB's // floors on negatives — subtracting num % den
-          // first makes the quotient exact, where the two agree
+          // 6 (and integer `//`/`div` semantics, though measured identical
+          // across engines — ADVICE r20 — are convention-sensitive on
+          // negatives) — subtracting num % den first makes the quotient
+          // exact, where every convention agrees
           .withColumn("bn", expr("cast(m * sxy - sx * sy as decimal(38,0)) * 10000 " +
             "+ (m * sxx - sx * sx) div 2"))
           .withColumn("bd", expr("m * sxx - sx * sx"))
@@ -3615,15 +3617,23 @@ object TextOps {
         val tf = toks.groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("c"))
         val w = Window.partitionBy(col("lang")).orderBy(col("c"), col("tok"))
+        // Σi·c fold born decimal(38,0) (r21 fold sweep, VERDICT r20 #4):
+        // Σi·c ≤ n_types·n_tokens breaches int64 near vocab 1e8 ×
+        // tokens 1e13, where Spark non-ANSI wraps silently — the fold
+        // accumulates wide and exits through decimalToLongChecked (the
+        // q177 rule: fail loudly, never wrap); n_types·n_tokens crosses
+        // the same decimal path before its double cast
         tf.withColumn("i", row_number().over(w).cast("long"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_types"),
             sum(col("c")).as("n_tokens"),
-            sum(col("i") * col("c")).as("sum_irank"))
+            sum(expr("cast(i as decimal(38,0)) * c")).as("sum_irank_dec"))
           .select(col("lang"), col("n_types"), col("n_tokens"),
-            col("sum_irank"),
-            floor((lit(2.0) * col("sum_irank").cast("double")
-              / (col("n_types") * col("n_tokens")).cast("double")
+            Relational.decimalToLongChecked(col("sum_irank_dec"))
+              .as("sum_irank"),
+            floor((lit(2.0) * col("sum_irank_dec").cast("double")
+              / (col("n_types").cast("decimal(38,0)") * col("n_tokens"))
+                .cast("double")
               - (col("n_types") + lit(1L)).cast("double")
                 / col("n_types").cast("double")) * lit(1e4) + lit(0.5))
               .cast("long").as("gini4"))
@@ -4168,13 +4178,16 @@ object TextOps {
     // Simpson is dominated by the head — a boilerplate-flooded source
     // craters Simpson long before it moves Shannon, which is exactly
     // why a diversity dashboard wants both. ENTIRELY integer: Σc² and
-    // n are exact BIGINT folds, D4 = 10⁴ − Σc²·10⁴ div n², and the
-    // inverse is one more integer division (n² ≥ Σc² ≥ n ≥ 1 for any
-    // emitted source, so no degenerate division exists; a single-type
-    // source honestly reads D4 = 0). Σc²·10⁴ bounds: Σc² ≤ n² and the
-    // ‱ product stays under 2⁶³ for n up to ~3·10⁷ tokens/source at
-    // fixture scales; a 100 TB run widens the fold to decimal(38,0)
-    // (the q191 note) without changing the math.
+    // n are exact folds, D4 = 10⁴ − Σc²·10⁴ div n², and the inverse is
+    // one more integer division (n² ≥ Σc² ≥ n ≥ 1 for any emitted
+    // source, so no degenerate division exists; a single-type source
+    // honestly reads D4 = 0). The Σc² fold and the n²/‱ products are
+    // born decimal(38,0) (r21, VERDICT r20 #3: the former in-comment
+    // "widen past ~3·10⁷ tokens/source" promise is now code — Σc² ≤ n²
+    // and the ‱ product breach 2⁶³ where Spark non-ANSI wraps silently
+    // while DuckDB errors loudly); `div` on decimal operands is the
+    // same truncating IntegralDivide, so in-range results are
+    // bit-identical to the BIGINT path.
     //
     // Scale: one combinable (source, tok) count; the fold runs on
     // |sources| rows.
@@ -4188,11 +4201,14 @@ object TextOps {
           .agg(count(lit(1)).as("c"))
           .groupBy(col("source"))
           .agg(sum(col("c")).as("n"), count(lit(1)).as("v_types"),
-            sum(col("c") * col("c")).as("sc2"))
+            sum(expr("cast(c as decimal(38,0)) * c")).as("sc2"))
           .select(col("source"), col("n").as("n_tokens"), col("v_types"),
-            (lit(10000L) - expr("sc2 * 10000 div (n * n)")).as("gini_simpson4"),
+            (lit(10000L) - expr(
+              "sc2 * 10000 div (cast(n as decimal(38,0)) * n)"))
+              .as("gini_simpson4"),
             // inverse Simpson 1/Σp² = n²/Σc², the "effective type count"
-            expr("n * n * 100 div sc2").as("inv_simpson2"))
+            expr("cast(n as decimal(38,0)) * n * 100 div sc2")
+              .as("inv_simpson2"))
           .orderBy(col("source"))
       },
       Some("""WITH toks AS (
