@@ -869,36 +869,42 @@ object Events {
     // scale-adaptive via spark.graft.q226.bandUs, local default 1 h —
     // the gap multiset is identical for ANY W, so the knob cannot change
     // results), and the one gap that straddles each band boundary is
-    // reconstructed from the per-band min/max us (a combinable aggregate;
-    // ties on us share a band, so the boundary gap needs no event_id
-    // tie-break) lagged over the |types|·|bands|-bounded band table.
-    // Union of the two gap sets = exactly the global adjacent-pair set.
+    // reconstructed from the per-band min/max us (carried by the SAME
+    // per-band aggregate that folds the intra-band gap moments — ONE
+    // scan, one (type, band) shuffle; ties on us share a band, so the
+    // boundary gap needs no event_id tie-break) lagged over the
+    // |types|·|bands|-bounded band table. Intra moments + boundary
+    // moments sum to exactly the global adjacent-pair fold.
     ("q226_interarrival_burstiness",
       (s: SparkSession, dir: String) => {
         val bandUs = s.conf.getOption("spark.graft.q226.bandUs")
           .flatMap(_.toLongOption).getOrElse(3600000000L)
-        val e = ev(s, dir)
-          .select(col("event_type"), col("us"), col("event_id"),
-            expr(s"us div ${bandUs}L").as("band"))
         val wIn = Window.partitionBy(col("event_type"), col("band"))
           .orderBy(col("us"), col("event_id"))
-        val intra = e
+        val perBand = ev(s, dir)
+          .select(col("event_type"), col("us"), col("event_id"),
+            expr(s"us div ${bandUs}L").as("band"))
           .withColumn("prev", lag(col("us"), 1).over(wIn))
-          .filter(col("prev").isNotNull)
-          .select(col("event_type"),
-            ((col("us") - col("prev")) / 1000).cast("long").as("d_ms"))
+          .withColumn("d_ms",
+            ((col("us") - col("prev")) / 1000).cast("long"))
+          .groupBy(col("event_type"), col("band"))
+          .agg(count(col("d_ms")).as("n_in"),
+            sum(col("d_ms")).as("s_in"),
+            sum(col("d_ms").cast("decimal(38,0)") * col("d_ms")).as("s2_in"),
+            min(col("us")).as("fu"), max(col("us")).as("lu"))
         val wBand = Window.partitionBy(col("event_type")).orderBy(col("band"))
-        val cross = e.groupBy(col("event_type"), col("band"))
-          .agg(min(col("us")).as("fu"), max(col("us")).as("lu"))
-          .withColumn("plu", lag(col("lu"), 1).over(wBand))
-          .filter(col("plu").isNotNull)
-          .select(col("event_type"),
-            ((col("fu") - col("plu")) / 1000).cast("long").as("d_ms"))
-        val d = intra.unionByName(cross)
-        d.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_gaps"),
-            sum(col("d_ms")).as("sum_ms"),
-            sum(col("d_ms").cast("decimal(38,0)") * col("d_ms")).as("s2dec"))
+        perBand
+          .withColumn("bd",
+            ((col("fu") - lag(col("lu"), 1).over(wBand)) / 1000)
+              .cast("long"))
+          .groupBy(col("event_type"))
+          .agg((sum(col("n_in")) + count(col("bd"))).as("n_gaps"),
+            (coalesce(sum(col("s_in")), lit(0L))
+              + coalesce(sum(col("bd")), lit(0L))).as("sum_ms"),
+            (coalesce(sum(col("s2_in")), lit(0L).cast("decimal(38,0)"))
+              + coalesce(sum(col("bd").cast("decimal(38,0)") * col("bd")),
+                lit(0L).cast("decimal(38,0)"))).as("s2dec"))
+          .filter(col("n_gaps") > 0L)
           .select(col("event_type"), col("n_gaps"), col("sum_ms"),
             (col("sum_ms").cast("double") / col("n_gaps")).as("m"),
             greatest(
